@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §1.1 + §3.
+  *
+  * Every implemented operator from SURVEY.md §3 contributes one `queries`
+  * entry; DuckDB-expressible ones also contribute `oracleSql` (column names
+  * aliased identically on both sides — the driver sorts columns by name
+  * before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def registry: Seq[Q] =
+    Scans.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
+      Windows.all ++ SetOps.all
+
+  /** Flagship query (TPC-H Q1 pricing summary) on sf0.001; driver
+    * smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggregates.flagship(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §3. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.key -> q.fn).toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(o => q.key -> o)).toMap
 }

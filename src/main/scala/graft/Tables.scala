@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared table loaders + cross-engine determinism helpers.
+  *
+  * Every graded query reads the driver-generated parquet at
+  * `<sfDir>/<table>.parquet` (FIXTURES.md). The helpers here encode the
+  * oracle-determinism rules of SURVEY.md §8.4: exact DECIMAL(18,4)
+  * aggregation for monetary doubles, round-then-cast-to-double emission
+  * (keeps the decimal→double conversion in the exact `<2^52`-unit range so
+  * Spark and DuckDB produce bit-identical doubles), epoch-millis emission
+  * for the nanosecond `events.ts`, and ISO date strings for timestamps.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) — Spark 4 throws
+    * PARQUET_TYPE_ILLEGAL without `nanosAsLong` (SURVEY.md §8.6.1). Reads it
+    * as LongType epoch-nanos and derives:
+    *   - `ts_ms`: epoch millis, == DuckDB `cast(epoch_ms(ts) as bigint)`;
+    *   - `ts_t`:  µs-truncated TimestampType for window/session functions.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  val Money: DecimalType = DecimalType(18, 4)
+
+  /** Exact monetary arithmetic: cast double → DECIMAL(18,4) before any
+    * aggregation (SURVEY.md §8.4.2). */
+  def dec(c: Column): Column = c.cast(Money)
+
+  /** Exact decimal sum, rounded to 4 and emitted as double. Rounding first
+    * keeps the unscaled value < 2^52 so both engines take the exact
+    * `(double)unscaled / 1e4` path — bit-identical output. */
+  def mSum(c: Column): Column = round(sum(dec(c)), 4).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum → double, / count, round. */
+  def mAvg(c: Column, digits: Int = 4): Column =
+    round(sum(dec(c)).cast(DoubleType) / count(c), digits)
+
+  /** ISO date string — timestamps are never emitted raw (SURVEY.md §8.4.3). */
+  def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Session-timezone-parsed timestamp literal (harness pins UTC); avoids
+    * JVM-default-TZ-dependent java.sql.Timestamp.valueOf. */
+  def tsLit(isoDate: String): Column = to_timestamp(lit(isoDate))
+
+  /** Epoch millis for an ISO date, computed UTC-safely driver-side. */
+  def epochMs(isoDate: String): Long =
+    java.time.LocalDate.parse(isoDate).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+}

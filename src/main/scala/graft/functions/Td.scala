@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types.TimestampType
+
+/** TD-flavored time/session function layer — the ENGINE-side UDF surface the
+  * reference's generated SQL leans on (SURVEY.md §3.H; reference
+  * `pandas_td/td.py :: read_td_table` emits `td_time_range(time, start,
+  * end)` predicates verbatim into query text).
+  *
+  * Everything here is *construction-time expansion* into native Catalyst
+  * expressions (plain comparisons / built-in datetime functions), never an
+  * opaque UDF: Catalyst then sees `ts >= X AND ts < Y` and pushes it into
+  * the parquet scan (row-group min/max skipping, partition pruning) — the
+  * Spark-native analog of TD's 1-hour time-bucket pruning (SURVEY.md §5.3.1).
+  * At 100 TB, this predicate reaching the scan is the difference between
+  * reading one day and reading three years.
+  */
+object Td {
+
+  /** TD_TIME_RANGE(t, from, to): half-open `[from, to)`, TD semantics.
+    * `from`/`to` are ISO dates or `yyyy-MM-dd HH:mm:ss`; None = unbounded. */
+  def tdTimeRange(ts: Column, from: Option[String], to: Option[String]): Column = {
+    val lo = from.map(f => ts >= to_timestamp(lit(f)))
+    val hi = to.map(u => ts < to_timestamp(lit(u)))
+    (lo, hi) match {
+      case (Some(a), Some(b)) => a && b
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => lit(true)
+    }
+  }
+
+  def tdTimeRange(ts: Column, from: String, to: String): Column =
+    tdTimeRange(ts, Some(from), Some(to))
+
+  /** td_time_range over a raw epoch-nanos LongType column (how `events.ts`
+    * arrives under `nanosAsLong`, FIXTURES.md). Long comparisons push down
+    * to parquet statistics directly. */
+  def tdTimeRangeNanos(tsNanos: Column, fromIso: String, toIso: String): Column = {
+    def ns(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000000L
+    tsNanos >= lit(ns(fromIso)) && tsNanos < lit(ns(toIso))
+  }
+
+  /** TD_DATE_TRUNC('unit', t) — unit ∈ second/minute/hour/day/week/month/quarter/year. */
+  def tdDateTrunc(unit: String, ts: Column): Column = date_trunc(unit, ts)
+
+  /** TD_TIME_FORMAT(t, 'fmt') — Java datetime pattern. */
+  def tdTimeFormat(ts: Column, fmt: String): Column = date_format(ts, fmt)
+
+  /** TD_TIME_PARSE(s) — string → timestamp (session timezone = UTC). */
+  def tdTimeParse(s: Column): Column = to_timestamp(s)
+
+  /** TD_TIME_ADD(t, n, 'unit') — timestamp arithmetic via native intervals. */
+  def tdTimeAdd(ts: Column, n: Int, unit: String): Column =
+    ts + expr(s"INTERVAL $n $unit")
+
+  /** TD_SESSIONIZE(ts, gap, key) — batch form (SURVEY.md §3.H h10): a new
+    * session starts when the gap to the previous event of the same key
+    * exceeds `gapMs`. Pure window-function composition — two windows over
+    * the SAME (key, time) partitioning, so Spark plans ONE shuffle + one
+    * sort for both (scale-critical: no second exchange at 100 TB).
+    * `tieBreak` must make the ordering total (equal timestamps). */
+  def tdSessionize(df: DataFrame, keyCol: String, tsMsCol: String,
+                   gapMs: Long, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsMsCol), col(tieBreak))
+    df.withColumn("__prev", lag(col(tsMsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsMsCol) - col("__prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+  }
+
+  /** SQL registration: `td_time_range(ts, 'from', 'to')` usable from
+    * `spark.sql`, expanding at parse time to `ts >= from AND ts < to` so the
+    * optimizer sees plain pushable comparisons (never a black-box UDF). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "td_time_range",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 3, "td_time_range(ts, from, to)")
+        val ts = exprs.head
+        And(
+          GreaterThanOrEqual(ts, Cast(exprs(1), TimestampType)),
+          LessThan(ts, Cast(exprs(2), TimestampType)))
+      },
+      "builtin")
+  }
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** §3.C — joins. The reference's only client-side join control is
+  * `read_td_query(distributed_join=)` toggling Presto broadcast vs
+  * partitioned hash join (`pandas_td/td.py :: read_td_query`); c2/c3 map
+  * that toggle onto Spark's broadcast hint vs shuffle join hints, and the
+  * rest of the ENGINE join surface (outer/semi/anti/cross/theta/as-of) is
+  * composed from native operators.
+  *
+  * Scale notes: dims (nation/region/supplier, and at 100 TB any sub-10GB
+  * side) are explicitly `broadcast()` — no shuffle of the fact table.
+  * Fact-fact joins (c3) shuffle on the join key once; AQE re-plans skew.
+  * The as-of join (c10) is bounded by pre-aggregating per-partition-key
+  * candidates, never a cartesian.
+  */
+object Joins {
+
+  val all: Seq[Q] = Seq(
+
+    // Equi inner join, fact ⋈ dim.
+    Q("c1_join_inner",
+      (s, d) => {
+        val o = t(s, d, "orders"); val c = t(s, d, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""")),
+
+    // distributed_join=False analog: explicit broadcast of the dim side →
+    // BroadcastHashJoin, zero shuffle of the left (plan-asserted in tests).
+    Q("c2_join_broadcast",
+      (s, d) => {
+        val su = t(s, d, "supplier"); val n = t(s, d, "nation")
+        su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .select("s_suppkey", "s_name", "n_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey""")),
+
+    // distributed_join=True analog: large-large partitioned join — MERGE hint
+    // → SortMergeJoin, both sides shuffled on the key exactly once.
+    Q("c3_join_shuffle",
+      (s, d) => {
+        val l = t(s, d, "lineitem").hint("merge")
+        val o = t(s, d, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .where(o("o_totalprice") > 400000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            dateStr(col("o_orderdate")).as("o_date"))
+          .orderBy("l_orderkey", "l_linenumber", "o_date")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, strftime(o_orderdate,'%Y-%m-%d') AS o_date
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000 ORDER BY l_orderkey, l_linenumber, o_date""")),
+
+    // LEFT OUTER: every customer, order-less ones null-extended.
+    Q("c4_join_left",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").where(col("o_orderdate") >= tsLit("2001-01-01"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))
+      },
+      Some("""SELECT c_custkey, o_orderkey FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+        ON c_custkey = o_custkey
+        ORDER BY c_custkey, o_orderkey NULLS FIRST""")),
+
+    // FULL OUTER with unmatched rows on both sides.
+    Q("c5_join_full",
+      (s, d) => {
+        val c = t(s, d, "customer").where(col("c_custkey") < 100)
+        val o = t(s, d, "orders")
+          .where(col("o_custkey") >= 50 && col("o_custkey") < 150)
+        c.join(o, c("c_custkey") === o("o_custkey"), "full")
+          .select(col("c_custkey"), col("o_custkey"), col("o_orderkey"))
+          .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_custkey"),
+            asc_nulls_first("o_orderkey"))
+      },
+      Some("""SELECT c_custkey, o_custkey, o_orderkey
+        FROM (SELECT * FROM customer WHERE c_custkey < 100) c
+        FULL JOIN (SELECT * FROM orders WHERE o_custkey >= 50 AND o_custkey < 150) o
+        ON c_custkey = o_custkey
+        ORDER BY c_custkey NULLS FIRST, o_custkey NULLS FIRST, o_orderkey NULLS FIRST""")),
+
+    // EXISTS → left-semi (no row multiplication, right side reduced to keys).
+    Q("c6_join_semi",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").where(col("o_totalprice") > 450000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer WHERE EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        ORDER BY c_custkey""")),
+
+    // NOT EXISTS → left-anti.
+    Q("c7_join_anti",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").where(col("o_orderdate") >= tsLit("2001-01-01"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         AND o_orderdate >= TIMESTAMP '2001-01-01')
+        ORDER BY c_custkey""")),
+
+    // CROSS JOIN (dims only — 125 rows; never cross facts).
+    Q("c8_join_cross",
+      (s, d) => t(s, d, "nation").crossJoin(t(s, d, "region"))
+        .select("n_nationkey", "r_regionkey", "n_name", "r_name")
+        .orderBy("n_nationkey", "r_regionkey"),
+      Some("""SELECT n_nationkey, r_regionkey, n_name, r_name
+        FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey""")),
+
+    // Theta join: equi key + range band — stays a hash/merge join on the equi
+    // key with the band as a residual condition (never a nested-loop).
+    Q("c9_join_theta",
+      (s, d) => {
+        val l = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey")
+            && l("l_shipdate") >= o("o_orderdate")
+            && l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAY"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            dateStr(col("l_shipdate")).as("ship"), dateStr(col("o_orderdate")).as("odate"))
+          .orderBy("l_orderkey", "l_linenumber", "ship", "odate")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, strftime(l_shipdate,'%Y-%m-%d') AS ship,
+        strftime(o_orderdate,'%Y-%m-%d') AS odate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        ORDER BY l_orderkey, l_linenumber, ship, odate""")),
+
+    // As-of join: each event ↦ latest order at-or-before its timestamp for
+    // that customer (TD windowed-subquery idiom, SURVEY.md §3.C c10):
+    // range join on the partition key, then row_number()=1. The range join
+    // shuffles both sides on the key once; candidates per event are bounded
+    // by orders-per-customer, not table size.
+    Q("c10_join_asof",
+      (s, d) => {
+        val e = events(s, d).select("event_id", "user_id", "ts_t")
+        val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+        val j = e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_t"))
+        val w = Window.partitionBy("event_id")
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        j.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("event_id"), col("user_id"), col("o_orderkey"),
+            dateStr(col("o_orderdate")).as("o_date"))
+          .orderBy("event_id")
+      },
+      Some("""WITH j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        SELECT event_id, user_id, o_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_date
+        FROM j WHERE rn = 1 ORDER BY event_id""")))
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Td
+
+/** §3.A — scans / sources / sinks: the CLIENT surface of the reference's
+  * `read_td_table` scan builder (projection, time-range pruning, limit —
+  * `pandas_td/td.py :: read_td_table`), job-result caching
+  * (`:: read_td_job`), catalog listing (`:: Connection.databases/.tables`)
+  * and the `to_td` ingest modes (`:: to_td`, `:: StreamingUploader`).
+  *
+  * Scale notes: a2/a3 exist to prove projection and predicates reach the
+  * parquet scan (ReadSchema / PushedFilters) — at 100 TB these are the two
+  * highest-leverage optimizations there are; a3's td_time_range is
+  * expansion-based precisely so pushdown survives (functions/Td.scala).
+  */
+object Scans {
+
+  private def sinkDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("a1_scan_full",
+      (s, d) => t(s, d, "nation").orderBy("n_nationkey"),
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // read_td_table(columns=[...]) — column-pruned scan; Catalyst prunes to a
+    // 3-column parquet ReadSchema.
+    Q("a2_scan_project",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity")),
+
+    // read_td_table(time_range=...) → td_time_range predicate, expanded to a
+    // long-range comparison on the raw nanos column → parquet row-group skip.
+    Q("a3_scan_time_range",
+      (s, d) => events(s, d)
+        .where(Td.tdTimeRangeNanos(col("ts"), "2024-01-05", "2024-01-10"))
+        .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-10 00:00:00' ORDER BY event_id")),
+
+    // read_td_table(limit=n) — deterministic via sort: TakeOrderedAndProject,
+    // which holds only k rows per partition (no global sort at scale).
+    Q("a4_scan_limit",
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey").limit(100),
+      Some("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders " +
+        "ORDER BY o_orderkey LIMIT 100")),
+
+    // read_td_job analog: a completed result re-served without recompute
+    // (persist + materialize, then reuse — SURVEY.md §3.A a5).
+    Q("a5_read_job",
+      (s, d) => {
+        val job = t(s, d, "orders").groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"))
+        job.persist()
+        job.count() // materialize once = the "completed job"
+        job.orderBy("o_orderstatus") // re-read hits the cache
+      },
+      Some("SELECT o_orderstatus, count(*) AS n_orders FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    // Connection.databases()/.tables(db) analog: catalog as a DataFrame of
+    // (table_name, n_rows) — parquet footer counts, no data scan.
+    Q("a6_catalog",
+      (s, d) => {
+        import s.implicits._
+        names.map(n => (n, t(s, d, n).count()))
+          .toDF("table_name", "n_rows").orderBy("table_name")
+      },
+      Some(names.sorted.map(n =>
+        s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY table_name"))),
+
+    // to_td(if_exists='append'): chunked idempotent import → task-committed
+    // parquet append; verified by read-back.
+    Q("a7_sink_append",
+      (s, d) => {
+        val out = sinkDir("a7")
+        t(s, d, "region").write.mode("append").parquet(out)
+        s.read.parquet(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // to_td(if_exists='replace'|'fail'): overwrite twice (second replaces),
+    // then errorifexists must throw — swallowed here, asserted in scalatest.
+    Q("a8_sink_replace_fail",
+      (s, d) => {
+        val out = sinkDir("a8")
+        val n = t(s, d, "nation")
+        n.write.mode("overwrite").parquet(out)
+        n.write.mode("overwrite").parquet(out)
+        try n.write.mode("errorifexists").parquet(out)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+        s.read.parquet(out).select("n_nationkey", "n_name").orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+
+    // to_td time synthesis (time_col=): named timestamp column → epoch-second
+    // `time` long, TD's mandatory time column (reference `:: to_td`).
+    Q("a9_time_synthesis",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("time"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS time " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    // JSON-in-string columns, idiomatic TD: json path extraction.
+    Q("a10_source_json",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id")))
+}

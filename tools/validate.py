@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's correctness gate (NOT part of the
+library): reads Verify's outDir (per-query parquet + oracle_sql.json),
+runs each oracle SQL in DuckDB over the same sf parquet tables, sorts
+columns by name, and compares values row-by-row.
+
+Usage: python3 tools/validate.py <outDir> <sfDir> [key ...]
+"""
+import json, math, sys, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return repr(v)
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for key in sorted(oracle):
+        if only and key not in only:
+            continue
+        sql = oracle[key]
+        files = glob.glob(f"{out_dir}/{key}/*.parquet")
+        if not files:
+            print(f"FAIL {key}: no spark output"); n_bad += 1; continue
+        try:
+            duck = con.execute(sql)
+            dcols = [c[0] for c in duck.description]
+            drows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL {key}: duckdb error: {e}"); n_bad += 1; continue
+        sq = con.execute(f"SELECT * FROM read_parquet({files!r})")
+        scols = [c[0] for c in sq.description]
+        srows = sq.fetchall()
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {key}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+            n_bad += 1; continue
+        sidx = [scols.index(c) for c in sorted(scols)]
+        didx = [dcols.index(c) for c in sorted(dcols)]
+        if len(srows) != len(drows):
+            print(f"FAIL {key}: rows spark={len(srows)} duck={len(drows)}")
+            n_bad += 1; continue
+        bad = None
+        for i, (sr, dr) in enumerate(zip(srows, drows)):
+            a = tuple(norm(sr[j]) for j in sidx)
+            b = tuple(norm(dr[j]) for j in didx)
+            if a != b:
+                bad = (i, a, b); break
+        if bad:
+            print(f"FAIL {key}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_bad += 1
+        else:
+            print(f"ok   {key} ({len(srows)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} failed ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
