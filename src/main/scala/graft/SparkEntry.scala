@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     Scans.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
-      Windows.all ++ SetOps.all
+      Windows.all ++ SetOps.all ++ Scalars.all ++ StreamingBatch.all ++
+      LlmOps.all ++ Extras.all
 
   /** Flagship query (TPC-H Q1 pricing summary) on sf0.001; driver
     * smoke-checks rows > 0. */

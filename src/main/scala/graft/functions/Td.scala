@@ -91,6 +91,6 @@ object Td {
           GreaterThanOrEqual(ts, Cast(exprs(1), TimestampType)),
           LessThan(ts, Cast(exprs(2), TimestampType)))
       },
-      "builtin")
+      "scala_udf")
   }
 }

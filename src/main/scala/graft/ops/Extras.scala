@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.WeightedMean
+import graft.multimodal.MultiModal
+import graft.streaming.Streams
+
+/** Remaining §3 surfaces: real streaming ops (i4–i6, graft.streaming), the
+  * typed UDAF (k2, graft.functions.WeightedMean) and the multimodal
+  * decode-stub pipeline (m2, graft.multimodal). k1 (scalar UDF surface) is
+  * exercised by h3's registered td_time_range; k3 (generator/UDTF) by
+  * j4/j7's explode/posexplode.
+  */
+object Extras {
+
+  val all: Seq[Q] = Seq(
+
+    // Watermark + append-mode tumbling agg with late-data drop; the oracle
+    // is the full batch aggregation — it only matches because the sentinel
+    // flushed every window AND the re-sent late rows were dropped.
+    Q("i4_watermark_late",
+      (s, d) => Streams.i4(s, d),
+      Some("""SELECT (CAST(epoch_ms(ts) AS BIGINT) // 3600000) * 3600000 AS w_start,
+        event_type, COUNT(*) AS n,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_v
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // Stream dedup on event_id over a doubled stream → distinct events.
+    Q("i5_stream_dedup",
+      (s, d) => Streams.i5(s, d),
+      Some("SELECT event_id, user_id FROM events ORDER BY event_id")),
+
+    // foreachBatch idempotent ingest; read-back equals the source.
+    Q("i6_stream_ingest",
+      (s, d) => Streams.i6(s, d),
+      Some("""SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) // 1000 AS time, user_id
+        FROM events ORDER BY event_id""")),
+
+    // Custom Aggregator UDAF: exact weighted mean (price weighted by qty).
+    Q("k2_udaf_weighted_mean",
+      (s, d) => {
+        val wavg = udaf(WeightedMean)
+        t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE)
+            / CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE), 4) AS wavg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Multimodal decode via the partition-batched stub pipeline; checksum
+    // is the same rolling hash the oracle computes over the text bytes.
+    Q("m2_decode_stub",
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val rows = t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as(Encoders.product[MultiModal.MediaRow])
+        MultiModal.decodeStub(rows).toDF().orderBy("doc_id")
+      },
+      Some("""WITH x AS (SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split_regex(text,''), c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) AS crc
+        FROM documents)
+        SELECT doc_id, 128 + crc % 1024 AS width, 128 + (crc // 1024) % 1024 AS height,
+          1 + crc % 30 AS n_frames, crc AS checksum
+        FROM x ORDER BY doc_id""")))
+}

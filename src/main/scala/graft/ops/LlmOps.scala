@@ -1,0 +1,333 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** §3.J — LLM-training-data pipeline operators (EXT surface mandated by the
+  * north star): deduplication (exact / n-gram-Jaccard / MinHash-LSH /
+  * SimHash), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (tf, stats, quality, token counting, fingerprinting) and
+  * multimodal binary handling.
+  *
+  * Scale design: everything is expressed as explode → hash → groupBy/join —
+  * pure shuffle-parallel DataFrame ops with no driver-side loops, so each
+  * operator partitions by its natural key (shingle, band-bucket, label) and
+  * scales horizontally. The O(n²) exact-Jaccard (j2) is the oracle
+  * baseline; MinHash-LSH banding (j2b) and hyperplane-LSH ANN (j3b) are the
+  * 100 TB paths — candidate generation via equi-join on bucket ids, never a
+  * cartesian.
+  */
+object LlmOps {
+
+  private def docsTok(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), col("text"), split(col("text"), " ").as("toks"))
+
+  /** Distinct 3-word shingles per doc. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docsTok(s, d).where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks)-2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
+
+  // 32 minhash permutations, banded 8×4. Seeds are fixed literals —
+  // deterministic across runs and executors.
+  private val MinhashK = 32
+  private val BandSize = 4
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: content hash → min doc_id survives (hash-groupBy; at
+    // 100 TB this is one shuffle on the 128-bit digest).
+    Q("j1_dedup_exact",
+      (s, d) => t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h"),
+      Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY h""")),
+
+    // Near-dup pairs via exact 3-gram-shingle Jaccard ≥ 0.5 — the oracle
+    // baseline. Pair generation by equi-join on shared shingle (inverted
+    // index), not pairwise: cost ~ Σ_sh df(sh)², fine at test SF; j2b is
+    // the banded path for 100 TB.
+    Q("j2_dedup_near",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = sh.toDF("d1", "sh")
+        val b = sh.toDF("d2", "sh2")
+        val inter = a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        inter
+          .join(n.toDF("d1", "n1"), "d1")
+          .join(n.toDF("d2", "n2"), "d2")
+          .withColumn("jac", col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")).cast("double"))
+          .where(col("jac") >= 0.5)
+          .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d1, d2,
+          ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 6) AS jac
+        FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5
+        ORDER BY d1, d2""")),
+
+    // MinHash + LSH banding — the 100 TB near-dup path: 32 fixed-seed
+    // minhashes per doc, 8 bands of 4; candidate pairs = equi-join on
+    // (band, band-signature); verified by signature agreement ≥ 0.5.
+    // Estimates are hash-dependent → rows-only check + scalatest recall
+    // assertion against j2.
+    Q("j2b_dedup_minhash",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val sig = sh.groupBy("doc_id").agg(
+          array((0 until MinhashK).map(i =>
+            min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
+        val bands = sig.select(col("doc_id"), col("sig"),
+          explode(expr(s"transform(sequence(0, ${MinhashK / BandSize - 1}), " +
+            s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*$BandSize+1, $BandSize))) as bh))")).as("bb"))
+          .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+        val cand = bands.toDF("d1", "sig1", "band", "bh")
+          .join(bands.toDF("d2", "sig2", "band2", "bh2"),
+            col("band") === col("band2") && col("bh") === col("bh2")
+              && col("d1") < col("d2"))
+          .select("d1", "d2", "sig1", "sig2").distinct()
+        cand.withColumn("est_jac",
+            expr(s"aggregate(zip_with(sig1, sig2, (x,y) -> if(x = y, 1, 0)), 0, (a,b) -> a+b) / cast($MinhashK as double)"))
+          .where(col("est_jac") >= 0.5)
+          .select(col("d1"), col("d2"), round(col("est_jac"), 6).as("est_jac"))
+          .orderBy("d1", "d2")
+      },
+      None),
+
+    // SimHash (64→60-bit) document fingerprint, frequency-weighted, from a
+    // cross-engine-reproducible token hash (md5 hex → 60-bit int).
+    Q("j8_dedup_simhash",
+      (s, d) => {
+        val th = docsTok(s, d).select(col("doc_id"), explode(col("toks")).as("term"))
+          .select(col("doc_id"),
+            expr("cast(conv(substring(md5(term),1,15),16,10) as bigint)").as("h"))
+        val votes = th.select(col("doc_id"), col("h"),
+            explode(expr("sequence(0,59)")).as("b"))
+          .groupBy("doc_id", "b")
+          .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)).as("vote"))
+        votes.groupBy("doc_id")
+          .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+            .otherwise(0L)).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH th AS (SELECT doc_id,
+            CAST('0x' || substr(md5(t.term),1,15) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents) t),
+        votes AS (SELECT doc_id, b.b,
+            SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th, unnest(range(0, 60)) b(b) GROUP BY doc_id, b.b)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Brute-force cosine top-k vs a probe vector (validated cross-engine
+    // shape, SURVEY.md §8.7) — correctness baseline for ANN.
+    Q("j3_sim_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("e0"))
+        emb.crossJoin(broadcast(probe)).where(col("vec_id") =!= 0)
+          .select(col("vec_id"), round(expr(
+            """aggregate(zip_with(embedding, e0, (x,y) -> cast(x as double)*cast(y as double)),
+              cast(0.0 as double), (a,b) -> a+b)
+            / (sqrt(aggregate(transform(embedding, x -> cast(x as double)*cast(x as double)),
+                cast(0.0 as double), (a,b) -> a+b))
+             * sqrt(aggregate(transform(e0, x -> cast(x as double)*cast(x as double)),
+                cast(0.0 as double), (a,b) -> a+b)))"""), 6).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dd,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        p AS (SELECT dd, v FROM e WHERE vec_id = 0),
+        dots AS (SELECT e.vec_id, SUM(e.v*p.v) AS dot, sqrt(SUM(e.v*e.v)) AS n1
+          FROM e JOIN p USING (dd) WHERE e.vec_id != 0 GROUP BY e.vec_id),
+        pn AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p)
+        SELECT vec_id, ROUND(dot/(n1*(SELECT n0 FROM pn)),6) AS cos
+        FROM dots ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // LSH-bucketed ANN — the scale path: 6 fixed random hyperplanes (weights
+    // derived from xxhash64(plane,dim), deterministic), bucket = sign bits;
+    // candidates share the probe's bucket → cosine only within the bucket.
+    // Hash-partition-prunes the search space ~64×; scalatest checks overlap
+    // with j3's exact top-k.
+    Q("j3b_sim_lsh",
+      (s, d) => {
+        val planes = 6
+        val emb = t(s, d, "embeddings")
+        val dims = emb.select(col("vec_id"), col("embedding"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        val bits = dims.groupBy("vec_id")
+          .agg(first(col("embedding")).as("embedding"),
+            concat((0 until planes).map(p =>
+              when(sum(((pmod(xxhash64(lit(p) * 64 + col("dim")), lit(2001)) - 1000)
+                .cast("double") / 1000.0) * col("v").cast("double")) > 0, "1")
+                .otherwise("0")): _*).as("bucket"))
+        val probe = bits.where(col("vec_id") === 0)
+          .select(col("bucket").as("pb"), col("embedding").as("e0"))
+        bits.join(broadcast(probe), col("bucket") === col("pb"))
+          .where(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("bucket"), round(expr(
+            """aggregate(zip_with(embedding, e0, (x,y) -> cast(x as double)*cast(y as double)),
+              cast(0.0 as double), (a,b) -> a+b)
+            / (sqrt(aggregate(transform(embedding, x -> cast(x as double)*cast(x as double)),
+                cast(0.0 as double), (a,b) -> a+b))
+             * sqrt(aggregate(transform(e0, x -> cast(x as double)*cast(x as double)),
+                cast(0.0 as double), (a,b) -> a+b)))"""), 6).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id")).limit(5)
+      },
+      None),
+
+    // Term frequency: top-5 terms per language.
+    Q("j4_text_tf",
+      (s, d) => {
+        val cnt = docsTok(s, d).select(col("lang"), explode(col("toks")).as("term"))
+          .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(desc("n"), asc("term"))
+        cnt.withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 5)
+          .select("lang", "term", "n", "rn")
+          .orderBy("lang", "rn")
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(text,' ')) AS term FROM documents),
+        cnt AS (SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term),
+        r AS (SELECT lang, term, n,
+          row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn FROM cnt)
+        SELECT lang, term, n, rn FROM r WHERE rn <= 5 ORDER BY lang, rn""")),
+
+    // Corpus stats per source.
+    Q("j5_text_stats",
+      (s, d) => docsTok(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          round(sum(size(col("toks")).cast("long")).cast("double") / count(lit(1)), 4)
+            .as("avg_tokens"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        ROUND(CAST(SUM(n_chars) AS DOUBLE)/COUNT(*),4) AS avg_chars,
+        ROUND(CAST(SUM(len(string_split(text,' '))) AS DOUBLE)/COUNT(*),4) AS avg_tokens
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // Multimodal record assembly: text metadata ⋈ vector (struct column
+    // built then projected to scalars for hashing — SURVEY §3.J j6).
+    Q("j6_multimodal_join",
+      (s, d) => {
+        val doc = t(s, d, "documents"); val emb = t(s, d, "embeddings")
+        doc.join(emb, doc("doc_id") === emb("vec_id"))
+          .select(col("doc_id"),
+            struct(col("lang"), col("source"), col("n_chars"),
+              col("label"), col("embedding")).as("rec"))
+          .select(col("doc_id"), col("rec.lang").as("lang"),
+            col("rec.source").as("source"), col("rec.n_chars").as("n_chars"),
+            col("rec.label").as("label"),
+            size(col("rec.embedding")).cast("long").as("dim"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, label,
+        CAST(len(embedding) AS BIGINT) AS dim
+        FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id""")),
+
+    // Per-label centroids: posexplode → per-dimension mean (the transpose
+    // trick — one shuffle on (label, dim), fully parallel in the vector
+    // dimension; this is also the IVF coarse-quantizer builder).
+    Q("j7_embed_agg",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(round(sum(col("v").cast("double")) / count(lit(1)), 6).as("c"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("c"))
+        .orderBy("label", "dim"),
+      Some("""WITH e AS (SELECT label,
+          CAST(generate_subscripts(embedding,1) - 1 AS BIGINT) AS dim,
+          CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        SELECT label, dim, ROUND(SUM(v)/COUNT(*),6) AS c
+        FROM e GROUP BY label, dim ORDER BY label, dim""")),
+
+    // Text quality scoring: distinct-token ratio, stopword ratio, composite.
+    Q("j9_text_quality",
+      (s, d) => docsTok(s, d).select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr("size(array_distinct(toks))").cast("long").as("n_distinct"),
+          expr("size(filter(toks, x -> x = 'a' OR x = 'the'))").cast("long").as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_ratio"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+          round((col("n_distinct").cast("double") / col("n_tokens")) * 0.5
+            + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.5, 6)
+            .as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+          CAST(len(list_filter(string_split(text,' '), x -> x = 'a' OR x = 'the')) AS BIGINT) AS n_stop
+        FROM documents)
+        SELECT doc_id, n_tokens,
+          ROUND(CAST(n_distinct AS DOUBLE)/n_tokens, 6) AS distinct_ratio,
+          ROUND(CAST(n_stop AS DOUBLE)/n_tokens, 6) AS stop_ratio,
+          ROUND((CAST(n_distinct AS DOUBLE)/n_tokens)*0.5
+            + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.5, 6) AS quality
+        FROM x ORDER BY doc_id""")),
+
+    // Token counting: whitespace, BPE-ish regex chunks, chars.
+    Q("j10_token_count",
+      (s, d) => docsTok(s, d).select(col("doc_id"),
+        size(col("toks")).cast("long").as("ws_tokens"),
+        expr("regexp_count(text, '[a-z]{1,4}')").cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text,'[a-z]{1,4}')) AS BIGINT) AS bpe_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_m
+        FROM documents ORDER BY doc_id""")),
+
+    // Rolling polynomial fingerprint over characters (Rabin-Karp style).
+    Q("j11_fingerprint",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        expr("aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)), " +
+          "cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)").as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split_regex(text,''), c -> CAST(ascii(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // Multimodal binary columns: payload as opaque bytes + typed metadata
+    // derived columnar-only (byte length, digest, stub-decoded dimensions).
+    // The real decode path (mapPartitions batch stub) is m2/scalatest.
+    Q("m1_binary_meta",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .withColumn("fake_width",
+          lit(128L) + expr("cast(conv(substring(digest,1,4),16,10) as bigint)") % 1024L)
+        .withColumn("fake_height",
+          lit(128L) + expr("cast(conv(substring(digest,5,4),16,10) as bigint)") % 1024L)
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+          md5(text) AS digest FROM documents)
+        SELECT doc_id, n_bytes, digest,
+          128 + CAST('0x' || substr(digest,1,4) AS BIGINT) % 1024 AS fake_width,
+          128 + CAST('0x' || substr(digest,5,4) AS BIGINT) % 1024 AS fake_height
+        FROM x ORDER BY doc_id""")))
+}

