@@ -16,6 +16,28 @@ object Smoke {
     val df = SparkEntry.entry(spark)
     df.show(20, truncate = false)
     println(s"ENTRY_ROWS=${df.count()}")
+
+    // client-API smoke: the reference workflow, end to end
+    // (create_engine → read_td_table → read_td_query → read_td_job → to_td)
+    {
+      import graft.api.td
+      implicit val s: SparkSession = spark
+      val engine = td.createEngine("presto:sf0.001", "/root/testdata")
+      val scan = td.readTdTable("orders", engine,
+        columns = Seq("o_orderkey", "o_custkey", "o_orderdate"),
+        timeRange = Some(("1996-01-01", "1998-01-01")),
+        timeCol = "o_orderdate", limit = 100)
+      println(s"API_SCAN_ROWS=${scan.count()}")
+      val jobId = td.issueJob(
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1", engine)
+      println(s"API_JOB_ROWS=${td.readTdJob(jobId).count()}")
+      val wh = java.nio.file.Files.createTempDirectory("graft_smoke_wh").toString
+      val con = td.connect(wh)
+      td.toTd(scan, "smoke.orders100", con, td.IfExists.Replace,
+        timeCol = Some("o_orderdate"))
+      println(s"API_SINK_ROWS=${spark.read.parquet(s"$wh/smoke/orders100.parquet").count()}")
+      println(s"API_TABLES=${con.tables("smoke").collect().mkString(",")}")
+    }
     spark.stop()
   }
 }

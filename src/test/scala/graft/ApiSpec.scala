@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.td
+import graft.api.td.IfExists
+
+/** CLIENT-API layer (SURVEY.md §3.A a5–a9, §6.1): like the reference's
+  * mocked-client tests assert generated SQL text, these assert the
+  * generated *plan* — pruning/pushdown/limit visible to Catalyst — plus
+  * to_td mode/time-synthesis behavior by read-back. */
+class ApiSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+
+  test("createEngine parses presto:db and hive:db, rejects junk") {
+    assert(td.createEngine("presto:sf0.001", "/root/testdata").database == "sf0.001")
+    assert(td.createEngine("hive:sf0.001", "/root/testdata").engineType == "hive")
+    intercept[IllegalArgumentException](td.createEngine("mysql://x", "/root/testdata"))
+  }
+
+  test("readTdTable prunes columns and pushes the time-range predicate") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    val df = td.readTdTable("orders", e,
+      columns = Seq("o_orderkey", "o_orderdate"),
+      timeRange = Some(("1996-01-01", "1997-01-01")), timeCol = "o_orderdate")
+    assert(df.columns.toSeq == Seq("o_orderkey", "o_orderdate"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    // ReadSchema pruned to the two referenced columns (parquet ms
+    // timestamps surface as timestamp_ntz in Spark 4)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp"), plan)
+    val n = df.count()
+    assert(n > 0 && n < spark.read.parquet(s"${TestSpark.sf}/orders.parquet").count())
+  }
+
+  test("readTdTable limit plans a limit, not a full materialization") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    val df = td.readTdTable("orders", e, limit = 10)
+    assert(df.queryExecution.optimizedPlan.toString.contains("GlobalLimit"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.count() == 10)
+  }
+
+  test("toTd fail/replace/append modes + time synthesis") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val con = td.connect(wh)
+    val src = spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+    td.toTd(src, "db1.region", con, IfExists.Fail, loadTime = Some(1700000000L))
+    intercept[Exception](td.toTd(src, "db1.region", con, IfExists.Fail))
+    td.toTd(src, "db1.region", con, IfExists.Append, loadTime = Some(1700000000L))
+    val doubled = spark.read.parquet(s"$wh/db1/region.parquet")
+    assert(doubled.count() == 2 * src.count())
+    assert(doubled.columns.contains("time")) // injected load time
+    assert(doubled.select("time").distinct().head().getLong(0) == 1700000000L)
+    td.toTd(src, "db1.region", con, IfExists.Replace, loadTime = Some(1700000000L))
+    assert(spark.read.parquet(s"$wh/db1/region.parquet").count() == src.count())
+
+    // time_col synthesis: epoch seconds from a named timestamp column
+    val orders = spark.read.parquet(s"${TestSpark.sf}/orders.parquet").limit(5)
+    td.toTd(orders, "db1.o5", con, IfExists.Replace, timeCol = Some("o_orderdate"))
+    val back = spark.read.parquet(s"$wh/db1/o5.parquet")
+    val chk = back.select((col("time") === unix_timestamp(col("o_orderdate"))).as("ok"))
+      .agg(sum(when(col("ok"), 0).otherwise(1))).head().getLong(0)
+    assert(chk == 0)
+
+    // catalog over the warehouse we just wrote
+    assert(con.databases().collect().map(_.getString(0)).contains("db1"))
+    val tbls = con.tables("db1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tbls("region") == src.count() && tbls.contains("o5"))
+  }
+
+  test("readTdQuery executes through temp views; readTdJob re-serves cached") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    val df = td.readTdQuery("SELECT count(*) AS n FROM nation", e)
+    assert(df.head().getLong(0) == 25)
+    val id = td.issueJob("SELECT count(*) AS n FROM region", e)
+    val job = td.readTdJob(id)
+    assert(job.head().getLong(0) == 5)
+    // cached: the storage level must be non-NONE (no recompute on re-read)
+    assert(job.storageLevel.useMemory || job.storageLevel.useDisk)
+    intercept[IllegalArgumentException](td.readTdJob(999999L))
+  }
+
+  test("readTdQuery supports td_time_range in passthrough SQL") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    val df = td.readTdQuery(
+      "SELECT count(*) AS n FROM orders WHERE td_time_range(o_orderdate, '1996-01-01', '1997-01-01')", e)
+    val n = df.head().getLong(0)
+    assert(n > 0 && n < 1500)
+  }
+}

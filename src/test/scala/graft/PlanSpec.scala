@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY.md §6.2): the scale-critical properties —
+  * broadcast vs shuffle join choice, projection/predicate pushdown into the
+  * parquet scan, top-k via TakeOrderedAndProject, subquery→semi-join
+  * rewrite. Asserted on the pre-AQE physical plan (deterministic). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, TestSpark.sf).queryExecution.sparkPlan.toString
+
+  test("c2 broadcasts the dim side (distributed_join=False analog)") {
+    assert(plan("c2_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("c3 merge hint yields a sort-merge join (distributed_join=True analog)") {
+    assert(plan("c3_join_shuffle").contains("SortMergeJoin"))
+  }
+
+  test("a2 projection reaches the parquet ReadSchema (3 columns only)") {
+    val p = plan("a2_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("a3 td_time_range expands to pushed long-range filters on ts") {
+    val p = plan("a3_scan_time_range")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"), p)
+  }
+
+  test("h3 SQL-registered td_time_range pushes to the lineitem scan") {
+    val p = plan("h3_td_time_range")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("f2 global top-k is TakeOrderedAndProject, not a full sort") {
+    assert(plan("f2_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("b4 IN-subquery rewrites to a semi join") {
+    assert(plan("b4_filter_in_subquery").contains("LeftSemi"))
+  }
+
+  test("c7 NOT EXISTS plans an anti join") {
+    assert(plan("c7_join_anti").contains("LeftAnti"))
+  }
+
+  test("d1 aggregation is two-phase hash (partial + final)") {
+    val p = plan("d1_agg_groupby")
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+  }
+
+  test("whole-stage codegen covers the flagship pipeline") {
+    val df = SparkEntry.queries("d1_agg_groupby")(spark, TestSpark.sf)
+    df.collect() // finalize the adaptive plan — codegen stages appear after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // "*(n)" marks a WholeStageCodegen stage
+  }
+}

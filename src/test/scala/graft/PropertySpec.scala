@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{Td, WeightedMean}
+
+/** Property tests (SURVEY.md §6.2): td_time_range boundary semantics,
+  * sessionize gap invariants, WeightedMean merge laws. Uses raw scalacheck
+  * generators with fixed seeds (scalatest+scalacheck only — no
+  * scalatestplus bridge in the offline dependency set). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("WeightedMean merge is commutative/associative with zero identity") {
+    val g = Gen.listOfN(6, Gen.zip(Gen.choose(0.0, 1e5), Gen.choose(0.0, 50.0)))
+    samples(Gen.zip(g, g), 50).foreach { case (xs, ys) =>
+      val bx = xs.foldLeft(WeightedMean.zero)(WeightedMean.reduce)
+      val by = ys.foldLeft(WeightedMean.zero)(WeightedMean.reduce)
+      assert(WeightedMean.merge(bx, by) == WeightedMean.merge(by, bx))
+      assert(WeightedMean.merge(bx, WeightedMean.zero) == bx)
+      val whole = (xs ++ ys).foldLeft(WeightedMean.zero)(WeightedMean.reduce)
+      assert(WeightedMean.finish(WeightedMean.merge(bx, by)) == WeightedMean.finish(whole))
+    }
+  }
+
+  test("td_time_range is half-open [from, to)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      "2024-01-01 00:00:00", // == from: included
+      "2024-01-01 12:00:00",
+      "2024-01-02 00:00:00", // == to: excluded
+      "2023-12-31 23:59:59"  // < from: excluded
+    ).toDF("s").select(to_timestamp(col("s")).as("ts"))
+    assert(df.where(Td.tdTimeRange(col("ts"), "2024-01-01", "2024-01-02")).count() == 2)
+    assert(df.where(Td.tdTimeRange(col("ts"), None, Some("2024-01-01"))).count() == 1)
+    assert(df.where(Td.tdTimeRange(col("ts"), Some("2024-01-01"), None)).count() == 3)
+    assert(df.where(Td.tdTimeRange(col("ts"), None, None)).count() == 4)
+  }
+
+  test("sessionize: new session iff gap exceeds timeout; ids contiguous from 1") {
+    import spark.implicits._
+    val gapMs = 1000L
+    val gen = Gen.listOfN(120, Gen.zip(Gen.choose(0L, 4L), Gen.choose(1L, 2500L)))
+    samples(gen, 3).foreach { sample =>
+      // per-user increasing timestamps from generated deltas
+      val rows = sample.zipWithIndex
+        .groupBy(_._1._1).toSeq.flatMap { case (user, evs) =>
+          var t = 0L
+          evs.map { case ((_, delta), idx) => t += delta; (idx.toLong, user, t) }
+        }
+      val df = rows.toDF("event_id", "user_id", "ts_ms")
+      val out = Td.tdSessionize(df, "user_id", "ts_ms", gapMs, "event_id")
+        .select("user_id", "ts_ms", "event_id", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.groupBy(_._1).foreach { case (_, evs) =>
+        val ordered = evs.sortBy(e => (e._2, e._3))
+        var prevTs = Option.empty[Long]
+        var expected = 0L
+        ordered.foreach { case (_, ts, _, sid) =>
+          val isNew = prevTs.forall(p => ts - p > gapMs)
+          if (isNew) expected += 1
+          assert(sid == expected, s"ts=$ts prev=$prevTs sid=$sid expected=$expected")
+          prevTs = Some(ts)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+/** Streaming semantics that have no batch oracle (SURVEY.md §3.I):
+  * watermark late-drop observed directly on a crafted stream, stream dedup,
+  * and batch/stream agreement for session windows. All synchronous via
+  * processAllAvailable — no sleeps. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+
+  private def hourMs(h: Long): Long = h * 3600 * 1000
+
+  test("watermark drops late rows; on-time rows land") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(expr("unix_millis(window.start)").as("w"), col("n"))
+    val qn = "wmtest_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ck = java.nio.file.Files.createTempDirectory("wmck").toString
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(qn).option("checkpointLocation", ck).start()
+    try {
+      // batch 1: 2 events in hour 0, then advance event time to hour 6
+      stream.addData(Ev(1, hourMs(0) + 1000, 1, "a", 1.0),
+        Ev(2, hourMs(0) + 2000, 1, "a", 1.0), Ev(3, hourMs(6), 1, "a", 1.0))
+      q.processAllAvailable() // watermark now 5:00
+      // batch 2: a LATE event for hour 0 (must be dropped) + sentinel at hour 20
+      stream.addData(Ev(4, hourMs(0) + 3000, 1, "a", 1.0), Ev(5, hourMs(20), 1, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(qn).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(0L) == 2, s"late row must not inflate hour-0 count: $rows")
+      assert(rows(hourMs(6)) == 1)
+    } finally q.stop()
+  }
+
+  test("stream dedup emits each event_id once") {
+    val out = Streams.i5(spark, TestSpark.sf).collect()
+    val ids = out.map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    assert(ids.length == 1000) // sf0.001 events
+  }
+
+  test("session_window (i3) agrees with lag/gap sessionize (h10) aggregated") {
+    val i3 = SparkEntry.queries("i3_win_session")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).sorted
+    val h10 = SparkEntry.queries("h10_sessionize")(spark, TestSpark.sf)
+    val agg = h10.join(Tables.events(spark, TestSpark.sf).select("event_id", "ts_ms"), "event_id")
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_ms")).as("sess_start"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted
+    assert(i3.toSeq == agg.toSeq)
+  }
+
+  test("foreachBatch ingest is complete and non-duplicating") {
+    val out = Streams.i6(spark, TestSpark.sf).collect()
+    assert(out.length == 1000)
+    assert(out.map(_.getLong(0)).distinct.length == 1000)
+  }
+}
