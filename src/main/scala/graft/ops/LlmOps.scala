@@ -37,6 +37,18 @@ object LlmOps {
   private val MinhashK = 32
   private val BandSize = 4
 
+  /** Shared by j3 (composable form) and j3c (native expression) — both must
+    * produce this exact result. */
+  val j3Oracle: String =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dd,
+          CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      p AS (SELECT dd, v FROM e WHERE vec_id = 0),
+      dots AS (SELECT e.vec_id, SUM(e.v*p.v) AS dot, sqrt(SUM(e.v*e.v)) AS n1
+        FROM e JOIN p USING (dd) WHERE e.vec_id != 0 GROUP BY e.vec_id),
+      pn AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p)
+      SELECT vec_id, ROUND(dot/(n1*(SELECT n0 FROM pn)),6) AS cos
+      FROM dots ORDER BY cos DESC, vec_id LIMIT 10"""
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: content hash → min doc_id survives (hash-groupBy; at
@@ -155,14 +167,22 @@ object LlmOps {
                 cast(0.0 as double), (a,b) -> a+b)))"""), 6).as("cos"))
           .orderBy(desc("cos"), asc("vec_id")).limit(10)
       },
-      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dd,
-            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        p AS (SELECT dd, v FROM e WHERE vec_id = 0),
-        dots AS (SELECT e.vec_id, SUM(e.v*p.v) AS dot, sqrt(SUM(e.v*e.v)) AS n1
-          FROM e JOIN p USING (dd) WHERE e.vec_id != 0 GROUP BY e.vec_id),
-        pn AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p)
-        SELECT vec_id, ROUND(dot/(n1*(SELECT n0 FROM pn)),6) AS cos
-        FROM dots ORDER BY cos DESC, vec_id LIMIT 10""")),
+      Some(j3Oracle)),
+
+    // Same query through the native codegen'd Expression (one fused
+    // primitive loop per row instead of interpreted lambda frames) — must
+    // hash-match the identical oracle as j3.
+    Q("j3c_sim_native",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("e0"))
+        emb.crossJoin(broadcast(probe)).where(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(graft.expressions.CosineSimilarity(s, col("embedding"), col("e0")), 6)
+              .as("cos"))
+          .orderBy(desc("cos"), asc("vec_id")).limit(10)
+      },
+      Some(j3Oracle)),
 
     // LSH-bucketed ANN — the scale path: 6 fixed random hyperplanes (weights
     // derived from xxhash64(plane,dim), deterministic), bucket = sign bits;
