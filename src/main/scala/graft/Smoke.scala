@@ -37,6 +37,18 @@ object Smoke {
         timeCol = Some("o_orderdate"))
       println(s"API_SINK_ROWS=${spark.read.parquet(s"$wh/smoke/orders100.parquet").count()}")
       println(s"API_TABLES=${con.tables("smoke").collect().mkString(",")}")
+
+      // TD 1-hour-bucket storage model: partitioned write + pruned read
+      val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .selectExpr("event_id", "user_id", "value",
+          "timestamp_millis(ts_ms) AS ev_time")
+      td.toTd(ev, "smoke.events_b", con, td.IfExists.Replace,
+        timeCol = Some("ev_time"), partitionByTime = true)
+      val pruned = td.readTdTable("events_b", engine.copy(database = "smoke", root = wh),
+        timeRange = Some(("2024-01-05", "2024-01-06")), timeCol = "time")
+      println(s"API_BUCKET_PRUNED_ROWS=${pruned.count()} of ${ev.count()}")
+      println("API_BUCKET_PLAN_HAS_PARTITIONFILTER=" +
+        pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(time_bucket"))
     }
     spark.stop()
   }

@@ -136,7 +136,23 @@ object td {
       limit: Int = -1)(implicit s: SparkSession): DataFrame = {
     var df = s.read.parquet(engine.tablePath(table))
     timeRange.foreach { case (from, to) =>
-      df = df.where(Td.tdTimeRange(col(timeCol), from, to))
+      def sec(x: String): Long =
+        java.time.LocalDate.parse(x).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.getEpochSecond
+      df = df.schema(timeCol).dataType match {
+        // TD's native `time` column is epoch seconds: numeric half-open range
+        case _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.IntegerType =>
+          df.where(col(timeCol) >= sec(from) && col(timeCol) < sec(to))
+        case _ => df.where(Td.tdTimeRange(col(timeCol), from, to))
+      }
+      // bucket-partitioned table (toTd(partitionByTime=true)): add the
+      // equivalent predicate on the partition column so Catalyst prunes
+      // whole hour-bucket directories (PartitionFilters), TD-style.
+      if (df.columns.contains("time_bucket") && timeCol != "time_bucket") {
+        df = df.where(col("time_bucket") >= (sec(from) / 3600 * 3600)
+          && col("time_bucket") < sec(to))
+      }
     }
     if (columns.nonEmpty) df = df.select(columns.map(col): _*)
     if (limit >= 0) df = df.limit(limit)
@@ -155,7 +171,8 @@ object td {
       con: TdConnection,
       ifExists: IfExists = IfExists.Fail,
       timeCol: Option[String] = None,
-      loadTime: Option[Long] = None): Unit = {
+      loadTime: Option[Long] = None,
+      partitionByTime: Boolean = false): Unit = {
     val Array(db, table) = name.split("\\.", 2)
     val out = Paths.get(con.root, db, s"$table.parquet").toString
     val withTime = timeCol match {
@@ -170,7 +187,14 @@ object td {
       case IfExists.Replace => "overwrite"
       case IfExists.Append  => "append"
     }
-    withTime.write.mode(mode).parquet(out)
+    if (partitionByTime) {
+      // TD storage model: 1-hour time buckets (SURVEY.md §2.1) — hive-style
+      // directory partitioning so time-range scans prune whole buckets
+      // before any file is opened (the 100 TB path for event tables).
+      withTime
+        .withColumn("time_bucket", (col("time").cast("long") / 3600L).cast("long") * 3600L)
+        .write.mode(mode).partitionBy("time_bucket").parquet(out)
+    } else withTime.write.mode(mode).parquet(out)
   }
 
   private def registerTables(engine: TdEngine)(implicit s: SparkSession): Unit = {

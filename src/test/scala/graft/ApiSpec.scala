@@ -71,6 +71,32 @@ class ApiSpec extends AnyFunSuite {
     assert(tbls("region") == src.count() && tbls.contains("o5"))
   }
 
+  test("toTd(partitionByTime) writes hour buckets; readTdTable prunes them") {
+    val wh = Files.createTempDirectory("graft_wh2").toString
+    val con = td.connect(wh)
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("ts_ms") / 1000).cast("long").as("t_sec"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        to_timestamp(from_unixtime(col("t_sec"))).as("ev_time"))
+    td.toTd(ev, "db2.events_b", con, IfExists.Replace,
+      timeCol = Some("ev_time"), partitionByTime = true)
+    // hive-style bucket dirs exist
+    val dirs = new java.io.File(s"$wh/db2/events_b.parquet").listFiles()
+      .filter(_.getName.startsWith("time_bucket=")).map(_.getName)
+    assert(dirs.length > 100, s"expected many 1-h buckets, got ${dirs.length}")
+
+    val e = td.createEngine("presto:db2", wh)
+    val pruned = td.readTdTable("events_b", e,
+      timeRange = Some(("2024-01-05", "2024-01-06")), timeCol = "time")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("time_bucket"), plan)
+    val n = pruned.count()
+    assert(n > 0 && n < ev.count() / 10,
+      s"bucket pruning should cut to ~1/30 of the month, got $n")
+  }
+
   test("readTdQuery executes through temp views; readTdJob re-serves cached") {
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     val df = td.readTdQuery("SELECT count(*) AS n FROM nation", e)

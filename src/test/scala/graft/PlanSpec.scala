@@ -52,6 +52,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
   }
 
+  test("sessionize plans one shuffle: both window passes share the sort") {
+    // executedPlan (post-EnsureRequirements) carries the exchanges;
+    // sparkPlan is pre-placement and would count zero
+    val df = SparkEntry.queries("h10_sessionize")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected a single hash exchange, plan:\n$p")
+  }
+
+  test("native cosine_similarity compiles into whole-stage codegen") {
+    val df = SparkEntry.queries("j3c_sim_native")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cosine_similarity"), p)
+    assert(p.contains("*("), p) // inside a codegen stage
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = SparkEntry.queries("d1_agg_groupby")(spark, TestSpark.sf)
     df.collect() // finalize the adaptive plan — codegen stages appear after execution
