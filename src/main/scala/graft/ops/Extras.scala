@@ -37,6 +37,14 @@ object Extras {
       Some("""SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) // 1000 AS time, user_id
         FROM events ORDER BY event_id""")),
 
+    // Streaming sessionize with custom state (flatMapGroupsWithState +
+    // event-time timeout): closed sessions stream out append-mode and the
+    // final flush comes from state timeout — must hash-match the batch
+    // session_window oracle (i3).
+    Q("i7_stateful_sessionize",
+      (s, d) => Streams.i7(s, d),
+      Some(StreamingBatch.i3Oracle)),
+
     // Custom Aggregator UDAF: exact weighted mean (price weighted by qty).
     Q("k2_udaf_weighted_mean",
       (s, d) => {

@@ -19,6 +19,18 @@ import graft.Tables._
   */
 object Joins {
 
+  // Shared by c10 (join+window form) and c10b (cogroup merge form).
+  // NOTE: declared before `all` — object vals initialize in order.
+  private val asofOracle =
+    """WITH j AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+          row_number() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      SELECT event_id, user_id, o_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_date
+      FROM j WHERE rn = 1 ORDER BY event_id"""
+
   val all: Seq[Q] = Seq(
 
     // Equi inner join, fact ⋈ dim.
@@ -159,12 +171,45 @@ object Joins {
             dateStr(col("o_orderdate")).as("o_date"))
           .orderBy("event_id")
       },
-      Some("""WITH j AS (
-          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
-            row_number() OVER (PARTITION BY e.event_id
-              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-          FROM events e JOIN orders o
-            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
-        SELECT event_id, user_id, o_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_date
-        FROM j WHERE rn = 1 ORDER BY event_id""")))
+      Some(asofOracle)),
+
+    // As-of join, cogroup form — the 100 TB algorithm: one shuffle per side
+    // on the partition key, then a per-key two-pointer merge over the two
+    // SORTED sides. The join+window form (c10) materializes every
+    // (event × qualifying order) candidate before row_number()=1 — with k
+    // candidates per event that's a k× blowup this form never creates.
+    // Per-key memory is bounded by that key's rows (the cogroup contract).
+    // Same oracle as c10: results must be identical.
+    Q("c10b_join_asof_cogroup",
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
+          .as[(Long, Long, Long)]
+        val ord = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            // parquet ms timestamps read as TIMESTAMP_NTZ; session is UTC so
+            // the cast to (ltz) timestamp is value-preserving
+            expr("unix_millis(cast(o_orderdate as timestamp))").as("odate_ms"))
+          .as[(Long, Long, Long)]
+        ev.groupByKey(_._2).cogroup(ord.groupByKey(_._2)) { (key, evIt, ordIt) =>
+          // ascending (odate, orderkey): the element before the pointer is
+          // exactly the row_number()=1 winner of (odate DESC, orderkey DESC)
+          val ords = ordIt.toArray.sortBy(o => (o._3, o._1))
+          val evs = evIt.toArray.sortBy(e => (e._3, e._1))
+          var i = 0
+          evs.iterator.flatMap { case (eid, _, ts) =>
+            while (i < ords.length && ords(i)._3 <= ts) i += 1
+            if (i == 0) Iterator.empty
+            else {
+              val o = ords(i - 1)
+              // LocalDate.toString is ISO yyyy-MM-dd
+              val date = java.time.Instant.ofEpochMilli(o._3)
+                .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+              Iterator((eid, key, o._1, date))
+            }
+          }
+        }.toDF("event_id", "user_id", "o_orderkey", "o_date")
+          .orderBy("event_id")
+      },
+      Some(asofOracle)))
 }

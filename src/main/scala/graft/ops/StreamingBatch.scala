@@ -13,6 +13,21 @@ import graft.Tables._
   */
 object StreamingBatch {
 
+  /** Shared by i3 (session_window), i7 (flatMapGroupsWithState sessionize).
+    * NOTE: declared before `all` — object vals initialize in order. */
+  val i3Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+        FROM events),
+      x AS (SELECT event_id, user_id, ts_ms,
+        lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e),
+      sess AS (SELECT user_id, ts_ms,
+        CAST(SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM x)
+      SELECT MIN(ts_ms) AS sess_start, user_id, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start"""
+
   val all: Seq[Q] = Seq(
 
     // 1-hour tumbling windows per event type.
@@ -53,15 +68,5 @@ object StreamingBatch {
         .select(expr("unix_millis(session_window.start)").as("sess_start"),
           col("user_id"), col("n_events"))
         .orderBy("user_id", "sess_start"),
-      Some("""WITH e AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
-          FROM events),
-        x AS (SELECT event_id, user_id, ts_ms,
-          lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e),
-        sess AS (SELECT user_id, ts_ms,
-          CAST(SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-          FROM x)
-        SELECT MIN(ts_ms) AS sess_start, user_id, COUNT(*) AS n_events
-        FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""")))
+      Some(i3Oracle)))
 }

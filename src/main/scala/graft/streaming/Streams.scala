@@ -97,6 +97,77 @@ object Streams {
     s.table(qn).orderBy("event_id")
   }
 
+  /** Per-user open-session state for i7. */
+  case class SessState(sessStart: Long, lastTs: Long, n: Long)
+
+  /** i7 — streaming TD_SESSIONIZE with custom state:
+    * `flatMapGroupsWithState` + event-time timeout. A user's state holds
+    * the open session; a batch's events extend it or close it (gap >
+    * 30 min), closed sessions are emitted append-mode; the watermark
+    * passing `lastTs + gap` times the state out and flushes the final
+    * session. State per key is O(1) — this is the unbounded-stream form
+    * of h10/i3 (whose oracle it must hash-match). */
+  def i7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val gapMs = 30L * 60 * 1000
+    val evs = collectEvents(s, d)
+    val sentinel = Ev(-1L, evs.last.ts_ms + 365L * 24 * 3600 * 1000,
+      -1L, "__sentinel", 0.0)
+
+    val stream = MemoryStream[Ev]
+    val sessions = stream.toDS()
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_t", "10 minutes")
+      .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+      .groupByKey(_._3) // user_id
+      .flatMapGroupsWithState[SessState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator((st.sessStart, user, st.n))
+          } else {
+            val batch = it.toArray.sortBy(e => (e._2, e._1)) // (ts_ms, event_id)
+            var cur = state.getOption
+            val closed = Iterator.newBuilder[(Long, Long, Long)]
+            batch.foreach { e =>
+              val ts = e._2
+              cur match {
+                case Some(st) if ts - st.lastTs > gapMs =>
+                  closed += ((st.sessStart, user, st.n))
+                  cur = Some(SessState(ts, ts, 1))
+                case Some(st) =>
+                  cur = Some(st.copy(lastTs = ts, n = st.n + 1))
+                case None =>
+                  cur = Some(SessState(ts, ts, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + gapMs + 1)
+            }
+            closed.result()
+          }
+      }
+    val qn = "i7_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = sessions.toDF("sess_start", "user_id", "n_events")
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("i7ck")).start()
+    val half = evs.length / 2
+    stream.addData(evs.take(half).toSeq)
+    q.processAllAvailable()
+    stream.addData(evs.drop(half).toSeq)
+    q.processAllAvailable()
+    stream.addData(Seq(sentinel)) // watermark → +1y: every open session times out
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).where(col("user_id") =!= -1L)
+      .orderBy("user_id", "sess_start")
+  }
+
   /** i6 — to_td-style continuous ingest: file-source stream → foreachBatch
     * append with checkpointing (micro-batch = idempotent chunk; a replayed
     * batch id is skipped on restart, mirroring StreamingUploader's
