@@ -124,5 +124,29 @@ object Scans {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id"),
       Some("SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k " +
-        "FROM events ORDER BY event_id")))
+        "FROM events ORDER BY event_id")),
+
+    // Source-format parity: the same relation through CSV and JSON-lines
+    // writers/readers (schema pinned on read — at scale, inference is a
+    // full extra pass). Round-trip must reproduce the parquet source.
+    Q("a11_source_csv",
+      (s, d) => {
+        val out = sinkDir("a11")
+        t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
+          .write.option("header", "true").mode("overwrite").csv(out)
+        s.read.option("header", "true")
+          .schema("c_custkey BIGINT, c_name STRING, c_mktsegment STRING")
+          .csv(out).orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")),
+
+    Q("a12_source_jsonl",
+      (s, d) => {
+        val out = sinkDir("a12")
+        t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+          .write.mode("overwrite").json(out)
+        s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT")
+          .json(out).orderBy("s_suppkey")
+      },
+      Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey")))
 }

@@ -69,6 +69,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p) // inside a codegen stage
   }
 
+  test("bucketed tables join without any shuffle (co-located join)") {
+    // the 100 TB fact-fact pattern: pre-bucket both sides on the join key →
+    // the join needs no Exchange at query time
+    // (writes to the default ./spark-warehouse — warehouse.dir is static;
+    // tables are dropped in the finally)
+    val o = Tables.t(spark, TestSpark.sf, "orders")
+    val c = Tables.t(spark, TestSpark.sf, "customer")
+    o.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_bkt")
+    c.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_bkt")
+    try {
+      val j = spark.table("orders_bkt").hint("merge")
+        .join(spark.table("customer_bkt"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(j.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = SparkEntry.queries("d1_agg_groupby")(spark, TestSpark.sf)
     df.collect() // finalize the adaptive plan — codegen stages appear after execution
