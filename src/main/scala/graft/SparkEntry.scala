@@ -12,7 +12,8 @@ import graft.ops._
   */
 object SparkEntry {
 
-  private def registry: Seq[Q] =
+  /** Full operator inventory (also consumed by graft.Coverage). */
+  def registry: Seq[Q] =
     Scans.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
       Windows.all ++ SetOps.all ++ Scalars.all ++ StreamingBatch.all ++
       LlmOps.all ++ Extras.all
