@@ -95,19 +95,37 @@ object td {
     * Spark job description. `distributedJoin=false` (TD default) prefers
     * broadcast; `true` forces shuffle-partitioned joins — the same Presto
     * session toggle `:: read_td_query(distributed_join=)` injected. */
-  def readTdQuery(sql: String, engine: TdEngine, distributedJoin: Boolean = false)
+  def readTdQuery(sql: String, engine: TdEngine, distributedJoin: Boolean = false,
+      params: Map[String, Any] = Map.empty)
       (implicit s: SparkSession): DataFrame = {
     s.sparkContext.setJobDescription(s"td:${engine.engineType}:${engine.database}")
     Td.register(s)
     registerTables(engine)
+    val interpolated = interpolate(sql, params)
     val df =
       if (distributedJoin)
-        s.sql(s"SELECT /*+ MERGE */ * FROM (${sql.stripSuffix(";")})")
-      else s.sql(sql)
+        s.sql(s"SELECT /*+ MERGE */ * FROM (${interpolated.stripSuffix(";")})")
+      else s.sql(interpolated)
     val id = nextJob.incrementAndGet()
     jobs.put(id, df.persist())
     df
   }
+
+  /** `{name}` substitution, the notebook-variable interpolation of the
+    * reference's magics (`pandas_td/ipython.py :: QueryMagics`, `{var}`
+    * formatting) and `read_td_query(params=)`. Values are rendered as SQL
+    * literals — strings quoted with embedded quotes doubled (no injection
+    * through a value), numbers/booleans verbatim. Unknown placeholders are
+    * left untouched (so JSON-path braces survive). */
+  private[graft] def interpolate(sql: String, params: Map[String, Any]): String =
+    params.foldLeft(sql) { case (acc, (k, v)) =>
+      val lit = v match {
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case ts: java.sql.Timestamp => s"TIMESTAMP '$ts'"
+        case other => other.toString
+      }
+      acc.replace(s"{$k}", lit)
+    }
 
   /** Issue a query and get its job id back (poll-free `QueryEngine.execute`). */
   def issueJob(sql: String, engine: TdEngine)(implicit s: SparkSession): Long = {

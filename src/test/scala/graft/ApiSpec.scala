@@ -109,6 +109,19 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](td.readTdJob(999999L))
   }
 
+  test("readTdQuery params interpolate as safe SQL literals") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    val df = td.readTdQuery(
+      "SELECT count(*) AS n FROM customer WHERE c_mktsegment = {seg} AND c_custkey < {k}",
+      e, params = Map("seg" -> "BUILDING", "k" -> 100))
+    assert(df.head().getLong(0) > 0)
+    // embedded quote is doubled, not an injection point
+    assert(td.interpolate("x = {v}", Map("v" -> "O'Brien")) == "x = 'O''Brien'")
+    // unknown braces (e.g. JSON paths) survive untouched
+    assert(td.interpolate("get_json_object(p,'$.k') AND {known}",
+      Map("known" -> 1)) == "get_json_object(p,'$.k') AND 1")
+  }
+
   test("readTdQuery supports td_time_range in passthrough SQL") {
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     val df = td.readTdQuery(
