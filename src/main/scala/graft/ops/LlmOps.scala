@@ -330,6 +330,69 @@ object LlmOps {
           (a, b) -> (a * 31 + b) % 1000000007) AS fp
         FROM documents ORDER BY doc_id""")),
 
+    // Embedding-cosine near-dup: all pairs above a cosine threshold via the
+    // native expression over the broadcast upper triangle. Exact/baseline
+    // form — at 100 TB candidates come from the LSH buckets (j3b) and only
+    // bucket-mates reach this exact check.
+    Q("j12_dedup_embed",
+      (s, d) => {
+        val a = t(s, d, "embeddings").select(col("vec_id").as("i"), col("embedding").as("ea"))
+        val b = t(s, d, "embeddings").select(col("vec_id").as("j"), col("embedding").as("eb"))
+        a.join(broadcast(b), col("i") < col("j"))
+          .select(col("i"), col("j"),
+            round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6).as("cos"))
+          .where(col("cos") >= 0.45)
+          .orderBy("i", "j")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dd,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        n AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
+        d AS (SELECT a.vec_id AS i, b.vec_id AS j, SUM(a.v*b.v) AS dot
+          FROM e a JOIN e b ON a.dd = b.dd AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        SELECT i, j, ROUND(dot/(n1.nm*n2.nm), 6) AS cos
+        FROM d JOIN n n1 ON i = n1.vec_id JOIN n n2 ON j = n2.vec_id
+        WHERE ROUND(dot/(n1.nm*n2.nm), 6) >= 0.45 ORDER BY i, j""")),
+
+    // Language-ID, n-gram heuristic: character-trigram profiles learned
+    // from the corpus itself (top-20 per lang), docs scored by distinct
+    // profile hits, argmax wins. Two groupBys + two windows + one
+    // broadcastable profile join — fully shuffle-parallel. (This corpus
+    // shares one vocabulary across langs, so accuracy is chance — the
+    // pipeline shape and determinism are what's exercised.)
+    Q("j13_lang_id",
+      (s, d) => {
+        val docs = t(s, d, "documents").where(length(col("text")) >= 3)
+        val tg = docs.select(col("lang"), col("doc_id"),
+          explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
+        val wp = Window.partitionBy("lang").orderBy(desc("n"), asc("g"))
+        val prof = tg.groupBy("lang", "g").agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
+          .select(col("lang").as("plang"), col("g"))
+        val dg = tg.select("doc_id", "g").distinct()
+        val wb = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("plang"))
+        dg.join(broadcast(prof), "g")
+          .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+          .withColumn("rn", row_number().over(wb)).where(col("rn") === 1)
+          .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+          .select(col("doc_id"), col("actual"), col("plang").as("predicted"), col("hits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tg AS (SELECT lang, doc_id, substr(text, i.i, 3) AS g
+          FROM documents, unnest(range(1, length(text)-1)) i(i)
+          WHERE length(text) >= 3),
+        prof0 AS (SELECT lang, g, COUNT(*) AS n FROM tg GROUP BY lang, g),
+        prof1 AS (SELECT lang, g, row_number() OVER (PARTITION BY lang
+            ORDER BY n DESC, g) AS rn FROM prof0),
+        p AS (SELECT lang AS plang, g FROM prof1 WHERE rn <= 20),
+        dg AS (SELECT DISTINCT doc_id, g FROM tg),
+        sc AS (SELECT d.doc_id, p.plang, COUNT(*) AS hits
+          FROM dg d JOIN p ON d.g = p.g GROUP BY d.doc_id, p.plang),
+        best AS (SELECT doc_id, plang, hits, row_number() OVER (PARTITION BY doc_id
+            ORDER BY hits DESC, plang) AS rn FROM sc)
+        SELECT b.doc_id, doc.lang AS actual, b.plang AS predicted, b.hits
+        FROM best b JOIN documents doc USING (doc_id)
+        WHERE b.rn = 1 ORDER BY doc_id""")),
+
     // Multimodal binary columns: payload as opaque bytes + typed metadata
     // derived columnar-only (byte length, digest, stub-decoded dimensions).
     // The real decode path (mapPartitions batch stub) is m2/scalatest.
