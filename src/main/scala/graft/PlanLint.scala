@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: plan lint across the whole registry — per key, count
+  * exchanges / join strategies / scans-with-pushdown, and flag smells
+  * (cartesian products, nested-loop joins outside the known-small cases).
+  * Usage: runMain graft.PlanLint [sfDir] */
+object PlanLint {
+  // keys where a nested-loop/cartesian is intentional (tiny/broadcast side:
+  // dim×dim cross, all-pairs upper triangle, single-row probe broadcast)
+  private val nljAllowed = Set("c8_join_cross", "j12_dedup_embed",
+    "j3_sim_topk", "j3c_sim_native")
+
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var smells = 0
+    SparkEntry.registry.sortBy(_.key).foreach { q =>
+      // streaming / side-effecting keys execute work on construction — skip
+      if (q.key.startsWith("i4") || q.key.startsWith("i5") || q.key.startsWith("i6")
+        || q.key.startsWith("i7") || q.key.startsWith("a7") || q.key.startsWith("a8")
+        || q.key.startsWith("a11") || q.key.startsWith("a12")) {
+        println(f"${q.key}%-28s (skipped: executes on construction)")
+      } else try {
+        val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(p).length
+        val ex = n("Exchange hashpartitioning") + n("Exchange rangepartitioning")
+        val bhj = n("BroadcastHashJoin"); val smj = n("SortMergeJoin")
+        val bnl = n("BroadcastNestedLoopJoin"); val cart = n("CartesianProduct")
+        val push = n("PushedFilters: \\[[^\\]]")
+        val flags = new StringBuilder
+        if (cart > 0) { flags.append(" CARTESIAN!"); smells += 1 }
+        if (bnl > 0 && !nljAllowed(q.key)) { flags.append(" NLJ!"); smells += 1 }
+        println(f"${q.key}%-28s exch=$ex bhj=$bhj smj=$smj bnl=$bnl pushed=$push$flags")
+      } catch { case e: Throwable =>
+        println(f"${q.key}%-28s ERROR ${e.getMessage.take(80)}"); smells += 1
+      }
+    }
+    println(s"SMELLS=$smells")
+    spark.stop()
+  }
+}
