@@ -127,6 +127,24 @@ object td {
       acc.replace(s"{$k}", lit)
     }
 
+  /** `read_td` — alias of read_td_query (reference `pandas_td/__init__.py`). */
+  def readTd(sql: String, engine: TdEngine, distributedJoin: Boolean = false,
+      params: Map[String, Any] = Map.empty)(implicit s: SparkSession): DataFrame =
+    readTdQuery(sql, engine, distributedJoin, params)
+
+  /** `parse_dates=` analog: named string/epoch columns → TimestampType.
+    * (pandas `index_col=` has no Spark analog — row identity is key
+    * columns; documented, intentionally absent.) */
+  def parseDates(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      acc.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType =>
+          acc.withColumn(c, to_timestamp(from_unixtime(col(c)))) // epoch seconds
+        case _ => acc.withColumn(c, to_timestamp(col(c)))
+      }
+    }
+
   /** Issue a query and get its job id back (poll-free `QueryEngine.execute`). */
   def issueJob(sql: String, engine: TdEngine)(implicit s: SparkSession): Long = {
     readTdQuery(sql, engine)

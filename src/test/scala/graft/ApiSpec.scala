@@ -122,6 +122,18 @@ class ApiSpec extends AnyFunSuite {
       Map("known" -> 1)) == "get_json_object(p,'$.k') AND 1")
   }
 
+  test("readTd alias and parseDates conversion") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    assert(td.readTd("SELECT 1 AS x", e).head().getInt(0) == 1)
+    val df = spark.sql("SELECT 1700000000L AS epoch_s, '2024-01-02 03:04:05' AS iso")
+    val parsed = td.parseDates(df, Seq("epoch_s", "iso"))
+    import org.apache.spark.sql.types.TimestampType
+    assert(parsed.schema("epoch_s").dataType == TimestampType)
+    assert(parsed.schema("iso").dataType == TimestampType)
+    val r = parsed.select(unix_timestamp(col("epoch_s"))).head().getLong(0)
+    assert(r == 1700000000L)
+  }
+
   test("readTdQuery supports td_time_range in passthrough SQL") {
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     val df = td.readTdQuery(
