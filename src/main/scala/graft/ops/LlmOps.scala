@@ -151,6 +151,45 @@ object LlmOps {
           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
+    // SimHash near-dup: pairs within hamming distance 8 of each other's
+    // 60-bit fingerprint — the O(n·d) SimHash pass (j8) turns near-dup
+    // detection into cheap bit arithmetic (xor + popcount); at 100 TB the
+    // pair space is cut by banding the fingerprint bits exactly like j2b.
+    Q("j8b_dedup_hamming",
+      (s, d) => {
+        val th = docsTok(s, d).select(col("doc_id"), explode(col("toks")).as("term"))
+          .select(col("doc_id"),
+            expr("cast(conv(substring(md5(term),1,15),16,10) as bigint)").as("h"))
+        val votes = th.select(col("doc_id"), col("h"),
+            explode(expr("sequence(0,59)")).as("b"))
+          .groupBy("doc_id", "b")
+          .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)).as("vote"))
+        val sh = votes.groupBy("doc_id")
+          .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+            .otherwise(0L)).as("sh"))
+        sh.persist() // self-joined below: avoid recomputing the explode twice
+        val a = sh.toDF("d1", "h1"); val b = sh.toDF("d2", "h2")
+        a.join(broadcast(b), col("d1") < col("d2"))
+          .withColumn("dist", expr("bit_count(h1 ^ h2)").cast("long"))
+          .where(col("dist") <= 8)
+          .select("d1", "d2", "dist")
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH th AS (SELECT doc_id,
+            CAST('0x' || substr(md5(t.term),1,15) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents) t),
+        votes AS (SELECT doc_id, b.b,
+            SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th, unnest(range(0, 60)) b(b) GROUP BY doc_id, b.b),
+        sh AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS h
+          FROM votes GROUP BY doc_id)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+          CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS dist
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 8
+        ORDER BY d1, d2""")),
+
     // Brute-force cosine top-k vs a probe vector (validated cross-engine
     // shape, SURVEY.md §8.7) — correctness baseline for ANN.
     Q("j3_sim_topk",
@@ -362,13 +401,18 @@ object LlmOps {
     Q("j13_lang_id",
       (s, d) => {
         val docs = t(s, d, "documents").where(length(col("text")) >= 3)
-        val tg = docs.select(col("lang"), col("doc_id"),
-          explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
+        // one explode + one shuffle feeds BOTH the profile build and the
+        // per-doc distinct set; persisted because the two branches would
+        // otherwise recompute the explode
+        val tgc = docs.select(col("lang"), col("doc_id"),
+            explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
+          .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
+        tgc.persist()
         val wp = Window.partitionBy("lang").orderBy(desc("n"), asc("g"))
-        val prof = tg.groupBy("lang", "g").agg(count(lit(1)).as("n"))
+        val prof = tgc.groupBy("lang", "g").agg(sum(col("cnt")).as("n"))
           .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
           .select(col("lang").as("plang"), col("g"))
-        val dg = tg.select("doc_id", "g").distinct()
+        val dg = tgc.select("doc_id", "g") // (doc_id, g) already distinct
         val wb = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("plang"))
         dg.join(broadcast(prof), "g")
           .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))

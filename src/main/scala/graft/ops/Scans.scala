@@ -148,5 +148,14 @@ object Scans {
         s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT")
           .json(out).orderBy("s_suppkey")
       },
-      Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey")))
+      Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey")),
+
+    Q("a13_source_orc",
+      (s, d) => {
+        val out = sinkDir("a13")
+        t(s, d, "part").select("p_partkey", "p_name", "p_size")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, p_name, p_size FROM part ORDER BY p_partkey")))
 }
