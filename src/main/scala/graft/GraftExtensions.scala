@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, ExpressionInfo, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types.TimestampType
+import graft.expressions.CosineSimilarity
+
+/** Session-extension packaging: ship the engine's SQL functions to every
+  * session cluster-wide via `spark.sql.extensions=graft.GraftExtensions`
+  * (no per-session registration code), or call
+  * `GraftExtensions.registerAll(spark)` on an existing session.
+  *
+  * Registered functions:
+  *   - `td_time_range(ts, from, to)` — parse-time expansion into pushable
+  *     plain comparisons (see functions/Td.scala)
+  *   - `cosine_similarity(a, b)` — native codegen'd float-vector cosine
+  *     (see expressions/CosineSimilarity.scala)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def tdTimeRangeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 3, "td_time_range(ts, from, to)")
+    And(
+      GreaterThanOrEqual(exprs.head, Cast(exprs(1), TimestampType)),
+      LessThan(exprs.head, Cast(exprs(2), TimestampType)))
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("td_time_range"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "td_time_range"),
+      (exprs: Seq[Expression]) => tdTimeRangeBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register the same functions on an already-built session. */
+  def registerAll(spark: SparkSession): Unit = {
+    functions.Td.register(spark)
+    expressions.CosineSimilarity.register(spark)
+  }
+}

@@ -255,6 +255,43 @@ object LlmOps {
       },
       None),
 
+    // IVF-style ANN — the second scale path next to LSH (j3b): k-means-like
+    // coarse centroids (per-label means = one Lloyd step from the label
+    // seed), every vector assigned to its nearest centroid cell, probe
+    // searches only its nprobe=2 closest cells. Cells are broadcastable
+    // (k × dim floats); assignment and search are equi-joins on cell id —
+    // at 100 TB the cell id becomes the partition key and a probe touches
+    // 2/k of the data. Hash/centroid-dependent → rows-only + scalatest.
+    Q("j3d_sim_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // centroid vectors re-assembled in dim order as float arrays
+        val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("c"))
+          .groupBy("label").agg(expr(
+            "transform(array_sort(collect_list(struct(dim, c))), x -> cast(x.c as float))")
+            .as("cvec"))
+          .select(col("label").as("cell"), col("cvec"))
+        val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+        val assigned = emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            graft.expressions.CosineSimilarity(s, col("embedding"), col("cvec")).as("csim"))
+          .withColumn("rn", row_number().over(wAssign))
+        val cells = assigned.where(col("rn") === 1).select("vec_id", "embedding", "cell")
+        // probe vec 0: its 2 nearest cells
+        val probeCells = assigned.where(col("vec_id") === 0 && col("rn") <= 2)
+          .select(col("cell").as("pcell"))
+        val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("e0"))
+        cells.join(broadcast(probeCells), col("cell") === col("pcell"))
+          .where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), col("cell"),
+            round(graft.expressions.CosineSimilarity(s, col("embedding"), col("e0")), 6)
+              .as("cos"))
+          .orderBy(desc("cos"), asc("vec_id")).limit(5)
+      },
+      None),
+
     // Term frequency: top-5 terms per language.
     Q("j4_text_tf",
       (s, d) => {

