@@ -45,6 +45,18 @@ object Extras {
       (s, d) => Streams.i7(s, d),
       Some(StreamingBatch.i3Oracle)),
 
+    // Watermarked stream-stream interval join (follow-up events within
+    // 5 min per user); ms-precision event time makes the join boundary
+    // exactly the oracle's epoch_ms arithmetic.
+    Q("i8_stream_stream_join",
+      (s, d) => Streams.i8(s, d),
+      Some("""SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        AND CAST(epoch_ms(b.ts) AS BIGINT) >= CAST(epoch_ms(a.ts) AS BIGINT)
+        AND CAST(epoch_ms(b.ts) AS BIGINT) <= CAST(epoch_ms(a.ts) AS BIGINT) + 300000
+        AND a.event_id != b.event_id
+        ORDER BY a_id, b_id""")),
+
     // Custom Aggregator UDAF: exact weighted mean (price weighted by qty).
     Q("k2_udaf_weighted_mean",
       (s, d) => {

@@ -168,6 +168,40 @@ object Streams {
       .orderBy("user_id", "sess_start")
   }
 
+  /** i8 — watermarked stream-stream interval join: follow-up events of the
+    * same user within 5 minutes. Both sides carry watermarks and the join
+    * condition bounds event time on both, so each side's state is evicted
+    * once the other's watermark passes the interval — bounded state on an
+    * unbounded stream. Event time is ms-precision (`timestamp_millis`) so
+    * the join boundary is exactly DuckDB's epoch_ms arithmetic (oracle). */
+  def i8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val half = evs.length / 2
+
+    val ls = MemoryStream[Ev]; val rs = MemoryStream[Ev]
+    def side(m: MemoryStream[Ev], p: String) = m.toDF()
+      .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+        timestamp_millis(col("ts_ms")).as(s"${p}_t"))
+      .withWatermark(s"${p}_t", "10 minutes")
+    val joined = side(ls, "a").join(side(rs, "b"),
+      col("a_user") === col("b_user")
+        && col("b_t") >= col("a_t")
+        && col("b_t") <= col("a_t") + expr("INTERVAL 5 MINUTES")
+        && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+    val qn = "i8_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(qn).option("checkpointLocation", tmp("i8ck")).start()
+    ls.addData(evs.take(half).toSeq); rs.addData(evs.take(half).toSeq)
+    q.processAllAvailable()
+    ls.addData(evs.drop(half).toSeq); rs.addData(evs.drop(half).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("a_id", "b_id")
+  }
+
   /** i6 — to_td-style continuous ingest: file-source stream → foreachBatch
     * append with checkpointing (micro-batch = idempotent chunk; a replayed
     * batch id is skipped on restart, mirroring StreamingUploader's
