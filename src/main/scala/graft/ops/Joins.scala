@@ -21,7 +21,7 @@ object Joins {
 
   // Shared by c10 (join+window form) and c10b (cogroup merge form).
   // NOTE: declared before `all` — object vals initialize in order.
-  private val asofOracle =
+  val asofOracle =
     """WITH j AS (
         SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
           row_number() OVER (PARTITION BY e.event_id
@@ -209,6 +209,23 @@ object Joins {
             }
           }
         }.toDF("event_id", "user_id", "o_orderkey", "o_date")
+          .orderBy("event_id")
+      },
+      Some(asofOracle)),
+
+    // As-of join through the CUSTOM PHYSICAL OPERATOR (graft.plans.AsOf):
+    // logical node -> planner strategy -> exec with declared clustering +
+    // ordering requirements and an O(|L|+|R|), O(1)-memory streaming
+    // merge per partition. Must hash-match the same oracle as c10/c10b.
+    Q("c10c_join_asof_native",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
+        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_millis(cast(o_orderdate as timestamp))").as("odate_ms"))
+        graft.plans.AsOf.join(ev, ord,
+            "user_id", "o_custkey", "ts_ms", "odate_ms", "o_orderkey")
+          .select(col("event_id"), col("user_id"), col("o_orderkey"),
+            date_format(expr("timestamp_millis(odate_ms)"), "yyyy-MM-dd").as("o_date"))
           .orderBy("event_id")
       },
       Some(asofOracle)))

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Whole-operator custom Catalyst machinery (preference tier (c), SURVEY.md
+  * §5 / build brief): an AS-OF JOIN as a first-class physical operator.
+  *
+  * For each left row, emit the single right row with the same key and the
+  * greatest time ≤ the left row's time (ties broken by the right tiebreak
+  * column, ascending-sorted so the last consumed wins). The exec declares
+  *   requiredChildDistribution = cluster both sides on the key
+  *   requiredChildOrdering     = (key, time[, tie]) ascending
+  * so EnsureRequirements inserts exactly one hash exchange + sort per
+  * side, and the merge itself is a streaming two-pointer pass per
+  * partition: O(|L| + |R|) with O(1) extra memory — no candidate-set
+  * materialization (vs the join+window form) and no per-key buffering
+  * (vs the cogroup form). This is the shape that survives 100 TB.
+  *
+  * Key and time expressions must evaluate to LongType (epoch millis etc.).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning =
+    UnknownPartitioning(left.outputPartitioning.numPartitions)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output; val rOut = right.output
+    val (lk, lt) = (leftKey, leftTime)
+    val (rk, rt) = (rightKey, rightTime)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      // identity projection → proper UnsafeRow output for downstream ops
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+      var cand: InternalRow = null
+      var candKey = 0L
+      lIt.flatMap { lRow =>
+        val kp = lProj(lRow)
+        val lKeyV = kp.getLong(0); val lTimeV = kp.getLong(1)
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val rp = rProj(rBuf.head)
+          val rKeyV = rp.getLong(0); val rTimeV = rp.getLong(1)
+          if (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV)) {
+            val consumed = rBuf.next()
+            if (rKeyV == lKeyV) { cand = consumed.copy(); candKey = lKeyV }
+          } else advancing = false
+        }
+        if (cand != null && candKey == lKeyV) Iterator(outProj(joined(lRow, cand)))
+        else Iterator.empty
+      }
+    }
+  }
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOf {
+  /** DataFrame-level entry point. Column name args are resolved against
+    * each side; key/time columns must be LongType. Registers the planner
+    * strategy on first use (idempotent). */
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String, rightTie: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTie))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+  }
+}

@@ -95,6 +95,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("custom as-of operator plans one exchange+sort per side, no window") {
+    val df = SparkEntry.queries("c10c_join_asof_native")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p) // nodeName strips the Exec suffix
+    // EnsureRequirements satisfied the declared contracts: clustering + sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"one hash exchange per side expected:\n$p")
+    assert(!p.contains("Window"), "the native form must not fall back to window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = SparkEntry.queries("d1_agg_groupby")(spark, TestSpark.sf)
     df.collect() // finalize the adaptive plan — codegen stages appear after execution
