@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: iterate selected registry keys N times and report min/med
+  * wall-clock — for comparing operator variants head-to-head.
+  * Usage: runMain graft.MicroBench [key ...] (SPARK_GRAFT_SF_DIR to set SF) */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val keys = if (args.nonEmpty) args.toSeq
+      else Seq("c10_join_asof", "c10b_join_asof_cogroup", "c10c_join_asof_native")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warmup
+    keys.foreach(k => SparkEntry.queries(k)(spark, sf).count())
+    keys.foreach { k =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(k)(spark, sf).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"$k%-28s min=${times.head}%.3f med=${times(1)}%.3f max=${times(2)}%.3f")
+    }
+    spark.stop()
+  }
+}
