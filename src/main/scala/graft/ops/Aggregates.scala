@@ -153,6 +153,26 @@ object Aggregates {
         ROUND(covar_samp(l_quantity,l_extendedprice),4) AS cov_qp
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // TD_FIRST / TD_LAST (TD's argmin/argmax-by-time UDAFs) ≡ Spark
+    // min_by/max_by. Keyed on a composite (time, id) scalar so ties on the
+    // timestamp stay deterministic in both engines (DuckDB 1.0 arg_min
+    // rejects struct keys).
+    Q("d12_agg_first_last",
+      (s, d) => t(s, d, "orders").groupBy("o_custkey")
+        .agg(
+          expr("min_by(o_orderstatus, unix_millis(cast(o_orderdate as timestamp))*1000000 + o_orderkey)")
+            .as("first_status"),
+          expr("max_by(o_orderstatus, unix_millis(cast(o_orderdate as timestamp))*1000000 + o_orderkey)")
+            .as("last_status"),
+          expr("max_by(o_totalprice, unix_millis(cast(o_orderdate as timestamp))*1000000 + o_orderkey)")
+            .as("last_price"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+        arg_min(o_orderstatus, CAST(epoch_ms(o_orderdate) AS BIGINT)*1000000 + o_orderkey) AS first_status,
+        arg_max(o_orderstatus, CAST(epoch_ms(o_orderdate) AS BIGINT)*1000000 + o_orderkey) AS last_status,
+        arg_max(o_totalprice, CAST(epoch_ms(o_orderdate) AS BIGINT)*1000000 + o_orderkey) AS last_price
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
     // array_agg → deterministic sorted list, emitted as a joined string.
     Q("d11_agg_collect",
       (s, d) => t(s, d, "customer").where(col("c_custkey") < 20)

@@ -42,6 +42,32 @@ class PropertySpec extends AnyFunSuite {
     assert(df.where(Td.tdTimeRange(col("ts"), None, None)).count() == 4)
   }
 
+  test("custom as-of operator agrees with a driver-side reference on random data") {
+    import spark.implicits._
+    // small key domain + coarse times → plenty of duplicate keys/times
+    // (tie-break paths) and keys with no eligible right rows
+    val g = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
+    samples(Gen.zip(g, g), 3).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("l_id", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("r_id", "rk", "rt")
+      val got = graft.plans.AsOf.join(left, right, "k", "rk", "t", "rt", "r_id")
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val byKey = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .groupBy(_._1)
+      val expect = ls.zipWithIndex.flatMap { case ((k, t), i) =>
+        byKey.get(k).flatMap { cands =>
+          val ok = cands.filter(_._2 <= t)
+          if (ok.isEmpty) None
+          else Some((i.toLong, ok.maxBy(c => (c._2, c._3))._3))
+        }
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
   test("sessionize: new session iff gap exceeds timeout; ids contiguous from 1") {
     import spark.implicits._
     val gapMs = 1000L
