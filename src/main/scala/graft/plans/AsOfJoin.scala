@@ -92,6 +92,32 @@ case class AsOfJoinExec(
   }
 }
 
+/** Optimizer rule: column pruning through the custom node. Catalyst's
+  * built-in ColumnPruning only understands known operators, so a custom
+  * LogicalPlan would silently force full-width scans of both children —
+  * at 100 TB that's the whole game. For `Project(_, AsOfJoinPlan)` this
+  * pushes a Project onto each child keeping only the referenced
+  * attributes plus the join's own key/time/tie columns. Runs to a fixed
+  * point (no-op when children are already minimal). */
+object PruneAsOfJoin extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, j: AsOfJoinPlan) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(Seq(j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.rightTie)
+          .flatMap(_.references))
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.length == child.output.length) child else Project(keep, child)
+      }
+      val (nl, nr) = (prune(j.left), prune(j.right))
+      if ((nl eq j.left) && (nr eq j.right)) p
+      else p.copy(child = j.copy(left = nl, right = nr))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
@@ -111,6 +137,9 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoin
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =

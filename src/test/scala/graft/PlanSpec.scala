@@ -106,6 +106,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
 
+  test("PruneAsOfJoin rule prunes full-width children down to the scan") {
+    import org.apache.spark.sql.functions._
+    // full-width inputs, narrow projection — without the injected rule the
+    // custom node would force both scans to read every column
+    val ev = Tables.events(spark, TestSpark.sf) // 6 source cols + derived
+    val ord = Tables.t(spark, TestSpark.sf, "orders")
+      .withColumn("odate_ms", expr("unix_millis(cast(o_orderdate as timestamp))"))
+    val out = graft.plans.AsOf.join(ev, ord,
+        "user_id", "o_custkey", "ts_ms", "odate_ms", "o_orderkey")
+      .select("event_id", "o_orderkey")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("props"), s"events scan must not read props:\n$p")
+    assert(!p.contains("o_orderpriority"), "orders scan must not read o_orderpriority")
+    assert(out.count() > 0)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = SparkEntry.queries("d1_agg_groupby")(spark, TestSpark.sf)
     df.collect() // finalize the adaptive plan — codegen stages appear after execution
