@@ -40,6 +40,14 @@ object Aggregates {
       ORDER BY l_returnflag, l_linestatus"""
 
   // NOTE: declared before `all` — object vals initialize in order.
+  val filterAggSql: String =
+    """SELECT o_orderpriority,
+      COUNT(*) AS n,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        FILTER (WHERE o_totalprice > 300000), 4) AS DOUBLE) AS big_total
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val groupingSetsSql: String =
     """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_qty
@@ -172,6 +180,14 @@ object Aggregates {
         arg_max(o_orderstatus, CAST(epoch_ms(o_orderdate) AS BIGINT)*1000000 + o_orderkey) AS last_status,
         arg_max(o_totalprice, CAST(epoch_ms(o_orderdate) AS BIGINT)*1000000 + o_orderkey) AS last_price
         FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // FILTER-clause (conditional) aggregation — same ANSI text both engines.
+    Q("d13_agg_filter",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(Aggregates.filterAggSql)
+      },
+      Some(Aggregates.filterAggSql)),
 
     // array_agg → deterministic sorted list, emitted as a joined string.
     Q("d11_agg_collect",

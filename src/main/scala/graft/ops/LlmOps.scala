@@ -69,8 +69,15 @@ object LlmOps {
       (s, d) => {
         val sh = shingles(s, d)
         val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val a = sh.toDF("d1", "sh")
-        val b = sh.toDF("d2", "sh2")
+        // semantics-preserving pre-filter: a shingle appearing in a single
+        // document can never contribute a pair — dropping df=1 postings
+        // shrinks the self-join input by the unique-shingle mass (the vast
+        // majority in real corpora) without changing a single output row.
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") >= 2)
+          .select("sh")
+        val shJ = sh.join(broadcast(hot), "sh")
+        val a = shJ.toDF("sh", "d1")
+        val b = shJ.toDF("sh2", "d2")
         val inter = a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
           .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
         inter

@@ -132,6 +132,29 @@ object Windows {
           FROM orders) WHERE rn <= 2
         ORDER BY o_custkey, rn""")),
 
+    // Value-based RANGE frame: all orders of the customer within ±30 days
+    // of each row's date count toward the frame (not row offsets).
+    Q("e8_win_range_frame",
+      (s, d) => {
+        val days30 = 30L * 24 * 3600 * 1000
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("odate_ms"))
+          .rangeBetween(-days30, days30)
+        t(s, d, "orders")
+          .withColumn("odate_ms", expr("unix_millis(cast(o_orderdate as timestamp))"))
+          .withColumn("n_near", count(lit(1)).over(w))
+          .withColumn("near_total", round(sum(dec(col("o_totalprice"))).over(w), 4).cast("double"))
+          .select("o_custkey", "o_orderkey", "n_near", "near_total")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        COUNT(*) OVER w AS n_near,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 4) AS DOUBLE) AS near_total
+        FROM orders WINDOW w AS (PARTITION BY o_custkey
+          ORDER BY CAST(epoch_ms(o_orderdate) AS BIGINT)
+          RANGE BETWEEN 2592000000 PRECEDING AND 2592000000 FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
     // Multi-key sort with explicit NULL placement (testdata has no NULLs —
     // synthesized via CASE, FIXTURES.md gotcha 2).
     Q("f1_sort_multi",
