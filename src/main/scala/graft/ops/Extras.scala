@@ -57,6 +57,25 @@ object Extras {
         AND a.event_id != b.event_id
         ORDER BY a_id, b_id""")),
 
+    // Stream-static broadcast enrichment; output equals the batch join.
+    Q("i9_stream_static_join",
+      (s, d) => Streams.i9(s, d),
+      Some("""SELECT event_id, c_name, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey ORDER BY event_id""")),
+
+    // Approximate heavy hitters (SpaceSaving TypedImperativeAggregate):
+    // top document terms without grouping the long tail. Sketch counts are
+    // merge-order-dependent → rows-only + scalatest containment (k4).
+    Q("k4_heavy_hitters",
+      (s, d) => {
+        graft.functions.HeavyHitters.register(s)
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        s.sql("""SELECT lang, inline(heavy_hitters(term, 5)) FROM
+          (SELECT lang, explode(split(text, ' ')) AS term FROM documents)
+          GROUP BY lang ORDER BY lang, cnt DESC, term""")
+      },
+      None),
+
     // Custom Aggregator UDAF: exact weighted mean (price weighted by qty).
     Q("k2_udaf_weighted_mean",
       (s, d) => {

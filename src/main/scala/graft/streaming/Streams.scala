@@ -202,6 +202,27 @@ object Streams {
     s.table(qn).orderBy("a_id", "b_id")
   }
 
+  /** i9 — stream-static join: the event stream enriched against the static
+    * customer dimension (broadcast — no stream state at all, the standard
+    * streaming-enrichment pattern). Output == the batch join (oracle). */
+  def i9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val cust = t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    val stream = MemoryStream[Ev]
+    val joined = stream.toDF()
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select("event_id", "c_name", "c_mktsegment")
+    val qn = "i9_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(qn).option("checkpointLocation", tmp("i9ck")).start()
+    stream.addData(evs.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("event_id")
+  }
+
   /** i6 — to_td-style continuous ingest: file-source stream → foreachBatch
     * append with checkpointing (micro-batch = idempotent chunk; a replayed
     * batch id is skipped on restart, mirroring StreamingUploader's

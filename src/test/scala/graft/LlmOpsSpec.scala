@@ -48,6 +48,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.length == 500)
   }
 
+  test("heavy-hitters sketch contains the exact top terms per lang") {
+    import org.apache.spark.sql.functions._
+    val sketch = run("k4_heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // exact top-3 by (count desc, term) per lang — SpaceSaving with k=5,
+    // capacity 20 must retain terms with freq > N/20 (true for top-3 here)
+    val tok = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("n"), asc("term"))
+    val exact = tok.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    exact.foreach { case (lang, top3) =>
+      assert(top3.subsetOf(sketch(lang)),
+        s"$lang: sketch ${sketch(lang)} missing ${top3 -- sketch(lang)}")
+    }
+  }
+
   test("near-dup jaccard values are valid and symmetric by construction") {
     val pairs = run("j2_dedup_near").collect()
     pairs.foreach { r =>
