@@ -227,26 +227,33 @@ object Streams {
     * append with checkpointing (micro-batch = idempotent chunk; a replayed
     * batch id is skipped on restart, mirroring StreamingUploader's
     * per-chunk unique id). Read-back == the source table (the oracle). */
-  def i6(s: SparkSession, d: String): DataFrame = {
+  def i6(s: SparkSession, d: String): DataFrame =
+    i6Run(s, d, tmp("i6out"), tmp("i6ck"), tmp("i6src"))
+
+  /** Parametrized form so tests can REPLAY with the same source dir +
+    * checkpoint + output: a restarted run re-reads nothing (file paths and
+    * batch ids already committed) — the idempotency the reference gets
+    * from per-chunk unique ids. */
+  def i6Run(s: SparkSession, d: String, out: String, ck: String,
+      srcDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val out = tmp("i6out")
     // file stream source requires a directory: expose the single parquet
-    // file through a temp dir symlink
-    val srcDir = tmp("i6src")
-    java.nio.file.Files.createSymbolicLink(
-      java.nio.file.Paths.get(srcDir, "events.parquet"),
-      java.nio.file.Paths.get(d, "events.parquet"))
+    // file through a dir symlink (created once; replays reuse it)
+    val link = java.nio.file.Paths.get(srcDir, "events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(d, "events.parquet"))
     val q = s.readStream.schema(schema).parquet(srcDir)
       .select(col("event_id"), expr("ts div 1000000000").as("time"), col("user_id"))
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         df.write.mode("append").parquet(out); ()
       }
-      .option("checkpointLocation", tmp("i6ck"))
+      .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.read.parquet(out).orderBy("event_id")

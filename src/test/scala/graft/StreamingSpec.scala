@@ -65,4 +65,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 1000)
     assert(out.map(_.getLong(0)).distinct.length == 1000)
   }
+
+  test("ingest REPLAY with same checkpoint is idempotent (no duplicates)") {
+    val mk = (t: String) => java.nio.file.Files.createTempDirectory(t).toString
+    val (out, ck, src) = (mk("i6r_out"), mk("i6r_ck"), mk("i6r_src"))
+    val first = Streams.i6Run(spark, TestSpark.sf, out, ck, src).count()
+    // restart: committed file paths + batch ids are replayed as no-ops —
+    // the StreamingUploader per-chunk-unique-id semantics
+    val second = Streams.i6Run(spark, TestSpark.sf, out, ck, src).count()
+    assert(first == 1000 && second == 1000,
+      s"replay must not duplicate: first=$first second=$second")
+  }
+
+  test("compaction collapses small ingest files, preserving rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val src = Tables.t(spark, TestSpark.sf, "orders")
+    // simulate chunked ingest: many tiny appends
+    (0 until 6).foreach { i =>
+      src.where(org.apache.spark.sql.functions.col("o_orderkey") % 6 === i)
+        .repartition(4).write.mode("append").parquet(dir)
+    }
+    val rowsBefore = spark.read.parquet(dir).count()
+    val (nBefore, nAfter) = graft.ops.Compaction.compact(spark, dir)
+    assert(nBefore >= 24 && nAfter < nBefore, s"$nBefore -> $nAfter")
+    assert(spark.read.parquet(dir).count() == rowsBefore)
+  }
 }
