@@ -22,9 +22,9 @@ object PlanLint {
     var smells = 0
     SparkEntry.registry.sortBy(_.key).foreach { q =>
       // streaming / side-effecting keys execute work on construction — skip
-      if (q.key.startsWith("i4") || q.key.startsWith("i5") || q.key.startsWith("i6")
-        || q.key.startsWith("i7") || q.key.startsWith("a7") || q.key.startsWith("a8")
-        || q.key.startsWith("a11") || q.key.startsWith("a12")) {
+      val sideEffecting = Set("a7", "a8", "a11", "a12", "a13",
+        "i4", "i5", "i6", "i7", "i8", "i9")
+      if (sideEffecting.exists(p => q.key.startsWith(p + "_"))) {
         println(f"${q.key}%-28s (skipped: executes on construction)")
       } else try {
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -106,9 +106,23 @@ object td {
       if (distributedJoin)
         s.sql(s"SELECT /*+ MERGE */ * FROM (${interpolated.stripSuffix(";")})")
       else s.sql(interpolated)
+    cacheJob(df)
+    df
+  }
+
+  // bounded job-result cache: evict (and unpersist) the oldest beyond this
+  // many live results — an unbounded static persist map would pin cache
+  // blocks for the JVM lifetime
+  private val MaxLiveJobs = 20
+
+  private def cacheJob(df: DataFrame): Long = {
     val id = nextJob.incrementAndGet()
     jobs.put(id, df.persist())
-    df
+    val evictBelow = id - MaxLiveJobs
+    jobs.keySet.forEach { k =>
+      if (k <= evictBelow) Option(jobs.remove(k)).foreach(_.unpersist())
+    }
+    id
   }
 
   /** `{name}` substitution, the notebook-variable interpolation of the
@@ -145,10 +159,14 @@ object td {
       }
     }
 
-  /** Issue a query and get its job id back (poll-free `QueryEngine.execute`). */
+  /** Issue a query and get its job id back (poll-free `QueryEngine.execute`).
+    * The id is taken from THIS query's cache entry, not a racy re-read of
+    * the shared counter. */
   def issueJob(sql: String, engine: TdEngine)(implicit s: SparkSession): Long = {
-    readTdQuery(sql, engine)
-    nextJob.get()
+    s.sparkContext.setJobDescription(s"td:${engine.engineType}:${engine.database}")
+    Td.register(s)
+    registerTables(engine)
+    cacheJob(s.sql(interpolate(sql, Map.empty)))
   }
 
   /** `read_td_job(job_id)`: re-serve a completed result without recompute. */
@@ -172,9 +190,15 @@ object td {
       limit: Int = -1)(implicit s: SparkSession): DataFrame = {
     var df = s.read.parquet(engine.tablePath(table))
     timeRange.foreach { case (from, to) =>
-      def sec(x: String): Long =
-        java.time.LocalDate.parse(x).atStartOfDay(java.time.ZoneOffset.UTC)
-          .toInstant.getEpochSecond
+      // accepts ISO dates and 'yyyy-MM-dd HH:mm:ss' datetimes
+      def sec(x: String): Long = {
+        val t = x.trim
+        val ldt =
+          if (t.contains(" ") || t.contains("T"))
+            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          else java.time.LocalDate.parse(t).atStartOfDay()
+        ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond
+      }
       df = df.schema(timeCol).dataType match {
         // TD's native `time` column is epoch seconds: numeric half-open range
         case _: org.apache.spark.sql.types.LongType |
@@ -184,8 +208,11 @@ object td {
       }
       // bucket-partitioned table (toTd(partitionByTime=true)): add the
       // equivalent predicate on the partition column so Catalyst prunes
-      // whole hour-bucket directories (PartitionFilters), TD-style.
-      if (df.columns.contains("time_bucket") && timeCol != "time_bucket") {
+      // whole hour-bucket directories (PartitionFilters), TD-style. Only
+      // valid when the range is being applied to the `time` column the
+      // buckets were derived from — a range on any other column must NOT
+      // pick up an ingest-time filter.
+      if (timeCol == "time" && df.columns.contains("time_bucket")) {
         df = df.where(col("time_bucket") >= (sec(from) / 3600 * 3600)
           && col("time_bucket") < sec(to))
       }

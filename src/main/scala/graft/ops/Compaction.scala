@@ -7,10 +7,14 @@ import org.apache.spark.sql.SparkSession
   * per task per micro-batch, and at 100 TB the resulting millions of tiny
   * files dominate scan planning time (footer reads) and kill throughput.
   *
-  * `compact` rewrites a parquet directory to ~`targetBytes` files via a
-  * size-derived `repartition`, writing to a temp sibling then atomically
-  * swapping — readers never observe a partial state, mirroring the
-  * commit-protocol discipline of the write path.
+  * `compact` rewrites a FLAT parquet directory to ~`targetBytes` files via
+  * a size-derived `repartition`, writing to a temp sibling then swapping
+  * via two renames. The swap window (directory briefly absent between the
+  * renames) means readers must be quiesced or retried during compaction —
+  * on object stores / HDFS a table-format commit (manifest swap) is the
+  * real fix; this is the filesystem approximation. Hive-partitioned
+  * directories are refused: rewriting them flat would silently destroy
+  * partition pruning.
   */
 object Compaction {
 
@@ -19,6 +23,9 @@ object Compaction {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(path).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("=")),
+      s"$dir is hive-partitioned; compact partitions individually to keep pruning")
     def dataFiles = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val before = dataFiles

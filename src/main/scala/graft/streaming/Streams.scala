@@ -26,10 +26,14 @@ object Streams {
 
   private def collectEvents(s: SparkSession, d: String): Array[Ev] = {
     import s.implicits._
+    // sorted by EVENT TIME (not id): the harnesses split this array into
+    // micro-batches, and a time-ordered split guarantees no second-batch
+    // row is ever below the first batch's watermark — correctness must not
+    // depend on the fixture assigning ids in time order
     events(s, d)
       .select(col("event_id"), col("ts_ms"), col("user_id"),
         col("event_type"), col("value"))
-      .as[Ev].collect().sortBy(_.event_id)
+      .as[Ev].collect().sortBy(e => (e.ts_ms, e.event_id))
   }
 
   private def tmp(tag: String): String =
@@ -250,12 +254,16 @@ object Streams {
     val q = s.readStream.schema(schema).parquet(srcDir)
       .select(col("event_id"), expr("ts div 1000000000").as("time"), col("user_id"))
       .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        df.write.mode("append").parquet(out); ()
+      // one OVERWRITTEN directory per batch id: a batch retried after a
+      // partial write (crash between data commit and checkpoint commit)
+      // replaces its own output instead of appending a duplicate — true
+      // per-chunk idempotency, not just clean-restart no-op
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch=$id"); ()
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(out).orderBy("event_id")
+    s.read.parquet(out).drop("batch").orderBy("event_id")
   }
 }

@@ -33,7 +33,9 @@ def main():
         if only and key not in only:
             continue
         sql = oracle[key]
-        files = glob.glob(f"{out_dir}/{key}/*.parquet")
+        # sorted: Verify coalesces to one file today, but multi-part output
+        # must still compare in deterministic part order
+        files = sorted(glob.glob(f"{out_dir}/{key}/*.parquet"))
         if not files:
             print(f"FAIL {key}: no spark output"); n_bad += 1; continue
         try:
