@@ -58,6 +58,20 @@ object Filters {
         AND regexp_matches(p_brand, '^Brand#1[0-9]$')
         ORDER BY p_partkey""")),
 
+    // Correlated scalar subquery → Catalyst decorrelates to a left outer
+    // join (what Presto did server-side for the reference's passthrough).
+    Q("b5_scalar_subquery",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT o_orderkey,
+          (SELECT c_name FROM customer WHERE c_custkey = o_custkey) AS cust_name
+          FROM orders ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+        (SELECT c_name FROM customer WHERE c_custkey = o_custkey) AS cust_name
+        FROM orders ORDER BY o_orderkey""")),
+
     // IN (subquery): Catalyst RewritePredicateSubquery → left-semi join; at
     // scale the semi side stays small → broadcast-able.
     Q("b4_filter_in_subquery",

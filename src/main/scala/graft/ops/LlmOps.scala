@@ -37,6 +37,29 @@ object LlmOps {
   private val MinhashK = 32
   private val BandSize = 4
 
+  /** Exact near-dup pairs (jac ≥ 0.5) — shared by j2 and j14. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // semantics-preserving pre-filter: a shingle appearing in a single
+    // document can never contribute a pair — dropping df=1 postings
+    // shrinks the self-join input by the unique-shingle mass (the vast
+    // majority in real corpora) without changing a single output row.
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") >= 2)
+      .select("sh")
+    val shJ = sh.join(broadcast(hot), "sh")
+    val a = shJ.toDF("sh", "d1")
+    val b = shJ.toDF("sh2", "d2")
+    val inter = a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.toDF("d1", "n1"), "d1")
+      .join(n.toDF("d2", "n2"), "d2")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"))
+      .where(col("jac") >= 0.5)
+  }
+
   /** Shared by j3 (composable form) and j3c (native expression) — both must
     * produce this exact result. */
   val j3Oracle: String =
@@ -66,29 +89,9 @@ object LlmOps {
     // index), not pairwise: cost ~ Σ_sh df(sh)², fine at test SF; j2b is
     // the banded path for 100 TB.
     Q("j2_dedup_near",
-      (s, d) => {
-        val sh = shingles(s, d)
-        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        // semantics-preserving pre-filter: a shingle appearing in a single
-        // document can never contribute a pair — dropping df=1 postings
-        // shrinks the self-join input by the unique-shingle mass (the vast
-        // majority in real corpora) without changing a single output row.
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") >= 2)
-          .select("sh")
-        val shJ = sh.join(broadcast(hot), "sh")
-        val a = shJ.toDF("sh", "d1")
-        val b = shJ.toDF("sh2", "d2")
-        val inter = a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-        inter
-          .join(n.toDF("d1", "n1"), "d1")
-          .join(n.toDF("d2", "n2"), "d2")
-          .withColumn("jac", col("inter").cast("double") /
-            (col("n1") + col("n2") - col("inter")).cast("double"))
-          .where(col("jac") >= 0.5)
-          .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
-          .orderBy("d1", "d2")
-      },
+      (s, d) => nearDupPairs(s, d)
+        .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+        .orderBy("d1", "d2"),
       Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
             WHERE len(string_split(text,' ')) >= 3),
         sh AS (SELECT DISTINCT doc_id,
@@ -103,6 +106,54 @@ object LlmOps {
         FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5
         ORDER BY d1, d2""")),
+
+    // Dedup clustering — the actual training-data deliverable: near-dup
+    // PAIRS → connected components → per-cluster canonical representative
+    // (min doc_id). Iterative min-label propagation with localCheckpoint
+    // per round (lineage truncation — without it the plan doubles every
+    // iteration); components here have tiny diameter so it converges in
+    // 2-3 rounds; at 100 TB this is the standard large-graph CC loop.
+    Q("j14_dedup_clusters",
+      (s, d) => {
+        val e = nearDupPairs(s, d).select("d1", "d2")
+        val edges = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
+          .toDF("src", "dst").localCheckpoint()
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id")).localCheckpoint()
+        var done = false
+        var iter = 0
+        while (!done && iter < 20) {
+          val nbr = edges
+            .join(labels.toDF("dst", "dstLbl"), "dst")
+            .groupBy("src").agg(min(col("dstLbl")).as("minNbr"))
+          val next = labels
+            .join(nbr.toDF("id", "minNbr"), Seq("id"), "left")
+            .select(col("id"), col("lbl"),
+              least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("newLbl"))
+            .localCheckpoint()
+          done = next.where(col("newLbl") =!= col("lbl")).isEmpty
+          labels = next.select(col("id"), col("newLbl").as("lbl"))
+          iter += 1
+        }
+        labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
+          FROM documents WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5),
+        und AS (SELECT d1 AS a, d2 AS b FROM e UNION ALL SELECT d2, d1 FROM e),
+        reach(a, b) AS (SELECT a, b FROM und
+          UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+        FROM reach GROUP BY a ORDER BY doc_id""")),
 
     // MinHash + LSH banding — the 100 TB near-dup path: 32 fixed-seed
     // minhashes per doc, 8 bands of 4; candidate pairs = equi-join on

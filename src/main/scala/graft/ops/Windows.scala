@@ -155,6 +155,21 @@ object Windows {
           RANGE BETWEEN 2592000000 PRECEDING AND 2592000000 FOLLOWING)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // Distribution windows: percent_rank / cume_dist over a total order.
+    Q("e9_win_distribution",
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        ROUND(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+        ROUND(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        FROM orders ORDER BY o_orderkey""")),
+
     // Multi-key sort with explicit NULL placement (testdata has no NULLs —
     // synthesized via CASE, FIXTURES.md gotcha 2).
     Q("f1_sort_multi",
