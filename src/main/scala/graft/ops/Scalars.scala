@@ -36,6 +36,21 @@ object Scalars {
         CAST(strpos(p_name,'bolt') AS BIGINT) AS pos, replace(p_name,'e','3') AS repl
         FROM part ORDER BY p_partkey""")),
 
+    // String padding/shaping family.
+    Q("h11_str_pad",
+      (s, d) => t(s, d, "customer").select(col("c_custkey"),
+        lpad(col("c_name"), 25, "*").as("lp"),
+        rpad(col("c_mktsegment"), 12, ".").as("rp"),
+        reverse(col("c_name")).as("rev"),
+        lit("ab").as("u"),
+        expr("repeat('ab', 3)").as("rep"),
+        translate(col("c_name"), "Cu", "cU").as("tr"))
+        .drop("u")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, lpad(c_name, 25, '*') AS lp, rpad(c_mktsegment, 12, '.') AS rp,
+        reverse(c_name) AS rev, repeat('ab', 3) AS rep, translate(c_name,'Cu','cU') AS tr
+        FROM customer ORDER BY c_custkey""")),
+
     // TD_DATE_TRUNC / TD_TIME_ADD / TD_TIME_FORMAT via the Td layer.
     Q("h2_date",
       (s, d) => t(s, d, "orders").select(col("o_orderkey"),

@@ -67,5 +67,29 @@ object SetOps {
       Some("""SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
         EXCEPT
         SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+        ORDER BY k""")),
+
+    // Multiset (bag) semantics: occurrences count — EXCEPT ALL keeps one
+    // order occurrence per customer beyond the event-occurrence count.
+    Q("g5_except_all",
+      (s, d) => {
+        val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = events(s, d).select(col("user_id").as("k"))
+        a.exceptAll(b).orderBy("k")
+      },
+      Some("""SELECT o_custkey AS k FROM orders
+        EXCEPT ALL
+        SELECT user_id AS k FROM events
+        ORDER BY k""")),
+
+    Q("g6_intersect_all",
+      (s, d) => {
+        val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = events(s, d).select(col("user_id").as("k"))
+        a.intersectAll(b).orderBy("k")
+      },
+      Some("""SELECT o_custkey AS k FROM orders
+        INTERSECT ALL
+        SELECT user_id AS k FROM events
         ORDER BY k""")))
 }
