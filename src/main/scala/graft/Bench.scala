@@ -37,11 +37,23 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
+    // Full per-query detail goes to a FILE; stdout carries ONE compact JSON
+    // line (slowest 20 only). The driver captures a bounded tail of stdout —
+    // round 1's full 103-entry map overflowed it and failed to parse
+    // (BENCH_r01.json "parsed": null), so the line must stay short.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val outDir = java.nio.file.Paths.get("target")
+    java.nio.file.Files.createDirectories(outDir)
+    java.nio.file.Files.write(outDir.resolve("bench_full.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","failed":$failedJson}"""
+        .getBytes("UTF-8"))
+    val slowest = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
   }
 }

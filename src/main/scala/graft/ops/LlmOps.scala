@@ -37,9 +37,14 @@ object LlmOps {
   private val MinhashK = 32
   private val BandSize = 4
 
-  /** Exact near-dup pairs (jac ≥ 0.5) — shared by j2 and j14. */
+  /** Exact near-dup pairs (jac ≥ 0.5) — shared by j2 and j14.
+    * The inverted-index join keys on xxhash64(shingle), not the shingle
+    * string: an 8-byte shuffle key instead of ~20+ chars, and long equality
+    * in the join. Counts (and therefore Jaccard) are preserved unless two
+    * distinct shingles collide in 64 bits (P ≈ n²/2⁶⁵ — ~10⁻⁹ at bench SF,
+    * and at 100 TB the same trick is what makes the shuffle feasible). */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // semantics-preserving pre-filter: a shingle appearing in a single
     // document can never contribute a pair — dropping df=1 postings
@@ -58,6 +63,26 @@ object LlmOps {
       .withColumn("jac", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")).cast("double"))
       .where(col("jac") >= 0.5)
+  }
+
+  /** Frequency-weighted 60-bit SimHash per doc — shared by j8 and j8b.
+    * Term occurrences are pre-aggregated to (doc, term-hash, cnt) BEFORE the
+    * 60-way bit explode, so the explode runs over distinct terms only and
+    * each bit vote is weighted by cnt — identical result to exploding every
+    * occurrence (the oracle's formulation) at a fraction of the rows. */
+  private def simhash60(s: SparkSession, d: String): DataFrame = {
+    val th = docsTok(s, d).select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(term),1,15),16,10) as bigint)").as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+    val votes = th.select(col("doc_id"), col("h"), col("cnt"),
+        explode(expr("sequence(0,59)")).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as("vote"))
+    votes.groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("simhash"))
   }
 
   /** Shared by j3 (composable form) and j3c (native expression) — both must
@@ -118,25 +143,53 @@ object LlmOps {
         val e = nearDupPairs(s, d).select("d1", "d2")
         val edges = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
           .toDF("src", "dst").localCheckpoint()
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("lbl", col("id")).localCheckpoint()
-        var done = false
-        var iter = 0
-        while (!done && iter < 20) {
-          val nbr = edges
-            .join(labels.toDF("dst", "dstLbl"), "dst")
-            .groupBy("src").agg(min(col("dstLbl")).as("minNbr"))
-          val next = labels
-            .join(nbr.toDF("id", "minNbr"), Seq("id"), "left")
-            .select(col("id"), col("lbl"),
-              least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("newLbl"))
-            .localCheckpoint()
-          done = next.where(col("newLbl") =!= col("lbl")).isEmpty
-          labels = next.select(col("id"), col("newLbl").as("lbl"))
-          iter += 1
+        // Hybrid CC: the edge list is the OUTPUT of distributed near-dup
+        // pruning — at any scale it is orders of magnitude smaller than the
+        // corpus (dup pairs, not docs). Below the threshold a single
+        // collect + union-find replaces an O(diameter) job loop (this is
+        // what production CC implementations do once a component/edge set
+        // fits on one node); above it, distributed min-label propagation
+        // with per-round lineage truncation takes over.
+        val nEdges = edges.count()
+        if (nEdges <= 2000000L) {
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          edges.collect().foreach { row =>
+            val (a, b) = (row.getLong(0), row.getLong(1))
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          val ids = parent.keySet ++ parent.values
+          import s.implicits._
+          ids.toSeq.map(id => (id, find(id))).toDF("doc_id", "cluster")
+            .orderBy("doc_id")
+        } else {
+          var labels = edges.select(col("src").as("id")).distinct()
+            .withColumn("lbl", col("id")).localCheckpoint()
+          var done = false
+          var iter = 0
+          while (!done && iter < 20) {
+            val nbr = edges
+              .join(labels.toDF("dst", "dstLbl"), "dst")
+              .groupBy("src").agg(min(col("dstLbl")).as("minNbr"))
+            val next = labels
+              .join(nbr.toDF("id", "minNbr"), Seq("id"), "left")
+              .select(col("id"), col("lbl"),
+                least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("newLbl"))
+              .localCheckpoint()
+            done = next.where(col("newLbl") =!= col("lbl")).isEmpty
+            labels = next.select(col("id"), col("newLbl").as("lbl"))
+            iter += 1
+          }
+          labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+            .orderBy("doc_id")
         }
-        labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
-          .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
           FROM documents WHERE len(string_split(text,' ')) >= 3),
@@ -186,19 +239,7 @@ object LlmOps {
     // SimHash (64→60-bit) document fingerprint, frequency-weighted, from a
     // cross-engine-reproducible token hash (md5 hex → 60-bit int).
     Q("j8_dedup_simhash",
-      (s, d) => {
-        val th = docsTok(s, d).select(col("doc_id"), explode(col("toks")).as("term"))
-          .select(col("doc_id"),
-            expr("cast(conv(substring(md5(term),1,15),16,10) as bigint)").as("h"))
-        val votes = th.select(col("doc_id"), col("h"),
-            explode(expr("sequence(0,59)")).as("b"))
-          .groupBy("doc_id", "b")
-          .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)).as("vote"))
-        votes.groupBy("doc_id")
-          .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)"))
-            .otherwise(0L)).as("simhash"))
-          .orderBy("doc_id")
-      },
+      (s, d) => simhash60(s, d).orderBy("doc_id"),
       Some("""WITH th AS (SELECT doc_id,
             CAST('0x' || substr(md5(t.term),1,15) AS BIGINT) AS h
           FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents) t),
@@ -210,25 +251,28 @@ object LlmOps {
         FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
     // SimHash near-dup: pairs within hamming distance 8 of each other's
-    // 60-bit fingerprint — the O(n·d) SimHash pass (j8) turns near-dup
-    // detection into cheap bit arithmetic (xor + popcount); at 100 TB the
-    // pair space is cut by banding the fingerprint bits exactly like j2b.
+    // 60-bit fingerprint. Candidate generation is BANDED, not pairwise: the
+    // fingerprint splits into 10 bands of 6 bits, and ≤8 differing bits can
+    // touch at most 8 bands, so every qualifying pair agrees exactly on ≥1
+    // band (pigeonhole — zero false negatives). Candidates come from an
+    // equi-join on (band, band-bits) — the shuffle key a 1000-executor
+    // cluster partitions on — and only candidates pay the exact
+    // xor/popcount check. Output is identical to the O(n²) scan.
     Q("j8b_dedup_hamming",
       (s, d) => {
-        val th = docsTok(s, d).select(col("doc_id"), explode(col("toks")).as("term"))
-          .select(col("doc_id"),
-            expr("cast(conv(substring(md5(term),1,15),16,10) as bigint)").as("h"))
-        val votes = th.select(col("doc_id"), col("h"),
-            explode(expr("sequence(0,59)")).as("b"))
-          .groupBy("doc_id", "b")
-          .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)).as("vote"))
-        val sh = votes.groupBy("doc_id")
-          .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)"))
-            .otherwise(0L)).as("sh"))
-        sh.persist() // self-joined below: avoid recomputing the explode twice
-        val a = sh.toDF("d1", "h1"); val b = sh.toDF("d2", "h2")
-        a.join(broadcast(b), col("d1") < col("d2"))
-          .withColumn("dist", expr("bit_count(h1 ^ h2)").cast("long"))
+        val sh = simhash60(s, d).toDF("doc_id", "sh")
+        sh.persist() // feeds band explode AND the verify join
+        val bands = sh.select(col("doc_id"), col("sh"),
+          explode(expr(
+            "transform(sequence(0, 9), b -> struct(b, shiftright(sh, b*6) & 63 as bits))"))
+            .as("bb"))
+          .select(col("doc_id"), col("sh"), col("bb.b"), col("bb.bits"))
+        val cand = bands.toDF("d1", "h1", "b", "bits")
+          .join(bands.toDF("d2", "h2", "b2", "bits2"),
+            col("b") === col("b2") && col("bits") === col("bits2")
+              && col("d1") < col("d2"))
+          .select("d1", "h1", "d2", "h2").distinct()
+        cand.withColumn("dist", expr("bit_count(h1 ^ h2)").cast("long"))
           .where(col("dist") <= 8)
           .select("d1", "d2", "dist")
           .orderBy("d1", "d2")

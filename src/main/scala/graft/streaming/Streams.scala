@@ -39,13 +39,30 @@ object Streams {
   private def tmp(tag: String): String =
     Files.createTempDirectory(s"graft_$tag").toString
 
+  /** Run `body` with a low shuffle-partition count, restoring the session
+    * conf after. Stateful streaming cost scales with partitions — every
+    * micro-batch commits one state-store delta per shuffle partition (×4
+    * stores for a stream-stream join), so 32 partitions over a few thousand
+    * rows is pure overhead: the driver's round-1 bench spent ~44 s across
+    * i4/i5/i7/i8 mostly on state-store churn. The partition count is pinned
+    * per-checkpoint, and these harnesses create a fresh checkpoint per run,
+    * so lowering it here is safe and invisible to batch queries. On a real
+    * cluster ingesting 100 TB/day the same knob goes UP with state size —
+    * the point is that it's sized to the state, not inherited from batch. */
+  private def withFewShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** i4 — 1-hour watermark, append mode, hourly tumbling windows. Data
     * arrives in two event-time-ordered batches plus re-sent stale rows
     * (≥3 h late → dropped by the watermark) and a far-future sentinel that
     * flushes every real window. Net effect: output == the i1 batch result,
     * which is the oracle — if late rows were NOT dropped, counts would
     * differ and the hash would fail. */
-  def i4(s: SparkSession, d: String): DataFrame = {
+  def i4(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = collectEvents(s, d)
@@ -81,7 +98,7 @@ object Streams {
   /** i5 — watermarked exactly-once-ish dedup on event_id: the stream
     * carries every event twice; `dropDuplicates` keeps the first. Output
     * == the distinct event set (the oracle). */
-  def i5(s: SparkSession, d: String): DataFrame = {
+  def i5(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = collectEvents(s, d)
@@ -111,7 +128,7 @@ object Streams {
     * passing `lastTs + gap` times the state out and flushes the final
     * session. State per key is O(1) — this is the unbounded-stream form
     * of h10/i3 (whose oracle it must hash-match). */
-  def i7(s: SparkSession, d: String): DataFrame = {
+  def i7(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -178,7 +195,7 @@ object Streams {
     * once the other's watermark passes the interval — bounded state on an
     * unbounded stream. Event time is ms-precision (`timestamp_millis`) so
     * the join boundary is exactly DuckDB's epoch_ms arithmetic (oracle). */
-  def i8(s: SparkSession, d: String): DataFrame = {
+  def i8(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = collectEvents(s, d)
@@ -209,7 +226,7 @@ object Streams {
   /** i9 — stream-static join: the event stream enriched against the static
     * customer dimension (broadcast — no stream state at all, the standard
     * streaming-enrichment pattern). Output == the batch join (oracle). */
-  def i9(s: SparkSession, d: String): DataFrame = {
+  def i9(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = collectEvents(s, d)
