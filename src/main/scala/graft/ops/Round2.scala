@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-2 coverage expansion across §3 buckets:
+  *
+  *   - a14: partitioned parquet layout + partition-pruned read — at 100 TB,
+  *     partition pruning IS the first-order optimization (a pruned read
+  *     touches 1/k of the files before a single row is decoded).
+  *   - c11: bucketed co-located join — both sides pre-bucketed on the join
+  *     key ⇒ zero Exchange at query time; the batch analog of what TD's
+  *     1-h time buckets do for time ranges, applied to join keys.
+  *   - d14: pivot (pandas `pivot_table` is the reference clientele's daily
+  *     reshape — `pandas_td` returns DataFrames precisely so users can do
+  *     this; here it runs engine-side instead of collect-then-pivot).
+  *   - h12: URL extraction (Presto `url_extract_*` family, a TD-ENGINE
+  *     staple for weblog tables).
+  *   - j15/j16: deterministic train/val/test split + reproducible corpus
+  *     shuffle — hash-derived, so any executor count / retry produces the
+  *     byte-identical split, the property a training pipeline needs.
+  *   - k1/k3: the explicit UDF + UDTF surface (k3 is a custom Catalyst
+  *     `Generator`, graft.expressions.CharNGrams).
+  *   - m3: multimodal frame-sampling stub — evenly-spaced frame selection
+  *     with per-frame digests, all columnar arithmetic (the decode itself
+  *     is the m2 stub; this is the sampling plumbing over it).
+  */
+object Round2 {
+
+  private def sinkDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Partitioned write + partition-pruned read: documents laid out as
+    // lang=<v>/ dirs, then read back filtered to one partition. The filter
+    // never touches non-matching files (PartitionFilters, verified in
+    // PlanSpec). Partition values ride in directory names, so `lang` is
+    // re-selected from the read-back schema.
+    Q("a14_source_partitioned",
+      (s, d) => {
+        val out = sinkDir("a14")
+        t(s, d, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(out)
+        s.read.parquet(out).where(col("lang") === "en")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang = 'en' ORDER BY doc_id""")),
+
+    // Bucketed co-located join: both sides written bucketed 8-ways on the
+    // join key; with bucketing enabled the join plans with NO shuffle on
+    // either side (PlanSpec asserts zero Exchange). At 100 TB this is the
+    // difference between re-shuffling both fact tables per query and
+    // reading co-located buckets.
+    Q("c11_join_bucketed",
+      (s, d) => {
+        s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        // a previous JVM's run may have left the managed location behind
+        // without a catalog entry in THIS session — drop both
+        Seq("c11_orders", "c11_customer").foreach { tb =>
+          s.sql(s"DROP TABLE IF EXISTS $tb")
+          val loc = new java.io.File(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tb)
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            rm(loc)
+          }
+        }
+        t(s, d, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("c11_orders")
+        t(s, d, "customer").write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("c11_customer")
+        // merge hint (not a conf toggle — confs are read lazily at execute
+        // time): SMJ over matching bucket layouts needs no Exchange/Sort
+        s.table("c11_orders").hint("merge")
+          .join(s.table("c11_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), mSum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Pivot: order-status columns per priority (engine-side pandas
+    // pivot_table). Explicit pivot value list ⇒ stable output schema with
+    // no value-discovery job — the form that scales.
+    Q("d14_pivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(mSum(col("o_totalprice")))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        CAST(ROUND(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END),4) AS DOUBLE) AS "F",
+        CAST(ROUND(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END),4) AS DOUBLE) AS "O",
+        CAST(ROUND(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END),4) AS DOUBLE) AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // URL extraction — Presto url_extract_host/path/parameter on a URL
+    // synthesized from document fields (testdata has no URL column).
+    Q("h12_url",
+      (s, d) => t(s, d, "documents")
+        .withColumn("url", concat(lit("https://corpus.example.com/"),
+          col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?src="), col("source"), lit("&v=2")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("src")).as("src_param"))
+        .orderBy("doc_id"),
+      Some("""WITH u AS (SELECT doc_id,
+          'https://corpus.example.com/' || lang || '/doc/' || doc_id
+            || '?src=' || source || '&v=2' AS url FROM documents)
+        SELECT doc_id,
+          regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+          regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+          regexp_extract(url, '[?&]src=([^&]*)', 1) AS src_param
+        FROM u ORDER BY doc_id""")),
+
+    // Deterministic train/val/test split: bucket = first-8-hex of
+    // md5(doc_id) mod 100 → 80/10/10. Pure hash arithmetic — identical
+    // assignment on any cluster size, any retry, any engine (the oracle
+    // recomputes it byte-for-byte in DuckDB).
+    Q("j15_split_hash",
+      (s, d) => t(s, d, "documents")
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(cast(doc_id as string)),1,8),16,10) as bigint) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 AS bucket,
+        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""")),
+
+    // Reproducible corpus shuffle: global training order = content-hash
+    // sort (md5 of id+text), position via row_number. Deterministic across
+    // engines and runs — "shuffled" data with a stable byte-order, which is
+    // what epoch reshuffling at 100 TB actually requires (a seeded sort on
+    // a hash, not a random generator).
+    Q("j16_shuffle_det",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("shuffle_key", "doc_id")
+        t(s, d, "documents")
+          .withColumn("shuffle_key", md5(concat(col("doc_id"), lit(":"), col("text"))))
+          .withColumn("position", row_number().over(w).cast("long"))
+          .select("position", "doc_id", "shuffle_key")
+          .orderBy("position")
+      },
+      Some("""SELECT row_number() OVER (ORDER BY md5(doc_id || ':' || text), doc_id) AS position,
+        doc_id, md5(doc_id || ':' || text) AS shuffle_key
+        FROM documents ORDER BY position""")),
+
+    // Explicit scalar-UDF surface: registered Scala closure used from SQL.
+    // (h3's td_time_range covers the native-Expression registration path;
+    // this is the plain spark.udf.register path every user extension takes
+    // first.) Counting vowels keeps the oracle trivially expressible.
+    Q("k1_udf_scalar",
+      (s, d) => {
+        s.udf.register("vowel_count",
+          (name: String) => name.toLowerCase.count("aeiou".contains(_)).toLong)
+        t(s, d, "customer").createOrReplaceTempView("k1_customer")
+        s.sql("""SELECT c_custkey, vowel_count(c_name) AS n_vowels
+          FROM k1_customer ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey,
+        CAST(length(lower(c_name)) -
+          length(regexp_replace(lower(c_name), '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+        FROM customer ORDER BY c_custkey""")),
+
+    // Custom Generator UDTF: character trigrams with positions via
+    // LATERAL VIEW over graft.expressions.CharNGrams — multi-column rows
+    // generated from a scalar with no intermediate array.
+    Q("k3_udtf_ngrams",
+      (s, d) => {
+        graft.expressions.CharNGrams.register(s)
+        t(s, d, "documents").where(col("doc_id") < 50)
+          .createOrReplaceTempView("k3_docs")
+        s.sql("""SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram
+          FROM k3_docs LATERAL VIEW char_ngrams(text, 3) t AS pos, gram
+          ORDER BY doc_id, pos""")
+      },
+      Some("""SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, substr(text, i.i, 3) AS gram
+        FROM documents, unnest(range(1, length(text) - 1)) i(i)
+        WHERE doc_id < 50 AND length(text) >= 3
+        ORDER BY doc_id, pos""")),
+
+    // Frame sampling over the multimodal stub: m2's decoded n_frames →
+    // 4 evenly-spaced frame indices → per-frame digest. All columnar
+    // (sequence + transform + posexplode); the real decoder would slot in
+    // at the m2 stub boundary without touching this sampling plan.
+    Q("m3_frame_sample",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), expr(
+          """aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)),
+            cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)""").as("crc"))
+        .withColumn("n_frames", lit(1L) + col("crc") % 30L)
+        .select(col("doc_id"), col("n_frames"),
+          posexplode(expr(
+            "transform(sequence(0, 3), i -> cast(i * (n_frames - 1) div 3 as bigint))"))
+            .as(Seq("sample_i", "frame_idx")))
+        .withColumn("frame_digest",
+          expr("(cast(doc_id as bigint) * 1000003 + frame_idx * 31) % 1000000007"))
+        .select(col("doc_id"), col("n_frames"), col("sample_i").cast("long").as("sample_i"),
+          col("frame_idx"), col("frame_digest"))
+        .orderBy("doc_id", "sample_i"),
+      Some("""WITH x AS (SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split_regex(text,''), c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) AS crc FROM documents),
+        f AS (SELECT doc_id, 1 + crc % 30 AS n_frames FROM x),
+        s AS (SELECT doc_id, n_frames, CAST(i.i AS BIGINT) AS sample_i,
+            CAST(i.i * (n_frames - 1) // 3 AS BIGINT) AS frame_idx
+          FROM f, unnest(range(0, 4)) i(i))
+        SELECT doc_id, n_frames, sample_i, frame_idx,
+          (doc_id * 1000003 + frame_idx * 31) % 1000000007 AS frame_digest
+        FROM s ORDER BY doc_id, sample_i""")))
+}
