@@ -24,6 +24,15 @@ object Bench {
       o.select(row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("o_custkey").orderBy("o_orderkey")).as("rn")).count()
+      // ... and the explode / higher-order-function / string-hash paths the
+      // j-group leans on (Janino + C2 compile of generator and lambda
+      // evaluation dominates the first such query otherwise)
+      val doc = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      doc.select(explode(split(col("text"), " ")).as("tk"))
+        .select(md5(col("tk")), xxhash64(col("tk"))).count()
+      doc.select(expr(
+        """aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)),
+          cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)""")).count()
     }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

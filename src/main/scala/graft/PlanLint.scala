@@ -10,7 +10,10 @@ object PlanLint {
   // keys where a nested-loop/cartesian is intentional (tiny/broadcast side:
   // dim×dim cross, all-pairs upper triangle, single-row probe broadcast)
   private val nljAllowed = Set("c8_join_cross", "j12_dedup_embed",
-    "j3_sim_topk", "j3c_sim_native")
+    "j3_sim_topk", "j3c_sim_native",
+    // IVF: vectors × broadcast centroids is the assignment step (k small
+    // by construction), plus the 1-row probe broadcast
+    "j3d_sim_ivf")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

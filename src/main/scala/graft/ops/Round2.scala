@@ -28,6 +28,9 @@ import graft.Tables._
   */
 object Round2 {
 
+  private def docsTok2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("toks"))
+
   private def sinkDir(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
     d.toFile.deleteOnExit()
@@ -203,6 +206,116 @@ object Round2 {
         FROM documents, unnest(range(1, length(text) - 1)) i(i)
         WHERE doc_id < 50 AND length(text) >= 3
         ORDER BY doc_id, pos""")),
+
+    // Bool/bit aggregates (Presto bool_and/bitwise_and_agg family).
+    Q("d15_agg_bool_bit",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          bit_and(col("o_custkey")).as("key_and"),
+          bit_or(col("o_custkey")).as("key_or"),
+          bit_xor(col("o_custkey")).as("key_xor"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+        bool_and(o_totalprice > 1000) AS all_over_1k,
+        bool_or(o_totalprice > 400000) AS any_over_400k,
+        bit_and(o_custkey) AS key_and, bit_or(o_custkey) AS key_or,
+        bit_xor(o_custkey) AS key_xor
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Linear regression per group — slope/intercept of price vs quantity
+    // from EXACT decimal moment sums (n, Σx, Σy, Σxy, Σxx), so the result
+    // is aggregation-order-independent: the built-in regr_slope sums
+    // doubles and would not hash-match across engines or even across
+    // partitionings; moments-then-formula is also the scalable shape (one
+    // partial-aggregable pass).
+    Q("d16_agg_regression",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).as("sx"),
+            sum(dec(col("l_extendedprice"))).as("sy"),
+            sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"),
+            sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"))
+          .select(col("l_returnflag"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+              .as("slope"),
+            round((col("sy").cast("double")
+              - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * col("sx").cast("double")) / col("n"), 6).as("intercept"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+          SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy,
+          SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx
+        FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+          ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+          ROUND((CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        FROM m ORDER BY l_returnflag""")),
+
+    // Bitwise scalar family (Presto bitwise_and/or/xor/shifts).
+    Q("h13_bitwise",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("c_custkey & 255").as("and_mask"),
+          expr("c_custkey | 4096").as("or_mask"),
+          expr("c_custkey ^ 1234").as("xor_k"),
+          expr("shiftleft(c_custkey, 3)").as("shl3"),
+          expr("shiftright(c_custkey, 2)").as("shr2"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_custkey & 255 AS and_mask,
+        c_custkey | 4096 AS or_mask, xor(c_custkey, 1234) AS xor_k,
+        c_custkey << 3 AS shl3, c_custkey >> 2 AS shr2
+        FROM customer ORDER BY c_custkey""")),
+
+    // Bigram-likelihood document scoring: a transition model learned from
+    // the corpus itself (c(w1,w2)/c(w1) — exact integer-ratio doubles),
+    // each doc scored by its mean transition probability. The per-doc sum
+    // runs over DECIMAL(28,12)-cast terms, making it independent of
+    // aggregation order — the property that lets 1000 executors produce the
+    // byte-identical score (a double sum would not). LM-based quality
+    // filtering is a standard training-data gate; this is its shape with a
+    // corpus-derived model in place of a trained LM.
+    Q("j17_doc_likelihood",
+      (s, d) => {
+        val toks = docsTok2(s, d)
+        val bg = toks.where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] as w1, toks[i] as w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val p = bg
+          .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .select(col("doc_id"),
+            (col("c2").cast("double") / col("c1").cast("double"))
+              .cast("decimal(28,12)").as("p"))
+        p.groupBy("doc_id")
+          .agg(round(sum(col("p")).cast("double") / count(lit(1)), 6).as("avg_p"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        bg AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i+1] AS w2
+          FROM tk, unnest(range(1, len(toks))) i(i) WHERE len(toks) >= 2),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        p AS (SELECT doc_id,
+            CAST(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS DECIMAL(28,12)) AS p
+          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        SELECT doc_id, ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS avg_p,
+          COUNT(*) AS n_bigrams
+        FROM p GROUP BY doc_id ORDER BY doc_id""")),
 
     // Frame sampling over the multimodal stub: m2's decoded n_frames →
     // 4 evenly-spaced frame indices → per-frame digest. All columnar

@@ -49,10 +49,10 @@ object Streams {
     * so lowering it here is safe and invisible to batch queries. On a real
     * cluster ingesting 100 TB/day the same knob goes UP with state size —
     * the point is that it's sized to the state, not inherited from batch. */
-  private def withFewShufflePartitions[T](s: SparkSession)(body: => T): T = {
+  private def withFewShufflePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "4")
+    s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
   }
 
