@@ -317,6 +317,77 @@ object Round2 {
           COUNT(*) AS n_bigrams
         FROM p GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Text normalization — the first gate of every training-data pipeline:
+    // lowercase, strip non-alphanumerics, collapse runs of spaces, trim.
+    // Pure codegen'd string expressions; patterns kept to character classes
+    // that mean the same thing in Java regex and RE2 (the oracle's engine).
+    Q("j18_text_normalize",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), "  +", " ")).as("norm_text"))
+        .withColumn("norm_chars", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          '  +', ' ', 'g')) AS norm_text,
+        CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          '  +', ' ', 'g'))) AS BIGINT) AS norm_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // PII redaction: emails and phone-shaped tokens masked before any text
+    // leaves the pipeline (testdata has no PII, so a contact line is
+    // synthesized from customer fields, then scrubbed — the scrub is the
+    // operator under test; at 100 TB this is a codegen'd projection, no
+    // shuffle at all).
+    Q("j19_pii_redact",
+      (s, d) => t(s, d, "customer")
+        .withColumn("contact", concat(lit("reach "), lower(col("c_name")),
+          lit("@corp.example.com or call 555-0"), col("c_custkey"),
+          lit(" re: "), col("c_mktsegment")))
+        .select(col("c_custkey"),
+          regexp_replace(regexp_replace(col("contact"),
+            "[a-z0-9#]+@[a-z.]+", "<EMAIL>"),
+            "555-[0-9]+", "<PHONE>").as("redacted"))
+        .orderBy("c_custkey"),
+      Some("""WITH x AS (SELECT c_custkey,
+          'reach ' || lower(c_name) || '@corp.example.com or call 555-0'
+            || c_custkey || ' re: ' || c_mktsegment AS contact FROM customer)
+        SELECT c_custkey,
+          regexp_replace(regexp_replace(contact,
+            '[a-z0-9#]+@[a-z.]+', '<EMAIL>', 'g'),
+            '555-[0-9]+', '<PHONE>', 'g') AS redacted
+        FROM x ORDER BY c_custkey""")),
+
+    // Repetition/boilerplate detection (the C4-style gate): per doc, the
+    // most-repeated 4-gram and its count; docs whose max repetition crosses
+    // the threshold get flagged. One explode + one two-key groupBy + one
+    // max_by — shuffle-parallel on (doc, gram).
+    Q("j20_boilerplate",
+      (s, d) => {
+        val grams = docsTok2(s, d).where(size(col("toks")) >= 4)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks)-3), i -> concat_ws(' ', slice(toks, i, 4)))"))
+            .as("g"))
+        grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("max_rep"),
+            max_by(col("g"), struct(col("n"), col("g"))).as("top_gram"))
+          .withColumn("is_boilerplate", col("max_rep") >= 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 4),
+        g AS (SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2]
+            || ' ' || toks[i.i+3] AS g
+          FROM tk, unnest(range(1, len(toks)-2)) i(i)),
+        c AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY doc_id, g),
+        r AS (SELECT doc_id, g, n,
+            row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g DESC) AS rn
+          FROM c)
+        SELECT doc_id, n AS max_rep, g AS top_gram, n >= 3 AS is_boilerplate
+        FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
     // Frame sampling over the multimodal stub: m2's decoded n_frames →
     // 4 evenly-spaced frame indices → per-frame digest. All columnar
     // (sequence + transform + posexplode); the real decoder would slot in
