@@ -132,6 +132,62 @@ object LlmOps {
         WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5
         ORDER BY d1, d2""")),
 
+    // Prefix-filtered exact near-dup (PPJoin-lite; Chaudhuri et al. SSJoin /
+    // Xiao et al. PPJoin): shingles get a global canonical order (df asc,
+    // hash asc); for Jaccard ≥ t a qualifying pair MUST share a shingle
+    // inside both docs' first (n - ⌈t·n⌉ + 1) shingles of that order, so the
+    // inverted-index join runs over PREFIXES only — and because the
+    // canonical order puts the rarest shingles first, the Σdf² join cost
+    // collapses (the high-df shingles that dominate it never enter the
+    // index). Candidates are then verified exactly via sorted-array
+    // intersection. Same oracle as j2 — output-identical by construction.
+    Q("j2c_dedup_prefix",
+      (s, d) => {
+        val t05 = 0.5
+        val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+        val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        // df=1 postings can't pair — same pre-filter as j2, applied before
+        // ranking so prefixes are chosen among pairable shingles only
+        val hot = sh.join(broadcast(dfc.where(col("df") >= 2)), "sh")
+        val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val ranked = hot.withColumn("r", row_number().over(wDoc))
+          .join(n, "doc_id")
+        val prefix = ranked.where(col("r") <=
+          col("n") - ceil(lit(t05) * col("n")) + 1)
+        val cand = prefix.select(col("doc_id").as("d1"), col("sh"))
+          .join(prefix.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+            col("sh") === col("sh2") && col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+        val sets = sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("sh"))).as("arr"))
+        cand
+          .join(sets.toDF("d1", "a1"), "d1")
+          .join(sets.toDF("d2", "a2"), "d2")
+          .select(col("d1"), col("d2"),
+            expr("size(array_intersect(a1, a2))").as("inter"),
+            expr("size(a1)").as("n1"), expr("size(a2)").as("n2"))
+          .withColumn("jac", col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")).cast("double"))
+          .where(col("jac") >= t05)
+          .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d1, d2,
+          ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 6) AS jac
+        FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5
+        ORDER BY d1, d2""")),
+
     // Dedup clustering — the actual training-data deliverable: near-dup
     // PAIRS → connected components → per-cluster canonical representative
     // (min doc_id). Iterative min-label propagation with localCheckpoint
