@@ -57,6 +57,13 @@ object Extras {
         AND a.event_id != b.event_id
         ORDER BY a_id, b_id""")),
 
+    // Sessionize again through Spark 4's transformWithState (typed
+    // ValueState + explicit event-time timers, RocksDB state store) — the
+    // successor API to i7's flatMapGroupsWithState; same i3 oracle.
+    Q("i10_transform_with_state",
+      (s, d) => Streams.i10(s, d),
+      Some(StreamingBatch.i3Oracle)),
+
     // Stream-static broadcast enrichment; output equals the batch join.
     Q("i9_stream_static_join",
       (s, d) => Streams.i9(s, d),

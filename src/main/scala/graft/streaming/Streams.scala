@@ -189,6 +189,109 @@ object Streams {
       .orderBy("user_id", "sess_start")
   }
 
+  /** i10's processor: per-user open session in a ValueState, closed either
+    * by an in-batch gap or by an event-time timer at lastTs + gap (the
+    * timer replaces i7's GroupStateTimeout — timers here are explicit and
+    * per-key, the new API's sharper contract). */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var sess: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      val batch = rows.toArray.sortBy(e => (e.ts_ms, e.event_id))
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      cur.foreach(st => getHandle.deleteTimer(st.lastTs + gapMs + 1))
+      val closed = Seq.newBuilder[(Long, Long, Long)]
+      batch.foreach { e =>
+        cur match {
+          case Some(st) if e.ts_ms - st.lastTs > gapMs =>
+            closed += ((st.sessStart, user, st.n))
+            cur = Some(SessState(e.ts_ms, e.ts_ms, 1))
+          case Some(st) =>
+            cur = Some(st.copy(lastTs = e.ts_ms, n = st.n + 1))
+          case None =>
+            cur = Some(SessState(e.ts_ms, e.ts_ms, 1))
+        }
+      }
+      cur.foreach { st =>
+        sess.update(st)
+        getHandle.registerTimer(st.lastTs + gapMs + 1)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long)] =
+      if (sess.exists()) {
+        val st = sess.get()
+        sess.clear()
+        Iterator((st.sessStart, user, st.n))
+      } else Iterator.empty
+  }
+
+  /** i10 — the same streaming TD_SESSIONIZE through Spark 4's
+    * `transformWithState` (StatefulProcessor + ValueState + event-time
+    * timers on the RocksDB state store) — the successor API to i7's
+    * `flatMapGroupsWithState`, and the shape long-running 100 TB/day
+    * session pipelines should be written in: typed per-key state with
+    * explicit timers, incrementally checkpointed by RocksDB changelogs
+    * instead of full HDFS snapshots. Must hash-match the same batch
+    * session_window oracle as i3/i7. */
+  def i10(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 30L * 60 * 1000
+      val evs = collectEvents(s, d)
+      val sentinel = Ev(-1L, evs.last.ts_ms + 365L * 24 * 3600 * 1000,
+        -1L, "__sentinel", 0.0)
+
+      val stream = MemoryStream[Ev]
+      val sessions = stream.toDS()
+        .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts_t", "10 minutes")
+        .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+        .map(t => Ev(t._1, t._2, t._3, t._4, t._5))
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor(gapMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      val qn = "i10_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = sessions.toDF("sess_start", "user_id", "n_events")
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .option("checkpointLocation", tmp("i10ck")).start()
+      val half = evs.length / 2
+      stream.addData(evs.take(half).toSeq)
+      q.processAllAvailable()
+      stream.addData(evs.drop(half).toSeq)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel)) // advance watermark: all timers fire
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).where(col("user_id") =!= -1L)
+        .orderBy("user_id", "sess_start")
+    } finally {
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
   /** i8 — watermarked stream-stream interval join: follow-up events of the
     * same user within 5 minutes. Both sides carry watermarks and the join
     * condition bounds event time on both, so each side's state is evicted
