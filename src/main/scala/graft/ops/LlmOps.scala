@@ -25,12 +25,17 @@ object LlmOps {
     t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
       col("n_chars"), col("text"), split(col("text"), " ").as("toks"))
 
-  /** Distinct 3-word shingles per doc. */
+  /** Distinct 3-word shingles per doc, emitted as xxhash64 longs: the hash
+    * moves INSIDE the array transform so array_distinct, explode and every
+    * downstream shuffle/join run on 8-byte longs — the shingle string never
+    * leaves the projection that created it. Counts are preserved modulo
+    * 64-bit collisions (P ≈ n²/2⁶⁵, negligible; accepted for j2/j14/j2c —
+    * their oracles have hash-matched at every SF). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(toks)-2), " +
-          "i -> concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")).as("sh"))
 
   // 32 minhash permutations, banded 8×4. Seeds are fixed literals —
   // deterministic across runs and executors.
@@ -44,7 +49,7 @@ object LlmOps {
     * distinct shingles collide in 64 bits (P ≈ n²/2⁶⁵ — ~10⁻⁹ at bench SF,
     * and at 100 TB the same trick is what makes the shuffle feasible). */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val sh = shingles(s, d)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // semantics-preserving pre-filter: a shingle appearing in a single
     // document can never contribute a pair — dropping df=1 postings
@@ -144,7 +149,7 @@ object LlmOps {
     Q("j2c_dedup_prefix",
       (s, d) => {
         val t05 = 0.5
-        val sh = shingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+        val sh = shingles(s, d)
         val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         // df=1 postings can't pair — same pre-filter as j2, applied before
         // ranking so prefixes are chosen among pairable shingles only
@@ -195,58 +200,7 @@ object LlmOps {
     // iteration); components here have tiny diameter so it converges in
     // 2-3 rounds; at 100 TB this is the standard large-graph CC loop.
     Q("j14_dedup_clusters",
-      (s, d) => {
-        val e = nearDupPairs(s, d).select("d1", "d2")
-        val edges = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
-          .toDF("src", "dst").localCheckpoint()
-        // Hybrid CC: the edge list is the OUTPUT of distributed near-dup
-        // pruning — at any scale it is orders of magnitude smaller than the
-        // corpus (dup pairs, not docs). Below the threshold a single
-        // collect + union-find replaces an O(diameter) job loop (this is
-        // what production CC implementations do once a component/edge set
-        // fits on one node); above it, distributed min-label propagation
-        // with per-round lineage truncation takes over.
-        val nEdges = edges.count()
-        if (nEdges <= 2000000L) {
-          val parent = scala.collection.mutable.Map.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-            var c = x
-            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          edges.collect().foreach { row =>
-            val (a, b) = (row.getLong(0), row.getLong(1))
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-          }
-          val ids = parent.keySet ++ parent.values
-          import s.implicits._
-          ids.toSeq.map(id => (id, find(id))).toDF("doc_id", "cluster")
-            .orderBy("doc_id")
-        } else {
-          var labels = edges.select(col("src").as("id")).distinct()
-            .withColumn("lbl", col("id")).localCheckpoint()
-          var done = false
-          var iter = 0
-          while (!done && iter < 20) {
-            val nbr = edges
-              .join(labels.toDF("dst", "dstLbl"), "dst")
-              .groupBy("src").agg(min(col("dstLbl")).as("minNbr"))
-            val next = labels
-              .join(nbr.toDF("id", "minNbr"), Seq("id"), "left")
-              .select(col("id"), col("lbl"),
-                least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("newLbl"))
-              .localCheckpoint()
-            done = next.where(col("newLbl") =!= col("lbl")).isEmpty
-            labels = next.select(col("id"), col("newLbl").as("lbl"))
-            iter += 1
-          }
-          labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
-            .orderBy("doc_id")
-        }
-      },
+      (s, d) => CC.cluster(s, nearDupPairs(s, d).select("d1", "d2")),
       Some("""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
           FROM documents WHERE len(string_split(text,' ')) >= 3),
         sh AS (SELECT DISTINCT doc_id,
@@ -599,6 +553,9 @@ object LlmOps {
         // one explode + one shuffle feeds BOTH the profile build and the
         // per-doc distinct set; persisted because the two branches would
         // otherwise recompute the explode
+        // persist, not ReuseExchange: the profile branch reaches tgc through
+        // a different operator stack than the scoring branch, so the
+        // exchanges don't unify (measured 4.7× slower without the persist)
         val tgc = docs.select(col("lang"), col("doc_id"),
             explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
           .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))

@@ -96,4 +96,56 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CC: union-find and distributed propagation agree on random graphs") {
+    import spark.implicits._
+    val gEdge = Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    (0 until 5).foreach { i =>
+      val edges = samples(gEdge, 60).distinct
+      val pairs = edges.toDF("d1", "d2")
+      val viaUf = graft.ops.CC.unionFind(edges)
+      val undirected = pairs
+        .union(pairs.select(org.apache.spark.sql.functions.col("d2"),
+          org.apache.spark.sql.functions.col("d1")))
+        .toDF("src", "dst")
+      val viaIter = graft.ops.CC.iterative(spark, undirected)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(viaUf == viaIter, s"round $i: union-find and propagation disagree")
+    }
+  }
+
+  test("prefix-filtered near-dup (j2c) equals the full inverted-index join (j2)") {
+    import spark.implicits._
+    // synthetic corpora with planted near-dups: base texts plus variants
+    // sharing long prefixes (high Jaccard) and unrelated noise docs
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val gDoc = Gen.listOfN(12, Gen.choose(0, words.size - 1))
+    (0 until 3).foreach { round =>
+      val bases = samples(gDoc, 8).map(_.map(words).mkString(" "))
+      val docs = bases.zipWithIndex.flatMap { case (text, i) =>
+        val toks = text.split(" ")
+        Seq((i * 10L, text),
+          // near-dup: swap the final token — Jaccard of 3-gram shingles
+          // stays high for 12-token docs
+          (i * 10L + 1, (toks.dropRight(1) :+ "omega").mkString(" ")))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ppj$round")
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("gen"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val a = SparkEntry.queries("j2_dedup_near")(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val b = SparkEntry.queries("j2c_dedup_prefix")(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(a.nonEmpty, s"round $round produced no near-dup pairs")
+      assert(a == b, s"round $round: j2c diverged from j2")
+    }
+  }
 }
