@@ -98,6 +98,67 @@ object Round2 {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // TD's actual storage model end-to-end: `to_td`-style managed ingest
+    // into 1-hour time buckets (hive partitions on `time_bucket`), then a
+    // `read_td_table(time_range=)` read that PRUNES whole buckets before
+    // opening a file — the reference's `td_time_range` partition pruning
+    // (`pandas_td/td.py :: read_td_table` + TD 1-h buckets, SURVEY.md §2.1)
+    // reproduced through the client API itself.
+    Q("a15_sink_time_buckets",
+      (s, d) => {
+        implicit val ss: SparkSession = s
+        val root = sinkDir("a15")
+        val con = graft.api.td.connect(root)
+        val ev = events(s, d).select(col("event_id"),
+          timestamp_millis(col("ts_ms")).as("ev_ts"))
+        graft.api.td.toTd(ev, "g.events_b", con,
+          graft.api.td.IfExists.Replace, timeCol = Some("ev_ts"),
+          partitionByTime = true)
+        val eng = graft.api.td.createEngine("presto:g", root)
+        graft.api.td.readTdTable("events_b", eng,
+            columns = Seq("event_id", "time"),
+            timeRange = Some(("2024-01-03", "2024-01-05")))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) // 1000 AS time
+        FROM events
+        WHERE CAST(epoch_ms(ts) AS BIGINT) // 1000 >= epoch(TIMESTAMP '2024-01-03 00:00:00')
+          AND CAST(epoch_ms(ts) AS BIGINT) // 1000 < epoch(TIMESTAMP '2024-01-05 00:00:00')
+        ORDER BY event_id""")),
+
+    // TD_PARSE_AGENT analog: user-agent parsing into typed fields (browser,
+    // major version, OS) via regexp over a synthesized UA string — pure
+    // codegen'd projection, the TD UDF's shape without its bundled
+    // device-db (which is proprietary; a regexp table stands in).
+    Q("h14_parse_agent",
+      (s, d) => t(s, d, "customer")
+        .withColumn("ua", concat(lit("Mozilla/5.0 ("),
+          when(col("c_custkey") % 3 === 0, "X11; Linux x86_64")
+            .when(col("c_custkey") % 3 === 1, "Macintosh; Intel Mac OS X 10_15_7")
+            .otherwise("Windows NT 10.0; Win64; x64"),
+          lit(") AppleWebKit/537.36 Chrome/"),
+          (lit(90) + col("c_custkey") % 30), lit(".0.0.0 Safari/537.36")))
+        .select(col("c_custkey"),
+          regexp_extract(col("ua"), "(Chrome)/([0-9]+)", 1).as("browser"),
+          regexp_extract(col("ua"), "Chrome/([0-9]+)", 1).cast("long").as("major_v"),
+          when(col("ua").contains("Linux"), "linux")
+            .when(col("ua").contains("Mac OS X"), "macos")
+            .otherwise("windows").as("os"))
+        .orderBy("c_custkey"),
+      Some("""WITH u AS (SELECT c_custkey, 'Mozilla/5.0 (' ||
+          CASE WHEN c_custkey % 3 = 0 THEN 'X11; Linux x86_64'
+               WHEN c_custkey % 3 = 1 THEN 'Macintosh; Intel Mac OS X 10_15_7'
+               ELSE 'Windows NT 10.0; Win64; x64' END ||
+          ') AppleWebKit/537.36 Chrome/' || (90 + c_custkey % 30)
+          || '.0.0.0 Safari/537.36' AS ua FROM customer)
+        SELECT c_custkey,
+          regexp_extract(ua, '(Chrome)/([0-9]+)', 1) AS browser,
+          CAST(regexp_extract(ua, 'Chrome/([0-9]+)', 1) AS BIGINT) AS major_v,
+          CASE WHEN contains(ua, 'Linux') THEN 'linux'
+               WHEN contains(ua, 'Mac OS X') THEN 'macos'
+               ELSE 'windows' END AS os
+        FROM u ORDER BY c_custkey""")),
+
     // Pivot: order-status columns per priority (engine-side pandas
     // pivot_table). Explicit pivot value list ⇒ stable output schema with
     // no value-discovery job — the form that scales.

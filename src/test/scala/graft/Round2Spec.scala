@@ -19,6 +19,12 @@ class Round2Spec extends AnyFunSuite {
     assert(df.count() == expect)
   }
 
+  test("a15 time-bucketed read prunes hour-bucket partitions") {
+    val df = SparkEntry.queries("a15_sink_time_buckets")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(time_bucket"), p)
+  }
+
   test("c11 bucketed-join key plans exactly one exchange (the groupBy)") {
     val df = SparkEntry.queries("c11_join_bucketed")(spark, TestSpark.sf)
     val p = df.queryExecution.executedPlan.toString
