@@ -228,5 +228,39 @@ object Joins {
             date_format(expr("timestamp_millis(odate_ms)"), "yyyy-MM-dd").as("o_date"))
           .orderBy("event_id")
       },
-      Some(asofOracle)))
+      Some(asofOracle)),
+
+    // The same custom operator driven through its pandas-merge_asof parity
+    // surface: direction=forward (first order AT/after the event), a 7-day
+    // tolerance, and left-outer emission (events with no order inside the
+    // window survive with nulls — pandas' default). Oracle computed in the
+    // identical epoch-ms domain.
+    Q("c10d_join_asof_forward",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
+        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_millis(cast(o_orderdate as timestamp))").as("odate_ms"))
+        graft.plans.AsOf.join(ev, ord,
+            "user_id", "o_custkey", "ts_ms", "odate_ms", "o_orderkey",
+            direction = "forward", tolerance = 7L * 24 * 3600 * 1000,
+            leftOuter = true)
+          .select(col("event_id"), col("user_id"), col("o_orderkey"),
+            col("odate_ms"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+          o AS (SELECT o_orderkey, o_custkey,
+            CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS odate_ms
+            FROM orders),
+          j AS (SELECT e.event_id, o.o_orderkey, o.odate_ms,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY o.odate_ms, o.o_orderkey) AS rn
+          FROM e JOIN o ON e.user_id = o.o_custkey
+            AND o.odate_ms >= e.ts_ms
+            AND o.odate_ms - e.ts_ms <= 604800000)
+        SELECT e.event_id, e.user_id, j.o_orderkey, j.odate_ms
+        FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+        ORDER BY event_id"""))
+  )
 }

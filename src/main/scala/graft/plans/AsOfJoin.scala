@@ -29,8 +29,13 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    rightTie: Expression,
+    direction: String = "backward",  // backward | forward | nearest
+    tolerance: Long = -1L,           // max |Δt| in time units; -1 = none
+    leftOuter: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -40,9 +45,14 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryExecNode {
+    rightTie: Expression,
+    direction: String = "backward",
+    tolerance: Long = -1L,
+    leftOuter: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
@@ -64,15 +74,23 @@ case class AsOfJoinExec(
     val (lk, lt) = (leftKey, leftTime)
     val (rk, rt) = (rightKey, rightTime)
     val outAttrs = output
+    val dir = direction; val tol = tolerance; val outer = leftOuter
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
       val rProj = UnsafeProjection.create(Seq(rk, rt), rOut)
       // identity projection → proper UnsafeRow output for downstream ops
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
+      val nullRight =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.length)
       val rBuf = rIt.buffered
+      // backward candidate: last consumed right row of the current key
       var cand: InternalRow = null
-      var candKey = 0L
+      var candKey = 0L; var candTime = 0L
+      // forward consumes STRICTLY-before rows so equal-time rows stay at
+      // the head (forward match is the first rTime ≥ lTime); backward and
+      // nearest consume ≤ so equal-time rows land in the candidate (Δ=0)
+      val strict = dir == "forward"
       lIt.flatMap { lRow =>
         val kp = lProj(lRow)
         val lKeyV = kp.getLong(0); val lTimeV = kp.getLong(1)
@@ -80,12 +98,35 @@ case class AsOfJoinExec(
         while (advancing && rBuf.hasNext) {
           val rp = rProj(rBuf.head)
           val rKeyV = rp.getLong(0); val rTimeV = rp.getLong(1)
-          if (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV)) {
+          val consume = rKeyV < lKeyV || (rKeyV == lKeyV &&
+            (if (strict) rTimeV < lTimeV else rTimeV <= lTimeV))
+          if (consume) {
             val consumed = rBuf.next()
-            if (rKeyV == lKeyV) { cand = consumed.copy(); candKey = lKeyV }
+            if (rKeyV == lKeyV) {
+              cand = consumed.copy(); candKey = lKeyV; candTime = rTimeV
+            }
           } else advancing = false
         }
-        if (cand != null && candKey == lKeyV) Iterator(outProj(joined(lRow, cand)))
+        val backOk = cand != null && candKey == lKeyV &&
+          (tol < 0 || lTimeV - candTime <= tol)
+        // forward candidate: the (unconsumed) head, if it is this key —
+        // the next left row of the same key may need the same head row
+        var fwdRow: InternalRow = null; var fwdTime = 0L
+        if (dir != "backward" && rBuf.hasNext) {
+          val rp = rProj(rBuf.head)
+          if (rp.getLong(0) == lKeyV) { fwdRow = rBuf.head; fwdTime = rp.getLong(1) }
+        }
+        val fwdOk = fwdRow != null && (tol < 0 || fwdTime - lTimeV <= tol)
+        val m: InternalRow = dir match {
+          case "backward" => if (backOk) cand else null
+          case "forward"  => if (fwdOk) fwdRow else null
+          case "nearest"  => // tie (Δ equal) prefers the earlier (backward) row
+            if (backOk && fwdOk)
+              if (lTimeV - candTime <= fwdTime - lTimeV) cand else fwdRow
+            else if (backOk) cand else if (fwdOk) fwdRow else null
+        }
+        if (m != null) Iterator(outProj(joined(lRow, m)))
+        else if (outer) Iterator(outProj(joined(lRow, nullRight)))
         else Iterator.empty
       }
     }
@@ -120,19 +161,26 @@ object PruneAsOfJoin extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPla
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, dir, tol, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie,
+        dir, tol, outer) :: Nil
     case _ => Nil
   }
 }
 
 object AsOf {
-  /** DataFrame-level entry point. Column name args are resolved against
-    * each side; key/time columns must be LongType. Registers the planner
-    * strategy on first use (idempotent). */
+  /** DataFrame-level entry point — pandas `merge_asof` parity surface:
+    * `direction` backward (default) / forward / nearest, `tolerance` in
+    * the time column's units (-1 = unbounded), `leftOuter` emits
+    * null-padded left rows with no match (pandas' default emission).
+    * Column name args are resolved against each side; key/time columns
+    * must be LongType. Registers the planner strategy on first use
+    * (idempotent). */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String, rightTie: String): DataFrame = {
+      leftTime: String, rightTime: String, rightTie: String,
+      direction: String = "backward", tolerance: Long = -1L,
+      leftOuter: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -145,9 +193,12 @@ object AsOf {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val plan = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTie))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, rightTie),
+      direction, tolerance, leftOuter)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
   }
 }

@@ -68,6 +68,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of directions/tolerance/outer agree with a driver-side reference") {
+    import spark.implicits._
+    val g = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
+    samples(Gen.zip(g, g), 3).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("l_id", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("r_id", "rk", "rt")
+      val byKey = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .groupBy(_._1)
+      for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(-1L, 10L)) {
+        val got = graft.plans.AsOf.join(left, right, "k", "rk", "t", "rt", "r_id",
+            direction = dir, tolerance = tol, leftOuter = true)
+          .select("l_id", "r_id").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+        val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+          val cands = byKey.getOrElse(k, Nil)
+          def inTol(d: Long) = tol < 0 || d <= tol
+          // backward: max (rt, tie) among rt ≤ t; forward: min (rt, tie)
+          // among rt ≥ t; nearest: closer Δ wins, tie → backward
+          val back = cands.filter(c => c._2 <= t && inTol(t - c._2))
+            .sortBy(c => (c._2, c._3)).lastOption
+          val fwd = cands.filter(c => c._2 >= t && inTol(c._2 - t))
+            .sortBy(c => (c._2, c._3)).headOption
+          val m = dir match {
+            case "backward" => back
+            case "forward"  => fwd
+            case "nearest"  => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+              case (b, f) => b.orElse(f)
+            }
+          }
+          (i.toLong, m.map(_._3).getOrElse(-1L))
+        }.toSet
+        assert(got == expect, s"direction=$dir tolerance=$tol")
+      }
+    }
+  }
+
   test("sessionize: new session iff gap exceeds timeout; ids contiguous from 1") {
     import spark.implicits._
     val gapMs = 1000L
