@@ -126,6 +126,42 @@ object Round2 {
           AND CAST(epoch_ms(ts) AS BIGINT) // 1000 < epoch(TIMESTAMP '2024-01-05 00:00:00')
         ORDER BY event_id""")),
 
+    // Time-spine gap-fill: generate the complete hourly spine between the
+    // corpus' min and max event time IN-PLAN (sequence over the aggregated
+    // bounds — no driver round trip), left-join hourly counts onto it and
+    // zero-fill silent hours. The calendar-spine join every TD time-series
+    // dashboard needs; at scale the spine is trivially broadcastable.
+    Q("a16_time_spine",
+      (s, d) => {
+        val ev = events(s, d).select((col("ts_ms") / lit(3600000L)).cast("long").as("hb"))
+        val bounds = ev.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+        val spine = bounds.select(explode(expr("sequence(lo, hi)")).as("hb"))
+        val counts = ev.groupBy("hb").agg(count(lit(1)).as("n"))
+        spine.join(counts, Seq("hb"), "left")
+          .select((col("hb") * 3600000L).as("hour_start_ms"),
+            coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy("hour_start_ms")
+      },
+      Some("""WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) // 3600000 AS hb FROM events),
+          b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM e),
+          spine AS (SELECT unnest(range(lo, hi + 1)) AS hb FROM b),
+          c AS (SELECT hb, COUNT(*) AS n FROM e GROUP BY hb)
+        SELECT spine.hb * 3600000 AS hour_start_ms,
+          COALESCE(c.n, 0) AS n_events
+        FROM spine LEFT JOIN c USING (hb) ORDER BY hour_start_ms""")),
+
+    // Unpivot/melt (pandas `melt`): wide part metrics → long (metric,
+    // value) rows via stack — the inverse of d14's pivot.
+    Q("d17_unpivot",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"), expr(
+          "stack(2, 'size', cast(p_size as double), 'retailprice', cast(p_retailprice as double)) as (metric, value)"))
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+        ORDER BY p_partkey, metric""")),
+
     // TD_PARSE_AGENT analog: user-agent parsing into typed fields (browser,
     // major version, OS) via regexp over a synthesized UA string — pure
     // codegen'd projection, the TD UDF's shape without its bundled
@@ -448,6 +484,42 @@ object Round2 {
           FROM c)
         SELECT doc_id, n AS max_rep, g AS top_gram, n >= 3 AS is_boilerplate
         FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
+    // TF-IDF, the classic relevance weighting: per-doc term frequency ×
+    // ln(N/df), top-3 terms per doc. Two groupBys + a broadcastable df
+    // table + one window — the canonical inverted-index statistics pass.
+    // (ln of identical IEEE doubles agrees across engines; weights round
+    // to 6 before comparison.)
+    Q("j21_tfidf",
+      (s, d) => {
+        val toks = docsTok2(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+        val nDocs = t(s, d, "documents").count()
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+        tf.join(df_, "term")
+          .withColumn("tfidf", round(col("tf") *
+            log(lit(nDocs.toDouble) / col("df")), 6))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .select("doc_id", "rn", "term", "tfidf")
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+          df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT COUNT(*) AS n FROM documents),
+          wt AS (SELECT doc_id, term,
+              ROUND(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN df USING (term)),
+          r AS (SELECT doc_id, term, tfidf,
+              row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+            FROM wt)
+        SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tfidf
+        FROM r WHERE rn <= 3 ORDER BY doc_id, rn""")),
 
     // Frame sampling over the multimodal stub: m2's decoded n_frames →
     // 4 evenly-spaced frame indices → per-frame digest. All columnar
