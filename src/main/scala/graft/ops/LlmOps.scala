@@ -404,6 +404,68 @@ object LlmOps {
       },
       None),
 
+    // Stratified sampling with fixed seed: per-lang fractions via sampleBy
+    // (Bernoulli per row, seed-deterministic). Engine-specific RNG → no
+    // DuckDB oracle; Round2Spec asserts per-stratum fractions and
+    // run-to-run determinism.
+    Q("j22_sample_stratified",
+      (s, d) => t(s, d, "documents")
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.3, "es" -> 0.3, "zh" -> 0.1),
+          42L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      None),
+
+    // Canonical-document selection — the step near-dup detection exists
+    // FOR: within each j14 cluster keep the highest-quality member (j9's
+    // distinct-token score, ties → min doc_id); singleton docs survive
+    // untouched. Clusters ⋈ quality is a broadcastable join (clusters ≪
+    // corpus); the keep/drop verdict lands on every doc without a second
+    // pass over text.
+    Q("j23_dedup_canonical",
+      (s, d) => {
+        val clusters = graft.ops.CC.cluster(s, nearDupPairs(s, d).select("d1", "d2"))
+        val quality = docsTok(s, d).select(col("doc_id"),
+          round(expr("size(array_distinct(toks))").cast("double")
+            / expr("size(toks)"), 6).as("q"))
+        val w = Window.partitionBy("cluster").orderBy(desc("q"), asc("doc_id"))
+        val clustered = quality.join(broadcast(clusters), Seq("doc_id"), "left")
+          .withColumn("cl", coalesce(col("cluster"), col("doc_id")))
+          .select(col("doc_id"), col("q"), col("cl").as("cluster"))
+        clustered.withColumn("rn", row_number().over(w))
+          .withColumn("keep", col("rn") === 1)
+          .select("doc_id", "cluster", "q", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
+          FROM documents WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5),
+        und AS (SELECT d1 AS a, d2 AS b FROM e UNION ALL SELECT d2, d1 FROM e),
+        reach(a, b) AS (SELECT a, b FROM und
+          UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+          FROM reach GROUP BY a),
+        q AS (SELECT doc_id,
+            ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+              / len(string_split(text,' ')), 6) AS q
+          FROM documents),
+        x AS (SELECT q.doc_id, q.q, COALESCE(cl.cluster, q.doc_id) AS cluster
+          FROM q LEFT JOIN cl USING (doc_id)),
+        r AS (SELECT doc_id, cluster, q,
+            row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
+          FROM x)
+        SELECT doc_id, cluster, q, rn = 1 AS keep
+        FROM r ORDER BY doc_id""")),
+
     // Term frequency: top-5 terms per language.
     Q("j4_text_tf",
       (s, d) => {

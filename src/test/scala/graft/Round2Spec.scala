@@ -58,6 +58,20 @@ class Round2Spec extends AnyFunSuite {
     assert(train > 0.6 && train < 0.95, s"train fraction $train")
   }
 
+  test("j22 stratified sample: deterministic, per-stratum fraction in range") {
+    val a = SparkEntry.queries("j22_sample_stratified")(spark, TestSpark.sf).collect()
+    val b = SparkEntry.queries("j22_sample_stratified")(spark, TestSpark.sf).collect()
+    assert(a.toSeq == b.toSeq) // fixed seed ⇒ same sample every run
+    val total = Tables.t(spark, TestSpark.sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = a.groupBy(_.getString(1)).map { case (l, rows) => l -> rows.length }
+    got.foreach { case (lang, n) =>
+      val frac = n.toDouble / total(lang)
+      assert(frac > 0.0 && frac < 0.95, s"$lang sampled frac $frac")
+    }
+  }
+
   test("m3 samples 4 in-range frame indices per doc") {
     val rows = SparkEntry.queries("m3_frame_sample")(spark, TestSpark.sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))
