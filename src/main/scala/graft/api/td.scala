@@ -208,12 +208,15 @@ object td {
       }
       // bucket-partitioned table (toTd(partitionByTime=true)): add the
       // equivalent predicate on the partition column so Catalyst prunes
-      // whole hour-bucket directories (PartitionFilters), TD-style. Only
-      // valid when the range is being applied to the `time` column the
-      // buckets were derived from — a range on any other column must NOT
-      // pick up an ingest-time filter.
+      // whole bucket directories (PartitionFilters), TD-style. The lower
+      // bound carries one day of slack so it stays correct for ANY bucket
+      // granularity up to 1 day (the reader doesn't know the writer's
+      // bucketSeconds); the upper bound is exact either way. Only valid
+      // when the range is applied to the `time` column the buckets were
+      // derived from — a range on any other column must NOT pick up an
+      // ingest-time filter.
       if (timeCol == "time" && df.columns.contains("time_bucket")) {
-        df = df.where(col("time_bucket") >= (sec(from) / 3600 * 3600)
+        df = df.where(col("time_bucket") > (sec(from) - 86400L)
           && col("time_bucket") < sec(to))
       }
     }
@@ -235,7 +238,8 @@ object td {
       ifExists: IfExists = IfExists.Fail,
       timeCol: Option[String] = None,
       loadTime: Option[Long] = None,
-      partitionByTime: Boolean = false): Unit = {
+      partitionByTime: Boolean = false,
+      bucketSeconds: Long = 3600L): Unit = {
     val Array(db, table) = name.split("\\.", 2)
     val out = Paths.get(con.root, db, s"$table.parquet").toString
     val withTime = timeCol match {
@@ -254,8 +258,14 @@ object td {
       // TD storage model: 1-hour time buckets (SURVEY.md §2.1) — hive-style
       // directory partitioning so time-range scans prune whole buckets
       // before any file is opened (the 100 TB path for event tables).
+      // Repartition ON the bucket column first: without it every write
+      // task owns rows of every bucket and emits tasks×buckets tiny files
+      // (measured 16.6 s vs 2 s at sf0.1×32 tasks) — the small-files
+      // problem this library's own Compaction utility exists to undo.
       withTime
-        .withColumn("time_bucket", (col("time").cast("long") / 3600L).cast("long") * 3600L)
+        .withColumn("time_bucket",
+          (col("time").cast("long") / bucketSeconds).cast("long") * bucketSeconds)
+        .repartition(col("time_bucket"))
         .write.mode(mode).partitionBy("time_bucket").parquet(out)
     } else withTime.write.mode(mode).parquet(out)
   }

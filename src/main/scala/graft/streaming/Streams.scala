@@ -246,7 +246,7 @@ object Streams {
     * explicit timers, incrementally checkpointed by RocksDB changelogs
     * instead of full HDFS snapshots. Must hash-match the same batch
     * session_window oracle as i3/i7. */
-  def i10(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+  def i10(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s, 2) {
     import s.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
