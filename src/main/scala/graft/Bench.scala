@@ -33,6 +33,30 @@ object Bench {
       doc.select(expr(
         """aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)),
           cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)""")).count()
+      // ... and the streaming machinery the i-group pays for otherwise:
+      // micro-batch engine, checkpoint plumbing, HDFS + RocksDB state
+      // stores (incl. the native lib load) via one tiny windowed agg each
+      import spark.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      Seq("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        .foreach { prov =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", prov)
+          spark.conf.set("spark.sql.shuffle.partitions", "2")
+          val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+          val ck = java.nio.file.Files.createTempDirectory("graft_warm").toString
+          val q = ms.toDF().withColumn("ts", timestamp_millis(col("value")))
+            .withWatermark("ts", "1 second")
+            .groupBy(window(col("ts"), "1 second")).count()
+            .writeStream.outputMode("append").format("memory")
+            .queryName("warm_" + prov.hashCode.abs)
+            .option("checkpointLocation", ck).start()
+          ms.addData(1L to 50L)
+          q.processAllAvailable()
+          q.stop()
+        }
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
