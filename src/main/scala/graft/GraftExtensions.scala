@@ -11,11 +11,15 @@ import graft.expressions.CosineSimilarity
   * (no per-session registration code), or call
   * `GraftExtensions.registerAll(spark)` on an existing session.
   *
-  * Registered functions:
+  * Registered surface:
   *   - `td_time_range(ts, from, to)` — parse-time expansion into pushable
   *     plain comparisons (see functions/Td.scala)
   *   - `cosine_similarity(a, b)` — native codegen'd float-vector cosine
   *     (see expressions/CosineSimilarity.scala)
+  *   - `char_ngrams(text, n)` — custom Generator UDTF (LATERAL VIEW)
+  *   - the as-of join's planner strategy + `PruneAsOfJoin` optimizer rule,
+  *     so `AsOf.join` plans work in any session built with the extension
+  *     (AsOf.join also self-registers via `experimental` for ad-hoc use)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -35,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[graft.expressions.CharNGrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => graft.expressions.CharNGrams(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoin)
   }
 }
 
@@ -43,5 +53,7 @@ object GraftExtensions {
   def registerAll(spark: SparkSession): Unit = {
     functions.Td.register(spark)
     expressions.CosineSimilarity.register(spark)
+    expressions.CharNGrams.register(spark)
+    functions.HeavyHitters.register(spark)
   }
 }

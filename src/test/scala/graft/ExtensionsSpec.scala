@@ -32,6 +32,18 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0) == 1.0)
   }
 
+  test("registerAll exposes char_ngrams and heavy_hitters to SQL") {
+    GraftExtensions.registerAll(spark)
+    val grams = spark.sql(
+      "SELECT pos, gram FROM (SELECT 'abcd' AS s) LATERAL VIEW char_ngrams(s, 2) t AS pos, gram ORDER BY pos")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(grams == Seq((0, "ab"), (1, "bc"), (2, "cd")))
+    val hh = spark.sql(
+      "SELECT inline(heavy_hitters(x, 2)) FROM (SELECT explode(array('a','a','b')) AS x)")
+      .collect()
+    assert(hh.nonEmpty)
+  }
+
   test("IVF ANN returns descending exact cosines from probed cells only") {
     val out = SparkEntry.queries("j3d_sim_ivf")(spark, TestSpark.sf).collect()
     assert(out.nonEmpty && out.length <= 5)
