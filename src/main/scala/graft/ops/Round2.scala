@@ -378,6 +378,33 @@ object Round2 {
         c_custkey << 3 AS shl3, c_custkey >> 2 AS shr2
         FROM customer ORDER BY c_custkey""")),
 
+    // LOCF gap-fill (last observation carried forward): sparse sensor-style
+    // readings (value only on 'click' events, synthesized deterministically)
+    // forward-filled per user in event order — `last(..., ignoreNulls)` over
+    // a running frame; the standard time-series repair before any
+    // downstream agg. One window = one shuffle on the user key.
+    Q("h15_locf",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_ms", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            when(col("event_type") === "click", col("value")).as("reading"))
+          .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"),
+            round(coalesce(col("filled"), lit(0.0)), 4).as("filled"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+            CASE WHEN event_type = 'click' THEN value END AS reading
+          FROM events)
+        SELECT event_id, user_id,
+          ROUND(COALESCE(last_value(reading IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4) AS filled
+        FROM e ORDER BY event_id""")),
+
     // Bigram-likelihood document scoring: a transition model learned from
     // the corpus itself (c(w1,w2)/c(w1) — exact integer-ratio doubles),
     // each doc scored by its mean transition probability. The per-doc sum
