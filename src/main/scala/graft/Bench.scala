@@ -16,7 +16,8 @@ object Bench {
 
     // Untimed warmup: JIT the scan/agg/join/window codegen paths once so
     // first-query JVM warmup isn't charged to an arbitrary query.
-    {
+    // Best-effort — a warmup failure must never take down the bench.
+    try {
       val n = spark.read.parquet(s"$sfDir/nation.parquet")
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
       o.groupBy("o_orderstatus").agg(sum(col("o_totalprice"))).count()
@@ -55,6 +56,10 @@ object Bench {
           q.processAllAvailable()
           q.stop()
         }
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
