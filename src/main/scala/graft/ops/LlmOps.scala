@@ -90,6 +90,34 @@ object LlmOps {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** Exact hamming-distance pairs over 60-bit fingerprints via LSH banding:
+    * 10 bands of 6 bits — maxDist differing bits touch at most maxDist
+    * bands, so any pair within maxDist ≤ 9 agrees exactly on ≥1 band
+    * (pigeonhole: zero false negatives); candidates come from an equi-join
+    * on (band, bits) and only candidates pay the xor/popcount check.
+    * Input: (doc_id, sh) with 60-bit longs. PropertySpec fuzzes this
+    * against a brute-force reference. */
+  private[ops] def hammingPairs(sh: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 9, s"10 bands guarantee completeness only to dist 9, got $maxDist")
+    val bands = sh.select(col("doc_id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 9), b -> struct(b, shiftright(sh, b*6) & 63 as bits))"))
+        .as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.b"), col("bb.bits"))
+    val cand = bands.toDF("d1", "h1", "b", "bits")
+      .join(bands.toDF("d2", "h2", "b2", "bits2"),
+        col("b") === col("b2") && col("bits") === col("bits2")
+          && col("d1") < col("d2"))
+      .select("d1", "h1", "d2", "h2").distinct()
+    cand.withColumn("dist", expr("bit_count(h1 ^ h2)").cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("d1", "d2", "dist")
+  }
+
+  /** Test seam for the banding completeness property (PropertySpec). */
+  def hammingPairsForTest(sh: DataFrame, maxDist: Int): DataFrame =
+    hammingPairs(sh, maxDist)
+
   /** Shared by j3 (composable form) and j3c (native expression) — both must
     * produce this exact result. */
   val j3Oracle: String =
@@ -272,20 +300,7 @@ object LlmOps {
       (s, d) => {
         val sh = simhash60(s, d).toDF("doc_id", "sh")
         sh.persist() // feeds band explode AND the verify join
-        val bands = sh.select(col("doc_id"), col("sh"),
-          explode(expr(
-            "transform(sequence(0, 9), b -> struct(b, shiftright(sh, b*6) & 63 as bits))"))
-            .as("bb"))
-          .select(col("doc_id"), col("sh"), col("bb.b"), col("bb.bits"))
-        val cand = bands.toDF("d1", "h1", "b", "bits")
-          .join(bands.toDF("d2", "h2", "b2", "bits2"),
-            col("b") === col("b2") && col("bits") === col("bits2")
-              && col("d1") < col("d2"))
-          .select("d1", "h1", "d2", "h2").distinct()
-        cand.withColumn("dist", expr("bit_count(h1 ^ h2)").cast("long"))
-          .where(col("dist") <= 8)
-          .select("d1", "d2", "dist")
-          .orderBy("d1", "d2")
+        hammingPairs(sh, 8).orderBy("d1", "d2")
       },
       Some("""WITH th AS (SELECT doc_id,
             CAST('0x' || substr(md5(t.term),1,15) AS BIGINT) AS h

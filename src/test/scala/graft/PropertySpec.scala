@@ -156,6 +156,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("banded hamming candidates lose no pair vs brute force (random 60-bit)") {
+    import spark.implicits._
+    val gBits = Gen.choose(0L, (1L << 60) - 1)
+    // mix of uniform fingerprints (far apart) and perturbed near-twins
+    (0 until 3).foreach { round =>
+      val base = samples(gBits, 30)
+      val twins = base.take(10).zipWithIndex.map { case (h, i) =>
+        h ^ (1L << (i % 60)) ^ (1L << ((i * 7 + 3) % 60)) // dist 2-ish
+      }
+      val all = (base ++ twins).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val got = graft.ops.LlmOps.hammingPairsForTest(all.toDF("doc_id", "sh"), 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = (for {
+        (i, hi) <- all; (j, hj) <- all if i < j
+        d = java.lang.Long.bitCount(hi ^ hj) if d <= 8
+      } yield (i, j, d.toLong)).toSet
+      assert(got == expect, s"round $round")
+    }
+  }
+
   test("prefix-filtered near-dup (j2c) equals the full inverted-index join (j2)") {
     import spark.implicits._
     // synthetic corpora with planted near-dups: base texts plus variants
