@@ -130,6 +130,29 @@ object Round2 {
           AND CAST(epoch_ms(ts) AS BIGINT) // 1000 < epoch(TIMESTAMP '2024-01-05 00:00:00')
         ORDER BY event_id""")),
 
+    // Schema evolution: two ingest generations with drifted schemas (the
+    // second adds a column — the normal life of a 100 TB dataset), read
+    // back under mergeSchema with the missing column null-filled. The
+    // reference's append-only `to_td` tables face exactly this drift.
+    Q("a17_schema_evolution",
+      (s, d) => {
+        val out = sinkDir("a17")
+        t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+          .write.parquet(s"$out/gen=1")
+        t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select(col("gen").cast("long").as("gen"), col("n_nationkey"),
+            col("n_name"), col("n_regionkey"))
+          .orderBy("gen", "n_nationkey")
+      },
+      Some("""SELECT 1 AS gen, n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+          FROM nation
+        UNION ALL
+        SELECT 2, n_nationkey, n_name, n_regionkey FROM nation
+        ORDER BY gen, n_nationkey""")),
+
     // Time-spine gap-fill: generate the complete hourly spine between the
     // corpus' min and max event time IN-PLAN (sequence over the aggregated
     // bounds — no driver round trip), left-join hourly counts onto it and
