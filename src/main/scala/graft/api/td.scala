@@ -187,7 +187,9 @@ object td {
       columns: Seq[String] = Nil,
       timeRange: Option[(String, String)] = None,
       timeCol: String = "time",
-      limit: Int = -1)(implicit s: SparkSession): DataFrame = {
+      // reference default: read_td_table caps at 10,000 rows unless told
+      // otherwise (`:: read_td_table`, limit=10000). limit <= 0 disables.
+      limit: Int = 10000)(implicit s: SparkSession): DataFrame = {
     var df = s.read.parquet(engine.tablePath(table))
     timeRange.foreach { case (from, to) =>
       // accepts ISO dates and 'yyyy-MM-dd HH:mm:ss' datetimes
@@ -221,7 +223,7 @@ object td {
       }
     }
     if (columns.nonEmpty) df = df.select(columns.map(col): _*)
-    if (limit >= 0) df = df.limit(limit)
+    if (limit > 0) df = df.limit(limit)
     df
   }
 

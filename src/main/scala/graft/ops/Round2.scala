@@ -121,7 +121,8 @@ object Round2 {
         val eng = graft.api.td.createEngine("presto:g", root)
         graft.api.td.readTdTable("events_b", eng,
             columns = Seq("event_id", "time"),
-            timeRange = Some(("2024-01-03", "2024-01-05")))
+            timeRange = Some(("2024-01-03", "2024-01-05")),
+            limit = -1) // full range scan: disable the reference's 10k cap
           .orderBy("event_id")
       },
       Some("""SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) // 1000 AS time
