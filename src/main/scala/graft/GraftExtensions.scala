@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.expressions.CharNGrams(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneIntervalJoin)
   }
 }
 

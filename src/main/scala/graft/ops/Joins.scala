@@ -261,6 +261,56 @@ object Joins {
             AND o.odate_ms - e.ts_ms <= 604800000)
         SELECT e.event_id, e.user_id, j.o_orderkey, j.odate_ms
         FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // Keyed interval-overlap join via the second custom physical operator
+    // (graft.plans.IntervalJoin): event activity windows [ts, ts+1h) ⋈
+    // order fulfillment windows [odate, odate+2d) per user — an active-set
+    // sweep (O(n+m+output)) where Spark's native shape is SMJ + post-join
+    // filter over every same-key pair. c12b is that composable twin; both
+    // hash-match this oracle.
+    Q("c12_join_interval",
+      (s, d) => {
+        val l = events(s, d).select(col("event_id"), col("user_id"),
+          col("ts_ms").as("l_s"), (col("ts_ms") + 21600000L).as("l_e"))
+        val r = events(s, d).select(col("event_id").as("b_event_id"),
+          col("user_id").as("b_user"), col("ts_ms").as("r_s"),
+          (col("ts_ms") + 21600000L).as("r_e"))
+        graft.plans.IntervalJoin.join(l, r,
+            "user_id", "b_user", "l_s", "l_e", "r_s", "r_e")
+          .where(col("event_id") < col("b_event_id"))
+          .select(col("event_id").as("a_id"), col("b_event_id").as("b_id"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(intervalOracle)),
+
+    // Composable twin of c12: equi-join on the key + range conditions →
+    // Catalyst plans SMJ with the ranges as a post-join filter.
+    Q("c12b_join_interval_smj",
+      (s, d) => {
+        val l = events(s, d).select(col("event_id"), col("user_id"),
+          col("ts_ms").as("l_s"), (col("ts_ms") + 21600000L).as("l_e"))
+        val r = events(s, d).select(col("event_id").as("b_event_id"),
+          col("user_id").as("b_user"), col("ts_ms").as("r_s"),
+          (col("ts_ms") + 21600000L).as("r_e"))
+        l.join(r, col("user_id") === col("b_user")
+            && col("r_s") < col("l_e") && col("r_e") > col("l_s")
+            && col("event_id") < col("b_event_id"))
+          .select(col("event_id").as("a_id"), col("b_event_id").as("b_id"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(intervalOracle))
   )
+
+  /** Shared by c12 (custom sweep exec) and c12b (SMJ+filter twin):
+    * overlapping 6-hour activity windows of the same user. */
+  lazy val intervalOracle: String =
+    """WITH e AS (SELECT event_id, user_id,
+          CAST(epoch_ms(ts) AS BIGINT) AS s,
+          CAST(epoch_ms(ts) AS BIGINT) + 21600000 AS en FROM events)
+      SELECT a.event_id AS a_id, b.event_id AS b_id
+      FROM e a JOIN e b ON a.user_id = b.user_id
+        AND b.s < a.en AND b.en > a.s
+        AND a.event_id < b.event_id
+      ORDER BY a_id, b_id"""
 }

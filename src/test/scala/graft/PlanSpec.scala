@@ -95,6 +95,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("custom interval-join operator plans one exchange+sort per side, no SMJ") {
+    val df = SparkEntry.queries("c12_join_interval")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("IntervalJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"one hash exchange per side expected:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("PruneIntervalJoin prunes unused columns down to both scans") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, TestSpark.sf) // carries props etc.
+    val l = ev.select(col("event_id"), col("user_id"),
+      col("ts_ms").as("l_s"), (col("ts_ms") + 1000L).as("l_e"), col("props"))
+    val r = ev.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts_ms").as("r_s"), (col("ts_ms") + 1000L).as("r_e"),
+      col("props").as("b_props"))
+    val out = graft.plans.IntervalJoin.join(l, r,
+        "user_id", "b_user", "l_s", "l_e", "r_s", "r_e")
+      .select("event_id", "b_id")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("props"), s"scans must not read props:\n$p")
+  }
+
   test("custom as-of operator plans one exchange+sort per side, no window") {
     val df = SparkEntry.queries("c10c_join_asof_native")(spark, TestSpark.sf)
     val p = df.queryExecution.executedPlan.toString

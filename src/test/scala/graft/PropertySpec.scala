@@ -156,6 +156,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("interval-join sweep agrees with a brute-force reference on random data") {
+    import spark.implicits._
+    // small key domain, short spans → dense overlap, key-boundary and
+    // zero-length-interval edge cases
+    val gIv = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L), Gen.choose(0L, 10L))
+    samples(Gen.zip(Gen.listOfN(50, gIv), Gen.listOfN(50, gIv)), 3)
+      .foreach { case (ls, rs) =>
+        val left = ls.zipWithIndex.map { case ((k, s, w), i) =>
+          (i.toLong, k, s, s + w) }.toDF("l_id", "k", "l_s", "l_e")
+        val right = rs.zipWithIndex.map { case ((k, s, w), i) =>
+          (i.toLong, k, s, s + w) }.toDF("r_id", "rk", "r_s", "r_e")
+        val got = graft.plans.IntervalJoin.join(left, right,
+            "k", "rk", "l_s", "l_e", "r_s", "r_e")
+          .select("l_id", "r_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expect = (for {
+          ((lk, lsv, lw), i) <- ls.zipWithIndex
+          ((rk, rsv, rw), j) <- rs.zipWithIndex
+          if lk == rk && rsv < lsv + lw && rsv + rw > lsv
+        } yield (i.toLong, j.toLong)).toSet
+        assert(got == expect)
+      }
+  }
+
   test("banded hamming candidates lose no pair vs brute force (random 60-bit)") {
     import spark.implicits._
     val gBits = Gen.choose(0L, (1L << 60) - 1)
