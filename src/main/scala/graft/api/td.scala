@@ -176,6 +176,18 @@ object td {
     df
   }
 
+  /** `%td_jobs` magic analog: the live job registry as a DataFrame
+    * (id + result row count; every listed job is re-servable via
+    * readTdJob — TD's job console reduced to the cache the engine keeps). */
+  def jobsList()(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    jobs.entrySet().asScala.toSeq
+      .map(e => (e.getKey.longValue(), e.getValue.count()))
+      .sortBy(_._1)
+      .toDF("job_id", "n_rows")
+  }
+
   /** `read_td_table`: the reference's only query *builder* — projected,
     * time-range-filtered, limited scan (`:: read_td_table` generates
     * `SELECT cols WHERE td_time_range(...) LIMIT n`). Here the same three

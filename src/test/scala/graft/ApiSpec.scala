@@ -107,6 +107,10 @@ class ApiSpec extends AnyFunSuite {
     // cached: the storage level must be non-NONE (no recompute on re-read)
     assert(job.storageLevel.useMemory || job.storageLevel.useDisk)
     intercept[IllegalArgumentException](td.readTdJob(999999L))
+    // %td_jobs analog: the issued job is listed with its row count
+    val listed = td.jobsList().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(listed.get(id).contains(1L))
   }
 
   test("readTdQuery params interpolate as safe SQL literals") {
