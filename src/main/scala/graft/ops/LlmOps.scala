@@ -629,10 +629,10 @@ object LlmOps {
         val docs = t(s, d, "documents").where(length(col("text")) >= 3)
         // one explode + one shuffle feeds BOTH the profile build and the
         // per-doc distinct set; persisted because the two branches would
-        // otherwise recompute the explode
-        // persist, not ReuseExchange: the profile branch reaches tgc through
-        // a different operator stack than the scoring branch, so the
-        // exchanges don't unify (measured 4.7× slower without the persist)
+        // otherwise recompute the explode+groupBy (measured: 4.7× slower
+        // relying on ReuseExchange, 5× slower re-deriving both branches
+        // from the raw trigram stream — the materialized grouped form is
+        // the cheapest shared input)
         val tgc = docs.select(col("lang"), col("doc_id"),
             explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
           .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
