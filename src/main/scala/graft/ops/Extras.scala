@@ -70,6 +70,17 @@ object Extras {
       Some("""SELECT event_id, c_name, c_mktsegment
         FROM events JOIN customer ON user_id = c_custkey ORDER BY event_id""")),
 
+    // Streaming keyed upsert (MERGE-INTO pattern on raw parquet with an
+    // atomic directory swap): final state table == latest event per user.
+    Q("i11_stream_upsert",
+      (s, d) => Streams.i11(s, d),
+      Some("""WITH r AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        FROM events)
+        SELECT user_id, event_id AS last_event_id, ts_ms AS last_ts_ms
+        FROM r WHERE rn = 1 ORDER BY user_id""")),
+
     // Approximate heavy hitters (SpaceSaving TypedImperativeAggregate):
     // top document terms without grouping the long tail. Sketch counts are
     // merge-order-dependent → rows-only + scalatest containment (k4).
@@ -81,6 +92,22 @@ object Extras {
           (SELECT lang, explode(split(text, ' ')) AS term FROM documents)
           GROUP BY lang ORDER BY lang, cnt DESC, term""")
       },
+      None),
+
+    // Approximate percentile (Presto approx_percentile / TD's big-data
+    // quantiles): t-digest-style sketch, mergeable across partitions.
+    // Estimates are accuracy-parameter-dependent → rows-only + scalatest
+    // bound against the exact percentile (pairs with d8, like d7/d2).
+    Q("d18_agg_approx_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("approx_q"))
+        .select(col("l_returnflag"),
+          element_at(col("approx_q"), 1).as("q25"),
+          element_at(col("approx_q"), 2).as("q50"),
+          element_at(col("approx_q"), 3).as("q75"))
+        .orderBy("l_returnflag"),
       None),
 
     // Custom Aggregator UDAF: exact weighted mean (price weighted by qty).

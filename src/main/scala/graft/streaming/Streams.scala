@@ -347,6 +347,59 @@ object Streams {
     s.table(qn).orderBy("event_id")
   }
 
+  /** i11 — streaming keyed UPSERT: each micro-batch merges into a managed
+    * keyed table (latest event per user wins — CDC compaction). foreachBatch
+    * reads the current state, unions the batch, keeps the per-key argmax by
+    * (ts, event_id), and atomically swaps directories. This is the
+    * MERGE-INTO pattern of Delta/Hudi/Iceberg expressed on raw parquet —
+    * at 100 TB the swap becomes a transactional table commit and the
+    * per-batch rewrite becomes partition-scoped, but the dataflow
+    * (dedup-on-write keyed state table) is exactly this. Final table ==
+    * latest event per user (the oracle). */
+  def i11(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val stateDir = tmp("i11state")
+    val stream = MemoryStream[Ev]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("ts_ms"), desc("event_id"))
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val cur = new java.io.File(s"$stateDir/cur")
+        val existing =
+          if (cur.exists()) s.read.parquet(cur.getPath)
+          else s.emptyDataFrame.select(lit(0L).as("event_id"), lit(0L).as("ts_ms"),
+            lit(0L).as("user_id"), lit("").as("event_type"), lit(0.0).as("value"))
+            .limit(0)
+        val merged = existing.unionByName(batch.select(
+            col("event_id"), col("ts_ms"), col("user_id"), col("event_type"), col("value")))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+        // write-new-then-swap: a crashed batch never corrupts `cur`
+        val next = s"$stateDir/next_$id"
+        merged.write.mode("overwrite").parquet(next)
+        val curPath = java.nio.file.Paths.get(s"$stateDir/cur")
+        val tmpOld = java.nio.file.Paths.get(s"$stateDir/old_$id")
+        if (java.nio.file.Files.exists(curPath))
+          java.nio.file.Files.move(curPath, tmpOld)
+        java.nio.file.Files.move(java.nio.file.Paths.get(next), curPath)
+        ()
+      }
+      .option("checkpointLocation", tmp("i11ck")).start()
+    val third = evs.length / 3
+    stream.addData(evs.take(third).toSeq)
+    q.processAllAvailable()
+    stream.addData(evs.slice(third, 2 * third).toSeq)
+    q.processAllAvailable()
+    stream.addData(evs.drop(2 * third).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$stateDir/cur")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts_ms").as("last_ts_ms"))
+      .orderBy("user_id")
+  }
+
   /** i6 — to_td-style continuous ingest: file-source stream → foreachBatch
     * append with checkpointing (micro-batch = idempotent chunk; a replayed
     * batch id is skipped on restart, mirroring StreamingUploader's

@@ -58,6 +58,22 @@ class Round2Spec extends AnyFunSuite {
     assert(train > 0.6 && train < 0.95, s"train fraction $train")
   }
 
+  test("d18 approx percentiles land within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("d18_agg_approx_percentile")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.t(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    approx.foreach { case (flag, (a25, a50, a75)) =>
+      val e = exact(flag)
+      Seq(a25 -> e(0), a50 -> e(1), a75 -> e(2)).foreach { case (a, x) =>
+        assert(math.abs(a - x) / x < 0.05, s"$flag: approx $a vs exact $x")
+      }
+    }
+  }
+
   test("j22 stratified sample: deterministic, per-stratum fraction in range") {
     val a = SparkEntry.queries("j22_sample_stratified")(spark, TestSpark.sf).collect()
     val b = SparkEntry.queries("j22_sample_stratified")(spark, TestSpark.sf).collect()
