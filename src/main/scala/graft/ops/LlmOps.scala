@@ -37,10 +37,40 @@ object LlmOps {
         "array_distinct(transform(sequence(1, size(toks)-2), " +
           "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")).as("sh"))
 
+  /** String-shingle variant for j2b: its minhash base hash must be md5
+    * (reproducible in the DuckDB oracle), so the shingle TEXT is needed. */
+  private def stringShingles(s: SparkSession, d: String): DataFrame =
+    docsTok(s, d).where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks)-2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
+
   // 32 minhash permutations, banded 8×4. Seeds are fixed literals —
   // deterministic across runs and executors.
   private val MinhashK = 32
   private val BandSize = 4
+
+  // Universal-hash permutation constants: a, b drawn uniformly from
+  // [1, p) / [0, p) once (seed 20260812) and frozen as literals — the
+  // textbook (a·h + b) mod p minhash family. Small structured multipliers
+  // (e.g. 2i+3) are DEGENERATE: a shingle with a tiny base hash wins every
+  // permutation, producing 32/32 agreement between nearly-disjoint docs.
+  // The same literals appear in the DuckDB oracle.
+  private val MinhashP = 2147483647L
+  private val MinhashA = Array(114060684L, 143607338L, 658016613L, 1920833001L,
+    1625018798L, 2115868157L, 1839658157L, 1370607936L, 1314768563L,
+    1516846533L, 899342927L, 1761721496L, 1792449689L, 2056989732L,
+    1252576877L, 638180912L, 516347111L, 86660098L, 1034123048L, 390694563L,
+    1490082987L, 1456092804L, 997229159L, 1263980514L, 768208874L,
+    373428981L, 381249820L, 1284903395L, 434862591L, 97658014L, 635475302L,
+    570517315L)
+  private val MinhashB = Array(1522425843L, 334529765L, 1689677233L,
+    1003823822L, 1509779900L, 1177694471L, 385288776L, 1001072043L,
+    1286760556L, 1140912466L, 1555416272L, 1474034036L, 137111194L,
+    1024637812L, 1326353219L, 494970825L, 731651806L, 1540310342L,
+    993191396L, 888645945L, 1275083898L, 325350617L, 1359272703L,
+    771243134L, 711658336L, 269452704L, 606543124L, 1932692492L, 242146161L,
+    1168033289L, 31958265L, 1568728816L)
 
   /** Exact near-dup pairs (jac ≥ 0.5) — shared by j2 and j14.
     * The inverted-index join keys on xxhash64(shingle), not the shingle
@@ -246,17 +276,25 @@ object LlmOps {
         SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
         FROM reach GROUP BY a ORDER BY doc_id""")),
 
-    // MinHash + LSH banding — the 100 TB near-dup path: 32 fixed-seed
-    // minhashes per doc, 8 bands of 4; candidate pairs = equi-join on
-    // (band, band-signature); verified by signature agreement ≥ 0.5.
-    // Estimates are hash-dependent → rows-only check + scalatest recall
-    // assertion against j2.
+    // MinHash + LSH banding — the 100 TB near-dup path: 32 minhash
+    // permutations per doc from the standard universal-hash family
+    // perm_i(h) = (a_i·h + b_i) mod p over ONE md5-derived shingle hash
+    // (p = 2³¹−1 keeps every product < 2⁶² — identical, overflow-free
+    // arithmetic in Spark and DuckDB, which makes the whole sketch
+    // ORACLE-CHECKABLE, and costs 1 md5 + 32 mul-mods per posting
+    // instead of 32 hash calls). 8 bands of 4; candidate pairs =
+    // equi-join on (band, band-signature); emitted when signature
+    // agreement ≥ 0.5. The DuckDB oracle recomputes signatures exactly
+    // and generates candidates by exact band-slice equality.
     Q("j2b_dedup_minhash",
       (s, d) => {
-        val sh = shingles(s, d)
+        val sh = stringShingles(s, d)
+          .select(col("doc_id"), expr(
+            s"cast(conv(substring(md5(sh),1,15),16,10) as bigint) % $MinhashP").as("h"))
         val sig = sh.groupBy("doc_id").agg(
           array((0 until MinhashK).map(i =>
-            min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
+            min(expr(s"((${MinhashA(i)} * h) + ${MinhashB(i)}) % $MinhashP"))): _*)
+            .as("sig"))
         val bands = sig.select(col("doc_id"), col("sig"),
           explode(expr(s"transform(sequence(0, ${MinhashK / BandSize - 1}), " +
             s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*$BandSize+1, $BandSize))) as bh))")).as("bb"))
@@ -272,7 +310,31 @@ object LlmOps {
           .select(col("d1"), col("d2"), round(col("est_jac"), 6).as("est_jac"))
           .orderBy("d1", "d2")
       },
-      None),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+        shs AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        sh AS (SELECT doc_id,
+            CAST('0x' || substr(md5(sh),1,15) AS BIGINT) % 2147483647 AS h FROM shs),
+        seeds AS (SELECT unnest(range(0, 32)) AS i,
+          unnest([114060684, 143607338, 658016613, 1920833001, 1625018798, 2115868157, 1839658157, 1370607936, 1314768563, 1516846533, 899342927, 1761721496, 1792449689, 2056989732, 1252576877, 638180912, 516347111, 86660098, 1034123048, 390694563, 1490082987, 1456092804, 997229159, 1263980514, 768208874, 373428981, 381249820, 1284903395, 434862591, 97658014, 635475302, 570517315]) AS a,
+          unnest([1522425843, 334529765, 1689677233, 1003823822, 1509779900, 1177694471, 385288776, 1001072043, 1286760556, 1140912466, 1555416272, 1474034036, 137111194, 1024637812, 1326353219, 494970825, 731651806, 1540310342, 993191396, 888645945, 1275083898, 325350617, 1359272703, 771243134, 711658336, 269452704, 606543124, 1932692492, 242146161, 1168033289, 31958265, 1568728816]) AS b),
+        mh AS (SELECT doc_id, i,
+            MIN((a * h + b) % 2147483647) AS m
+          FROM sh, seeds GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.sig AS s1, b.sig AS s2
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+        cand AS (SELECT * FROM pairs WHERE EXISTS (
+          SELECT 1 FROM unnest(range(0, 8)) r(b)
+          WHERE list_slice(s1, r.b*4+1, r.b*4+4) = list_slice(s2, r.b*4+1, r.b*4+4))),
+        z AS (SELECT d1, d2, unnest(s1) AS v1, unnest(s2) AS v2 FROM cand),
+        est AS (SELECT d1, d2,
+            SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) / 32.0 AS ej
+          FROM z GROUP BY d1, d2)
+        SELECT d1, d2, ROUND(ej, 6) AS est_jac FROM est
+        WHERE ej >= 0.5 ORDER BY d1, d2""")),
 
     // SimHash (64→60-bit) document fingerprint, frequency-weighted, from a
     // cross-engine-reproducible token hash (md5 hex → 60-bit int).
