@@ -412,11 +412,13 @@ object LlmOps {
       },
       Some(j3Oracle)),
 
-    // LSH-bucketed ANN — the scale path: 6 fixed random hyperplanes (weights
-    // derived from xxhash64(plane,dim), deterministic), bucket = sign bits;
-    // candidates share the probe's bucket → cosine only within the bucket.
-    // Hash-partition-prunes the search space ~64×; scalatest checks overlap
-    // with j3's exact top-k.
+    // LSH-bucketed ANN — the scale path: 6 fixed random hyperplanes with
+    // md5-derived weights (w(p,dim) = (md5("p:dim") mod 2001 − 1000)/1000 —
+    // reproducible in the DuckDB oracle, so even the BUCKETING is
+    // hash-checked), bucket = sign bits; candidates share the probe's
+    // bucket → cosine only within the bucket. Hash-partition-prunes the
+    // search space ~64×; scalatest additionally checks overlap with j3's
+    // exact top-k.
     Q("j3b_sim_lsh",
       (s, d) => {
         val planes = 6
@@ -426,8 +428,8 @@ object LlmOps {
         val bits = dims.groupBy("vec_id")
           .agg(first(col("embedding")).as("embedding"),
             concat((0 until planes).map(p =>
-              when(sum(((pmod(xxhash64(lit(p) * 64 + col("dim")), lit(2001)) - 1000)
-                .cast("double") / 1000.0) * col("v").cast("double")) > 0, "1")
+              when(sum(((expr(s"cast(conv(substring(md5(concat('$p', ':', dim)),1,15),16,10) as bigint)")
+                % 2001 - 1000).cast("double") / 1000.0) * col("v").cast("double")) > 0, "1")
                 .otherwise("0")): _*).as("bucket"))
         val probe = bits.where(col("vec_id") === 0)
           .select(col("bucket").as("pb"), col("embedding").as("e0"))
@@ -442,7 +444,29 @@ object LlmOps {
                 cast(0.0 as double), (a,b) -> a+b)))"""), 6).as("cos"))
           .orderBy(desc("cos"), asc("vec_id")).limit(5)
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) - 1 AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        w AS (SELECT p.p, e.dim,
+            (CAST('0x' || substr(md5(p.p || ':' || e.dim),1,15) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+          FROM (SELECT DISTINCT dim FROM e) e, unnest(range(0, 6)) p(p)),
+        bits AS (SELECT e.vec_id, w.p,
+            CASE WHEN SUM(w.w * e.v) > 0 THEN '1' ELSE '0' END AS bit
+          FROM e JOIN w ON e.dim = w.dim GROUP BY e.vec_id, w.p),
+        bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+          FROM bits GROUP BY vec_id),
+        pb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+        cands AS (SELECT bk.vec_id, bk.bucket FROM bk, pb
+          WHERE bk.bucket = pb.bucket AND bk.vec_id != 0),
+        p0 AS (SELECT dim, v FROM e WHERE vec_id = 0),
+        dots AS (SELECT e.vec_id, SUM(e.v * p0.v) AS dot,
+            sqrt(SUM(e.v * e.v)) AS n1
+          FROM e JOIN p0 USING (dim)
+          WHERE e.vec_id IN (SELECT vec_id FROM cands) GROUP BY e.vec_id),
+        pn AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p0)
+        SELECT d.vec_id, c.bucket,
+          ROUND(d.dot / (d.n1 * (SELECT n0 FROM pn)), 6) AS cos
+        FROM dots d JOIN cands c USING (vec_id)
+        ORDER BY cos DESC, vec_id LIMIT 5""")),
 
     // IVF-style ANN — the second scale path next to LSH (j3b): k-means-like
     // coarse centroids (per-label means = one Lloyd step from the label
@@ -450,28 +474,37 @@ object LlmOps {
     // searches only its nprobe=2 closest cells. Cells are broadcastable
     // (k × dim floats); assignment and search are equi-joins on cell id —
     // at 100 TB the cell id becomes the partition key and a probe touches
-    // 2/k of the data. Hash/centroid-dependent → rows-only + scalatest.
+    // 2/k of the data. Centroids are DECIMAL-exact means and assignment
+    // similarity rounds to 6 before the argmax, making every step
+    // reproducible in the DuckDB oracle (cell-ties break ascending).
     Q("j3d_sim_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        // centroid vectors re-assembled in dim order as float arrays
-        val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("c"))
-          .groupBy("label").agg(expr(
-            "transform(array_sort(collect_list(struct(dim, c))), x -> cast(x.c as float))")
-            .as("cvec"))
-          .select(col("label").as("cell"), col("cvec"))
+        val dims = emb.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("label"), col("dim"), col("v").cast("double").as("v"))
+        // decimal-exact per-dim centroid means → order-independent
+        val centd = dims.groupBy("label", "dim")
+          .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+            .cast("double").as("c"))
+          .select(col("label").as("cell"), col("dim"), col("c"))
+        val norms = dims.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nv"))
+        val cnorms = centd.groupBy("cell").agg(sqrt(sum(col("c") * col("c"))).as("nc"))
+        // assignment: csim per (vec, cell) from the dims join, rounded
+        // before the argmax so the winner is ulp-robust cross-engine
+        val csim = dims.join(broadcast(centd), "dim")
+          .groupBy("vec_id", "cell").agg(sum(col("v") * col("c")).as("dot"))
+          .join(norms, "vec_id").join(broadcast(cnorms), "cell")
+          .select(col("vec_id"), col("cell"),
+            round(col("dot") / (col("nv") * col("nc")), 6).as("csim"))
         val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
-        val assigned = emb.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("cell"),
-            graft.expressions.CosineSimilarity(s, col("embedding"), col("cvec")).as("csim"))
-          .withColumn("rn", row_number().over(wAssign))
-        val cells = assigned.where(col("rn") === 1).select("vec_id", "embedding", "cell")
-        // probe vec 0: its 2 nearest cells
+        val assigned = csim.withColumn("rn", row_number().over(wAssign))
+        val cells = assigned.where(col("rn") === 1).select("vec_id", "cell")
         val probeCells = assigned.where(col("vec_id") === 0 && col("rn") <= 2)
           .select(col("cell").as("pcell"))
         val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("e0"))
-        cells.join(broadcast(probeCells), col("cell") === col("pcell"))
+        emb.join(cells, "vec_id")
+          .join(broadcast(probeCells), col("cell") === col("pcell"))
           .where(col("vec_id") =!= 0)
           .crossJoin(broadcast(probe))
           .select(col("vec_id"), col("cell"),
@@ -479,7 +512,35 @@ object LlmOps {
               .as("cos"))
           .orderBy(desc("cos"), asc("vec_id")).limit(5)
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, label, generate_subscripts(embedding,1) - 1 AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        centd AS (SELECT label AS cell, dim,
+            CAST(SUM(CAST(v AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS c
+          FROM e GROUP BY label, dim),
+        norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nv FROM e GROUP BY vec_id),
+        cnorms AS (SELECT cell, sqrt(SUM(c*c)) AS nc FROM centd GROUP BY cell),
+        csim AS (SELECT e.vec_id, centd.cell,
+            ROUND(SUM(e.v * centd.c) / (ANY_VALUE(n.nv) * ANY_VALUE(cn.nc)), 6) AS csim
+          FROM e JOIN centd USING (dim)
+            JOIN norms n ON e.vec_id = n.vec_id
+            JOIN cnorms cn ON centd.cell = cn.cell
+          GROUP BY e.vec_id, centd.cell),
+        ranked AS (SELECT vec_id, cell, csim,
+            row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+          FROM csim),
+        cells AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        pcells AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
+        p0 AS (SELECT dim, v FROM e WHERE vec_id = 0),
+        pn AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p0),
+        hits AS (SELECT c.vec_id, c.cell FROM cells c JOIN pcells USING (cell)
+          WHERE c.vec_id != 0),
+        dots AS (SELECT e.vec_id, SUM(e.v * p0.v) AS dot, sqrt(SUM(e.v * e.v)) AS n1
+          FROM e JOIN p0 USING (dim)
+          WHERE e.vec_id IN (SELECT vec_id FROM hits) GROUP BY e.vec_id)
+        SELECT d.vec_id, h.cell,
+          ROUND(d.dot / (d.n1 * (SELECT n0 FROM pn)), 6) AS cos
+        FROM dots d JOIN hits h USING (vec_id)
+        ORDER BY cos DESC, vec_id LIMIT 5""")),
 
     // Stratified sampling with fixed seed: per-lang fractions via sampleBy
     // (Bernoulli per row, seed-deterministic). Engine-specific RNG → no
