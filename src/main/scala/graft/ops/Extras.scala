@@ -81,6 +81,52 @@ object Extras {
         SELECT user_id, event_id AS last_event_id, ts_ms AS last_ts_ms
         FROM r WHERE rn = 1 ORDER BY user_id""")),
 
+    // Complete-mode streaming aggregation: the memory sink holds the FULL
+    // current aggregate after every batch; after the last batch it equals
+    // the batch groupBy (the oracle) — the third output mode next to
+    // append (i4) and the upsert pattern (i11).
+    Q("i12_stream_complete_mode",
+      (s, d) => Streams.i12(s, d),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_v
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Skew-resistant aggregation as a graded operator: two-stage salted
+    // groupBy (graft.ops.Skew.saltedAggregate) — partial agg on
+    // (key, salt) then final merge on key, the standard hot-key defuse.
+    // Result is identical to the direct aggregation (the oracle).
+    Q("k5_salted_agg",
+      (s, d) => Skew.saltedAggregate(
+          t(s, d, "lineitem"),
+          col("l_returnflag"), col("l_orderkey"), 8,
+          partials = Seq(sum(dec(col("l_quantity"))).as("ps"),
+            count(lit(1)).as("pc")),
+          finals = Seq(sum(col("ps")).as("fs"), sum(col("pc")).as("fc")))
+        .select(col("__k").as("l_returnflag"),
+          round(col("fs"), 4).cast("double").as("sum_qty"),
+          col("fc").as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Small-file compaction as a graded operator: a fragmented write
+    // (64 shards) compacted to size-targeted files; read-back equals the
+    // source (the oracle) and the file count drops to a handful —
+    // the ingest hygiene TD's hourly buckets depend on at 100 TB.
+    Q("a18_compaction",
+      (s, d) => {
+        val frag = java.nio.file.Files.createTempDirectory("graft_a18").toString + "/t"
+        t(s, d, "supplier").repartition(64).write.mode("overwrite").parquet(frag)
+        val (before, after) = Compaction.compact(s, frag, targetBytes = 8L << 20)
+        require(after < before, s"compaction did not reduce files: $before -> $after")
+        s.read.parquet(frag)
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier ORDER BY s_suppkey""")),
+
     // Approximate heavy hitters (SpaceSaving TypedImperativeAggregate):
     // top document terms without grouping the long tail. Sketch counts are
     // merge-order-dependent → rows-only + scalatest containment (k4).

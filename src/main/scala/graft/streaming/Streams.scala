@@ -400,6 +400,30 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** i12 — complete-mode aggregation: the memory sink is REPLACED with the
+    * full aggregate every micro-batch; after the final batch it equals the
+    * batch groupBy exactly (the oracle) — the dashboard-table output mode
+    * next to append (i4) and the keyed-upsert pattern (i11). */
+  def i12(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), mSum(col("value")).as("sum_v"))
+    val qn = "i12_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(qn).option("checkpointLocation", tmp("i12ck")).start()
+    val half = evs.length / 2
+    stream.addData(evs.take(half).toSeq)
+    q.processAllAvailable()
+    stream.addData(evs.drop(half).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("event_type")
+  }
+
   /** i6 — to_td-style continuous ingest: file-source stream → foreachBatch
     * append with checkpointing (micro-batch = idempotent chunk; a replayed
     * batch id is skipped on restart, mirroring StreamingUploader's
