@@ -555,6 +555,28 @@ object LlmOps {
         .orderBy("doc_id"),
       None),
 
+    // Consistent (hash-threshold) stratified sampling — j22's
+    // production-preferred sibling: a doc is in-sample iff
+    // md5(doc_id) mod 1000 < 1000·fraction(stratum). No RNG state at all,
+    // so membership is stable across cluster sizes, retries and reruns —
+    // and byte-reproducible in the oracle.
+    Q("j22b_sample_consistent",
+      (s, d) => t(s, d, "documents")
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(cast(doc_id as string)),9,8),16,10) as bigint) % 1000"))
+        .withColumn("thresh",
+          when(col("lang") === "en", 500L).when(col("lang") === "zh", 100L)
+            .otherwise(300L))
+        .where(col("bucket") < col("thresh"))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id, lang,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),9,8) AS BIGINT) % 1000 AS bucket,
+          CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 100 ELSE 300 END AS thresh
+        FROM documents)
+        SELECT doc_id, lang, bucket FROM x WHERE bucket < thresh
+        ORDER BY doc_id""")),
+
     // Canonical-document selection — the step near-dup detection exists
     // FOR: within each j14 cluster keep the highest-quality member (j9's
     // distinct-token score, ties → min doc_id); singleton docs survive

@@ -170,6 +170,34 @@ object Windows {
         ROUND(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
         FROM orders ORDER BY o_orderkey""")),
 
+    // nth_value + lead IGNORE NULLS over sparse readings (nulls synthesized
+    // as in h15): positional picks inside a partition-wide frame and
+    // null-skipping lookahead — the sensor-repair window pair to h15's LOCF.
+    Q("e10_win_nth",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            when(col("event_type") === "click", col("value")).as("reading"))
+          .select(col("event_id"), col("user_id"),
+            round(nth_value(col("reading"), 3, ignoreNulls = true).over(wFull), 4)
+              .as("third_reading"),
+            round(lead(col("reading"), 1, null, ignoreNulls = true).over(w), 4)
+              .as("next_reading"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+            CASE WHEN event_type = 'click' THEN value END AS reading
+          FROM events)
+        SELECT event_id, user_id,
+          ROUND(nth_value(reading, 3 IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS third_reading,
+          ROUND(lead(reading, 1 IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_ms, event_id), 4) AS next_reading
+        FROM e ORDER BY event_id""")),
+
     // Multi-key sort with explicit NULL placement (testdata has no NULLs —
     // synthesized via CASE, FIXTURES.md gotcha 2).
     Q("f1_sort_multi",
