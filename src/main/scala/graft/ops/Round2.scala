@@ -6,20 +6,22 @@ import graft.Tables._
 
 /** Round-2 coverage expansion across §3 buckets:
   *
-  *   - a14: partitioned parquet layout + partition-pruned read — at 100 TB,
-  *     partition pruning IS the first-order optimization (a pruned read
-  *     touches 1/k of the files before a single row is decoded).
+  *   - a14/a15/a16/a17: partition-pruned layouts (lang dirs; TD-style
+  *     time buckets through the client API), in-plan time-spine gap-fill,
+  *     mergeSchema evolution — at 100 TB, layout IS the first-order
+  *     optimization (a pruned read skips files before decoding a row).
   *   - c11: bucketed co-located join — both sides pre-bucketed on the join
-  *     key ⇒ zero Exchange at query time; the batch analog of what TD's
-  *     1-h time buckets do for time ranges, applied to join keys.
-  *   - d14: pivot (pandas `pivot_table` is the reference clientele's daily
-  *     reshape — `pandas_td` returns DataFrames precisely so users can do
-  *     this; here it runs engine-side instead of collect-then-pivot).
-  *   - h12: URL extraction (Presto `url_extract_*` family, a TD-ENGINE
-  *     staple for weblog tables).
-  *   - j15/j16: deterministic train/val/test split + reproducible corpus
-  *     shuffle — hash-derived, so any executor count / retry produces the
-  *     byte-identical split, the property a training pipeline needs.
+  *     key ⇒ zero Exchange at query time.
+  *   - d14–d17: pivot / bool-bit aggs / exact-moments regression /
+  *     unpivot (pandas `pivot_table`+`melt` are the reference clientele's
+  *     daily reshapes — here they run engine-side).
+  *   - h12–h15: url_extract family, bitwise ops, TD_PARSE_AGENT-shaped UA
+  *     parsing, LOCF gap-fill.
+  *   - j15/j16/j17/j18/j19/j20/j21: the training-data gates — hash
+  *     train/val/test split, reproducible shuffle, bigram-likelihood
+  *     scoring, normalization, PII redaction, boilerplate detection,
+  *     TF-IDF; hash-derived where determinism matters, so any executor
+  *     count / retry produces byte-identical output.
   *   - k1/k3: the explicit UDF + UDTF surface (k3 is a custom Catalyst
   *     `Generator`, graft.expressions.CharNGrams).
   *   - m3: multimodal frame-sampling stub — evenly-spaced frame selection
