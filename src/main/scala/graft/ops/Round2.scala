@@ -225,6 +225,51 @@ object Round2 {
                ELSE 'windows' END AS os
         FROM u ORDER BY c_custkey""")),
 
+    // Typed JSON parse (schema-on-read): from_json with an explicit schema
+    // turns the props string into a struct ONCE per row — the scale-right
+    // alternative to repeated get_json_object scans (h5).
+    Q("h16_from_json",
+      (s, d) => {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))
+        events(s, d)
+          .select(col("event_id"), from_json(col("props"), schema).as("p"))
+          .select(col("event_id"), col("p.k").as("k"),
+            (col("p.k") % 10).as("k_mod"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+        FROM events ORDER BY event_id""")),
+
+    // Dynamic partition pruning: a lang-partitioned fact joined to a
+    // FILTERED dim of languages — Spark injects a runtime subquery that
+    // prunes fact partitions by the dim's surviving keys before the scan
+    // (PlanSpec asserts `dynamicpruning`). THE mechanism that saves a
+    // 100 TB star-schema scan when the filter sits on the dimension.
+    Q("a19_dpp",
+      (s, d) => {
+        val out = sinkDir("a19")
+        t(s, d, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(out)
+        val dim = t(s, d, "documents").select(col("lang")).distinct()
+          .withColumn("family",
+            when(col("lang").isin("en", "fr", "de"), "european").otherwise("other"))
+        val fact = s.read.parquet(out)
+        fact.join(dim.where(col("family") === "european"), "lang")
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH dim AS (SELECT DISTINCT lang,
+          CASE WHEN lang IN ('en','fr','de') THEN 'european' ELSE 'other' END AS family
+          FROM documents)
+        SELECT d.lang, COUNT(*) AS n_docs, SUM(d.n_chars) AS sum_chars
+        FROM documents d JOIN dim ON d.lang = dim.lang
+        WHERE dim.family = 'european'
+        GROUP BY d.lang ORDER BY d.lang""")),
+
     // Pivot: order-status columns per priority (engine-side pandas
     // pivot_table). Explicit pivot value list ⇒ stable output schema with
     // no value-discovery job — the form that scales.

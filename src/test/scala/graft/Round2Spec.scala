@@ -25,6 +25,12 @@ class Round2Spec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(time_bucket"), p)
   }
 
+  test("a19 plans a dynamic partition pruning subquery on the fact scan") {
+    val df = SparkEntry.queries("a19_dpp")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("c11 bucketed-join key plans exactly one exchange (the groupBy)") {
     val df = SparkEntry.queries("c11_join_bucketed")(spark, TestSpark.sf)
     val p = df.queryExecution.executedPlan.toString
