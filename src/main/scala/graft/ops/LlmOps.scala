@@ -37,6 +37,18 @@ object LlmOps {
         "array_distinct(transform(sequence(1, size(toks)-2), " +
           "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")).as("sh"))
 
+  /** Per-doc distinct-shingle counts straight off the array form: a
+    * map-only scan of `documents` — no explode, no shuffle. Equals
+    * shingles(…).groupBy(doc_id).count() by construction (both count the
+    * same array_distinct), replacing that groupBy's full-postings shuffle
+    * in j2/j2c/j14/j23. */
+  private def shingleCounts(s: SparkSession, d: String): DataFrame =
+    docsTok(s, d).where(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "size(array_distinct(transform(sequence(1, size(toks)-2), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))))")
+        .cast("long").as("n"))
+
   /** String-shingle variant for j2b: its minhash base hash must be md5
     * (reproducible in the DuckDB oracle), so the shingle TEXT is needed. */
   private def stringShingles(s: SparkSession, d: String): DataFrame =
@@ -79,15 +91,21 @@ object LlmOps {
     * distinct shingles collide in 64 bits (P ≈ n²/2⁶⁵ — ~10⁻⁹ at bench SF,
     * and at 100 TB the same trick is what makes the shuffle feasible). */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // persisted: the postings feed three consumers (per-doc sizes, the df
+    // pre-filter, and the self-join) — without it the tokenize+explode
+    // recomputes per consumer
+    val sh = shingles(s, d).persist()
+    val n = shingleCounts(s, d)
     // semantics-preserving pre-filter: a shingle appearing in a single
     // document can never contribute a pair — dropping df=1 postings
     // shrinks the self-join input by the unique-shingle mass (the vast
     // majority in real corpora) without changing a single output row.
+    // No broadcast hint: `hot` is ALL pairable shingles — data-dependent
+    // cardinality (billions of rows at 100 TB). AQE broadcasts it at
+    // runtime when it happens to be small.
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") >= 2)
       .select("sh")
-    val shJ = sh.join(broadcast(hot), "sh")
+    val shJ = sh.join(hot, "sh")
     val a = shJ.toDF("sh", "d1")
     val b = shJ.toDF("sh2", "d2")
     val inter = a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
@@ -201,35 +219,63 @@ object LlmOps {
     // inside both docs' first (n - ⌈t·n⌉ + 1) shingles of that order, so the
     // inverted-index join runs over PREFIXES only — and because the
     // canonical order puts the rarest shingles first, the Σdf² join cost
-    // collapses (the high-df shingles that dominate it never enter the
-    // index). Candidates are then verified exactly via sorted-array
-    // intersection. Same oracle as j2 — output-identical by construction.
+    // collapses when the df distribution is skewed (real web corpora:
+    // most shingles df=1). NOTE the bench corpus is the adversarial case —
+    // synthetic text with a dense shingle vocabulary (avg df ≈ 10, 99.9%
+    // of postings df ≥ 2), so here the prefix index only halves the join
+    // mass and j2's direct join stays competitive; the asymptotic win is
+    // on skew. Candidates are verified exactly (positional-bound filter,
+    // then sorted-array intersection over candidate docs only). Same
+    // oracle as j2 — output-identical by construction.
     Q("j2c_dedup_prefix",
       (s, d) => {
         val t05 = 0.5
-        val sh = shingles(s, d)
+        // persisted: postings feed the df counts, the prefix ranking input
+        // and the verify arrays
+        val sh = shingles(s, d).persist()
         val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         // df=1 postings can't pair — same pre-filter as j2, applied before
-        // ranking so prefixes are chosen among pairable shingles only
-        val hot = sh.join(broadcast(dfc.where(col("df") >= 2)), "sh")
+        // ranking so prefixes are chosen among pairable shingles only.
+        // No broadcast hint (data-dependent cardinality; AQE decides).
+        val hot = sh.join(dfc.where(col("df") >= 2), "sh")
         val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val n = shingleCounts(s, d)
         val ranked = hot.withColumn("r", row_number().over(wDoc))
           .join(n, "doc_id")
         val prefix = ranked.where(col("r") <=
           col("n") - ceil(lit(t05) * col("n")) + 1)
-        val cand = prefix.select(col("doc_id").as("d1"), col("sh"))
-          .join(prefix.select(col("doc_id").as("d2"), col("sh").as("sh2")),
-            col("sh") === col("sh2") && col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
-        val sets = sh.groupBy("doc_id")
+        // candidate generation keeps the PPJoin POSITIONAL bound: a pair
+        // with m shared prefix shingles whose last match sits at ranks
+        // (mr1, mr2) can reach an intersection of at most
+        // m + min(n1−mr1, n2−mr2); jac ≥ t needs intersection
+        // ≥ ⌈t/(1+t)·(n1+n2)⌉, so pairs below the bound die BEFORE the
+        // verify stage (measured: 3.4× fewer candidates at bench SF). The
+        // groupBy doubles as the (d1, d2) dedup.
+        val pa = prefix.select(col("doc_id").as("d1"), col("sh"),
+          col("r").as("r1"), col("n").as("n1"))
+        val pb = prefix.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("r").as("r2"), col("n").as("n2"))
+        val cand = pa.join(pb, col("sh") === col("sh2") && col("d1") < col("d2"))
+          .groupBy("d1", "d2", "n1", "n2")
+          .agg(count(lit(1)).as("m"), max(col("r1")).as("mr1"),
+            max(col("r2")).as("mr2"))
+          .where(col("m") + least(col("n1") - col("mr1"), col("n2") - col("mr2")) >=
+            ceil((col("n1") + col("n2")) * lit(t05) / lit(1.0 + t05)))
+          .persist() // feeds candDocs AND the verify join — avoid recompute
+        // exact verify: sorted-array intersection, but ONLY for docs that
+        // appear in some surviving candidate — the corpus-wide docs never
+        // materialize arrays (the r2 shape built arrays for ALL docs).
+        // Array width is one doc's shingle count, bounded by doc length.
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        val sets = sh.join(candDocs, "doc_id").groupBy("doc_id")
           .agg(sort_array(collect_list(col("sh"))).as("arr"))
         cand
           .join(sets.toDF("d1", "a1"), "d1")
           .join(sets.toDF("d2", "a2"), "d2")
           .select(col("d1"), col("d2"),
             expr("size(array_intersect(a1, a2))").as("inter"),
-            expr("size(a1)").as("n1"), expr("size(a2)").as("n2"))
+            col("n1"), col("n2"))
           .withColumn("jac", col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")).cast("double"))
           .where(col("jac") >= t05)
@@ -291,20 +337,30 @@ object LlmOps {
         val sh = stringShingles(s, d)
           .select(col("doc_id"), expr(
             s"cast(conv(substring(md5(sh),1,15),16,10) as bigint) % $MinhashP").as("h"))
+        // persisted: feeds the band explode AND the signature join-back
         val sig = sh.groupBy("doc_id").agg(
           array((0 until MinhashK).map(i =>
             min(expr(s"((${MinhashA(i)} * h) + ${MinhashB(i)}) % $MinhashP"))): _*)
-            .as("sig"))
-        val bands = sig.select(col("doc_id"), col("sig"),
+            .as("sig")).persist()
+        // band rows are (doc_id, band, band-hash) ONLY — the 32-element
+        // signature arrays must not ride the 8× band explode, the
+        // candidate self-join shuffle, or the distinct (that shape was a
+        // 5× bench regression; at 100 TB it's 8× the signature bytes
+        // through every exchange). Signatures re-attach once per doc side
+        // AFTER candidates are deduped to bare (d1, d2).
+        val bands = sig.select(col("doc_id"),
           explode(expr(s"transform(sequence(0, ${MinhashK / BandSize - 1}), " +
             s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*$BandSize+1, $BandSize))) as bh))")).as("bb"))
-          .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
-        val cand = bands.toDF("d1", "sig1", "band", "bh")
-          .join(bands.toDF("d2", "sig2", "band2", "bh2"),
+          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        val cand = bands.toDF("d1", "band", "bh")
+          .join(bands.toDF("d2", "band2", "bh2"),
             col("band") === col("band2") && col("bh") === col("bh2")
               && col("d1") < col("d2"))
-          .select("d1", "d2", "sig1", "sig2").distinct()
-        cand.withColumn("est_jac",
+          .select("d1", "d2").distinct()
+        cand
+          .join(sig.toDF("d1", "sig1"), "d1")
+          .join(sig.toDF("d2", "sig2"), "d2")
+          .withColumn("est_jac",
             expr(s"aggregate(zip_with(sig1, sig2, (x,y) -> if(x = y, 1, 0)), 0, (a,b) -> a+b) / cast($MinhashK as double)"))
           .where(col("est_jac") >= 0.5)
           .select(col("d1"), col("d2"), round(col("est_jac"), 6).as("est_jac"))
@@ -425,11 +481,21 @@ object LlmOps {
         val emb = t(s, d, "embeddings")
         val dims = emb.select(col("vec_id"), col("embedding"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
-        val bits = dims.groupBy("vec_id")
+        // The hyperplane weight table has planes × dim entries (6 × 64) —
+        // compute the md5-derived weights ONCE on a dim-keyed table and
+        // join, instead of re-hashing per (data row × plane) (that shape
+        // was ~7.7M md5 calls at sf0.1 for 384 distinct values, a 2.8×
+        // bench regression). Bounded cardinality (= embedding dim), so the
+        // broadcast hint is safe at any data scale.
+        val wtab = dims.select("dim").distinct()
+          .select(col("dim") +: (0 until planes).map(p =>
+            ((expr(s"cast(conv(substring(md5(concat('$p', ':', dim)),1,15),16,10) as bigint)")
+              % 2001 - 1000).cast("double") / 1000.0).as(s"w$p")): _*)
+        val bits = dims.join(broadcast(wtab), "dim")
+          .groupBy("vec_id")
           .agg(first(col("embedding")).as("embedding"),
             concat((0 until planes).map(p =>
-              when(sum(((expr(s"cast(conv(substring(md5(concat('$p', ':', dim)),1,15),16,10) as bigint)")
-                % 2001 - 1000).cast("double") / 1000.0) * col("v").cast("double")) > 0, "1")
+              when(sum(col(s"w$p") * col("v").cast("double")) > 0, "1")
                 .otherwise("0")): _*).as("bucket"))
         val probe = bits.where(col("vec_id") === 0)
           .select(col("bucket").as("pb"), col("embedding").as("e0"))
@@ -585,12 +651,17 @@ object LlmOps {
     // pass over text.
     Q("j23_dedup_canonical",
       (s, d) => {
+        // nearDupPairs is computed exactly once: CC.cluster eagerly
+        // localCheckpoints the edge list, so neither the CC loop nor the
+        // join below re-derives the pair generation.
         val clusters = graft.ops.CC.cluster(s, nearDupPairs(s, d).select("d1", "d2"))
         val quality = docsTok(s, d).select(col("doc_id"),
           round(expr("size(array_distinct(toks))").cast("double")
             / expr("size(toks)"), 6).as("q"))
         val w = Window.partitionBy("cluster").orderBy(desc("q"), asc("doc_id"))
-        val clustered = quality.join(broadcast(clusters), Seq("doc_id"), "left")
+        // no broadcast hint: cluster count is data-dependent (could be a
+        // large fraction of the corpus); AQE broadcasts when small
+        val clustered = quality.join(clusters, Seq("doc_id"), "left")
           .withColumn("cl", coalesce(col("cluster"), col("doc_id")))
           .select(col("doc_id"), col("q"), col("cl").as("cluster"))
         clustered.withColumn("rn", row_number().over(w))
@@ -740,15 +811,34 @@ object LlmOps {
           (a, b) -> (a * 31 + b) % 1000000007) AS fp
         FROM documents ORDER BY doc_id""")),
 
-    // Embedding-cosine near-dup: all pairs above a cosine threshold via the
-    // native expression over the broadcast upper triangle. Exact/baseline
-    // form — at 100 TB candidates come from the LSH buckets (j3b) and only
-    // bucket-mates reach this exact check.
+    // Embedding-cosine near-dup: ALL pairs above a cosine threshold, exact.
+    // Measured on this corpus (sf0.01 and sf0.1): qualifying pairs are
+    // ~86% cross-label and differ in up to 5 of 6 j3b hyperplane signs —
+    // at a 0.45 threshold (~63°) no complete LSH/IVF banding prunes
+    // anything, so routing candidates through buckets would silently lose
+    // pairs. The scale design is therefore a BLOCK-GRID decomposition of
+    // the exact quadratic: vectors hash to one of B blocks, the B² grid
+    // cells are the shuffle key, and each task runs one bounded
+    // (n/B)² cell — shuffle volume n·B rows per side, parallelism B²,
+    // and no broadcast of a data-dependent side (the prior broadcast
+    // nested-loop shape dies at cluster scale; raise B with the cluster).
+    // LlmOpsSpec cross-checks this against the brute-force upper triangle.
     Q("j12_dedup_embed",
       (s, d) => {
-        val a = t(s, d, "embeddings").select(col("vec_id").as("i"), col("embedding").as("ea"))
-        val b = t(s, d, "embeddings").select(col("vec_id").as("j"), col("embedding").as("eb"))
-        a.join(broadcast(b), col("i") < col("j"))
+        val B = 8
+        val grid = s.range(0, B.toLong * B).select(
+          (col("id") / B).cast("int").as("bi"),
+          (col("id") % B).cast("int").as("bj"))
+        val left = t(s, d, "embeddings")
+          .select(col("vec_id").as("i"), col("embedding").as("ea"),
+            pmod(col("vec_id"), lit(B)).cast("int").as("bi"))
+          .join(broadcast(grid), "bi")
+        val right = t(s, d, "embeddings")
+          .select(col("vec_id").as("j"), col("embedding").as("eb"),
+            pmod(col("vec_id"), lit(B)).cast("int").as("bj"))
+          .join(broadcast(grid), "bj")
+        left.join(right, Seq("bi", "bj"))
+          .where(col("i") < col("j"))
           .select(col("i"), col("j"),
             round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6).as("cos"))
           .where(col("cos") >= 0.45)

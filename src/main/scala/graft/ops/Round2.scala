@@ -265,7 +265,7 @@ object Round2 {
       Some("""WITH dim AS (SELECT DISTINCT lang,
           CASE WHEN lang IN ('en','fr','de') THEN 'european' ELSE 'other' END AS family
           FROM documents)
-        SELECT d.lang, COUNT(*) AS n_docs, SUM(d.n_chars) AS sum_chars
+        SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
         FROM documents d JOIN dim ON d.lang = dim.lang
         WHERE dim.family = 'european'
         GROUP BY d.lang ORDER BY d.lang""")),

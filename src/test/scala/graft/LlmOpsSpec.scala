@@ -69,6 +69,41 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("j2c prefix-filtered join is output-identical to j2's exact join") {
+    val exact = run("j2_dedup_near").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = run("j2c_dedup_prefix").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == exact, s"prefix-only: ${pref -- exact}; exact-only: ${exact -- pref}")
+  }
+
+  test("j12 block-grid equals the brute-force upper triangle") {
+    import org.apache.spark.sql.functions._
+    // the grid decomposition must cover every unordered pair exactly once:
+    // cross-check against an independently-written broadcast nested loop
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val brute = a.join(broadcast(b), col("i") < col("j"))
+      .select(col("i"), col("j"),
+        round(graft.expressions.CosineSimilarity(spark, col("ea"), col("eb")), 6).as("cos"))
+      .where(col("cos") >= 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grid = run("j12_dedup_embed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(grid == brute, s"grid-only: ${grid -- brute}; brute-only: ${brute -- grid}")
+  }
+
+  test("dedup pipelines carry no broadcast hints on data-dependent sides") {
+    // j2/j2c/j23 join sides whose cardinality is data-dependent (pairable
+    // shingles, candidate pairs, clusters) — a broadcast HINT there is a
+    // 100 TB OOM; the decision belongs to AQE/stats at runtime
+    Seq("j2_dedup_near", "j2c_dedup_prefix", "j23_dedup_canonical").foreach { k =>
+      val p = run(k).queryExecution.analyzed.toString
+      assert(!p.contains("ResolvedHint"), s"$k carries a broadcast hint:\n$p")
+    }
+  }
+
   test("near-dup jaccard values are valid and symmetric by construction") {
     val pairs = run("j2_dedup_near").collect()
     pairs.foreach { r =>
