@@ -65,25 +65,62 @@ object td {
         .filter(_.isDirectory).map(_.getName).sorted
       dirs.toSeq.toDF("name")
     }
-    /** `Connection.tables(db)` — name + row count via parquet metadata. */
+    /** `Connection.tables(db)` — name + row count. ONE union-of-aggregates
+      * plan = one Spark job for the whole catalog (counts served from
+      * parquet row-group metadata via the zero-column scan), not a
+      * driver-side count() loop per table. */
     def tables(db: String)(implicit s: SparkSession): DataFrame = {
       import s.implicits._
       val dir = Paths.get(root, db).toFile
       val names = Option(dir.listFiles()).getOrElse(Array())
         .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet")).sorted
-      names.toSeq.map { n =>
-        (n, s.read.parquet(Paths.get(root, db, s"$n.parquet").toString).count())
-      }.toDF("name", "n_rows")
+      names.toSeq
+        .map { n =>
+          s.read.parquet(Paths.get(root, db, s"$n.parquet").toString)
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(n).as("name"), col("n_rows"))
+        }
+        .reduceOption(_.unionAll(_))
+        .map(_.orderBy("name"))
+        .getOrElse(Seq.empty[(String, Long)].toDF("name", "n_rows"))
     }
   }
 
   def connect(root: String): TdConnection = TdConnection(root)
 
-  /** Parse `"presto:db"` / `"hive:db"` (reference URL shapes). */
-  def createEngine(url: String, root: String): TdEngine = url.split(":", 2) match {
-    case Array(e, db) if e == "presto" || e == "hive" => TdEngine(e, db, root)
-    case _ => throw new IllegalArgumentException(
-      s"engine url must be presto:<db> or hive:<db>, got: $url")
+  /** Env-var `connect()` (reference `pandas_td.connect()` reads
+    * TD_API_KEY / TD_API_SERVER). The key must be PRESENT — parity with
+    * the reference, which refuses to build a client without one — but is
+    * otherwise unused (no REST backend behind this engine); the server
+    * value is likewise accepted and ignored. The data root comes from
+    * TD_SPARK_ROOT, falling back to the working directory. */
+  def connect(): TdConnection = connectFromEnv(sys.env)
+
+  private[graft] def connectFromEnv(env: Map[String, String]): TdConnection = {
+    require(env.get("TD_API_KEY").exists(_.trim.nonEmpty),
+      "TD_API_KEY is not set (connect() without arguments reads the " +
+        "reference's environment variables; pass a root explicitly otherwise)")
+    TdConnection(env.getOrElse("TD_SPARK_ROOT", "."))
+  }
+
+  // long-form engine URL: td+presto://<apikey>@<endpoint>/<db>[?params].
+  // TD api keys contain a '/' (id/secret), so credentials end at the LAST
+  // '@' (greedy .*@), not the first
+  private val LongUrl = "td\\+(presto|hive)://(?:.*@)?[^/@]*/([^/?#]+).*".r
+
+  /** Parse `"presto:db"` / `"hive:db"` (reference short URL shapes) and the
+    * long form `td+presto://apikey@api.example.com/db` (reference
+    * `create_engine` URL): credentials and endpoint are parsed for
+    * compatibility and ignored — there is no REST hop here. */
+  def createEngine(url: String, root: String): TdEngine = url match {
+    case LongUrl(e, db) => TdEngine(e, db, root)
+    case _ => url.split(":", 2) match {
+      case Array(e, db) if (e == "presto" || e == "hive") && db.nonEmpty =>
+        TdEngine(e, db, root)
+      case _ => throw new IllegalArgumentException(
+        "engine url must be presto:<db>, hive:<db> or " +
+          s"td+presto://key@endpoint/<db>, got: $url")
+    }
   }
 
   // job-id → persisted result (read_td_job's no-recompute cache)
@@ -182,10 +219,14 @@ object td {
   def jobsList()(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     import scala.jdk.CollectionConverters._
-    jobs.entrySet().asScala.toSeq
-      .map(e => (e.getKey.longValue(), e.getValue.count()))
-      .sortBy(_._1)
-      .toDF("job_id", "n_rows")
+    // one union-of-aggregates job over the persisted results, not a
+    // driver-side count() loop per job
+    jobs.entrySet().asScala.toSeq.sortBy(_.getKey)
+      .map(e => e.getValue.agg(count(lit(1)).as("n_rows"))
+        .select(lit(e.getKey.longValue()).as("job_id"), col("n_rows")))
+      .reduceOption(_.unionAll(_))
+      .map(_.orderBy("job_id"))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("job_id", "n_rows"))
   }
 
   /** `read_td_table`: the reference's only query *builder* — projected,
@@ -254,6 +295,13 @@ object td {
       loadTime: Option[Long] = None,
       partitionByTime: Boolean = false,
       bucketSeconds: Long = 3600L): Unit = {
+    // readTdTable's partition-pruning predicate allows the lower bound one
+    // day of slack — a coarser bucket would make time-range reads silently
+    // drop in-range rows (the containing bucket's directory is pruned
+    // before the row filter sees it), so refuse to write one
+    require(bucketSeconds >= 1L && bucketSeconds <= 86400L,
+      s"bucketSeconds must be within [1, 86400] — readTdTable prunes " +
+        s"buckets with one day of lower-bound slack; got $bucketSeconds")
     val Array(db, table) = name.split("\\.", 2)
     val out = Paths.get(con.root, db, s"$table.parquet").toString
     val withTime = timeCol match {

@@ -28,7 +28,14 @@ case class CharNGrams(child: Expression, nExpr: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, nExpr.dataType) match {
       case (StringType, IntegerType) if nExpr.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // reject non-positive n at ANALYSIS time: n=0 would emit len+1
+        // empty grams and n<0 a StringIndexOutOfBounds from inside
+        // GenerateExec at runtime — both misuse, neither a sane query
+        nExpr.eval(InternalRow.empty) match {
+          case n: Int if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case n => TypeCheckResult.TypeCheckFailure(
+            s"char_ngrams n must be a positive int literal, got $n")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         "char_ngrams expects (string, foldable int), got " +
           s"(${child.dataType.simpleString}, ${nExpr.dataType.simpleString})")

@@ -40,12 +40,13 @@ object CC {
   /** Distributed min-label propagation. `edges` must carry BOTH directions
     * as (src, dst); converges in O(component diameter) rounds, each round
     * localCheckpointed to truncate lineage. */
-  def iterative(s: SparkSession, edges: DataFrame): DataFrame = {
+  def iterative(s: SparkSession, edges: DataFrame,
+      maxIters: Int = 100): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var done = false
     var iter = 0
-    while (!done && iter < 50) {
+    while (!done && iter < maxIters) {
       val nbr = edges
         .join(labels.toDF("dst", "dstLbl"), "dst")
         .groupBy("src").agg(min(col("dstLbl")).as("minNbr"))
@@ -58,6 +59,13 @@ object CC {
       labels = next.select(col("id"), col("newLbl").as("lbl"))
       iter += 1
     }
+    // a component with diameter > maxIters would otherwise return silently
+    // WRONG labels (plausible for chain-shaped dup clusters on the large
+    // path) — fail loudly; callers can raise maxIters for pathological
+    // graphs (min-label propagation is O(diameter) rounds by design)
+    if (!done) throw new IllegalStateException(
+      s"CC.iterative did not converge within $maxIters rounds — " +
+        "component diameter exceeds the round budget; raise maxIters")
     labels
   }
 

@@ -72,13 +72,14 @@ object Scans {
         "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
     // Connection.databases()/.tables(db) analog: catalog as a DataFrame of
-    // (table_name, n_rows) — parquet footer counts, no data scan.
+    // (table_name, n_rows). One UNION-of-aggregates plan — a single Spark
+    // job whose per-table counts come from the zero-column parquet scan
+    // (row-group metadata), not a driver-side count() loop per table.
     Q("a6_catalog",
-      (s, d) => {
-        import s.implicits._
-        names.map(n => (n, t(s, d, n).count()))
-          .toDF("table_name", "n_rows").orderBy("table_name")
-      },
+      (s, d) =>
+        names.map(n => t(s, d, n).agg(count(lit(1)).as("n_rows"))
+            .select(lit(n).as("table_name"), col("n_rows")))
+          .reduce(_.unionAll(_)).orderBy("table_name"),
       Some(names.sorted.map(n =>
         s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
         .mkString("", " UNION ALL ", " ORDER BY table_name"))),

@@ -19,6 +19,34 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](td.createEngine("mysql://x", "/root/testdata"))
   }
 
+  test("createEngine accepts the long td+presto URL form (credentials ignored)") {
+    val e = td.createEngine(
+      "td+presto://0123/abcd@api.treasuredata.example.com/sf0.001", "/root/testdata")
+    assert(e.engineType == "presto" && e.database == "sf0.001")
+    val h = td.createEngine("td+hive://k@host/mydb?param=1", "/root/testdata")
+    assert(h.engineType == "hive" && h.database == "mydb")
+    intercept[IllegalArgumentException](
+      td.createEngine("td+mysql://k@host/mydb", "/root/testdata"))
+  }
+
+  test("connect() reads the reference's environment variables") {
+    val con = td.connectFromEnv(Map(
+      "TD_API_KEY" -> "0123/abcd", "TD_SPARK_ROOT" -> "/root/testdata"))
+    assert(con.root == "/root/testdata")
+    // no key → same failure mode as the reference's client construction
+    intercept[IllegalArgumentException](td.connectFromEnv(Map.empty))
+    intercept[IllegalArgumentException](td.connectFromEnv(Map("TD_API_KEY" -> " ")))
+  }
+
+  test("toTd refuses bucket granularities coarser than the read-side slack") {
+    val wh = Files.createTempDirectory("graft_wh3").toString
+    val con = td.connect(wh)
+    val src = spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+    intercept[IllegalArgumentException](
+      td.toTd(src, "db9.r", con, IfExists.Replace, loadTime = Some(1700000000L),
+        partitionByTime = true, bucketSeconds = 7 * 86400L))
+  }
+
   test("readTdTable prunes columns and pushes the time-range predicate") {
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     val df = td.readTdTable("orders", e,

@@ -54,6 +54,17 @@ class Round2Spec extends AnyFunSuite {
       Seq((1L, 0, "abc"), (1L, 1, "bcd"), (3L, 0, "xyz")))
   }
 
+  test("char_ngrams rejects non-positive n at analysis time") {
+    graft.expressions.CharNGrams.register(spark)
+    spark.sql("SELECT 'abcd' AS s").createOrReplaceTempView("ng_bad")
+    Seq(0, -1).foreach { n =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(s"SELECT pos, gram FROM ng_bad " +
+          s"LATERAL VIEW char_ngrams(s, $n) t AS pos, gram").collect())
+      assert(e.getMessage.contains("positive"), e.getMessage)
+    }
+  }
+
   test("j15 split is deterministic and 3-way exhaustive") {
     val a = SparkEntry.queries("j15_split_hash")(spark, TestSpark.sf).collect()
     val b = SparkEntry.queries("j15_split_hash")(spark, TestSpark.sf).collect()
