@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight through to stdout/stderr, WITHOUT sbt's
+// "[info] "/"[error] " logger prefixes: Bench prints a single JSON line on
+// stdout that downstream tooling parses line-wise — a prefixed line is not
+// valid JSON (every BENCH_r{1,2,3}.json came back "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,14 +64,28 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
 
+    // Every query is measured COLD and independent: queries may persist()
+    // intermediates for intra-query reuse (legitimate — part of the query),
+    // but Spark's CacheManager would otherwise hand those cached plans to
+    // every LATER query with a matching subtree (the shingle postings feed
+    // j14/j2/j2c/j23), so per-query times would measure cache luck, not the
+    // operator — and 142 never-released MEMORY_AND_DISK caches accumulate
+    // into eviction/GC pressure that tanks whichever query runs late.
+    def releaseCaches(): Unit = {
+      spark.catalog.clearCache()                       // DataFrame persists
+      spark.sparkContext.getPersistentRDDs.values      // localCheckpoints
+        .foreach(_.unpersist(blocking = false))
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } finally releaseCaches()
       }
-      val t0 = System.nanoTime()
+      val tStart = System.nanoTime()
       val t = try {
         val t1 = once()
         // short queries are dominated by ±20% scheduler/JIT noise that has
@@ -79,13 +93,21 @@ object Bench {
         // and keep the min (MicroBench's min-of-3, folded in where the
         // second run is cheap). Long queries stay single-run: their signal
         // exceeds the noise and a second run would double bench wall-clock.
-        if (t1 < 2.0) math.min(t1, once()) else t1
+        val t2 = if (t1 < 2.0) {
+          // a rerun flake must not discard the valid first measurement nor
+          // charge both runs' wall-clock — keep t1 and only note the flake
+          try math.min(t1, once()) catch { case e: Throwable =>
+            System.err.println(s"[bench] $name rerun flaked (keeping first): ${e.getMessage}")
+            t1
+          }
+        } else t1
+        t2
       } catch { case e: Throwable =>
         // a broken query must NOT masquerade as a fast one: keep its
         // elapsed wall-clock and flag it
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - tStart) / 1e9
       }
       name -> t
     }

@@ -105,8 +105,11 @@ object td {
 
   // long-form engine URL: td+presto://<apikey>@<endpoint>/<db>[?params].
   // TD api keys contain a '/' (id/secret), so credentials end at the LAST
-  // '@' (greedy .*@), not the first
-  private val LongUrl = "td\\+(presto|hive)://(?:.*@)?[^/@]*/([^/?#]+).*".r
+  // '@' (greedy .*@), not the first. The endpoint must be non-empty
+  // (td+presto:///db is malformed), and the database is the FULL remaining
+  // path — the reference passes the path through verbatim, so a '/' in the
+  // database name survives rather than being silently truncated.
+  private val LongUrl = "td\\+(presto|hive)://(?:.*@)?[^/@?#]+/([^?#]+?)/?(?:[?#].*)?".r
 
   /** Parse `"presto:db"` / `"hive:db"` (reference short URL shapes) and the
     * long form `td+presto://apikey@api.example.com/db` (reference

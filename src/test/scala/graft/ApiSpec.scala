@@ -27,6 +27,15 @@ class ApiSpec extends AnyFunSuite {
     assert(h.engineType == "hive" && h.database == "mydb")
     intercept[IllegalArgumentException](
       td.createEngine("td+mysql://k@host/mydb", "/root/testdata"))
+    // the database is the FULL path (reference passes it through verbatim)
+    assert(td.createEngine("td+presto://k@host/db1/db2", "/root/testdata")
+      .database == "db1/db2")
+    // a trailing slash is not part of the database name
+    assert(td.createEngine("td+presto://k@host/mydb/", "/root/testdata")
+      .database == "mydb")
+    // an empty endpoint is malformed, not silently accepted
+    intercept[IllegalArgumentException](
+      td.createEngine("td+presto:///mydb", "/root/testdata"))
   }
 
   test("connect() reads the reference's environment variables") {
