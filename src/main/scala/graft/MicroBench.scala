@@ -16,13 +16,25 @@ object MicroBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warmup
-    keys.foreach(k => SparkEntry.queries(k)(spark, sf).count())
+    // caches are released between iterations so every number is a COLD,
+    // independent measurement — same regime as Bench (intra-query persists
+    // still count toward their own query's time)
+    def releaseCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    // warmup (JIT/codegen only; caches dropped right after)
+    keys.foreach { k =>
+      SparkEntry.queries(k)(spark, sf).count(); releaseCaches()
+    }
     keys.foreach { k =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(k)(spark, sf).count()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        releaseCaches()
+        t
       }.sorted
       println(f"$k%-28s min=${times.head}%.3f med=${times(1)}%.3f max=${times(2)}%.3f")
     }

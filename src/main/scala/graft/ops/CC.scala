@@ -74,8 +74,11 @@ object CC {
   def cluster(s: SparkSession, pairs: DataFrame,
       collectThreshold: Long = 2000000L): DataFrame = {
     import s.implicits._
-    val edges = pairs.toDF("d1", "d2")
-      .union(pairs.select(col("d2"), col("d1")).toDF("d1", "d2"))
+    // checkpoint the pairs BEFORE mirroring: a union of two references to
+    // an unmaterialized `pairs` plan executes the (expensive) pair
+    // generation once per branch
+    val p = pairs.toDF("d1", "d2").localCheckpoint()
+    val edges = p.union(p.select(col("d2"), col("d1")).toDF("d1", "d2"))
       .toDF("src", "dst").localCheckpoint()
     if (edges.count() <= collectThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -90,25 +90,43 @@ object LlmOps {
     * in the join. Counts (and therefore Jaccard) are preserved unless two
     * distinct shingles collide in 64 bits (P ≈ n²/2⁶⁵ — ~10⁻⁹ at bench SF,
     * and at 100 TB the same trick is what makes the shuffle feasible). */
+  /** Shingles with df above this generate pairs via the self-join path
+    * instead of in-array expansion: a boilerplate shingle shared by D docs
+    * would otherwise put D²/2 pair structs into ONE row (D = millions at
+    * 100 TB → executor OOM). Below the cap the array path is strictly
+    * cheaper — pairs are emitted in place of the postings row with no
+    * second shuffle of the postings. Both paths are exact; the split is a
+    * pure physical choice. */
+  private val PairExplodeMaxDf = 1024
+
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    // persisted: the postings feed three consumers (per-doc sizes, the df
-    // pre-filter, and the self-join) — without it the tokenize+explode
-    // recomputes per consumer
-    val sh = shingles(s, d).persist()
+    val sh = shingles(s, d)
     val n = shingleCounts(s, d)
-    // semantics-preserving pre-filter: a shingle appearing in a single
-    // document can never contribute a pair — dropping df=1 postings
-    // shrinks the self-join input by the unique-shingle mass (the vast
-    // majority in real corpora) without changing a single output row.
-    // No broadcast hint: `hot` is ALL pairable shingles — data-dependent
-    // cardinality (billions of rows at 100 TB). AQE broadcasts it at
-    // runtime when it happens to be small.
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") >= 2)
-      .select("sh")
-    val shJ = sh.join(hot, "sh")
-    val a = shJ.toDF("sh", "d1")
-    val b = shJ.toDF("sh2", "d2")
-    val inter = a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+    // ONE shuffle builds the inverted index as grouped postings arrays.
+    // df=1 groups can never contribute a pair — dropped without changing
+    // any output row (the unique-shingle mass is the vast majority in real
+    // corpora). The r2/r3 shape re-joined the postings against the hot-df
+    // set and then self-joined them (3 more shuffles of the full postings
+    // relation); here candidate pairs are emitted directly from each
+    // postings array, so the only other shuffle is the (d1, d2) count.
+    val postings = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) >= 2)
+    val light = postings.where(size(col("ds")) <= PairExplodeMaxDf)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ds)-2), i -> " +
+          "transform(sequence(i+1, size(ds)-1), j -> " +
+          "named_struct('d1', least(ds[i], ds[j]), " +
+          "'d2', greatest(ds[i], ds[j])))))")).as("p"))
+      .select(col("p.d1"), col("p.d2"))
+    // heavy shingles (df > cap): back to (sh, doc) rows and equi-join —
+    // the shuffle spreads a huge group across partitions instead of one row
+    val heavyPost = postings.where(size(col("ds")) > PairExplodeMaxDf)
+      .select(col("sh"), explode(col("ds")).as("doc"))
+    val heavy = heavyPost.toDF("sh", "d1")
+      .join(heavyPost.toDF("sh2", "d2"),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+      .select("d1", "d2")
+    val inter = light.union(heavy)
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
       .join(n.toDF("d1", "n1"), "d1")
@@ -230,14 +248,17 @@ object LlmOps {
     Q("j2c_dedup_prefix",
       (s, d) => {
         val t05 = 0.5
-        // persisted: postings feed the df counts, the prefix ranking input
-        // and the verify arrays
-        val sh = shingles(s, d).persist()
-        val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        // df=1 postings can't pair — same pre-filter as j2, applied before
-        // ranking so prefixes are chosen among pairable shingles only.
-        // No broadcast hint (data-dependent cardinality; AQE decides).
-        val hot = sh.join(dfc.where(col("df") >= 2), "sh")
+        // ONE shuffle builds grouped postings; df rides along as the array
+        // size when postings re-explode for ranking — the r3 shape computed
+        // df in a separate groupBy and joined it back (2 extra shuffles of
+        // the full postings). df=1 postings can't pair — same pre-filter as
+        // j2, applied before ranking so prefixes are chosen among pairable
+        // shingles only.
+        val postings = shingles(s, d)
+          .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+        val hot = postings.where(size(col("ds")) >= 2)
+          .select(col("sh"), size(col("ds")).cast("long").as("df"),
+            explode(col("ds")).as("doc_id"))
         val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
         val n = shingleCounts(s, d)
         val ranked = hot.withColumn("r", row_number().over(wDoc))
@@ -265,11 +286,17 @@ object LlmOps {
         // exact verify: sorted-array intersection, but ONLY for docs that
         // appear in some surviving candidate — the corpus-wide docs never
         // materialize arrays (the r2 shape built arrays for ALL docs).
+        // The arrays come straight off the documents scan (map-only — the
+        // same transform that made the shingles), not from re-grouping the
+        // exploded postings: no shuffle at all on the verify input side.
         // Array width is one doc's shingle count, bounded by doc length.
         val candDocs = cand.select(col("d1").as("doc_id"))
           .union(cand.select(col("d2").as("doc_id"))).distinct()
-        val sets = sh.join(candDocs, "doc_id").groupBy("doc_id")
-          .agg(sort_array(collect_list(col("sh"))).as("arr"))
+        val docArrs = docsTok(s, d).where(size(col("toks")) >= 3)
+          .select(col("doc_id"), expr(
+            "sort_array(array_distinct(transform(sequence(1, size(toks)-2), " +
+              "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))))").as("arr"))
+        val sets = docArrs.join(candDocs, "doc_id")
         cand
           .join(sets.toDF("d1", "a1"), "d1")
           .join(sets.toDF("d2", "a2"), "d2")
