@@ -99,7 +99,16 @@ object LlmOps {
     * pure physical choice. */
   private val PairExplodeMaxDf = 1024
 
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(s, d, PairExplodeMaxDf)
+
+  /** Test seam: `maxDf` forces the heavy-shingle join path (no shingle in
+    * the fixtures exceeds the production cap, so LlmOpsSpec pins the two
+    * paths to identical output by lowering it). */
+  private[graft] def nearDupPairsForTest(s: SparkSession, d: String,
+      maxDf: Int): DataFrame = nearDupPairs(s, d, maxDf)
+
+  private def nearDupPairs(s: SparkSession, d: String, maxDf: Int): DataFrame = {
     val sh = shingles(s, d)
     val n = shingleCounts(s, d)
     // ONE shuffle builds the inverted index as grouped postings arrays.
@@ -111,7 +120,7 @@ object LlmOps {
     // postings array, so the only other shuffle is the (d1, d2) count.
     val postings = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) >= 2)
-    val light = postings.where(size(col("ds")) <= PairExplodeMaxDf)
+    val light = postings.where(size(col("ds")) <= maxDf)
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ds)-2), i -> " +
           "transform(sequence(i+1, size(ds)-1), j -> " +
@@ -120,7 +129,7 @@ object LlmOps {
       .select(col("p.d1"), col("p.d2"))
     // heavy shingles (df > cap): back to (sh, doc) rows and equi-join —
     // the shuffle spreads a huge group across partitions instead of one row
-    val heavyPost = postings.where(size(col("ds")) > PairExplodeMaxDf)
+    val heavyPost = postings.where(size(col("ds")) > maxDf)
       .select(col("sh"), explode(col("ds")).as("doc"))
     val heavy = heavyPost.toDF("sh", "d1")
       .join(heavyPost.toDF("sh2", "d2"),
@@ -889,21 +898,34 @@ object LlmOps {
     Q("j13_lang_id",
       (s, d) => {
         val docs = t(s, d, "documents").where(length(col("text")) >= 3)
-        // one explode + one shuffle feeds BOTH the profile build and the
-        // per-doc distinct set; persisted because the two branches would
-        // otherwise recompute the explode+groupBy (measured: 4.7× slower
-        // relying on ReuseExchange, 5× slower re-deriving both branches
-        // from the raw trigram stream — the materialized grouped form is
-        // the cheapest shared input)
-        val tgc = docs.select(col("lang"), col("doc_id"),
-            explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
-          .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
-        tgc.persist()
+        // The two branches deliberately do NOT share a grouped intermediate
+        // (earlier rounds materialized groupBy(doc_id, lang, g) and fed
+        // both from it — but that key is near-unique per row, so partial
+        // aggregation can't compress its shuffle and the persist
+        // materializes ~50% of the exploded mass). Instead:
+        //  - the PROFILE aggregates the raw occurrence stream on (lang, g),
+        //    whose distinct count is tiny (≈2k at sf0.1 vs 713k for the
+        //    per-doc key) — map-side combine collapses the shuffle to a few
+        //    rows per partition;
+        //  - the PER-DOC distinct set comes from array_distinct in the
+        //    projection — map-only, no shuffle at all.
+        // (A broadcast-cross-join variant scoring each doc's distinct array
+        // against per-lang profile arrays with array_intersect measured
+        // 1.6s SLOWER than this explode+join — the hash join on ~100
+        // profile trigrams beats n_langs array intersections per doc.)
+        // the occurrence stream explodes INT positions and substrings after
+        // the explode: the per-doc string array never materializes and the
+        // substring runs inside the same codegen stage (measured 1.6× over
+        // exploding a transform()-built string array)
         val wp = Window.partitionBy("lang").orderBy(desc("n"), asc("g"))
-        val prof = tgc.groupBy("lang", "g").agg(sum(col("cnt")).as("n"))
+        val prof = docs.select(col("lang"), col("text"),
+            explode(expr("sequence(1, length(text)-2)")).as("i"))
+          .select(col("lang"), expr("substring(text, i, 3)").as("g"))
+          .groupBy("lang", "g").agg(count(lit(1)).as("n"))
           .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
           .select(col("lang").as("plang"), col("g"))
-        val dg = tgc.select("doc_id", "g") // (doc_id, g) already distinct
+        val dg = docs.select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")).as("g"))
         val wb = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("plang"))
         dg.join(broadcast(prof), "g")
           .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))

@@ -19,6 +19,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty, s"false positives past est_jac filter: ${lsh -- exact}")
   }
 
+  test("heavy-df join path of pair generation matches the in-array path") {
+    // production cap (1024) routes every fixture shingle through the array
+    // path; maxDf=2 forces almost all of them down the heavy equi-join
+    // fallback — the two physical paths must be output-identical
+    val byArray = graft.ops.LlmOps.nearDupPairsForTest(spark, TestSpark.sf, 1024)
+      .select("d1", "d2", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byJoin = graft.ops.LlmOps.nearDupPairsForTest(spark, TestSpark.sf, 2)
+      .select("d1", "d2", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byArray == byJoin,
+      s"only-array: ${byArray -- byJoin}; only-join: ${byJoin -- byArray}")
+    assert(byArray.nonEmpty)
+  }
+
   test("LSH ANN (j3b) candidates carry exact cosine values (subset of j3 space)") {
     val lsh = run("j3b_sim_lsh").collect()
     assert(lsh.nonEmpty)
