@@ -65,24 +65,29 @@ object td {
         .filter(_.isDirectory).map(_.getName).sorted
       dirs.toSeq.toDF("name")
     }
-    /** `Connection.tables(db)` — name + row count. ONE union-of-aggregates
-      * plan = one Spark job for the whole catalog (counts served from
-      * parquet row-group metadata via the zero-column scan), not a
-      * driver-side count() loop per table. */
+    /** `Connection.tables(db)` — name + row count, batched
+      * union-of-aggregates (counts served from parquet row-group metadata
+      * via the zero-column scan), not a driver-side count() loop per
+      * table. Analyzer/optimizer cost grows with union width, so the
+      * catalog is planned in bounded batches: each batch is ONE Spark job
+      * over ≤64 tables, and only the tiny (name, n_rows) results are
+      * unioned driver-side. */
     def tables(db: String)(implicit s: SparkSession): DataFrame = {
       import s.implicits._
       val dir = Paths.get(root, db).toFile
       val names = Option(dir.listFiles()).getOrElse(Array())
         .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet")).sorted
-      names.toSeq
-        .map { n =>
-          s.read.parquet(Paths.get(root, db, s"$n.parquet").toString)
-            .agg(count(lit(1)).as("n_rows"))
-            .select(lit(n).as("name"), col("n_rows"))
-        }
-        .reduceOption(_.unionAll(_))
-        .map(_.orderBy("name"))
-        .getOrElse(Seq.empty[(String, Long)].toDF("name", "n_rows"))
+      val batched = names.toSeq.grouped(64).flatMap { batch =>
+        batch
+          .map { n =>
+            s.read.parquet(Paths.get(root, db, s"$n.parquet").toString)
+              .agg(count(lit(1)).as("n_rows"))
+              .select(lit(n).as("name"), col("n_rows"))
+          }
+          .reduce(_.unionAll(_))
+          .collect()
+      }.map(r => (r.getString(0), r.getLong(1))).toSeq
+      batched.toDF("name", "n_rows").orderBy("name")
     }
   }
 
@@ -223,7 +228,8 @@ object td {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     // one union-of-aggregates job over the persisted results, not a
-    // driver-side count() loop per job
+    // driver-side count() loop per job; union width is bounded by
+    // MaxLiveJobs (20), so no batching is needed here (cf. tables())
     jobs.entrySet().asScala.toSeq.sortBy(_.getKey)
       .map(e => e.getValue.agg(count(lit(1)).as("n_rows"))
         .select(lit(e.getKey.longValue()).as("job_id"), col("n_rows")))

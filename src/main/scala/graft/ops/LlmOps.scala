@@ -40,14 +40,28 @@ object LlmOps {
   /** Per-doc distinct-shingle counts straight off the array form: a
     * map-only scan of `documents` — no explode, no shuffle. Equals
     * shingles(…).groupBy(doc_id).count() by construction (both count the
-    * same array_distinct), replacing that groupBy's full-postings shuffle
-    * in j2/j2c/j14/j23. */
+    * same array_distinct). */
   private def shingleCounts(s: SparkSession, d: String): DataFrame =
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "size(array_distinct(transform(sequence(1, size(toks)-2), " +
           "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))))")
         .cast("long").as("n"))
+
+  /** Shingle postings with the doc's distinct-shingle count n alongside
+    * (same array, size read map-only). Used where n must survive a
+    * REGROUPING of the postings (j2c's rank-and-prefix pipeline — reading
+    * n off the posting beats re-joining a count relation onto the ranked
+    * 260k-row output). NOT used by nearDupPairs: measured end-to-end, the
+    * slim long-only explode + two small joins beat carrying n through its
+    * pair transform by 15-40%. */
+  private def shinglesWithCount(s: SparkSession, d: String): DataFrame =
+    docsTok(s, d).where(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(toks)-2), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))").as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("sh"))
 
   /** String-shingle variant for j2b: its minhash base hash must be md5
     * (reproducible in the DuckDB oracle), so the shingle TEXT is needed. */
@@ -117,7 +131,12 @@ object LlmOps {
     // corpora). The r2/r3 shape re-joined the postings against the hot-df
     // set and then self-joined them (3 more shuffles of the full postings
     // relation); here candidate pairs are emitted directly from each
-    // postings array, so the only other shuffle is the (d1, d2) count.
+    // postings array, so the only other shuffles are the (d1, d2) count
+    // and the (small) per-doc size joins. Postings stay a PRIMITIVE long
+    // array: a variant carrying (doc_id, n) structs through the pair
+    // transform measured 15-40% slower end-to-end — per-pair struct field
+    // extraction in the interpreted lambda costs more than the two
+    // broadcastable joins it saved.
     val postings = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) >= 2)
     val light = postings.where(size(col("ds")) <= maxDf)
@@ -263,15 +282,15 @@ object LlmOps {
         // the full postings). df=1 postings can't pair — same pre-filter as
         // j2, applied before ranking so prefixes are chosen among pairable
         // shingles only.
-        val postings = shingles(s, d)
-          .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+        val postings = shinglesWithCount(s, d)
+          .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
         val hot = postings.where(size(col("ds")) >= 2)
           .select(col("sh"), size(col("ds")).cast("long").as("df"),
-            explode(col("ds")).as("doc_id"))
+            explode(col("ds")).as("dn"))
+          .select(col("sh"), col("df"),
+            col("dn.doc_id").as("doc_id"), col("dn.n").as("n"))
         val wDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-        val n = shingleCounts(s, d)
         val ranked = hot.withColumn("r", row_number().over(wDoc))
-          .join(n, "doc_id")
         val prefix = ranked.where(col("r") <=
           col("n") - ceil(lit(t05) * col("n")) + 1)
         // candidate generation keeps the PPJoin POSITIONAL bound: a pair
