@@ -98,6 +98,20 @@ object LlmOps {
     771243134L, 711658336L, 269452704L, 606543124L, 1932692492L, 242146161L,
     1168033289L, 31958265L, 1568728816L)
 
+  /** 32-slot MinHash signature per doc (shared by j2b and j24): one
+    * md5-derived base hash per shingle, 32 universal-hash permutations
+    * (a·h + b) mod p, min per slot. Deterministic and exactly reproducible
+    * in the DuckDB oracle — see the MinhashA/MinhashB notes above. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val sh = stringShingles(s, d)
+      .select(col("doc_id"), expr(
+        s"cast(conv(substring(md5(sh),1,15),16,10) as bigint) % $MinhashP").as("h"))
+    sh.groupBy("doc_id").agg(
+      array((0 until MinhashK).map(i =>
+        min(expr(s"((${MinhashA(i)} * h) + ${MinhashB(i)}) % $MinhashP"))): _*)
+        .as("sig"))
+  }
+
   /** Exact near-dup pairs (jac ≥ 0.5) — shared by j2 and j14.
     * The inverted-index join keys on xxhash64(shingle), not the shingle
     * string: an 8-byte shuffle key instead of ~20+ chars, and long equality
@@ -389,14 +403,8 @@ object LlmOps {
     // and generates candidates by exact band-slice equality.
     Q("j2b_dedup_minhash",
       (s, d) => {
-        val sh = stringShingles(s, d)
-          .select(col("doc_id"), expr(
-            s"cast(conv(substring(md5(sh),1,15),16,10) as bigint) % $MinhashP").as("h"))
         // persisted: feeds the band explode AND the signature join-back
-        val sig = sh.groupBy("doc_id").agg(
-          array((0 until MinhashK).map(i =>
-            min(expr(s"((${MinhashA(i)} * h) + ${MinhashB(i)}) % $MinhashP"))): _*)
-            .as("sig")).persist()
+        val sig = minhashSigs(s, d).persist()
         // band rows are (doc_id, band, band-hash) ONLY — the 32-element
         // signature arrays must not ride the 8× band explode, the
         // candidate self-join shuffle, or the distinct (that shape was a
@@ -446,6 +454,56 @@ object LlmOps {
           FROM z GROUP BY d1, d2)
         SELECT d1, d2, ROUND(ej, 6) AS est_jac FROM est
         WHERE ej >= 0.5 ORDER BY d1, d2""")),
+
+    // Sketch-quality measurement — the QA step a production dedup pipeline
+    // runs before trusting a sketch at scale: for every EXACT near-dup
+    // pair, the MinHash-estimated Jaccard (fraction of agreeing signature
+    // slots) next to the true value and the absolute error. k=32 gives
+    // stderr ≈ √(j(1−j)/32) ≈ 0.09 at j=0.5 — the measured errors are the
+    // empirical check of that bound. Both sides are deterministic, so the
+    // whole measurement is oracle-exact.
+    Q("j24_sketch_error",
+      (s, d) => {
+        val pairs = nearDupPairs(s, d)
+          .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+        val sig = minhashSigs(s, d)
+        pairs
+          .join(sig.toDF("d1", "sig1"), "d1")
+          .join(sig.toDF("d2", "sig2"), "d2")
+          .withColumn("est_jac", round(expr(
+            s"aggregate(zip_with(sig1, sig2, (x,y) -> if(x = y, 1, 0)), 0, (a,b) -> a+b) / cast($MinhashK as double)"), 6))
+          .withColumn("abs_err", round(abs(col("jac") - col("est_jac")), 6))
+          .select("d1", "d2", "jac", "est_jac", "abs_err")
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+        shs AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM shs GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        e AS (SELECT d1, d2,
+            ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 6) AS jac
+          FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5),
+        sh AS (SELECT doc_id,
+            CAST('0x' || substr(md5(sh),1,15) AS BIGINT) % 2147483647 AS h FROM shs),
+        seeds AS (SELECT unnest(range(0, 32)) AS i,
+          unnest([114060684, 143607338, 658016613, 1920833001, 1625018798, 2115868157, 1839658157, 1370607936, 1314768563, 1516846533, 899342927, 1761721496, 1792449689, 2056989732, 1252576877, 638180912, 516347111, 86660098, 1034123048, 390694563, 1490082987, 1456092804, 997229159, 1263980514, 768208874, 373428981, 381249820, 1284903395, 434862591, 97658014, 635475302, 570517315]) AS a,
+          unnest([1522425843, 334529765, 1689677233, 1003823822, 1509779900, 1177694471, 385288776, 1001072043, 1286760556, 1140912466, 1555416272, 1474034036, 137111194, 1024637812, 1326353219, 494970825, 731651806, 1540310342, 993191396, 888645945, 1275083898, 325350617, 1359272703, 771243134, 711658336, 269452704, 606543124, 1932692492, 242146161, 1168033289, 31958265, 1568728816]) AS b),
+        mh AS (SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+          FROM sh, seeds GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        z AS (SELECT e.d1, e.d2, e.jac, unnest(s1.sig) AS v1, unnest(s2.sig) AS v2
+          FROM e JOIN sig s1 ON e.d1 = s1.doc_id JOIN sig s2 ON e.d2 = s2.doc_id),
+        est AS (SELECT d1, d2, jac,
+            ROUND(SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) / 32.0, 6) AS est_jac
+          FROM z GROUP BY d1, d2, jac)
+        SELECT d1, d2, jac, est_jac, ROUND(ABS(jac - est_jac), 6) AS abs_err
+        FROM est ORDER BY d1, d2""")),
 
     // SimHash (64→60-bit) document fingerprint, frequency-weighted, from a
     // cross-engine-reproducible token hash (md5 hex → 60-bit int).
