@@ -146,6 +146,28 @@ class PlanSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("j2 emits candidate pairs from grouped postings, not a self-join") {
+    // the light path (everything at fixture df) is: ONE hash aggregate
+    // groups postings into arrays, a Generate explodes the in-array pair
+    // expansion, and the (d1, d2) count aggregates the result. The shingle
+    // equi-join that remains in the plan text belongs to the heavy-df
+    // fallback branch (statically present, empty at any fixture df) and
+    // must sit behind its size(ds) > cap filter.
+    val p = plan("j2_dedup_near")
+    assert(p.contains("Generate explode(flatten(transform("), p)
+    assert(p.contains("(size(ds") && p.contains("> 1024)"),
+      s"heavy-branch guard missing:\n$p")
+  }
+
+  test("j2c reads PPJoin doc sizes off the postings, not a count join") {
+    // the ranked prefix index carries n inside the exploded posting struct;
+    // no join on a bare doc_id-count relation should remain before the
+    // candidate stage (the verify stage legitimately joins arrays back)
+    val p = plan("j2c_dedup_prefix")
+    assert(p.contains("sort_array"), p)     // verify arrays, map-side
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = SparkEntry.queries("d1_agg_groupby")(spark, TestSpark.sf)
     df.collect() // finalize the adaptive plan — codegen stages appear after execution
