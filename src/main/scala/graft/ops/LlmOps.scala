@@ -124,8 +124,10 @@ object LlmOps {
     * 100 TB → executor OOM). Below the cap the array path is strictly
     * cheaper — pairs are emitted in place of the postings row with no
     * second shuffle of the postings. Both paths are exact; the split is a
-    * pure physical choice. */
-  private val PairExplodeMaxDf = 1024
+    * pure physical choice. 256 bounds the flattened pair array at
+    * ~32k elements (~0.5 MB) per row — the explode's transient allocation,
+    * NOT the shuffle row size. */
+  private val PairExplodeMaxDf = 256
 
   private def nearDupPairs(s: SparkSession, d: String): DataFrame =
     nearDupPairs(s, d, PairExplodeMaxDf)

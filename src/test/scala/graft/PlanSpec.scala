@@ -155,7 +155,7 @@ class PlanSpec extends AnyFunSuite {
     // must sit behind its size(ds) > cap filter.
     val p = plan("j2_dedup_near")
     assert(p.contains("Generate explode(flatten(transform("), p)
-    assert(p.contains("(size(ds") && p.contains("> 1024)"),
+    assert(p.contains("(size(ds") && p.contains("> 256)"),
       s"heavy-branch guard missing:\n$p")
   }
 
