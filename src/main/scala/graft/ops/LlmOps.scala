@@ -138,9 +138,17 @@ object LlmOps {
   private[graft] def nearDupPairsForTest(s: SparkSession, d: String,
       maxDf: Int): DataFrame = nearDupPairs(s, d, maxDf)
 
-  private def nearDupPairs(s: SparkSession, d: String, maxDf: Int): DataFrame = {
-    val sh = shingles(s, d)
-    val n = shingleCounts(s, d)
+  private def nearDupPairs(s: SparkSession, d: String, maxDf: Int): DataFrame =
+    jaccardPairs(shingles(s, d), shingleCounts(s, d), maxDf)
+
+  /** Pair-generation core over arbitrary postings: `shDf` is (doc_id, sh)
+    * — one row per distinct (doc, shingle) — and `nDf` is (doc_id, n) with
+    * each doc's distinct-shingle count. Split out so PropertySpec can fuzz
+    * it against a brute-force reference on random corpora. */
+  private[graft] def jaccardPairs(shDf: DataFrame, nDf: DataFrame,
+      maxDf: Int): DataFrame = {
+    val sh = shDf
+    val n = nDf
     // ONE shuffle builds the inverted index as grouped postings arrays.
     // df=1 groups can never contribute a pair — dropped without changing
     // any output row (the unique-shingle mass is the vast majority in real

@@ -200,6 +200,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pair generation matches brute-force Jaccard on random set corpora") {
+    import spark.implicits._
+    // small shingle universe forces heavy sharing (df up to the doc count),
+    // exercising many-postings arrays and, at maxDf=3, the join fallback
+    val gSet = Gen.listOfN(8, Gen.choose(0L, 24L)).map(_.toSet)
+    (0 until 3).foreach { round =>
+      val sets = samples(gSet, 25).zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+        .filter(_._2.nonEmpty)
+      val shDf = sets.flatMap { case (i, s) => s.map(v => (i, v)) }
+        .toDF("doc_id", "sh")
+      val nDf = sets.map { case (i, s) => (i, s.size.toLong) }.toDF("doc_id", "n")
+      val expect = (for {
+        (i, si) <- sets; (j, sj) <- sets if i < j
+        inter = (si & sj).size
+        jac = inter.toDouble / (si.size + sj.size - inter) if jac >= 0.5
+      } yield (i, j, inter.toLong)).toSet
+      Seq(256, 3).foreach { cap =>
+        val got = graft.ops.LlmOps.jaccardPairs(shDf, nDf, cap)
+          .select("d1", "d2", "inter").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expect, s"round $round cap $cap: " +
+          s"extra=${got -- expect} missing=${expect -- got}")
+      }
+    }
+  }
+
   test("prefix-filtered near-dup (j2c) equals the full inverted-index join (j2)") {
     import spark.implicits._
     // synthetic corpora with planted near-dups: base texts plus variants
