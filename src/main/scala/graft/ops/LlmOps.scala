@@ -1056,5 +1056,33 @@ object LlmOps {
         SELECT doc_id, n_bytes, digest,
           128 + CAST('0x' || substr(digest,1,4) AS BIGINT) % 1024 AS fake_width,
           128 + CAST('0x' || substr(digest,5,4) AS BIGINT) % 1024 AS fake_height
-        FROM x ORDER BY doc_id""")))
+        FROM x ORDER BY doc_id""")),
+
+    // Multimodal feature extraction: payload → fixed-dim embedding, the
+    // stage between decode (m2) and similarity search (j3*). The extractor
+    // here is the deterministic stub (8 dims off the md5 digest, scaled to
+    // [0,1]) — a real model swaps in behind the same columnar contract:
+    // map-only, one vector per row, ready for the ANN bucketing joins.
+    // Scalar projections (norm + sample dims) keep the op oracle-exact.
+    Q("m4_feature_stub",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, 7), i -> " +
+            "cast(conv(substring(dg, i*4+1, 4), 16, 10) as double) / 65535.0)")
+          .as("feat"))
+        .select(col("doc_id"),
+          round(expr("aggregate(feat, 0d, (a, x) -> a + x * x)"), 6).as("sq_norm"),
+          round(expr("feat[0]"), 6).as("f0"),
+          round(expr("feat[7]"), 6).as("f7"))
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        f AS (SELECT doc_id, list_transform(range(8), i ->
+            CAST('0x' || substr(dg, i*4+1, 4) AS BIGINT) / 65535.0) AS feat
+          FROM x)
+        SELECT doc_id,
+          ROUND(list_sum(list_transform(feat, v -> v * v)), 6) AS sq_norm,
+          ROUND(feat[1], 6) AS f0,
+          ROUND(feat[8], 6) AS f7
+        FROM f ORDER BY doc_id""")))
 }
