@@ -149,11 +149,17 @@ object LlmOps {
       maxDf: Int): DataFrame = {
     val sh = shDf
     val n = nDf
-    // ONE shuffle builds the inverted index as grouped postings arrays.
-    // df=1 groups can never contribute a pair — dropped without changing
-    // any output row (the unique-shingle mass is the vast majority in real
-    // corpora). The r2/r3 shape re-joined the postings against the hot-df
-    // set and then self-joined them (3 more shuffles of the full postings
+    graft.functions.CappedLongList.register(sh.sparkSession)
+    // ONE shuffle builds the inverted index as SIZE-CAPPED postings arrays:
+    // capped_collect keeps at most maxDf postings per shingle while
+    // counting the true df, so no aggregation buffer ever materializes a
+    // mega-group (a plain collect_list holds the whole group BEFORE any
+    // downstream filter can route it elsewhere — one boilerplate shingle
+    // shared by 10M docs is an executor OOM at 100 TB). df=1 groups can
+    // never contribute a pair — dropped without changing any output row
+    // (the unique-shingle mass is the vast majority in real corpora).
+    // The r2/r3 shape re-joined the postings against the hot-df set and
+    // then self-joined them (3 more shuffles of the full postings
     // relation); here candidate pairs are emitted directly from each
     // postings array, so the only other shuffles are the (d1, d2) count
     // and the (small) per-doc size joins. Postings stay a PRIMITIVE long
@@ -161,19 +167,24 @@ object LlmOps {
     // transform measured 15-40% slower end-to-end — per-pair struct field
     // extraction in the interpreted lambda costs more than the two
     // broadcastable joins it saved.
-    val postings = sh.groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
-      .where(size(col("ds")) >= 2)
-    val light = postings.where(size(col("ds")) <= maxDf)
+    val posts = sh.groupBy("sh")
+      .agg(expr(s"capped_collect(doc_id, $maxDf)").as("c"))
+      .select(col("sh"), col("c.ds").as("ds"), col("c.df").as("df"))
+      .where(col("df") >= 2)
+    // complete groups (df ≤ cap): all C(df,2) pairs emitted in place
+    val light = posts.where(col("df") <= maxDf)
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ds)-2), i -> " +
           "transform(sequence(i+1, size(ds)-1), j -> " +
           "named_struct('d1', least(ds[i], ds[j]), " +
           "'d2', greatest(ds[i], ds[j])))))")).as("p"))
       .select(col("p.d1"), col("p.d2"))
-    // heavy shingles (df > cap): back to (sh, doc) rows and equi-join —
-    // the shuffle spreads a huge group across partitions instead of one row
-    val heavyPost = postings.where(size(col("ds")) > maxDf)
-      .select(col("sh"), explode(col("ds")).as("doc"))
+    // heavy shingles (df > cap): their sampled ds is discarded — full
+    // postings re-derive by filtering the base relation on the (rare)
+    // heavy keys (broadcastable), then pair via equi-join so the shuffle
+    // spreads each huge group across partitions instead of one row
+    val heavyKeys = posts.where(col("df") > maxDf).select("sh")
+    val heavyPost = sh.join(heavyKeys, Seq("sh"))
     val heavy = heavyPost.toDF("sh", "d1")
       .join(heavyPost.toDF("sh2", "d2"),
         col("sh") === col("sh2") && col("d1") < col("d2"))

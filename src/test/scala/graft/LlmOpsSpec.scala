@@ -19,6 +19,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty, s"false positives past est_jac filter: ${lsh -- exact}")
   }
 
+  test("capped_collect keeps complete groups under the cap, exact df over it") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CappedLongList.register(spark)
+    import spark.implicits._
+    // group 'a': 3 values (under cap 5 — complete); 'b': 8 values (over)
+    val df = ((1L to 3L).map(("a", _)) ++ (10L to 17L).map(("b", _)))
+      .toDF("k", "v").repartition(4) // force multi-partition merges
+    val got = df.groupBy("k").agg(expr("capped_collect(v, 5)").as("c"))
+      .select(col("k"), col("c.ds").as("ds"), col("c.df").as("df"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1).toSet, r.getLong(2))).toMap
+    assert(got("a") == ((1L to 3L).toSet, 3L))
+    val (bDs, bDf) = (got("b")._1, got("b")._2)
+    assert(bDf == 8L)                       // df is exact past the cap
+    assert(bDs.size == 5 && bDs.subsetOf((10L to 17L).toSet)) // capped sample
+  }
+
   test("heavy-df join path of pair generation matches the in-array path") {
     // production cap (1024) routes every fixture shingle through the array
     // path; maxDf=2 forces almost all of them down the heavy equi-join

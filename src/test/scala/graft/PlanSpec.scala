@@ -155,8 +155,9 @@ class PlanSpec extends AnyFunSuite {
     // must sit behind its size(ds) > cap filter.
     val p = plan("j2_dedup_near")
     assert(p.contains("Generate explode(flatten(transform("), p)
-    assert(p.contains("(size(ds") && p.contains("> 256)"),
-      s"heavy-branch guard missing:\n$p")
+    assert(p.toLowerCase.contains("cappedlonglist"),
+      s"capped postings aggregate missing:\n$p")
+    assert(p.contains("> 256)"), s"heavy-branch guard missing:\n$p")
   }
 
   test("j2c reads PPJoin doc sizes off the postings, not a count join") {
