@@ -1069,6 +1069,41 @@ object LlmOps {
           128 + CAST('0x' || substr(digest,5,4) AS BIGINT) % 1024 AS fake_height
         FROM x ORDER BY doc_id""")),
 
+    // Benchmark decontamination — the training-data gate that keeps eval
+    // sets honest: flag train docs sharing 4-token n-grams with a
+    // benchmark corpus (here: source src0 stands in for the eval suite).
+    // The benchmark's distinct n-gram set is bounded by the SUITE size
+    // (thousands of docs even for a large eval harness), never by the
+    // corpus, so it broadcasts; train-side n-grams stream past it map-only
+    // and only matching grams reach the per-doc count. Grams move as
+    // xxhash64 longs (counts preserved; string never leaves its
+    // projection).
+    Q("j25_decontaminate",
+      (s, d) => {
+        val docs = docsTok(s, d).where(size(col("toks")) >= 4)
+        def grams(c: DataFrame) = c.select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks)-3), " +
+            "i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))")).as("g"))
+        val bench = grams(docs.where(col("source") === "src0"))
+          .select("g").distinct()
+        val train = grams(docs.where(col("source") =!= "src0"))
+        train.join(broadcast(bench), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+          .withColumn("contaminated", col("hits") >= 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS toks
+          FROM documents WHERE len(string_split(text,' ')) >= 4),
+        g AS (SELECT DISTINCT doc_id, source,
+            toks[i.i]||' '||toks[i.i+1]||' '||toks[i.i+2]||' '||toks[i.i+3] AS g
+          FROM tk, unnest(range(1, len(toks)-2)) i(i)),
+        b AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        t AS (SELECT doc_id, g AS gg FROM g WHERE source <> 'src0'),
+        hits AS (SELECT t.doc_id, COUNT(*) AS hits
+          FROM t JOIN b ON t.gg = b.g GROUP BY t.doc_id)
+        SELECT doc_id, hits, hits >= 3 AS contaminated
+        FROM hits ORDER BY doc_id""")),
+
     // Multimodal feature extraction: payload → fixed-dim embedding, the
     // stage between decode (m2) and similarity search (j3*). The extractor
     // here is the deterministic stub (8 dims off the md5 digest, scaled to
