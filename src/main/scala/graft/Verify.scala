@@ -20,6 +20,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // queries persist()/localCheckpoint() intermediates for intra-query
+        // reuse; released per query so 145 of them can't accumulate into
+        // eviction pressure over the run (the failure mode that once
+        // distorted the bench — see Bench.releaseCaches)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
