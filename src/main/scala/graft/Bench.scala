@@ -91,10 +91,13 @@ object Bench {
         // whole-RUN noise (machine load, GC alignment) has swung identical
         // binaries between 88 s and 102 s totals with every query shifted
         // by the same ~15-40% — a single sample per query measures the
-        // machine, not the operator. Re-run once and keep the min for
-        // everything but the multi-10-second outliers (where one run's
-        // signal already exceeds the noise and a rerun doubles wall-clock).
-        val t2 = if (t1 < 10.0) {
+        // machine, not the operator. Re-run once and keep the min. The
+        // threshold is deliberately far above every query's steady-state
+        // time (slowest ≈ 5 s): a load spike can triple a first run (a
+        // ~4 s query was once charged 13.9 s because it crossed a lower
+        // 10 s threshold and got no second chance), so only a genuinely
+        // pathological run (≥ 30 s) skips the rerun to bound wall-clock.
+        val t2 = if (t1 < 30.0) {
           // a rerun flake must not discard the valid first measurement nor
           // charge both runs' wall-clock — keep t1 and only note the flake
           try math.min(t1, once()) catch { case e: Throwable =>

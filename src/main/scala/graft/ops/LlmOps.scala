@@ -141,11 +141,28 @@ object LlmOps {
   private def nearDupPairs(s: SparkSession, d: String, maxDf: Int): DataFrame =
     jaccardPairs(shingles(s, d), shingleCounts(s, d), maxDf)
 
+  /** Pre-threshold pair statistics over the documents table — (d1, d2,
+    * inter, n1, n2) for every candidate pair sharing ≥1 shingle. Round5's
+    * containment dedup (j27) derives its asymmetric measure from the SAME
+    * pair pipeline j2/j14 use, rather than re-implementing it. */
+  private[graft] def docPairStats(s: SparkSession, d: String): DataFrame =
+    pairStats(shingles(s, d), shingleCounts(s, d), PairExplodeMaxDf)
+
   /** Pair-generation core over arbitrary postings: `shDf` is (doc_id, sh)
     * — one row per distinct (doc, shingle) — and `nDf` is (doc_id, n) with
     * each doc's distinct-shingle count. Split out so PropertySpec can fuzz
     * it against a brute-force reference on random corpora. */
   private[graft] def jaccardPairs(shDf: DataFrame, nDf: DataFrame,
+      maxDf: Int): DataFrame =
+    pairStats(shDf, nDf, maxDf)
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"))
+      .where(col("jac") >= 0.5)
+
+  /** The shared candidate-pair core behind jaccardPairs and j27's
+    * containment measure: emits (d1, d2, inter, n1, n2) with NO similarity
+    * threshold applied — callers derive their own measure. */
+  private[graft] def pairStats(shDf: DataFrame, nDf: DataFrame,
       maxDf: Int): DataFrame = {
     val sh = shDf
     val n = nDf
@@ -194,9 +211,6 @@ object LlmOps {
     inter
       .join(n.toDF("d1", "n1"), "d1")
       .join(n.toDF("d2", "n2"), "d2")
-      .withColumn("jac", col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter")).cast("double"))
-      .where(col("jac") >= 0.5)
   }
 
   /** Frequency-weighted 60-bit SimHash per doc — shared by j8 and j8b.

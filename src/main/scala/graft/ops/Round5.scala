@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-5 additions — scale-mechanics operators that exist at 100 TB but
+  * are invisible at toy SF, made graded + oracle-checked here:
+  *
+  *   - `a20_sort_layout` — range-partitioned, sorted data LAYOUT at write
+  *     time, so parquet row-group min/max stats line up with the query
+  *     predicate and scans skip whole files/row-groups.
+  *   - `c13_join_bloom` — runtime Bloom-filter join pruning (the manual,
+  *     always-on form of Spark's `InjectRuntimeFilter`): the probe side is
+  *     pre-filtered by a compact sketch of the selective build side before
+  *     it pays the shuffle.
+  *   - `j26_embed_quantize` — int8 symmetric embedding quantization (the
+  *     storage/bandwidth format ANN actually runs on at corpus scale: 4×
+  *     smaller vectors, integer dot products) with quantized cosine top-k.
+  *   - `j27_dedup_containment` — asymmetric near-CONTAINMENT dedup
+  *     (|A∩B| / min(|A|,|B|)): catches quote-and-extend / boilerplate-
+  *     wrapped copies whose Jaccard stays low because the larger doc's
+  *     union term dilutes it; shares j2/j14's single-shuffle pair core.
+  */
+object Round5 {
+
+  private def sinkDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def mSum(c: Column): Column = round(sum(dec(c)), 4).cast("double")
+
+  val all: Seq[Q] = Seq(
+
+    // Data layout as an operator: re-write lineitem range-partitioned AND
+    // sorted by l_shipdate, then run a 3-month range query over the new
+    // layout. Correctness is oracle-checked against the UNSORTED base
+    // table (layout must never change results); the scale payoff is that
+    // every parquet file now covers a narrow disjoint l_shipdate range
+    // (Round5Spec verifies the min/max footers), so the range predicate
+    // prunes ~95% of files at planning/footer time — at 100 TB the
+    // difference between touching TBs and touching GBs. repartitionByRange
+    // samples the key distribution, so skewed dates still split evenly.
+    Q("a20_sort_layout",
+      (s, d) => {
+        val out = sinkDir("a20")
+        t(s, d, "lineitem")
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), mSum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Runtime Bloom-filter join pruning: URGENT orders are ~20% of the
+    // orders table; the lineitem probe side learns that BEFORE its shuffle
+    // by testing xxhash64(l_orderkey) against a ~50 KB sketch of the
+    // selective side's keys, instead of shuffling 100% of lineitem into
+    // the join. Build is distributed (`stat.bloomFilter` treeAggregate);
+    // probe is Spark's own codegen'd BloomFilterMightContain — the same
+    // machinery InjectRuntimeFilter deploys automatically once the probe
+    // side crosses its 10 GB threshold (i.e. always, at 100 TB). False
+    // positives (3%) are removed by the join itself → exact output,
+    // oracle = the plain join.
+    Q("c13_join_bloom",
+      (s, d) => {
+        val dim = t(s, d, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val bytes = graft.functions.Bloom.build(dim, dim.count(), 0.03,
+          col("o_orderkey"))
+        t(s, d, "lineitem")
+          .where(graft.functions.Bloom.mightContain(s, bytes, col("l_orderkey")))
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            mSum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_lines,
+          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Int8 symmetric quantization (per-vector scale = max|v|/127, the
+    // standard embedding-compression format): 4× smaller vectors and
+    // integer dot products — at corpus scale the ANN index reads a quarter
+    // of the bytes and the candidate scoring is integer math. The top-k
+    // under QUANTIZED cosine is the graded result; every arithmetic step
+    // (scale, floor(x/scale + 0.5) — explicit half-up so Spark and DuckDB
+    // round ties identically — integer dot/norms) reproduces exactly in
+    // the oracle, and integer products summed in doubles are exact, so
+    // the sketch itself is hash-checked, not just spot-checked.
+    // Round5Spec additionally bounds the quantization error vs j3's exact
+    // top-k (recall ≥ 8/10 on the fixtures).
+    Q("j26_embed_quantize",
+      (s, d) => {
+        val q = t(s, d, "embeddings").select(col("vec_id"),
+            greatest(expr(
+              """aggregate(embedding, cast(0.0 as double),
+                (a, y) -> greatest(a, abs(cast(y as double)))) / 127.0"""),
+              lit(1e-12)).as("scale"),
+            col("embedding"))
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5) as bigint))")
+            .as("q"))
+        val probe = q.where(col("vec_id") === 0).select(col("q").as("q0"))
+        q.crossJoin(broadcast(probe)).where(col("vec_id") =!= 0)
+          .select(col("vec_id"), round(
+            expr("""aggregate(zip_with(q, q0, (x, y) -> cast(x * y as double)),
+                cast(0.0 as double), (a, b) -> a + b)""") /
+              (sqrt(expr("""aggregate(q, cast(0.0 as double),
+                  (a, x) -> a + cast(x * x as double))""")) *
+                sqrt(expr("""aggregate(q0, cast(0.0 as double),
+                  (a, x) -> a + cast(x * x as double))"""))), 6).as("cos_q"))
+          .orderBy(desc("cos_q"), asc("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dd,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+          sc AS (SELECT vec_id, GREATEST(MAX(ABS(v))/127.0, 1e-12) AS scale
+            FROM e GROUP BY vec_id),
+          q AS (SELECT e.vec_id, dd, CAST(FLOOR(v/scale + 0.5) AS BIGINT) AS qv
+            FROM e JOIN sc USING (vec_id)),
+          p AS (SELECT dd, qv FROM q WHERE vec_id = 0),
+          dots AS (SELECT q.vec_id, SUM(q.qv*p.qv) AS dot,
+              sqrt(SUM(q.qv*q.qv)) AS n1
+            FROM q JOIN p USING (dd) WHERE q.vec_id != 0 GROUP BY q.vec_id),
+          pn AS (SELECT sqrt(SUM(qv*qv)) AS n0 FROM p)
+        SELECT vec_id, ROUND(dot/(n1*(SELECT n0 FROM pn)),6) AS cos_q
+        FROM dots ORDER BY cos_q DESC, vec_id LIMIT 10""")),
+
+    // Near-containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.8. A doc pasted
+    // inside a larger one scores containment ≈ 1 while its Jaccard
+    // (|A∩B| / |A∪B|) is diluted below any usable threshold by the larger
+    // doc's extra shingles — in training corpora this is the quote/
+    // boilerplate-wrap duplication mode, distinct from j2's near-identity
+    // mode. Reuses the SAME single-shuffle capped-postings pair core as
+    // j2/j14 (pairStats), so the scale path is already proven; only the
+    // final measure differs.
+    Q("j27_dedup_containment",
+      (s, d) => LlmOps.docPairStats(s, d)
+        .withColumn("cont", col("inter").cast("double") /
+          least(col("n1"), col("n2")).cast("double"))
+        .where(col("cont") >= 0.8)
+        .select(col("d1"), col("d2"), round(col("cont"), 6).as("cont"))
+        .orderBy("d1", "d2"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d1, d2,
+          ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(n1.n, n2.n) AS DOUBLE), 6) AS cont
+        FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(LEAST(n1.n, n2.n) AS DOUBLE) >= 0.8
+        ORDER BY d1, d2"""))
+  )
+}
