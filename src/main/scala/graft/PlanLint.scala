@@ -11,6 +11,8 @@ object PlanLint {
   // dim×dim cross, all-pairs upper triangle, single-row probe broadcast)
   private val nljAllowed = Set("c8_join_cross", "j12_dedup_embed",
     "j3_sim_topk", "j3c_sim_native",
+    // quantized cosine: same 1-row probe broadcast as j3
+    "j26_embed_quantize",
     // IVF: vectors × broadcast centroids is the assignment step (k small
     // by construction), plus the 1-row probe broadcast
     "j3d_sim_ivf")

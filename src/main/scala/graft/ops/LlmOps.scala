@@ -18,6 +18,13 @@ import graft.Tables._
   * baseline; MinHash-LSH banding (j2b) and hyperplane-LSH ANN (j3b) are the
   * 100 TB paths — candidate generation via equi-join on bucket ids, never a
   * cartesian.
+  *
+  * Cache lifecycle: a few operators persist() an intermediate that feeds
+  * two branches of their own plan (marked at each site). The persist is
+  * part of the query; it lives until the session releases it — callers
+  * that measure queries independently must `spark.catalog.clearCache()`
+  * between queries (Bench/Verify do, in a finally), or Spark's
+  * CacheManager will serve one query's cached subtree to the next.
   */
 object LlmOps {
 
@@ -31,7 +38,7 @@ object LlmOps {
     * leaves the projection that created it. Counts are preserved modulo
     * 64-bit collisions (P ≈ n²/2⁶⁵, negligible; accepted for j2/j14/j2c —
     * their oracles have hash-matched at every SF). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(toks)-2), " +
@@ -41,7 +48,7 @@ object LlmOps {
     * map-only scan of `documents` — no explode, no shuffle. Equals
     * shingles(…).groupBy(doc_id).count() by construction (both count the
     * same array_distinct). */
-  private def shingleCounts(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleCounts(s: SparkSession, d: String): DataFrame =
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "size(array_distinct(transform(sequence(1, size(toks)-2), " +
@@ -73,8 +80,8 @@ object LlmOps {
 
   // 32 minhash permutations, banded 8×4. Seeds are fixed literals —
   // deterministic across runs and executors.
-  private val MinhashK = 32
-  private val BandSize = 4
+  private[graft] val MinhashK = 32
+  private[graft] val BandSize = 4
 
   // Universal-hash permutation constants: a, b drawn uniformly from
   // [1, p) / [0, p) once (seed 20260812) and frozen as literals — the
@@ -102,7 +109,7 @@ object LlmOps {
     * md5-derived base hash per shingle, 32 universal-hash permutations
     * (a·h + b) mod p, min per slot. Deterministic and exactly reproducible
     * in the DuckDB oracle — see the MinhashA/MinhashB notes above. */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val sh = stringShingles(s, d)
       .select(col("doc_id"), expr(
         s"cast(conv(substring(md5(sh),1,15),16,10) as bigint) % $MinhashP").as("h"))

@@ -33,6 +33,25 @@ object Round5 {
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
   private def mSum(c: Column): Column = round(sum(dec(c)), 4).cast("double")
 
+  /** 16-bit Morton spread via the standard binary-magic-numbers ladder —
+    * 4 codegen'd bitwise ops, NOT a 16-iteration HOF lambda (the lambda
+    * form measured 7.6 s vs ~1.5 s for the whole a21 query at sf0.1: an
+    * interpreted per-bit loop per row is exactly the expression shape
+    * whole-stage codegen exists to avoid). */
+  private def spread16(c: Column): Column = {
+    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (e.bitwiseOR(shiftleft(e, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Interleave two 16-bit values into one 32-bit z-value (x in even
+    * bits, y in odd). Inputs above 2¹⁶ lose high bits — degrades pruning
+    * locality, never correctness. */
+  private[graft] def zOrder16(x: Column, y: Column): Column =
+    spread16(x.bitwiseAND(lit(0xFFFFL))) +
+      spread16(y.bitwiseAND(lit(0xFFFFL))) * 2
+
   val all: Seq[Q] = Seq(
 
     // Data layout as an operator: re-write lineitem range-partitioned AND
@@ -171,6 +190,118 @@ object Round5 {
           ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(n1.n, n2.n) AS DOUBLE), 6) AS cont
         FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         WHERE CAST(inter AS DOUBLE) / CAST(LEAST(n1.n, n2.n) AS DOUBLE) >= 0.8
-        ORDER BY d1, d2"""))
+        ORDER BY d1, d2""")),
+
+    // Z-order (Morton) layout: interleave the bits of TWO predicate
+    // dimensions into one sort key, range-partition + sort by it, and
+    // BOTH single-dim predicates prune files — a 1-D sort (a20) only ever
+    // prunes its own sort column; at 100 TB the second dimension is the
+    // difference between reading a date-slice of everything and reading a
+    // date-slice of a few parts. 16 bits/dim here (shipdate day offset
+    // spans ~2,500 < 2¹⁶; partkeys above 2¹⁶ would simply degrade pruning,
+    // never correctness — the layout changes ORDER, not content, which is
+    // exactly what the unsorted-base-table oracle checks). Round5Spec
+    // verifies the mechanism: per-file (shipdate × partkey) bounding boxes,
+    // query-box intersection strictly below the file count.
+    Q("a21_zorder",
+      (s, d) => {
+        val out = sinkDir("a21")
+        t(s, d, "lineitem")
+          .withColumn("zval", zOrder16(
+            expr("cast(datediff(l_shipdate, date '1995-01-01') as bigint)"),
+            col("l_partkey")))
+          .repartitionByRange(16, col("zval"))
+          .sortWithinPartitions("zval")
+          .drop("zval")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-07-01").cast("timestamp") &&
+            col("l_partkey") < 500)
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"), mSum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+          AND l_partkey < 500
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // Incremental dedup — the ingest-time shape at 100 TB: a new batch is
+    // deduped AGAINST the standing corpus without ever re-pairing the
+    // corpus with itself. Corpus = even doc_ids, incoming = odd (a
+    // deterministic stand-in for yesterday/today). Both sides carry j2b's
+    // 32-slot MinHash signatures; candidates come from an equi-join of the
+    // incoming batch's 8 band-hashes against the CORPUS band index (at
+    // scale that index is precomputed and hash-partitioned by (band, bh) —
+    // the incoming side shuffles, the corpus side is already in place),
+    // and only candidates pay the exact shingle-intersection verify. The
+    // full sketch → band → candidate → exact-verify cascade reproduces in
+    // DuckDB, so the whole incremental path is hash-checked.
+    Q("j28_dedup_incremental",
+      (s, d) => {
+        val sig = LlmOps.minhashSigs(s, d)
+        val nBands = LlmOps.MinhashK / LlmOps.BandSize
+        def bandsOf(df: DataFrame) = df.select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+            s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*${LlmOps.BandSize}+1, ${LlmOps.BandSize}))) as bh))")).as("bb"))
+          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        val corpusBands = bandsOf(sig.where(col("doc_id") % 2 === 0))
+        val incomingBands = bandsOf(sig.where(col("doc_id") % 2 === 1))
+        val cand = incomingBands.toDF("d_inc", "band", "bh")
+          .join(corpusBands.toDF("d_corp", "band2", "bh2"),
+            col("band") === col("band2") && col("bh") === col("bh2"))
+          .select("d_inc", "d_corp").distinct()
+        // exact verify, candidates only: shingle postings semi-joined to
+        // each side's candidate docs, intersection counted per pair
+        val sh = LlmOps.shingles(s, d)
+        val n = LlmOps.shingleCounts(s, d)
+        val shInc = sh.toDF("d_inc", "sh")
+          .join(cand.select("d_inc").distinct(), "d_inc")
+        val shCorp = sh.toDF("d_corp", "sh")
+          .join(cand.select("d_corp").distinct(), "d_corp")
+        val inter = shInc.join(shCorp, "sh")
+          .groupBy("d_inc", "d_corp").agg(count(lit(1)).as("inter"))
+          .join(cand, Seq("d_inc", "d_corp")) // only LSH candidates count
+        inter
+          .join(n.toDF("d_inc", "n1"), "d_inc")
+          .join(n.toDF("d_corp", "n2"), "d_corp")
+          .withColumn("jac", col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")).cast("double"))
+          .where(col("jac") >= 0.5)
+          .select(col("d_inc"), col("d_corp"), round(col("jac"), 6).as("jac"))
+          .orderBy("d_inc", "d_corp")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+        shs AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        sh AS (SELECT doc_id,
+            CAST('0x' || substr(md5(sh),1,15) AS BIGINT) % 2147483647 AS h FROM shs),
+        seeds AS (SELECT unnest(range(0, 32)) AS i,
+          unnest([114060684, 143607338, 658016613, 1920833001, 1625018798, 2115868157, 1839658157, 1370607936, 1314768563, 1516846533, 899342927, 1761721496, 1792449689, 2056989732, 1252576877, 638180912, 516347111, 86660098, 1034123048, 390694563, 1490082987, 1456092804, 997229159, 1263980514, 768208874, 373428981, 381249820, 1284903395, 434862591, 97658014, 635475302, 570517315]) AS a,
+          unnest([1522425843, 334529765, 1689677233, 1003823822, 1509779900, 1177694471, 385288776, 1001072043, 1286760556, 1140912466, 1555416272, 1474034036, 137111194, 1024637812, 1326353219, 494970825, 731651806, 1540310342, 993191396, 888645945, 1275083898, 325350617, 1359272703, 771243134, 711658336, 269452704, 606543124, 1932692492, 242146161, 1168033289, 31958265, 1568728816]) AS b),
+        mh AS (SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+          FROM sh, seeds GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        cand AS (SELECT DISTINCT i.doc_id AS d_inc, c.doc_id AS d_corp
+          FROM sig i JOIN sig c
+            ON i.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+            AND EXISTS (SELECT 1 FROM unnest(range(0, 8)) r(b)
+              WHERE list_slice(i.sig, r.b*4+1, r.b*4+4) = list_slice(c.sig, r.b*4+1, r.b*4+4))),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM shs GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS d_inc, b.doc_id AS d_corp, COUNT(*) AS inter
+          FROM shs a JOIN shs b ON a.sh = b.sh
+          JOIN cand ON a.doc_id = cand.d_inc AND b.doc_id = cand.d_corp
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d_inc, d_corp,
+          ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 6) AS jac
+        FROM inter JOIN n n1 ON d_inc = n1.doc_id JOIN n n2 ON d_corp = n2.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5
+        ORDER BY d_inc, d_corp"""))
   )
 }

@@ -113,4 +113,62 @@ class Round5Spec extends AnyFunSuite {
     assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
     assert(expect.nonEmpty, "fixture should contain at least one containment pair")
   }
+
+  test("a21: z-order bounds BOTH dimensions per file; 1-D sort only bounds its own") {
+    val out = java.nio.file.Files.createTempDirectory("graft_a21spec").toString
+    spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .withColumn("zval", graft.ops.Round5.zOrder16(
+        expr("cast(datediff(l_shipdate, date '1995-01-01') as bigint)"),
+        col("l_partkey")))
+      .repartitionByRange(16, col("zval")).sortWithinPartitions("zval")
+      .drop("zval").write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 4)
+    // per-file bounding box in (shipdate, partkey); the query box is the
+    // a21 predicate — z-order locality must leave some files fully outside
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("l_shipdate").cast("string")), max(col("l_shipdate").cast("string")),
+          min("l_partkey"), max("l_partkey")).head()
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    }
+    val hit = boxes.count { case (dLo, dHi, pLo, pHi) =>
+      dHi >= "1997-01-01" && dLo < "1997-07-01" && pLo < 500L
+    }
+    assert(hit < files.length,
+      s"z-order pruned nothing: $hit/${files.length} files intersect the 2-D query box")
+    // layout never changes results
+    val a = run("a21_zorder").collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp") &&
+        col("l_partkey") < 500)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 4).cast("double").as("sum_qty"))
+      .orderBy("l_linestatus").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("j28: incremental dedup is exact on verified pairs and recovers planted dups") {
+    val got = run("j28_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted (incoming, corpus) pair must be odd → even
+    got.foreach { case (i, c) =>
+      assert(i % 2 == 1 && c % 2 == 0, s"wrong split: ($i, $c)")
+    }
+    // exact mixed-parity near-dups at jac ≥ 0.8 are near-certain LSH
+    // catches (8×4 banding: P[miss] ≈ (1−0.8⁴)⁸ < 3%·… ≈ 2% worst case;
+    // the planted fixture dups are ≥ 0.9 → P[miss] ≈ 2e-4) — all of them
+    // must be present, or the band join is broken
+    val planted = run("j2_dedup_near").collect()
+      .filter(r => r.getDouble(2) >= 0.8)
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a + b) % 2 == 1 }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }
+      .toSet
+    assert(planted.subsetOf(got), s"LSH missed planted dups: ${planted -- got}")
+    assert(got.nonEmpty, "fixture should contain mixed-parity near-dups")
+  }
 }
