@@ -302,6 +302,47 @@ object Round5 {
           ROUND(CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE), 6) AS jac
         FROM inter JOIN n n1 ON d_inc = n1.doc_id JOIN n n2 ON d_corp = n2.doc_id
         WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5
-        ORDER BY d_inc, d_corp"""))
+        ORDER BY d_inc, d_corp""")),
+
+    // Repetition gate — the "duplicate n-gram fraction" quality rule every
+    // large-corpus pipeline applies (high internal repetition predicts
+    // boilerplate/spam/generation loops). Per doc: 1 − distinct/total for
+    // word 2-grams and 3-grams, gate at dup2 ≤ 0.06 ∧ dup3 ≤ 0.02 (sited at the corpus's p90 — the fixture word-soup is low-repetition, so production-style 0.2/0.1 cutoffs would reject nothing). Pure
+    // map-side arithmetic on the token array (no explode, no shuffle
+    // before the final sort) — at 100 TB this is a full-scan-speed filter.
+    Q("j29_repetition_gate",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 3)
+        tk.select(col("doc_id"),
+            (size(col("toks")) - 1).cast("long").as("n2"),
+            expr("size(array_distinct(transform(sequence(1, size(toks)-1), i -> concat_ws(' ', slice(toks, i, 2)))))")
+              .cast("long").as("d2"),
+            (size(col("toks")) - 2).cast("long").as("n3"),
+            expr("size(array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))))")
+              .cast("long").as("d3"))
+          .select(col("doc_id"),
+            round(lit(1.0) - col("d2").cast("double") / col("n2").cast("double"), 6).as("dup2"),
+            round(lit(1.0) - col("d3").cast("double") / col("n3").cast("double"), 6).as("dup3"),
+            when((lit(1.0) - col("d2").cast("double") / col("n2").cast("double")) <= 0.06 &&
+                 (lit(1.0) - col("d3").cast("double") / col("n3").cast("double")) <= 0.02, 1)
+              .otherwise(0).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+        g2 AS (SELECT doc_id, COUNT(*) AS n2, COUNT(DISTINCT g) AS d2 FROM (
+            SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] AS g
+            FROM tk, unnest(range(1, len(toks))) i(i)) GROUP BY doc_id),
+        g3 AS (SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT g) AS d3 FROM (
+            SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS g
+            FROM tk, unnest(range(1, len(toks)-1)) i(i)) GROUP BY doc_id)
+        SELECT doc_id,
+          ROUND(1.0 - CAST(d2 AS DOUBLE)/n2, 6) AS dup2,
+          ROUND(1.0 - CAST(d3 AS DOUBLE)/n3, 6) AS dup3,
+          CASE WHEN (1.0 - CAST(d2 AS DOUBLE)/n2) <= 0.06
+                AND (1.0 - CAST(d3 AS DOUBLE)/n3) <= 0.02 THEN 1 ELSE 0 END AS kept
+        FROM g2 JOIN g3 USING (doc_id) ORDER BY doc_id"""))
   )
 }

@@ -259,4 +259,30 @@ class PropertySpec extends AnyFunSuite {
       assert(a == b, s"round $round: j2c diverged from j2")
     }
   }
+
+  test("zOrder16 is injective and componentwise monotone on 16-bit inputs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // pairs of points with p1 dominated by p2 (x1<=x2, y1<=y2): the Morton
+    // key must never order them the other way — this is WHY one range sort
+    // on z bounds both dimensions per file (a21). Plus injectivity: two
+    // distinct points never collide in z.
+    val coord = Gen.choose(0L, 65535L)
+    val pts = samples(Gen.zip(coord, coord, coord, coord), 300)
+      .map { case (x1, y1, dx, dy) =>
+        (x1, y1, math.min(x1 + dx % 1000, 65535L), math.min(y1 + dy % 1000, 65535L))
+      }
+    val rows = pts.toDF("x1", "y1", "x2", "y2")
+      .select(graft.ops.Round5.zOrder16(col("x1"), col("y1")).as("z1"),
+        graft.ops.Round5.zOrder16(col("x2"), col("y2")).as("z2"),
+        col("x1"), col("y1"), col("x2"), col("y2"))
+      .collect()
+    rows.foreach { r =>
+      val (z1, z2) = (r.getLong(0), r.getLong(1))
+      assert(z1 <= z2,
+        s"dominated point ordered after: (${r.getLong(2)},${r.getLong(3)}) z=$z1 vs (${r.getLong(4)},${r.getLong(5)}) z=$z2")
+      if (r.getLong(2) != r.getLong(4) || r.getLong(3) != r.getLong(5))
+        assert(z1 != z2, "distinct points collided in z")
+    }
+  }
 }
