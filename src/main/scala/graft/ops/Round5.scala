@@ -343,6 +343,42 @@ object Round5 {
           ROUND(1.0 - CAST(d3 AS DOUBLE)/n3, 6) AS dup3,
           CASE WHEN (1.0 - CAST(d2 AS DOUBLE)/n2) <= 0.06
                 AND (1.0 - CAST(d3 AS DOUBLE)/n3) <= 0.02 THEN 1 ELSE 0 END AS kept
-        FROM g2 JOIN g3 USING (doc_id) ORDER BY doc_id"""))
+        FROM g2 JOIN g3 USING (doc_id) ORDER BY doc_id""")),
+
+    // Salted join under synthetic 75% single-key skew: the hot key is
+    // spread over 8 deterministic sub-keys (hash salt — NEVER rand(), a
+    // re-run speculative task must re-salt identically) and the right side
+    // replicates 8×, so no reducer owns the whole hot key. This is the
+    // plan-level fix for the case AQE's runtime skew split can't reach
+    // (its 256 MB partition threshold never fires at bench SF, and salted
+    // shapes also survive single-partition hot keys that defeat AQE's
+    // split-by-size). Oracle = the same synthesized-key join, unsalted.
+    Q("c14_join_salted",
+      (s, d) => {
+        val fact = t(s, d, "lineitem")
+          .withColumn("jk",
+            when(col("l_orderkey") % 4 =!= 0, lit(42L))
+              .otherwise(col("l_orderkey")))
+        val dim = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        Skew.saltedJoin(fact, dim, "jk", "o_orderkey",
+            col("l_orderkey") * 8 + col("l_linenumber"), 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"), mSum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
+          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders
+          ON (CASE WHEN l_orderkey % 4 <> 0 THEN 42 ELSE l_orderkey END) = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Bounded-state streaming dedup (dropDuplicatesWithinWatermark) — the
+    // form of i5 that survives an unbounded stream: dedup state is evicted
+    // once the watermark passes, so it is O(window), not O(stream). The
+    // harness re-sends the full event set inside the watermark window; all
+    // resends drop, output equals the batch distinct (oracle).
+    Q("i13_stream_dedup_watermark",
+      (s, d) => graft.streaming.Streams.i13(s, d),
+      Some("SELECT event_id, user_id FROM events ORDER BY event_id"))
   )
 }

@@ -118,6 +118,38 @@ object Streams {
     s.table(qn).orderBy("event_id")
   }
 
+  /** i13 — `dropDuplicatesWithinWatermark`: the BOUNDED-STATE form of i5.
+    * Plain streaming dropDuplicates holds every key seen forever — at
+    * 100 TB/day of events the dedup state itself becomes the bottleneck.
+    * The within-watermark variant evicts state once the watermark passes
+    * an event's time, so state is O(events per watermark window), the only
+    * shape that survives an unbounded stream. Harness: the full event set,
+    * then the SAME set re-sent in a second micro-batch — every resend is
+    * inside the 1 h watermark window (or below the watermark entirely),
+    * so all are dropped and the output equals the distinct batch result
+    * (the oracle). */
+  def i13(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val stream = MemoryStream[Ev]
+    val deduped = stream.toDF()
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"))
+    val qn = "i13_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("i13ck")).start()
+    stream.addData(evs.toSeq)
+    q.processAllAvailable()
+    stream.addData(evs.toSeq) // exact resend — dedup state must still hold
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("event_id")
+  }
+
   /** Per-user open-session state for i7. */
   case class SessState(sessStart: Long, lastTs: Long, n: Long)
 

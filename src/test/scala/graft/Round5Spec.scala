@@ -171,4 +171,49 @@ class Round5Spec extends AnyFunSuite {
     assert(planted.subsetOf(got), s"LSH missed planted dups: ${planted -- got}")
     assert(got.nonEmpty, "fixture should contain mixed-parity near-dups")
   }
+
+  test("i13: dedup state is evicted past the watermark (the bounded-state trade)") {
+    import graft.streaming.Streams.Ev
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600L * 1000
+    def run(bounded: Boolean): Seq[Long] = {
+      val ms = MemoryStream[Ev]
+      val base = ms.toDF()
+        .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts_t", "1 hour")
+      val deduped = (if (bounded) base.dropDuplicatesWithinWatermark("event_id")
+        else base.dropDuplicates("event_id")).select("event_id")
+      val qn = "i13sem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val ck = java.nio.file.Files.createTempDirectory("graft_i13sem").toString
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName(qn).option("checkpointLocation", ck).start()
+      // (B offset: timestamp 0 itself is swallowed at the epoch boundary)
+      val B = 100 * H
+      // batch 1: id=1 at B plus a sentinel at B+3h → watermark B+2h at
+      // batch end, so id=1's dedup state (expires B+1h) becomes evictable
+      ms.addData(Ev(1L, B, 0L, "a", 0.0), Ev(99L, B + 3 * H, 0L, "a", 0.0))
+      q.processAllAvailable()
+      // batch 2: any row — eviction runs at THIS batch's end with the
+      // B+2h watermark, removing id=1 from the bounded store
+      ms.addData(Ev(98L, B + 3 * H, 0L, "a", 0.0))
+      q.processAllAvailable()
+      // batch 3: id=1 re-arrives ABOVE the watermark (B+2.5h — a retry
+      // stamped with a fresh time, the realistic duplicate at scale; any
+      // retry still carrying its ORIGINAL time would be below the
+      // watermark by the time its state evicts, i.e. dropped as late)
+      ms.addData(Ev(1L, B + 2 * H + H / 2, 0L, "a", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(qn).collect().map(_.getLong(0)).toSeq.sorted
+    }
+    // unbounded dropDuplicates: state never evicts → retry suppressed; the
+    // price is O(stream) state. Within-watermark: state already evicted →
+    // the retry re-emits; the price of O(window) state — and re-sends with
+    // their ORIGINAL timestamp still never duplicate (registry harness
+    // proves that: i13's oracle run re-sends the whole event set).
+    assert(run(bounded = false) == Seq(1L, 98L, 99L))
+    assert(run(bounded = true) == Seq(1L, 1L, 98L, 99L))
+  }
 }
