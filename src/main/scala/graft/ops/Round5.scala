@@ -10,10 +10,14 @@ import graft.Tables._
   *   - `a20_sort_layout` — range-partitioned, sorted data LAYOUT at write
   *     time, so parquet row-group min/max stats line up with the query
   *     predicate and scans skip whole files/row-groups.
+  *   - `a21_zorder` — the two-dimensional form: Morton bit-interleave of
+  *     (shipdate, partkey), so BOTH predicates prune files.
   *   - `c13_join_bloom` — runtime Bloom-filter join pruning (the manual,
   *     always-on form of Spark's `InjectRuntimeFilter`): the probe side is
   *     pre-filtered by a compact sketch of the selective build side before
   *     it pays the shuffle.
+  *   - `c14_join_salted` — deterministic salt spread for a hot join key
+  *     (the plan-level fix where AQE's runtime skew split can't reach).
   *   - `j26_embed_quantize` — int8 symmetric embedding quantization (the
   *     storage/bandwidth format ANN actually runs on at corpus scale: 4×
   *     smaller vectors, integer dot products) with quantized cosine top-k.
@@ -21,6 +25,15 @@ import graft.Tables._
   *     (|A∩B| / min(|A|,|B|)): catches quote-and-extend / boilerplate-
   *     wrapped copies whose Jaccard stays low because the larger doc's
   *     union term dilutes it; shares j2/j14's single-shuffle pair core.
+  *   - `j28_dedup_incremental` — an incoming batch deduped against the
+  *     standing corpus through the MinHash band index; the corpus is
+  *     never re-paired with itself.
+  *   - `j29_repetition_gate` — duplicate n-gram fraction quality rule,
+  *     map-only (full-scan-speed, zero shuffle).
+  *   - `j30_source_mixture` — temperature (α=0.5) source reweighting with
+  *     deterministic hash membership, the retry-safe data-mixing step.
+  *   - `i13_stream_dedup_watermark` — bounded-state streaming dedup
+  *     (state O(window), not O(stream)) via dropDuplicatesWithinWatermark.
   */
 object Round5 {
 
@@ -379,6 +392,45 @@ object Round5 {
     // resends drop, output equals the batch distinct (oracle).
     Q("i13_stream_dedup_watermark",
       (s, d) => graft.streaming.Streams.i13(s, d),
-      Some("SELECT event_id, user_id FROM events ORDER BY event_id"))
+      Some("SELECT event_id, user_id FROM events ORDER BY event_id")),
+
+    // Temperature-based source mixture (α = 0.5) — the data-mixing step a
+    // pretraining pipeline runs after cleaning: per-source weights
+    // w_s = n_s^α flatten the natural distribution (upweights small
+    // sources), target take for budget B·T is B·T·w_s/Σw, i.e. keep
+    // probability p_s = min(1, B·T/(Σw·√n_s)). Membership is the same
+    // deterministic md5-bucket device as j22b — no RNG, stable across
+    // retries/cluster sizes, byte-reproducible in the oracle. The only
+    // data-dependent scalars (T, Σw) ride a broadcast 1-row cross join —
+    // no driver round-trip, works at any corpus size. Thresholds are
+    // ROUNDed to integer millionths so the Spark and DuckDB double
+    // summations of Σw cannot disagree at the comparison.
+    Q("j30_source_mixture",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy("source")
+          .agg(count(lit(1)).cast("double").as("n"))
+        val z = counts.agg(sum(sqrt(col("n"))).as("z"),
+          sum(col("n")).as("tt"))
+        val thresh = counts.crossJoin(broadcast(z))
+          .select(col("source"),
+            round(lit(1e6) * least(lit(1.0),
+              lit(0.4) * col("tt") / (col("z") * sqrt(col("n")))))
+              .cast("long").as("thresh"))
+        docs.join(broadcast(thresh), "source")
+          .where(expr("cast(conv(substring(md5(cast(doc_id as string)),9,8),16,10) as bigint) % 1000000")
+            < col("thresh"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM documents GROUP BY source),
+          z AS (SELECT SUM(sqrt(n)) AS z, SUM(n) AS tt FROM c),
+          p AS (SELECT source,
+              CAST(ROUND(1e6 * LEAST(1.0, 0.4 * tt / (z * sqrt(n)))) AS BIGINT) AS thresh
+            FROM c, z)
+        SELECT d.doc_id, d.source FROM documents d JOIN p USING (source)
+        WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),9,8) AS BIGINT) % 1000000 < thresh
+        ORDER BY d.doc_id"""))
   )
 }

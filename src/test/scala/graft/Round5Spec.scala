@@ -216,4 +216,28 @@ class Round5Spec extends AnyFunSuite {
     assert(run(bounded = false) == Seq(1L, 98L, 99L))
     assert(run(bounded = true) == Seq(1L, 1L, 98L, 99L))
   }
+
+  test("j30: mixture take lands on the 40% budget and flattens a skewed corpus") {
+    // fixture corpus: take ≈ budget within md5-bucket binomial noise
+    val total = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").count()
+    val take = run("j30_source_mixture").count()
+    val frac = take.toDouble / total
+    assert(frac > 0.3 && frac < 0.5, s"take fraction $frac far from 0.4 budget")
+    // synthetic skew: α=0.5 must give the SMALL source a higher keep RATE
+    // than the large one (that is what temperature reweighting is for)
+    val dir = java.nio.file.Files.createTempDirectory("graft_j30").toString
+    import spark.implicits._
+    ((0L until 2000L).map(i => (i, "big")) ++ (2000L until 2100L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+      .withColumn("text", lit("x y z")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", lit(5L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("j30_source_mixture")(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigRate = got.getOrElse("big", 0L).toDouble / 2000.0
+    val smallRate = got.getOrElse("small", 0L).toDouble / 100.0
+    assert(smallRate > bigRate,
+      s"temperature failed to flatten: small=$smallRate big=$bigRate")
+  }
 }
