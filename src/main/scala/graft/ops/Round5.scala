@@ -431,6 +431,33 @@ object Round5 {
             FROM c, z)
         SELECT d.doc_id, d.source FROM documents d JOIN p USING (source)
         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),9,8) AS BIGINT) % 1000000 < thresh
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // Mergeable distinct-count sketches (Datasketches HLL, the successor
+    // tier to d7's HLL++): per-group sketches PLUS their union re-estimated
+    // — the property 100 TB aggregation lives on: compute per-day/partition
+    // sketches once, merge any rollup later without rescanning (partial
+    // aggregation made durable). Estimates are approximate → scalatest
+    // bounds (d7/d18's grading mode), union row must reconcile against the
+    // global exact count. lgK=14 ⇒ ~1.6% RSE, 16 KB per sketch.
+    Q("d19_hll_partial_merge",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("graft_d19_orders")
+        s.sql("""
+          WITH parts AS (
+            SELECT o_orderpriority, hll_sketch_agg(o_custkey, 14) AS sk,
+                   COUNT(DISTINCT o_custkey) AS exact_nd
+            FROM graft_d19_orders GROUP BY o_orderpriority)
+          SELECT o_orderpriority,
+                 CAST(hll_sketch_estimate(sk) AS BIGINT) AS est_nd, exact_nd
+          FROM parts
+          UNION ALL
+          SELECT 'ALL',
+                 CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT),
+                 (SELECT COUNT(DISTINCT o_custkey) FROM graft_d19_orders)
+          FROM parts
+          ORDER BY o_orderpriority""")
+      },
+      None)
   )
 }

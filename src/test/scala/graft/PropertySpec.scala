@@ -260,6 +260,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containment (j27) and incremental (j28) dedup fuzz vs driver brute force") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val gDoc = Gen.listOfN(12, Gen.choose(0, words.size - 1))
+    (0 until 3).foreach { round =>
+      val bases = samples(gDoc, 8).map(_.map(words).mkString(" "))
+      val docs = bases.zipWithIndex.flatMap { case (text, i) =>
+        val toks = text.split(" ")
+        Seq(
+          (i * 10L, text),                                   // base (even)
+          (i * 10L + 1, (toks.dropRight(1) :+ "omega").mkString(" ")), // marginal near-dup (odd)
+          (i * 10L + 3, text + " omega2"),                   // high-jac extension (odd)
+          (i * 10L + 4, text + " nza nzb nzc nzd nze nzf"))  // containment wrap (even)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cfz$round")
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("gen"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val sets = docs.map { case (id, text) =>
+        id -> text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      // j27: full equality against brute-force containment ≥ 0.8
+      val expectCont = (for {
+        ((d1, s1), i) <- sets.zipWithIndex; (d2, s2) <- sets.drop(i + 1)
+        inter = (s1 & s2).size
+        cont = inter.toDouble / math.min(s1.size, s2.size) if cont >= 0.8
+      } yield {
+        val (lo, hi) = if (d1 < d2) (d1, d2) else (d2, d1)
+        (lo, hi, r6(cont))
+      }).toSet
+      val gotCont = SparkEntry.queries("j27_dedup_containment")(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r6(r.getDouble(2)))).toSet
+      assert(gotCont == expectCont,
+        s"round $round j27: extra=${gotCont -- expectCont} missing=${expectCont -- gotCont}")
+      assert(expectCont.nonEmpty)
+      // j28: every emitted pair exact (⊆ brute-force mixed-parity ≥ 0.5
+      // with the right value); the high-jac plants (~0.9) must be found
+      // (LSH recovery is deterministic here — fixed corpus, fixed seeds)
+      val exact = (for {
+        (d1, s1) <- sets; (d2, s2) <- sets
+        if d1 % 2 == 1 && d2 % 2 == 0
+        inter = (s1 & s2).size
+        jac = inter.toDouble / (s1.size + s2.size - inter) if jac >= 0.5
+      } yield (d1, d2) -> r6(jac)).toMap
+      val got28 = SparkEntry.queries("j28_dedup_incremental")(spark, dir.toString)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r6(r.getDouble(2)))).toMap
+      got28.foreach { case (pair, jac) =>
+        assert(exact.get(pair).contains(jac),
+          s"round $round j28: $pair=$jac not in brute force ${exact.get(pair)}")
+      }
+      val plants = bases.indices.map(i => (i * 10L + 3, i * 10L)).filter(exact.contains)
+      assert(plants.nonEmpty)
+      plants.foreach { p =>
+        assert(got28.contains(p), s"round $round j28: missed planted pair $p")
+      }
+    }
+  }
+
   test("zOrder16 is injective and componentwise monotone on 16-bit inputs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -240,4 +240,19 @@ class Round5Spec extends AnyFunSuite {
     assert(smallRate > bigRate,
       s"temperature failed to flatten: small=$smallRate big=$bigRate")
   }
+
+  test("d19: per-group HLL sketches and their union estimate within bounds") {
+    val rows = run("d19_hll_partial_merge").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length >= 2 && rows.exists(_._1 == "ALL"))
+    rows.foreach { case (g, est, exact) =>
+      val err = math.abs(est - exact).toDouble / exact
+      // lgK=14 ⇒ RSE ≈ 1.6%/√... — 5% is a generous 3σ bound
+      assert(err <= 0.05, s"group $g: estimate $est vs exact $exact (err $err)")
+    }
+    // the merged sketch must cover at least the biggest part (union ≥ max)
+    val all = rows.find(_._1 == "ALL").get._2
+    val maxPart = rows.filter(_._1 != "ALL").map(_._2).max
+    assert(all >= maxPart)
+  }
 }
