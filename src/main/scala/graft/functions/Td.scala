@@ -47,6 +47,14 @@ object Td {
     tsNanos >= lit(ns(fromIso)) && tsNanos < lit(ns(toIso))
   }
 
+  /** Instant-bounded variant, for composition with `tdScheduledTime` /
+    * `tdIntervalSeconds` (h17's TD_TIME_RANGE(time, TD_TIME_ADD(
+    * TD_SCHEDULED_TIME(), '-7d'), TD_SCHEDULED_TIME()) idiom). */
+  def tdTimeRangeNanos(tsNanos: Column, from: java.time.Instant,
+      to: java.time.Instant): Column =
+    tsNanos >= lit(from.toEpochMilli * 1000000L) &&
+      tsNanos < lit(to.toEpochMilli * 1000000L)
+
   /** TD_DATE_TRUNC('unit', t) — unit ∈ second/minute/hour/day/week/month/quarter/year. */
   def tdDateTrunc(unit: String, ts: Column): Column = date_trunc(unit, ts)
 
@@ -59,6 +67,39 @@ object Td {
   /** TD_TIME_ADD(t, n, 'unit') — timestamp arithmetic via native intervals. */
   def tdTimeAdd(ts: Column, n: Int, unit: String): Column =
     ts + expr(s"INTERVAL $n $unit")
+
+  /** TD_INTERVAL relative-duration spec → signed seconds. Grammar:
+    * optional sign, then one or more <int><unit> terms, unit ∈
+    * s/m/h/d/w ("-7d", "12h", "1d12h", "-30s", "2w"). The reference uses
+    * these specs in scheduled queries ("the last -7d of data"); parsing
+    * happens client-side at query-build time, exactly like this. */
+  def tdIntervalSeconds(spec: String): Long = {
+    val trimmed = spec.trim
+    require(trimmed.nonEmpty, "empty interval spec")
+    val (sign, body) =
+      if (trimmed.startsWith("-")) (-1L, trimmed.tail)
+      else if (trimmed.startsWith("+")) (1L, trimmed.tail) else (1L, trimmed)
+    val term = "(\\d+)([smhdw])".r
+    val terms = term.findAllMatchIn(body).toSeq
+    require(terms.nonEmpty && terms.map(_.matched).mkString == body,
+      s"malformed interval spec: $spec")
+    val unitSecs = Map("s" -> 1L, "m" -> 60L, "h" -> 3600L,
+      "d" -> 86400L, "w" -> 604800L)
+    sign * terms.map(m => m.group(1).toLong * unitSecs(m.group(2))).sum
+  }
+
+  /** TD_SCHEDULED_TIME analog: the schedule anchor of the current query,
+    * read from session conf `spark.graft.scheduled_time` (ISO local
+    * datetime, UTC session) — the submitting scheduler sets it, exactly as
+    * TD injects the scheduled time into a scheduled query's session. */
+  def tdScheduledTime(s: SparkSession): java.time.Instant = {
+    val iso = s.conf.getOption("spark.graft.scheduled_time")
+      .getOrElse(throw new IllegalStateException(
+        "spark.graft.scheduled_time is not set (the scheduler sets it; " +
+          "set it explicitly for ad-hoc runs)"))
+    java.time.LocalDateTime.parse(iso.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+  }
 
   /** TD_SESSIONIZE(ts, gap, key) — batch form (SURVEY.md §3.H h10): a new
     * session starts when the gap to the previous event of the same key

@@ -458,6 +458,33 @@ object Round5 {
           FROM parts
           ORDER BY o_orderpriority""")
       },
-      None)
+      None),
+
+    // The scheduled-query idiom the reference's time UDFs exist for:
+    // TD_TIME_RANGE(time, TD_TIME_ADD(TD_SCHEDULED_TIME(), '-7d'),
+    // TD_SCHEDULED_TIME()) — "the trailing week as of the schedule
+    // anchor". The anchor comes from session conf (the scheduler sets it;
+    // pinned here for determinism), the '-7d' spec goes through
+    // td_interval parsing, and the resulting bounds are plain long
+    // comparisons on the nanos column → parquet stats pushdown, same as
+    // a3. Oracle writes the expanded absolute timestamps.
+    Q("h17_td_interval",
+      (s, d) => {
+        s.conf.set("spark.graft.scheduled_time", "2024-01-20 00:00:00")
+        val anchor = graft.functions.Td.tdScheduledTime(s)
+        val from = anchor.plusSeconds(
+          graft.functions.Td.tdIntervalSeconds("-7d"))
+        events(s, d)
+          .where(graft.functions.Td.tdTimeRangeNanos(col("ts"), from, anchor))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), mSum(col("value")).as("sum_v"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+          AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -27,6 +27,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("td_interval parses signed compound duration specs") {
+    assert(Td.tdIntervalSeconds("-7d") == -7L * 86400)
+    assert(Td.tdIntervalSeconds("12h") == 12L * 3600)
+    assert(Td.tdIntervalSeconds("+90m") == 90L * 60)
+    assert(Td.tdIntervalSeconds("2w") == 2L * 604800)
+    assert(Td.tdIntervalSeconds("-30s") == -30L)
+    assert(Td.tdIntervalSeconds("1d12h") == 86400L + 12 * 3600)
+    intercept[IllegalArgumentException](Td.tdIntervalSeconds("7x"))
+    intercept[IllegalArgumentException](Td.tdIntervalSeconds("d7"))
+    intercept[IllegalArgumentException](Td.tdIntervalSeconds(""))
+  }
+
   test("td_time_range is half-open [from, to)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
