@@ -13,6 +13,9 @@ object PlanLint {
     "j3_sim_topk", "j3c_sim_native",
     // quantized cosine: same 1-row probe broadcast as j3
     "j26_embed_quantize",
+    // mixture: the (T, Σw) scalar row cross-joins the ~20-row source
+    // counts — bounded by source cardinality, never by data volume
+    "j30_source_mixture",
     // IVF: vectors × broadcast centroids is the assignment step (k small
     // by construction), plus the 1-row probe broadcast
     "j3d_sim_ivf")

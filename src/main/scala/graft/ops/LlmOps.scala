@@ -70,14 +70,6 @@ object LlmOps {
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
         explode(col("arr")).as("sh"))
 
-  /** String-shingle variant for j2b: its minhash base hash must be md5
-    * (reproducible in the DuckDB oracle), so the shingle TEXT is needed. */
-  private def stringShingles(s: SparkSession, d: String): DataFrame =
-    docsTok(s, d).where(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks)-2), " +
-          "i -> concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
-
   // 32 minhash permutations, banded 8×4. Seeds are fixed literals —
   // deterministic across runs and executors.
   private[graft] val MinhashK = 32
@@ -105,14 +97,20 @@ object LlmOps {
     771243134L, 711658336L, 269452704L, 606543124L, 1932692492L, 242146161L,
     1168033289L, 31958265L, 1568728816L)
 
-  /** 32-slot MinHash signature per doc (shared by j2b and j24): one
+  /** 32-slot MinHash signature per doc (shared by j2b, j24 and j28): one
     * md5-derived base hash per shingle, 32 universal-hash permutations
     * (a·h + b) mod p, min per slot. Deterministic and exactly reproducible
-    * in the DuckDB oracle — see the MinhashA/MinhashB notes above. */
+    * in the DuckDB oracle — see the MinhashA/MinhashB notes above.
+    * The md5 runs INSIDE the array transform (same device as `shingles`),
+    * so only 8-byte base hashes ride the explode and the groupBy — the
+    * ~20+-char shingle strings never leave the projection that built
+    * them. */
   private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val sh = stringShingles(s, d)
-      .select(col("doc_id"), expr(
-        s"cast(conv(substring(md5(sh),1,15),16,10) as bigint) % $MinhashP").as("h"))
+    val sh = docsTok(s, d).where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks)-2), " +
+          "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))),1,15),16,10) as bigint)" +
+          s" % $MinhashP))")).as("h"))
     sh.groupBy("doc_id").agg(
       array((0 until MinhashK).map(i =>
         min(expr(s"((${MinhashA(i)} * h) + ${MinhashB(i)}) % $MinhashP"))): _*)
