@@ -18,7 +18,10 @@ object PlanLint {
     "j30_source_mixture",
     // IVF: vectors × broadcast centroids is the assignment step (k small
     // by construction), plus the 1-row probe broadcast
-    "j3d_sim_ivf")
+    "j3d_sim_ivf",
+    // DSIR: the 1-row corpus-totals scalar cross-joins the fixed 4096-row
+    // bucket table (both bounded by construction, never by data volume)
+    "j32_importance_weight")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -495,4 +495,43 @@ object Streams {
     q.awaitTermination()
     s.read.parquet(out).drop("batch").orderBy("event_id")
   }
+
+  /** Micro-batch count of the last i14 run — observable for the spec's
+    * "catch-up really was split into multiple bounded batches" assert. */
+  @volatile private[graft] var i14Batches: Long = -1L
+
+  /** i14 — bounded-batch backfill: the events table lands as 9 parquet
+    * files and the stream drains them AvailableNow but at most 3 files per
+    * micro-batch. This is the catch-up mode of a production file stream
+    * that restarted days behind: without the rate limit, ONE micro-batch
+    * would swallow the whole backlog (state, shuffle and sink commit all
+    * sized to days of data — the OOM/straggler shape); with it, each batch
+    * is bounded and checkpointed, so a crash mid-catch-up loses at most 3
+    * files of work. Same per-batch-id idempotent sink as i6. Output is the
+    * drained aggregate — equal to the batch oracle over the full table. */
+  def i14(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    val src = tmp("i14src"); val out = tmp("i14out"); val ck = tmp("i14ck")
+    events(s, d)
+      .select(col("event_id"), col("ts_ms"), col("user_id"),
+        col("event_type"), col("value"))
+      .repartition(9).write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_ms", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "3").parquet(src)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch=$id"); ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = s.read.parquet(out)
+    i14Batches = drained.select("batch").distinct().count()
+    drained.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), mSum(col("value")).as("sum_v"))
+      .orderBy("event_type")
+  }
 }
