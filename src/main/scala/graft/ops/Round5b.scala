@@ -292,6 +292,46 @@ object Round5b {
           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // TPC-H Q3-shaped multiway workload: the canonical 3-table
+    // join-filter-aggregate-topk an analyst actually runs, as one declared
+    // plan — customer (selective segment filter) ⋈ orders (date filter)
+    // ⋈ lineitem (date filter), revenue aggregate, global top-10. What the
+    // optimizer must get right at 100 TB, and does (verify in .explain):
+    // all three filters push to their scans; customer broadcasts (smallest
+    // side post-filter, AQE-confirmed); the orders⋈lineitem join shuffles
+    // on the shared o_orderkey so the groupBy reuses its partitioning; the
+    // top-10 is TakeOrderedAndProject, never a global sort.
+    Q("c15_join_multiway",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, d, "orders")
+          .where(col("o_orderdate") < tsLit("1998-07-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, d, "lineitem")
+          .where(col("l_shipdate") > tsLit("1998-07-01"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round(sum(dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))), 4).cast("double").as("revenue"))
+          .select(col("o_orderkey"), dateStr(col("o_orderdate")).as("o_orderdate"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderkey")).limit(10)
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          o_orderpriority,
+          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+            (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
     // Datasketches frequent-items top-k (approx_top_k) — the mergeable
     // heavy-hitters tier next to k4's hand-built SpaceSaving: at 100 TB
     // per-partition sketches accumulate map-side and merge, never

@@ -38,6 +38,13 @@ class PlanSpec extends AnyFunSuite {
   test("f2 global top-k is TakeOrderedAndProject, not a full sort") {
     assert(plan("f2_topk_global").contains("TakeOrderedAndProject"))
   }
+  test("c15 workload join: filtered dims broadcast, top-10 is TakeOrderedAndProject") {
+    val p = plan("c15_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), "filtered customer side should broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    // all three single-table predicates reach their scans
+    assert("PushedFilters: \\[[^\\]]".r.findAllIn(p).length >= 3, p.take(400))
+  }
 
   test("b4 IN-subquery rewrites to a semi join") {
     assert(plan("b4_filter_in_subquery").contains("LeftSemi"))
