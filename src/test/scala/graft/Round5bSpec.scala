@@ -152,6 +152,17 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("i15: streamed band-index candidates contain every verified near-dup pair") {
+    val cands = run("i15_stream_band_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.nonEmpty)
+    // the stream must never LOSE a pair the exact batch verify confirms
+    val verified = run("j28_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cands),
+      s"band index lost verified pairs: ${verified -- cands}")
+  }
+
   test("a22: incremental result equals the single-pass full read") {
     val inc = run("a22_incremental_manifest").collect().map(_.toSeq).toSeq
     val full = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
