@@ -111,6 +111,55 @@ object Round5b {
         FROM spine s LEFT JOIN daily d ON s.day = d.day
         ORDER BY day""")),
 
+    // Funnel analysis — the classic TD workload the sessionize/time UDFs
+    // exist to serve: per user, the earliest view, the earliest click
+    // within 24 h STRICTLY AFTER that view, and the earliest purchase
+    // within 24 h after that click (sequential-min + conversion-window
+    // semantics — a click before the first view, or a week later, does
+    // not convert; without the window the month-dense fixture converts
+    // everyone and the funnel proves nothing). Three conditional
+    // aggregates chained through equi-joins on user_id; every timestamp
+    // is an exact epoch-millis long, so the whole funnel hash-checks.
+    // One shuffle per stage on the same key — at 100 TB the three
+    // aggregations co-partition and the joins are exchange-free after the
+    // first.
+    Q("h20_funnel",
+      (s, d) => {
+        val DayMs = 86400000L
+        val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts_ms"))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t_view"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id")
+          .where(col("ts_ms") > col("t_view") && col("ts_ms") <= col("t_view") + DayMs)
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t_click"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .where(col("ts_ms") > col("t_click") && col("ts_ms") <= col("t_click") + DayMs)
+          .groupBy("user_id").agg(min(col("ts_ms")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+            (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+              when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stages"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        v AS (SELECT user_id, MIN(ts_ms) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT ev.user_id, MIN(ts_ms) AS t_click FROM ev JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts_ms > t_view
+            AND ts_ms <= t_view + 86400000 GROUP BY ev.user_id),
+        p AS (SELECT ev.user_id, MIN(ts_ms) AS t_purchase FROM ev JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts_ms > t_click
+            AND ts_ms <= t_click + 86400000 GROUP BY ev.user_id)
+        SELECT v.user_id, t_view, t_click, t_purchase,
+          1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stages
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+          LEFT JOIN p ON v.user_id = p.user_id
+        ORDER BY v.user_id""")),
+
     // pandas describe() in long form: one row per statistic, one column
     // per measure. Quantiles use exact linear interpolation (`percentile`
     // ≙ DuckDB quantile_cont — the d8-validated pairing); mean/std on

@@ -163,6 +163,24 @@ class Round5bSpec extends AnyFunSuite {
       s"band index lost verified pairs: ${verified -- cands}")
   }
 
+  test("h20: funnel stage times are ordered and inside their conversion windows") {
+    val rows = run("h20_funnel").collect()
+    assert(rows.nonEmpty)
+    val stages = rows.map(_.getInt(4))
+    assert(stages.exists(_ < 3), "fixture must show drop-off, else the windows prove nothing")
+    rows.foreach { r =>
+      val tv = r.getLong(1)
+      if (!r.isNullAt(2)) {
+        val tc = r.getLong(2)
+        assert(tc > tv && tc <= tv + 86400000L)
+        if (!r.isNullAt(3)) {
+          val tp = r.getLong(3)
+          assert(tp > tc && tp <= tc + 86400000L)
+        }
+      } else assert(r.isNullAt(3), "purchase without click is impossible")
+    }
+  }
+
   test("a22: incremental result equals the single-pass full read") {
     val inc = run("a22_incremental_manifest").collect().map(_.toSeq).toSeq
     val full = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
