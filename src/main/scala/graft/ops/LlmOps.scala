@@ -117,6 +117,18 @@ object LlmOps {
         .as("sig"))
   }
 
+  /** (doc_id, band, bh) rows from a (doc_id, sig) signature relation —
+    * the LSH banding step shared by j28's incremental dedup and i15's
+    * ingest-time band-index probe: band hash = xxhash64 over the band's
+    * slice of the 32-slot signature (8 bands × 4 slots). */
+  private[graft] def minhashBands(sigDf: DataFrame): DataFrame = {
+    val nBands = MinhashK / BandSize
+    sigDf.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+        s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*$BandSize+1, $BandSize))) as bh))")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** Exact near-dup pairs (jac ≥ 0.5) — shared by j2 and j14.
     * The inverted-index join keys on xxhash64(shingle), not the shingle
     * string: an 8-byte shuffle key instead of ~20+ chars, and long equality

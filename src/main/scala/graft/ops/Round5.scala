@@ -257,13 +257,8 @@ object Round5 {
     Q("j28_dedup_incremental",
       (s, d) => {
         val sig = LlmOps.minhashSigs(s, d)
-        val nBands = LlmOps.MinhashK / LlmOps.BandSize
-        def bandsOf(df: DataFrame) = df.select(col("doc_id"),
-          explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-            s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*${LlmOps.BandSize}+1, ${LlmOps.BandSize}))) as bh))")).as("bb"))
-          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-        val corpusBands = bandsOf(sig.where(col("doc_id") % 2 === 0))
-        val incomingBands = bandsOf(sig.where(col("doc_id") % 2 === 1))
+        val corpusBands = LlmOps.minhashBands(sig.where(col("doc_id") % 2 === 0))
+        val incomingBands = LlmOps.minhashBands(sig.where(col("doc_id") % 2 === 1))
         val cand = incomingBands.toDF("d_inc", "band", "bh")
           .join(corpusBands.toDF("d_corp", "band2", "bh2"),
             col("band") === col("band2") && col("bh") === col("bh2"))

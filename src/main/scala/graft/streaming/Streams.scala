@@ -557,12 +557,8 @@ object Streams {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val sig = graft.ops.LlmOps.minhashSigs(s, d)
-    val nBands = graft.ops.LlmOps.MinhashK / graft.ops.LlmOps.BandSize
-    val bSize = graft.ops.LlmOps.BandSize
-    def bandsOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
-      explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-        s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*$bSize+1, $bSize))) as bh))")).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.LlmOps.minhashBands(df)
     // the index is PRECOMPUTED and cached before the stream starts — a
     // static join side is re-planned every micro-batch, and re-deriving
     // the whole sig pipeline per batch is exactly what an ingest pipeline
