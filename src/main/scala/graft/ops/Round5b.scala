@@ -317,7 +317,10 @@ object Round5b {
         // source lands in two batches (deterministic split)
         orders.where(col("o_orderkey") % 3 =!= 0)
           .write.mode("overwrite").parquet(src)
-        // pass 1: ingest everything present, record the file manifest
+        // pass 1: ingest everything present, record the file manifest.
+        // The collect() here (and below) is over the FILE LISTING —
+        // metadata with O(#files) cardinality, exactly what every
+        // manifest/metastore system holds driver-side — never over rows.
         val pass1 = s.read.parquet(src)
         val manifest = pass1.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).toSet
