@@ -38,6 +38,43 @@ import graft.Tables._
   */
 object Round5b {
 
+  /** Reusable funnel core (h20): per user, earliest 'view', earliest
+    * 'click' strictly after it within `windowMs`, earliest 'purchase'
+    * strictly after that within `windowMs`. `ev` needs (user_id,
+    * event_type, ts_ms). Exposed — like Td.tdSessionize — so callers run
+    * it over arbitrary event relations and PropertySpec fuzzes it against
+    * a driver-side reference. */
+  def funnel(ev: DataFrame, windowMs: Long): DataFrame = {
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_ms")).as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("ts_ms") > col("t_view") && col("ts_ms") <= col("t_view") + windowMs)
+      .groupBy("user_id").agg(min(col("ts_ms")).as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("ts_ms") > col("t_click") && col("ts_ms") <= col("t_click") + windowMs)
+      .groupBy("user_id").agg(min(col("ts_ms")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stages"))
+  }
+
+  /** Reusable shard-local sequence packing core (j33/j35): `docs` needs
+    * (doc_id, n_tok); returns (doc_id, shard, n_tok, off, bin) with
+    * per-shard contiguous token streams cut into `binSize`-token bins. */
+  def packShards(docs: DataFrame, binSize: Long, shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("n_tok"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .withColumn("stream_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        (col("stream_end") - col("n_tok")).as("off"),
+        expr(s"(stream_end - n_tok) div $binSize").as("bin"))
+  }
+
   private def tmp(tag: String): String = {
     val p = java.nio.file.Files.createTempDirectory(s"graft_$tag")
     p.toFile.deleteOnExit()
@@ -124,25 +161,10 @@ object Round5b {
     // aggregations co-partition and the joins are exchange-free after the
     // first.
     Q("h20_funnel",
-      (s, d) => {
-        val DayMs = 86400000L
-        val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts_ms"))
-        val v = ev.where(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts_ms")).as("t_view"))
-        val c = ev.where(col("event_type") === "click")
-          .join(v, "user_id")
-          .where(col("ts_ms") > col("t_view") && col("ts_ms") <= col("t_view") + DayMs)
-          .groupBy("user_id").agg(min(col("ts_ms")).as("t_click"))
-        val p = ev.where(col("event_type") === "purchase")
-          .join(c, "user_id")
-          .where(col("ts_ms") > col("t_click") && col("ts_ms") <= col("t_click") + DayMs)
-          .groupBy("user_id").agg(min(col("ts_ms")).as("t_purchase"))
-        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-            (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
-              when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stages"))
-          .orderBy("user_id")
-      },
+      (s, d) => funnel(
+          events(s, d).select(col("user_id"), col("event_type"), col("ts_ms")),
+          86400000L)
+        .orderBy("user_id"),
       Some("""WITH ev AS (SELECT user_id, event_type,
             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
         v AS (SELECT user_id, MIN(ts_ms) AS t_view FROM ev
@@ -416,19 +438,11 @@ object Round5b {
     // are (shard, bin), which is exactly what a sharded dataloader wants.
     // All-integer arithmetic → hash-exact.
     Q("j33_sequence_pack",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"),
-            pmod(col("doc_id"), lit(8L)).as("shard"))
-        val w = Window.partitionBy("shard").orderBy("doc_id")
-        docs
-          .withColumn("stream_end", sum(col("n_tok")).over(w))
-          .select(col("doc_id"), col("shard"), col("n_tok"),
-            (col("stream_end") - col("n_tok")).as("off"),
-            expr("(stream_end - n_tok) div 2048").as("bin"))
-          .orderBy("doc_id")
-      },
+      (s, d) => packShards(
+          t(s, d, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+          2048L, 8)
+        .orderBy("doc_id"),
       Some("""WITH d AS (SELECT doc_id,
             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
             doc_id % 8 AS shard

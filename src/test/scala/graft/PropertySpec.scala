@@ -360,4 +360,58 @@ class PropertySpec extends AnyFunSuite {
         assert(z1 != z2, "distinct points collided in z")
     }
   }
+
+  test("funnel agrees with a driver-side sequential reference on random events") {
+    import spark.implicits._
+    val types = Gen.oneOf("view", "click", "purchase", "other")
+    val evGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 11L), types, Gen.choose(0L, 400000L)))
+    (0 until 8).foreach { round =>
+      val evs = samples(evGen, 1).head.map { case (u, t, ts) => (u, t, ts) }
+      val windowMs = 100000L
+      val got = graft.ops.Round5b.funnel(
+          evs.toDF("user_id", "event_type", "ts_ms"), windowMs)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      // sequential reference
+      val byUser = evs.groupBy(_._1)
+      val ref = byUser.flatMap { case (u, es) =>
+        val views = es.filter(_._2 == "view").map(_._3)
+        if (views.isEmpty) None else {
+          val tv = views.min
+          val tc = es.filter(e => e._2 == "click" && e._3 > tv && e._3 <= tv + windowMs)
+            .map(_._3).minOption
+          val tp = tc.flatMap(c => es.filter(e =>
+            e._2 == "purchase" && e._3 > c && e._3 <= c + windowMs)
+            .map(_._3).minOption)
+          Some(u -> (tv, tc, tp))
+        }
+      }
+      assert(got == ref, s"round $round funnel mismatch")
+    }
+  }
+
+  test("shard packing agrees with a driver-side prefix-sum reference") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(80, Gen.choose(1L, 300L))
+    (0 until 8).foreach { round =>
+      val nToks = samples(docGen, 1).head.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }
+      val binSize = 512L; val shards = 4
+      val got = graft.ops.Round5b.packShards(
+          nToks.toDF("doc_id", "n_tok"), binSize, shards)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+      val ref = nToks.groupBy(_._1 % shards).flatMap { case (sh, docs) =>
+        var acc = 0L
+        docs.sortBy(_._1).map { case (id, n) =>
+          val off = acc; acc += n
+          id -> (sh, off, off / binSize)
+        }
+      }
+      assert(got == ref, s"round $round packing mismatch")
+    }
+  }
 }
