@@ -513,12 +513,20 @@ object Streams {
     * is bounded and checkpointed, so a crash mid-catch-up loses at most 3
     * files of work. Same per-batch-id idempotent sink as i6. Output is the
     * drained aggregate — equal to the batch oracle over the full table. */
-  def i14(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
-    val src = tmp("i14src"); val out = tmp("i14out"); val ck = tmp("i14ck")
-    events(s, d)
-      .select(col("event_id"), col("ts_ms"), col("user_id"),
-        col("event_type"), col("value"))
-      .repartition(9).write.mode("overwrite").parquet(src)
+  def i14(s: SparkSession, d: String): DataFrame =
+    i14Run(s, d, tmp("i14src"), tmp("i14out"), tmp("i14ck"))
+
+  /** Parametrized form so tests can REPLAY with the same source dir +
+    * checkpoint + output (i6Run's device): a restart re-reads nothing —
+    * committed file paths and batch ids replay as no-ops, even when the
+    * first run drained in several rate-limited batches. */
+  def i14Run(s: SparkSession, d: String, src: String, out: String,
+      ck: String): DataFrame = withFewShufflePartitions(s) {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src, "_SUCCESS")))
+      events(s, d)
+        .select(col("event_id"), col("ts_ms"), col("user_id"),
+          col("event_type"), col("value"))
+        .repartition(9).write.mode("overwrite").parquet(src)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts_ms", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),

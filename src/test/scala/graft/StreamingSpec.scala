@@ -77,6 +77,19 @@ class StreamingSpec extends AnyFunSuite {
       s"replay must not duplicate: first=$first second=$second")
   }
 
+  test("i14 restart replays committed rate-limited batches as no-ops") {
+    def mk(t: String) = java.nio.file.Files.createTempDirectory(t).toString
+    val (src, out, ck) = (mk("i14r_src"), mk("i14r_out"), mk("i14r_ck"))
+    val first = Streams.i14Run(spark, TestSpark.sf, src, out, ck)
+      .collect().map(_.toSeq).toSeq
+    val batches = Streams.i14Batches
+    assert(batches > 1, s"expected a multi-batch drain, got $batches")
+    val second = Streams.i14Run(spark, TestSpark.sf, src, out, ck)
+      .collect().map(_.toSeq).toSeq
+    assert(second == first, "restart duplicated or lost rows")
+    assert(Streams.i14Batches == batches, "restart created new batch dirs")
+  }
+
   test("compaction collapses small ingest files, preserving rows exactly") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     val src = Tables.t(spark, TestSpark.sf, "orders")
