@@ -38,6 +38,16 @@ class PlanSpec extends AnyFunSuite {
   test("f2 global top-k is TakeOrderedAndProject, not a full sort") {
     assert(plan("f2_topk_global").contains("TakeOrderedAndProject"))
   }
+  test("j35 pipeline: lang/quality filters push to the scans under the dedup shuffles") {
+    val p = plan("j35_corpus_pipeline")
+    // every documents scan in the composed plan carries the pushed
+    // lang IN (...) + n_chars filter — the cross-stage optimization that
+    // justifies keeping all five stages in one lazy plan
+    val scans = "PushedFilters: \\[[^\\]]*n_chars".r.findAllIn(p).length
+    assert(scans >= 2, s"expected pushed filters on the pipeline's scans\n${p.take(400)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("c15 workload join: filtered dims broadcast, top-10 is TakeOrderedAndProject") {
     val p = plan("c15_join_multiway")
     assert(p.contains("BroadcastHashJoin"), "filtered customer side should broadcast")
