@@ -594,6 +594,73 @@ object Round5b {
           (stream_end - n_tok) // 2048 AS bin
         FROM c ORDER BY doc_id""")),
 
+    // Corpus drift detection — the monitoring gate between two crawl
+    // snapshots: token distributions (md5-hashed into 1024 buckets, the
+    // j32 device) of the old vs new snapshot compared per bucket with a
+    // Pearson chi-square statistic. Snapshot membership is an md5 doc
+    // hash (j22b's device), NOT doc_id % 2 — the fixture assigns sources
+    // round-robin by doc_id, so a parity split correlates PERFECTLY with
+    // source and every source degenerates to all-old or all-new (chi2 ≡ 0
+    // — validated, the statistic would prove nothing). Chi-square
+    // over KL deliberately: (o−e)²/e is rational arithmetic that
+    // decimal-sums to a hash-exact oracle, while KL's ln() is
+    // libm-dependent and cross-engine unhashable. Per-source output so a
+    // drifting source is named, not just detected; everything is two hash
+    // groupBys + one broadcastable bucket join — full-scan speed at any
+    // corpus size.
+    Q("j36_drift_chi2",
+      (s, d) => {
+        val B = 1024
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+          .select(col("source"),
+            (expr("cast(conv(substring(md5(cast(doc_id as string)),1,8),16,10) as bigint) % 2") === 1L)
+              .as("is_new"),
+            expr(s"cast(conv(substring(md5(w),1,15),16,10) as bigint) % $B").as("b"))
+        val counts = tok.groupBy("source", "b")
+          .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("o_old"),
+            sum(when(col("is_new"), 1L).otherwise(0L)).as("o_new"))
+        val tots = counts.groupBy("source")
+          .agg(sum(col("o_old")).as("t_old"), sum(col("o_new")).as("t_new"))
+        counts.join(tots, "source")
+          .select(col("source"),
+            // expected new-count under no-drift: bucket total × new share
+            ((col("o_old") + col("o_new")).cast("double") * col("t_new") /
+              (col("t_old") + col("t_new"))).as("e_new"),
+            col("o_new").cast("double").as("on"))
+          .where(col("e_new") > 0)
+          .select(col("source"),
+            ((col("on") - col("e_new")) * (col("on") - col("e_new")) / col("e_new"))
+              .cast("decimal(28,12)").as("term"))
+          .groupBy("source")
+          .agg(round(sum(col("term")).cast("double"), 4).as("chi2"),
+            count(lit(1)).as("dof_buckets"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+            FROM documents),
+        h AS (SELECT source,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 2 = 1 AS is_new,
+            CAST('0x' || substr(md5(w),1,15) AS BIGINT) % 1024 AS b FROM tok),
+        counts AS (SELECT source, b,
+            SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS o_old,
+            SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS o_new
+          FROM h GROUP BY source, b),
+        tots AS (SELECT source, SUM(o_old) AS t_old, SUM(o_new) AS t_new
+          FROM counts GROUP BY source),
+        terms AS (SELECT c.source,
+            CAST((CAST(c.o_new AS DOUBLE) -
+                CAST(c.o_old + c.o_new AS DOUBLE) * t.t_new / (t.t_old + t.t_new))
+              * (CAST(c.o_new AS DOUBLE) -
+                CAST(c.o_old + c.o_new AS DOUBLE) * t.t_new / (t.t_old + t.t_new))
+              / (CAST(c.o_old + c.o_new AS DOUBLE) * t.t_new / (t.t_old + t.t_new))
+              AS DECIMAL(28,12)) AS term
+          FROM counts c JOIN tots t USING (source)
+          WHERE CAST(c.o_old + c.o_new AS DOUBLE) * t.t_new / (t.t_old + t.t_new) > 0)
+        SELECT source, ROUND(CAST(SUM(term) AS DOUBLE), 4) AS chi2,
+          COUNT(*) AS dof_buckets
+        FROM terms GROUP BY source ORDER BY source""".stripMargin)),
+
     // Near-dup detection at ingest: incoming docs stream their MinHash
     // band rows against the standing corpus's band index; LSH candidate
     // pairs surface as each micro-batch lands (the exact verify stays
