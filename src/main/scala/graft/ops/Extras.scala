@@ -116,7 +116,7 @@ object Extras {
     // the ingest hygiene TD's hourly buckets depend on at 100 TB.
     Q("a18_compaction",
       (s, d) => {
-        val frag = java.nio.file.Files.createTempDirectory("graft_a18").toString + "/t"
+        val frag = Scratch.dir("a18") + "/t"
         t(s, d, "supplier").repartition(64).write.mode("overwrite").parquet(frag)
         val (before, after) = Compaction.compact(s, frag, targetBytes = 8L << 20)
         require(after < before, s"compaction did not reduce files: $before -> $after")
@@ -128,8 +128,14 @@ object Extras {
         FROM supplier ORDER BY s_suppkey""")),
 
     // Approximate heavy hitters (SpaceSaving TypedImperativeAggregate):
-    // top document terms without grouping the long tail. Sketch counts are
-    // merge-order-dependent → rows-only + scalatest containment (k4).
+    // top document terms without grouping the long tail. Graded in the
+    // EXACT regime (the d21 device): the fixture vocabulary is 31 terms
+    // per lang < capacity (16k = 80), so no SpaceSaving eviction ever
+    // fires, counters are exact sums (merge-order-independent), and the
+    // (cnt desc, term) tie-break in eval makes the top-5 deterministic —
+    // hash-checkable against a plain GROUP BY + row_number oracle. The
+    // approximate regime (vocab > capacity) stays under scalatest
+    // containment bounds in FunctionsSpec.
     Q("k4_heavy_hitters",
       (s, d) => {
         graft.functions.HeavyHitters.register(s)
@@ -138,23 +144,38 @@ object Extras {
           (SELECT lang, explode(split(text, ' ')) AS term FROM documents)
           GROUP BY lang ORDER BY lang, cnt DESC, term""")
       },
-      None),
+      Some("""WITH tc AS (SELECT lang, term, COUNT(*) AS cnt
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+          GROUP BY 1, 2),
+        r AS (SELECT lang, term, cnt,
+            row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+          FROM tc)
+        SELECT lang, term, cnt FROM r WHERE rn <= 5
+        ORDER BY lang, cnt DESC, term""")),
 
     // Approximate percentile (Presto approx_percentile / TD's big-data
-    // quantiles): t-digest-style sketch, mergeable across partitions.
-    // Estimates are accuracy-parameter-dependent → rows-only + scalatest
-    // bound against the exact percentile (pairs with d8, like d7/d2).
+    // quantiles): Greenwald-Khanna sketch, mergeable across partitions.
+    // Graded in the EXACT regime (the d21 device): accuracy 1e6 bounds the
+    // rank error by N/1e6 ≈ 0.02 < 1 rank at sf0.01's ~20k rows/group, so
+    // the sketch returns the exact discrete-rank element and hash-checks
+    // against the oracle's quantile_disc. The approximate regime (default
+    // accuracy) stays under the scalatest bound vs d8's exact percentile.
     Q("d18_agg_approx_percentile",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000000)")
           .as("approx_q"))
         .select(col("l_returnflag"),
           element_at(col("approx_q"), 1).as("q25"),
           element_at(col("approx_q"), 2).as("q50"),
           element_at(col("approx_q"), 3).as("q75"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+          quantile_disc(l_extendedprice, 0.25) AS q25,
+          quantile_disc(l_extendedprice, 0.5) AS q50,
+          quantile_disc(l_extendedprice, 0.75) AS q75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Custom Aggregator UDAF: exact weighted mean (price weighted by qty).
     Q("k2_udaf_weighted_mean",

@@ -33,11 +33,7 @@ object Round2 {
   private def docsTok2(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("toks"))
 
-  private def sinkDir(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-    d.toFile.deleteOnExit()
-    d.toString
-  }
+  private def sinkDir(tag: String): String = Scratch.dir(tag)
 
   val all: Seq[Q] = Seq(
 
@@ -484,6 +480,19 @@ object Round2 {
     // byte-identical score (a double sum would not). LM-based quality
     // filtering is a standard training-data gate; this is its shape with a
     // corpus-derived model in place of a trained LM.
+    // Plan shape (re-worked in r6 after the r5 bench flagged 17 s): the
+    // full per-occurrence bigram stream is shuffled ONCE, into the
+    // per-doc distinct-bigram relation dg=(doc_id,w1,w2,cnt) — map-side
+    // partial count compresses repeats before any bytes move. Everything
+    // downstream runs on dg (corpus-distinct per doc, far smaller than
+    // occurrences): c2 regroups dg by (w1,w2); c1 regroups c2 by w1 (no
+    // second pass over occurrences); the model joins back against dg
+    // weighted by cnt. dg's exchange subtree is shared by the c2 path and
+    // the join path → ReuseExchange materializes the explode exactly once
+    // (pinned in PlanSpec). Exactness: cnt·p as DECIMAL(12,0)×DECIMAL(25,12)
+    // (precision 38, no loss in either engine) equals the old sum of cnt
+    // identical decimal terms — byte-identical scores, one full-stream
+    // shuffle instead of three.
     Q("j17_doc_likelihood",
       (s, d) => {
         val toks = docsTok2(s, d)
@@ -492,29 +501,41 @@ object Round2 {
             "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] as w1, toks[i] as w2))"))
             .as("b"))
           .select(col("doc_id"), col("b.w1"), col("b.w2"))
-        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-        val p = bg
-          .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-          .select(col("doc_id"),
+          // no-op semantically (split never yields nulls) but load-bearing
+          // for the plan: each downstream join infers a DIFFERENT IsNotNull
+          // subset into this subtree; stating both up front makes every
+          // branch's dg subtree canonically identical → ReuseExchange fires
+          .where(col("w1").isNotNull && col("w2").isNotNull)
+        val dg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+        val c2 = dg.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
+        val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+        val model = c2.join(c1, Seq("w1"))
+          .select(col("w1"), col("w2"),
             (col("c2").cast("double") / col("c1").cast("double"))
-              .cast("decimal(28,12)").as("p"))
-        p.groupBy("doc_id")
-          .agg(round(sum(col("p")).cast("double") / count(lit(1)), 6).as("avg_p"),
-            count(lit(1)).as("n_bigrams"))
+              .cast("decimal(25,12)").as("p"))
+        dg.join(model, Seq("w1", "w2"))
+          .select(col("doc_id"), col("cnt"),
+            (col("cnt").cast("decimal(12,0)") * col("p")).as("wp"))
+          .groupBy("doc_id")
+          .agg(round(sum(col("wp")).cast("double") / sum(col("cnt")), 6).as("avg_p"),
+            sum(col("cnt")).as("n_bigrams"))
           .orderBy("doc_id")
       },
       Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         bg AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i+1] AS w2
           FROM tk, unnest(range(1, len(toks))) i(i) WHERE len(toks) >= 2),
-        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
-        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
-        p AS (SELECT doc_id,
-            CAST(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS DECIMAL(28,12)) AS p
-          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
-        SELECT doc_id, ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS avg_p,
-          COUNT(*) AS n_bigrams
-        FROM p GROUP BY doc_id ORDER BY doc_id""")),
+        dg AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+        c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM dg GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        model AS (SELECT w1, w2,
+            CAST(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS DECIMAL(25,12)) AS p
+          FROM c2 JOIN c1 USING (w1)),
+        wp AS (SELECT doc_id, cnt, CAST(cnt AS DECIMAL(12,0)) * p AS wp
+          FROM dg JOIN model USING (w1, w2))
+        SELECT doc_id,
+          ROUND(CAST(SUM(wp) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 6) AS avg_p,
+          CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+        FROM wp GROUP BY doc_id ORDER BY doc_id""")),
 
     // Text normalization — the first gate of every training-data pipeline:
     // lowercase, strip non-alphanumerics, collapse runs of spaces, trim.

@@ -37,11 +37,7 @@ import graft.Tables._
   */
 object Round5 {
 
-  private def sinkDir(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-    d.toFile.deleteOnExit()
-    d.toString
-  }
+  private def sinkDir(tag: String): String = Scratch.dir(tag)
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
   private def mSum(c: Column): Column = round(sum(dec(c)), 4).cast("double")

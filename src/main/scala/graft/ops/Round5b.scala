@@ -75,11 +75,7 @@ object Round5b {
         expr(s"(stream_end - n_tok) div $binSize").as("bin"))
   }
 
-  private def tmp(tag: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
+  private def tmp(tag: String): String = Scratch.dir(tag)
 
   val all: Seq[Q] = Seq(
 
@@ -451,8 +447,9 @@ object Round5b {
             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_end
           FROM d)
-        SELECT doc_id, shard, n_tok, stream_end - n_tok AS off,
-          (stream_end - n_tok) // 2048 AS bin
+        SELECT doc_id, shard, n_tok,
+          CAST(stream_end - n_tok AS BIGINT) AS off,
+          CAST((stream_end - n_tok) // 2048 AS BIGINT) AS bin
         FROM c ORDER BY doc_id""")),
 
     // Overlapping-window chunking — the RAG/long-context prep step: each
@@ -513,7 +510,7 @@ object Round5b {
           UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0)
         SELECT md5(text) AS digest, COUNT(*) AS n_copies,
           MIN(doc_id) AS keep_id,
-          MAX(CAST(length(text) AS BIGINT)) * (COUNT(*) - 1) AS bytes_saved
+          MAX(CAST(strlen(text) AS BIGINT)) * (COUNT(*) - 1) AS bytes_saved
         FROM store GROUP BY md5(text) HAVING COUNT(*) >= 2
         ORDER BY keep_id""")),
 
@@ -591,7 +588,7 @@ object Round5b {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_end
           FROM surv)
         SELECT doc_id, lang, shard, n_tok,
-          (stream_end - n_tok) // 2048 AS bin
+          CAST((stream_end - n_tok) // 2048 AS BIGINT) AS bin
         FROM c ORDER BY doc_id""")),
 
     // Corpus drift detection — the monitoring gate between two crawl

@@ -17,11 +17,7 @@ import graft.functions.Td
   */
 object Scans {
 
-  private def sinkDir(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-    d.toFile.deleteOnExit()
-    d.toString
-  }
+  private def sinkDir(tag: String): String = Scratch.dir(tag)
 
   val all: Seq[Q] = Seq(
 

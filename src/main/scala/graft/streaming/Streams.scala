@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -40,8 +39,7 @@ object Streams {
       .as[Ev].collect().sortBy(e => (e.ts_ms, e.event_id))
   }
 
-  private def tmp(tag: String): String =
-    Files.createTempDirectory(s"graft_$tag").toString
+  private def tmp(tag: String): String = graft.ops.Scratch.dir(tag)
 
   /** Run `body` with a low shuffle-partition count, restoring the session
     * conf after. Stateful streaming cost scales with partitions — every
@@ -575,27 +573,34 @@ object Streams {
     val corpusIdx = bandsOf(sig.where(col("doc_id") % 2 === 0))
       .select(col("doc_id").as("d_corp"), col("band"), col("bh"))
       .persist()
-    val incomingRows = bandsOf(sig.where(col("doc_id") % 2 === 1))
-      .select(col("doc_id").as("d_inc"), col("band"), col("bh"))
-      .as[BandRow].collect().sortBy(r => (r.d_inc, r.band))
-    val half = incomingRows.length / 2
-    val stream = MemoryStream[BandRow]
-    val out = tmp("i15out")
-    val q = stream.toDF()
-      .join(corpusIdx, Seq("band", "bh"))
-      .select(col("d_inc"), col("d_corp"))
-      .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        df.write.mode("overwrite").parquet(s"$out/batch=$id"); ()
-      }
-      .option("checkpointLocation", tmp("i15ck"))
-      .start()
-    stream.addData(incomingRows.take(half).toSeq)
-    q.processAllAvailable()
-    stream.addData(incomingRows.drop(half).toSeq)
-    q.processAllAvailable()
-    q.stop()
-    s.read.parquet(out).select("d_inc", "d_corp").distinct()
-      .orderBy("d_inc", "d_corp")
+    try {
+      val incomingRows = bandsOf(sig.where(col("doc_id") % 2 === 1))
+        .select(col("doc_id").as("d_inc"), col("band"), col("bh"))
+        .as[BandRow].collect().sortBy(r => (r.d_inc, r.band))
+      val half = incomingRows.length / 2
+      val stream = MemoryStream[BandRow]
+      val out = tmp("i15out")
+      val q = stream.toDF()
+        .join(corpusIdx, Seq("band", "bh"))
+        .select(col("d_inc"), col("d_corp"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch=$id"); ()
+        }
+        .option("checkpointLocation", tmp("i15ck"))
+        .start()
+      stream.addData(incomingRows.take(half).toSeq)
+      q.processAllAvailable()
+      stream.addData(incomingRows.drop(half).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(out).select("d_inc", "d_corp").distinct()
+        .orderBy("d_inc", "d_corp")
+    } finally {
+      // release here, not only via the harness-level clearCache: any other
+      // caller (specs, API use) would otherwise leak the cached index for
+      // the rest of the session
+      corpusIdx.unpersist(blocking = false)
+    }
   }
 }

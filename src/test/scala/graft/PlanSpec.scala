@@ -163,6 +163,21 @@ class PlanSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("j17 materializes the bigram occurrence stream exactly once") {
+    // the r6 re-plan: one shuffle compresses occurrences into the per-doc
+    // distinct-bigram relation dg; c2/c1 and the score join all derive
+    // from dg, whose exchange subtree is shared → ReuseExchange leaves a
+    // single Generate over the full stream (the r5 shape had three)
+    val df = SparkEntry.queries("j17_doc_likelihood")(spark, TestSpark.sf)
+    df.collect()
+    // AQE's toString appends an "== Initial Plan ==" section that repeats
+    // the tree pre-reuse — assert on the final plan only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val gens = "Generate explode".r.findAllIn(p).length
+    assert(gens == 1, s"occurrence stream must materialize once, saw $gens:\n$p")
+    assert(p.contains("ReusedExchange"), s"dg exchange must be shared:\n$p")
+  }
+
   test("j2 emits candidate pairs from grouped postings, not a self-join") {
     // the light path (everything at fixture df) is: ONE hash aggregate
     // groups postings into arrays, a Generate explodes the in-array pair
