@@ -139,7 +139,14 @@ object td {
     * registered as temp views; the reference's header comment becomes the
     * Spark job description. `distributedJoin=false` (TD default) prefers
     * broadcast; `true` forces shuffle-partitioned joins — the same Presto
-    * session toggle `:: read_td_query(distributed_join=)` injected. */
+    * session toggle `:: read_td_query(distributed_join=)` injected.
+    *
+    * Deliberate non-analogs (reference `:: read_td_query(retry_limit=,
+    * priority=)`): Spark has no per-query priority tier — scheduling is
+    * the cluster manager's (use scheduler pools / YARN queues), and
+    * failed-task retry is `spark.task.maxFailures`, not a client-side
+    * REST re-poll. Both parameters therefore have no representation
+    * here rather than a misleading one. */
   def readTdQuery(sql: String, engine: TdEngine, distributedJoin: Boolean = false,
       params: Map[String, Any] = Map.empty)
       (implicit s: SparkSession): DataFrame = {

@@ -135,7 +135,7 @@ object Extras {
     // (cnt desc, term) tie-break in eval makes the top-5 deterministic —
     // hash-checkable against a plain GROUP BY + row_number oracle. The
     // approximate regime (vocab > capacity) stays under scalatest
-    // containment bounds in FunctionsSpec.
+    // containment bounds in LlmOpsSpec.
     Q("k4_heavy_hitters",
       (s, d) => {
         graft.functions.HeavyHitters.register(s)

@@ -62,13 +62,56 @@ object LlmOps {
     * 260k-row output). NOT used by nearDupPairs: measured end-to-end, the
     * slim long-only explode + two small joins beat carrying n through its
     * pair transform by 15-40%. */
-  private def shinglesWithCount(s: SparkSession, d: String): DataFrame =
+  private[graft] def shinglesWithCount(s: SparkSession, d: String): DataFrame =
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, size(toks)-2), " +
           "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))").as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
         explode(col("arr")).as("sh"))
+
+  /** PPJoin prefix index (the j2c candidate-generation input): (doc_id, n,
+    * r, sh) — each doc's first (n − ⌈t·n⌉ + 1) pairable shingles in the
+    * global canonical (df asc, sh asc) order, with r the 1-based rank.
+    *
+    * ONE shuffle builds grouped postings; df rides along as the array
+    * size when postings re-explode for ranking — the r3 shape computed
+    * df in a separate groupBy and joined it back (2 extra shuffles of
+    * the full postings). df=1 postings can't pair — same pre-filter as
+    * j2, applied before ranking so prefixes are chosen among pairable
+    * shingles only. Ranking happens IN-ARRAY, not in a window: one
+    * groupBy(doc_id) collects each doc's (df, sh) postings, sort_array
+    * orders them canonically — struct sort is field-lexicographic,
+    * identical to the former row_number() window's orderBy — and the
+    * prefix is SLICED before posexplode, so only prefix rows are ever
+    * emitted. The window shape ranked all 260k postings through the
+    * row-sorter machinery and filtered after; this sorts ~150-element
+    * arrays in place and emits half the rows. MicroBench min-of-3 at
+    * sf0.1 with j2 as the machine-phase control: window 6.23 s
+    * (j2 4.43) vs array 4.76 s (j2 3.51) — ~20% off j2c's own time, and
+    * the allocation-heavy sorter path that made j2c the most
+    * GC-phase-sensitive query in the bench (4.5 ↔ 16 s swings) is gone
+    * from the plan. Shared with SkewSpec, which demonstrates the
+    * asymptotic point on a boilerplate-skewed corpus: the highest-df
+    * (boilerplate) shingles rank LAST, fall outside every prefix, and
+    * their quadratic join mass vanishes from the candidate stage. */
+  private[graft] def prefixIndex(s: SparkSession, d: String, t: Double): DataFrame = {
+    val postings = shinglesWithCount(s, d)
+      .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+    val hot = postings.where(size(col("ds")) >= 2)
+      .select(col("sh"), size(col("ds")).cast("long").as("df"),
+        explode(col("ds")).as("dn"))
+      .select(col("sh"), col("df"),
+        col("dn.doc_id").as("doc_id"), col("dn.n").as("n"))
+    val perDoc = hot
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
+    perDoc
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(s"slice(arr, 1, cast(n - ceil($t * n) + 1 as int))")))
+      .select(col("doc_id"), col("n"),
+        (col("pos") + 1).cast("long").as("r"), col("col.sh").as("sh"))
+  }
 
   // 32 minhash permutations, banded 8×4. Seeds are fixed literals —
   // deterministic across runs and executors.
@@ -342,40 +385,7 @@ object LlmOps {
     Q("j2c_dedup_prefix",
       (s, d) => {
         val t05 = 0.5
-        // ONE shuffle builds grouped postings; df rides along as the array
-        // size when postings re-explode for ranking — the r3 shape computed
-        // df in a separate groupBy and joined it back (2 extra shuffles of
-        // the full postings). df=1 postings can't pair — same pre-filter as
-        // j2, applied before ranking so prefixes are chosen among pairable
-        // shingles only.
-        val postings = shinglesWithCount(s, d)
-          .groupBy("sh").agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-        val hot = postings.where(size(col("ds")) >= 2)
-          .select(col("sh"), size(col("ds")).cast("long").as("df"),
-            explode(col("ds")).as("dn"))
-          .select(col("sh"), col("df"),
-            col("dn.doc_id").as("doc_id"), col("dn.n").as("n"))
-        // Ranking happens IN-ARRAY, not in a window: one groupBy(doc_id)
-        // collects each doc's (df, sh) postings, sort_array orders them by
-        // the canonical (df asc, sh asc) — struct sort is field-lexicographic,
-        // identical to the former row_number() window's orderBy — and the
-        // prefix is SLICED before posexplode, so only prefix rows are ever
-        // emitted. The window shape ranked all 260k postings through the
-        // row-sorter machinery and filtered after; this sorts ~150-element
-        // arrays in place and emits half the rows. MicroBench min-of-3 at
-        // sf0.1 with j2 as the machine-phase control: window 6.23 s
-        // (j2 4.43) vs array 4.76 s (j2 3.51) — ~20% off j2c's own time,
-        // and the allocation-heavy sorter path that made j2c the most
-        // GC-phase-sensitive query in the bench (4.5 ↔ 16 s swings) is
-        // gone from the plan.
-        val perDoc = hot
-          .groupBy(col("doc_id"), col("n"))
-          .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
-        val prefix = perDoc
-          .select(col("doc_id"), col("n"),
-            posexplode(expr(s"slice(arr, 1, cast(n - ceil($t05 * n) + 1 as int))")))
-          .select(col("doc_id"), col("n"),
-            (col("pos") + 1).cast("long").as("r"), col("col.sh").as("sh"))
+        val prefix = prefixIndex(s, d, t05)
         // candidate generation keeps the PPJoin POSITIONAL bound: a pair
         // with m shared prefix shingles whose last match sits at ranks
         // (mr1, mr2) can reach an intersection of at most

@@ -123,8 +123,11 @@ object Scalars {
         ROUND(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))),6) AS head3_sum
         FROM embeddings ORDER BY vec_id""")),
 
-    // MapType construction + lookup (no map column in testdata; DuckDB MAP
-    // syntax differs → scalatest coverage, rows-only here. SURVEY §3.H h7).
+    // MapType construction + lookup. The output is flat (the map is built
+    // then probed), so this IS oracle-able despite the engines' different
+    // MAP syntaxes: DuckDB's `m['key']` yields a single-element LIST,
+    // unwrapped with [1] — both sides construct a real map value and
+    // grade the same lookups (upgraded r6 from rows-only).
     Q("h7_map",
       (s, d) => events(s, d).select(col("event_id"),
         map(lit("type"), col("event_type"),
@@ -133,7 +136,12 @@ object Scalars {
           element_at(col("m"), "type").as("m_type"),
           element_at(col("m"), "k").cast("long").as("m_k"))
         .orderBy("event_id"),
-      None),
+      Some("""WITH x AS (SELECT event_id,
+          MAP {'type': event_type, 'k': json_extract_string(props, '$.k')} AS m
+        FROM events)
+        SELECT event_id, m['type'][1] AS m_type,
+          CAST(m['k'][1] AS BIGINT) AS m_k
+        FROM x ORDER BY event_id""")),
 
     Q("h8_case_cond",
       (s, d) => t(s, d, "orders").select(col("o_orderkey"),
