@@ -21,7 +21,10 @@ object PlanLint {
     "j3d_sim_ivf",
     // DSIR: the 1-row corpus-totals scalar cross-joins the fixed 4096-row
     // bucket table (both bounded by construction, never by data volume)
-    "j32_importance_weight")
+    "j32_importance_weight",
+    // token budget: 1-row Σw / leftover totals cross-join the per-source
+    // relation (bounded by source cardinality, never by data volume)
+    "j38_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     Scans.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
       Windows.all ++ SetOps.all ++ Scalars.all ++ StreamingBatch.all ++
-      LlmOps.all ++ Extras.all ++ Round2.all ++ Round5.all ++ Round5b.all
+      LlmOps.all ++ Extras.all ++ Round2.all ++ Round5.all ++ Round5b.all ++
+      Round6.all
 
   /** Flagship query (TPC-H Q1 pricing summary) on sf0.001; driver
     * smoke-checks rows > 0. */
