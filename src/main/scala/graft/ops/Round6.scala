@@ -46,18 +46,19 @@ object Round6 {
               s"i -> concat_ws(' ', slice(toks, i*$B+1, $B)))")))
           .select(col("doc_id"), col("pos").cast("long").as("blk"),
             col("col").as("btxt"))
+        // ONE pass after the digest window: collect_list skips the nulls
+        // the `when` leaves for non-canonical blocks, so n_blocks and the
+        // kept set come out of the same doc_id aggregation — two hash
+        // exchanges total (digest, doc_id), no second scan, no left join
         val w = Window.partitionBy(md5(col("btxt"))).orderBy("doc_id", "blk")
-        val kept = blocks.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-        val reassembled = kept.groupBy("doc_id")
-          .agg(sort_array(collect_list(struct(col("blk"), col("btxt")))).as("arr"))
-          .select(col("doc_id"), size(col("arr")).cast("long").as("n_kept"),
-            array_join(expr("transform(arr, x -> x.btxt)"), " ").as("clean_text"))
-        blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
-          .join(reassembled, Seq("doc_id"), "left")
+        blocks.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            sort_array(collect_list(when(col("rn") === 1,
+              struct(col("blk"), col("btxt"))))).as("arr"))
           .select(col("doc_id"), col("n_blocks"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            coalesce(col("clean_text"), lit("")).as("clean_text"))
+            size(col("arr")).cast("long").as("n_kept"),
+            array_join(expr("transform(arr, x -> x.btxt)"), " ").as("clean_text"))
           .orderBy("doc_id")
       },
       Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks,

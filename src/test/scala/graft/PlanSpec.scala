@@ -178,6 +178,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), s"dg exchange must be shared:\n$p")
   }
 
+  test("j37 plans two hash exchanges: digest window + doc regroup") {
+    // the one-pass shape: n_blocks and the kept set fold into a single
+    // doc_id aggregation after the digest window — a regression to the
+    // regroup-and-left-join form would add a third exchange + second scan
+    val df = SparkEntry.queries("j37_paragraph_dedup")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 hash exchanges:\n$p")
+  }
+
   test("j2 emits candidate pairs from grouped postings, not a self-join") {
     // the light path (everything at fixture df) is: ONE hash aggregate
     // groups postings into arrays, a Generate explodes the in-array pair
