@@ -331,27 +331,31 @@ object Round5b {
     Q("a22_incremental_manifest",
       (s, d) => {
         val src = tmp("a22src"); val state = tmp("a22state")
+        val mani = tmp("a22manifest")
         val orders = t(s, d, "orders")
         // source lands in two batches (deterministic split)
         orders.where(col("o_orderkey") % 3 =!= 0)
           .write.mode("overwrite").parquet(src)
-        // pass 1: ingest everything present, record the file manifest.
-        // The collect() here (and below) is over the FILE LISTING —
-        // metadata with O(#files) cardinality, exactly what every
-        // manifest/metastore system holds driver-side — never over rows.
+        // pass 1: ingest everything present; the manifest is a parquet
+        // TABLE (distributed write), never a driver-side set — at
+        // millions of files the manifest outgrows the driver, the
+        // listing-vs-manifest diff below does not
         val pass1 = s.read.parquet(src)
-        val manifest = pass1.select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0)).toSet
+        pass1.select(input_file_name().as("f")).distinct()
+          .write.mode("overwrite").parquet(mani)
         pass1.write.mode("overwrite").parquet(s"$state/ingested=1")
         // batch 2 arrives
         orders.where(col("o_orderkey") % 3 === 0)
           .write.mode("append").parquet(src)
-        // pass 2: list, diff against the manifest, read ONLY new files
+        // pass 2: list, anti-join the listing against the manifest table
+        // (distributed diff), and collect ONLY the new-files delta —
+        // O(batch), the list the read API needs on the driver anyway
         val all = s.read.parquet(src)
         val newFiles = all.select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0)).filterNot(manifest)
+          .join(s.read.parquet(mani), Seq("f"), "left_anti")
+          .collect().map(_.getString(0))
         if (newFiles.nonEmpty)
-          s.read.parquet(newFiles: _*)
+          s.read.parquet(newFiles.toIndexedSeq: _*)
             .write.mode("overwrite").parquet(s"$state/ingested=2")
         s.read.parquet(state).drop("ingested")
           .groupBy("o_orderstatus")
