@@ -273,6 +273,32 @@ object LlmOps {
       .join(n.toDF("d2", "n2"), "d2")
   }
 
+  /** Random-hyperplane LSH signature per embedding — shared by j3b and
+    * j39's kNN graph: (vec_id, embedding, bucket) with bucket = the
+    * `planes` sign bits of md5-derived hyperplanes (w(p,dim) =
+    * (md5("p:dim") mod 2001 − 1000)/1000 — reproducible in DuckDB, so
+    * even the BUCKETING is hash-checked). The hyperplane weight table
+    * has planes × dim entries — computed ONCE on a dim-keyed table and
+    * joined, instead of re-hashing per (data row × plane) (that shape
+    * was ~7.7M md5 calls at sf0.1 for 384 distinct values, a 2.8× bench
+    * regression). Bounded cardinality (= embedding dim), so the
+    * broadcast hint is safe at any data scale. */
+  private[graft] def lshBits(s: SparkSession, d: String, planes: Int): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val dims = emb.select(col("vec_id"), col("embedding"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+    val wtab = dims.select("dim").distinct()
+      .select(col("dim") +: (0 until planes).map(p =>
+        ((expr(s"cast(conv(substring(md5(concat('$p', ':', dim)),1,15),16,10) as bigint)")
+          % 2001 - 1000).cast("double") / 1000.0).as(s"w$p")): _*)
+    dims.join(broadcast(wtab), "dim")
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        concat((0 until planes).map(p =>
+          when(sum(col(s"w$p") * col("v").cast("double")) > 0, "1")
+            .otherwise("0")): _*).as("bucket"))
+  }
+
   /** Frequency-weighted 60-bit SimHash per doc — shared by j8 and j8b.
     * Term occurrences are pre-aggregated to (doc, term-hash, cnt) BEFORE the
     * 60-way bit explode, so the explode runs over distinct terms only and
@@ -669,26 +695,7 @@ object LlmOps {
     // exact top-k.
     Q("j3b_sim_lsh",
       (s, d) => {
-        val planes = 6
-        val emb = t(s, d, "embeddings")
-        val dims = emb.select(col("vec_id"), col("embedding"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        // The hyperplane weight table has planes × dim entries (6 × 64) —
-        // compute the md5-derived weights ONCE on a dim-keyed table and
-        // join, instead of re-hashing per (data row × plane) (that shape
-        // was ~7.7M md5 calls at sf0.1 for 384 distinct values, a 2.8×
-        // bench regression). Bounded cardinality (= embedding dim), so the
-        // broadcast hint is safe at any data scale.
-        val wtab = dims.select("dim").distinct()
-          .select(col("dim") +: (0 until planes).map(p =>
-            ((expr(s"cast(conv(substring(md5(concat('$p', ':', dim)),1,15),16,10) as bigint)")
-              % 2001 - 1000).cast("double") / 1000.0).as(s"w$p")): _*)
-        val bits = dims.join(broadcast(wtab), "dim")
-          .groupBy("vec_id")
-          .agg(first(col("embedding")).as("embedding"),
-            concat((0 until planes).map(p =>
-              when(sum(col(s"w$p") * col("v").cast("double")) > 0, "1")
-                .otherwise("0")): _*).as("bucket"))
+        val bits = lshBits(s, d, 6)
         val probe = bits.where(col("vec_id") === 0)
           .select(col("bucket").as("pb"), col("embedding").as("e0"))
         bits.join(broadcast(probe), col("bucket") === col("pb"))

@@ -152,5 +152,61 @@ object Round6 {
         SELECT source, n_tok, ROUND(CAST(w AS DOUBLE), 6) AS weight,
           CAST(alloc_dec AS DOUBLE) AS alloc_tok,
           ROUND(CAST(alloc_dec AS DOUBLE) / n_tok, 4) AS epochs
-        FROM fin ORDER BY source""")))
+        FROM fin ORDER BY source""")),
+
+    // kNN-graph construction — the missing similarity-search shape next
+    // to single-probe top-k (j3) and pairwise near-dup (j12): EVERY
+    // vector gets its top-3 neighbors, the input SemDeDup-style semantic
+    // clustering actually consumes. All-pairs is avoided the LSH way:
+    // candidates are the within-bucket pairs of j3b's 6-hyperplane
+    // signature (md5-derived weights — the bucketing itself is
+    // oracle-checked), cosine runs per candidate through the native
+    // codegen expression, and top-3 is a per-vector window over
+    // bucket-local candidates. At 100 TB the bucket is the shuffle key
+    // (bucket sizes concentrate around corpus/2^planes; planes scale
+    // with log of corpus size), and the window state is 3 rows per
+    // vector. Singleton-bucket vectors emit no edges — the standard LSH
+    // recall trade, handled by multi-probe/multi-table variants upstream.
+    Q("j39_knn_graph",
+      (s, d) => {
+        val bits = LlmOps.lshBits(s, d, 6)
+        val a = bits.select(col("bucket"), col("vec_id").as("i"),
+          col("embedding").as("ea"))
+        val b = bits.select(col("bucket"), col("vec_id").as("j"),
+          col("embedding").as("eb"))
+        val cand = a.join(b, Seq("bucket")).where(col("i") =!= col("j"))
+          .select(col("i"), col("j"),
+            round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
+              .as("cos"))
+        val w = Window.partitionBy("i").orderBy(desc("cos"), asc("j"))
+        cand.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("i").as("vec_id"), col("rank").cast("long").as("rank"),
+            col("j").as("nbr_id"), col("cos"))
+          .orderBy("vec_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) - 1 AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        w AS (SELECT p.p, dm.dim,
+            (CAST('0x' || substr(md5(p.p || ':' || dm.dim),1,15) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+          FROM (SELECT DISTINCT dim FROM e) dm, unnest(range(0, 6)) p(p)),
+        bits AS (SELECT e.vec_id, w.p,
+            CASE WHEN SUM(w.w * e.v) > 0 THEN '1' ELSE '0' END AS bit
+          FROM e JOIN w ON e.dim = w.dim GROUP BY e.vec_id, w.p),
+        bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+          FROM bits GROUP BY vec_id),
+        nm AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
+        cand AS (SELECT a.vec_id AS i, b.vec_id AS j
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+        dots AS (SELECT c.i, c.j, SUM(ea.v * eb.v) AS dot
+          FROM cand c JOIN e ea ON ea.vec_id = c.i
+            JOIN e eb ON eb.vec_id = c.j AND ea.dim = eb.dim
+          GROUP BY c.i, c.j),
+        scored AS (SELECT i, j, ROUND(dot / (n1.nm * n2.nm), 6) AS cos
+          FROM dots JOIN nm n1 ON i = n1.vec_id JOIN nm n2 ON j = n2.vec_id),
+        r AS (SELECT i, j, cos,
+            row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rank
+          FROM scored)
+        SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS nbr_id, cos
+        FROM r WHERE rank <= 3 ORDER BY vec_id, rank""")))
 }

@@ -43,6 +43,20 @@ class Round6Spec extends AnyFunSuite {
     assert(joined.count() > 0, "fixture must contain at least one full-keep doc")
   }
 
+  test("j39 kNN graph: contiguous ranks, bounded cosines, bucket-consistent edges") {
+    val out = run("j39_knn_graph").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to ranks.length),
+        s"vec $v ranks not contiguous: ${ranks.mkString(",")}")
+      assert(ranks.length <= 3)
+    }
+    assert(out.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.000001))
+    // no self-edges
+    assert(out.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("nbr_id")))
+  }
+
   test("j38 allocation exhausts the budget within rounding and respects the epoch cap") {
     val out = run("j38_token_budget").collect()
     val total = out.map(r => r.getAs[Double]("alloc_tok")).sum
