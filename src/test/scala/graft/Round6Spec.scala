@@ -43,6 +43,69 @@ class Round6Spec extends AnyFunSuite {
     assert(joined.count() > 0, "fixture must contain at least one full-keep doc")
   }
 
+  test("j37 agrees with a sequential first-occurrence reference on a random corpus") {
+    // planted dups: docs are concatenations of 16-token units drawn from
+    // a 40-unit pool (block-aligned → cross-doc collisions are common),
+    // plus a ragged 0-9 token tail to exercise the short last block.
+    // Seeded RNG — the corpus is identical on every run.
+    val rnd = new scala.util.Random(42)
+    val pool = (0 until 40).map(u => (0 until 16).map(k => s"u${u}t$k").mkString(" "))
+    val docs = (0L until 120L).map { id =>
+      val units = (0 until 1 + rnd.nextInt(4)).map(_ => pool(rnd.nextInt(pool.size)))
+      val tail = (0 until rnd.nextInt(10)).map(k => s"x${id}y$k")
+      (id, (units ++ (if (tail.nonEmpty) Seq(tail.mkString(" ")) else Nil)).mkString(" "))
+    }
+    val dir = graft.ops.Scratch.dir("fuzzj37")
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fuzz"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // sequential reference: first occurrence in (doc_id, blk) order wins
+    val seen = scala.collection.mutable.Set.empty[String]
+    val ref = docs.sortBy(_._1).map { case (id, text) =>
+      val blocks = text.split(" ").grouped(16).map(_.mkString(" ")).toSeq
+      val kept = blocks.filter(seen.add)
+      id -> ((blocks.length.toLong, kept.length.toLong, kept.mkString(" ")))
+    }.toMap
+    val out = SparkEntry.queries("j37_paragraph_dedup")(spark, dir).collect()
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val (nb, nk, txt) = ref(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_blocks") == nb, s"n_blocks mismatch at $r")
+      assert(r.getAs[Long]("n_kept") == nk, s"n_kept mismatch at $r")
+      assert(r.getAs[String]("clean_text") == txt, s"clean_text mismatch at $r")
+    }
+  }
+
+  test("j38 agrees with a driver-side reference allocator") {
+    val out = run("j38_token_budget").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tok"),
+        r.getAs[Double]("alloc_tok"), r.getAs[Double]("epochs")))
+    // reference: same formula sequentially over the collected counts
+    val budget = 30000.0
+    val n = out.map { case (s0, nt, _, _) => s0 -> nt }.toMap
+    val w = n.map { case (s0, nt) => s0 -> math.sqrt(nt.toDouble) }
+    val sumw = BigDecimal(w.values.map(BigDecimal(_)).sum.toDouble)
+    val raw = w.map { case (s0, ww) =>
+      s0 -> BigDecimal((ww / sumw.toDouble * budget))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+    val cap = n.map { case (s0, nt) => s0 -> BigDecimal(nt * 4).setScale(6) }
+    val capped = raw.map { case (s0, r0) => s0 -> r0.min(cap(s0)) }
+    val isCapped = raw.map { case (s0, r0) => s0 -> (r0 >= cap(s0)) }
+    val leftover = (BigDecimal(budget).setScale(6) - capped.values.sum).max(0)
+    val sumwUnc = w.collect { case (s0, ww) if !isCapped(s0) => BigDecimal(ww) }.sum
+    out.foreach { case (s0, nt, alloc, epochs) =>
+      val extra = if (isCapped(s0)) BigDecimal(0) else
+        BigDecimal(w(s0) / sumwUnc.toDouble * leftover.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val expect = (capped(s0) + extra).toDouble
+      assert(math.abs(alloc - expect) < 1e-4,
+        s"$s0: alloc $alloc vs reference $expect")
+      assert(math.abs(epochs - alloc / nt) < 1e-3)
+    }
+  }
+
   test("j39 kNN graph: contiguous ranks, bounded cosines, bucket-consistent edges") {
     val out = run("j39_knn_graph").collect()
     assert(out.nonEmpty)
