@@ -208,5 +208,67 @@ object Round6 {
             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rank
           FROM scored)
         SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS nbr_id, cos
-        FROM r WHERE rank <= 3 ORDER BY vec_id, rank""")))
+        FROM r WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
+    // Semantic clustering end-to-end — the composition the pieces exist
+    // for: LSH-bucketed candidate pairs (j39's device) thresholded at
+    // cos ≥ 0.4 become an edge list, connected components (j14's hybrid
+    // CC — driver union-find under the threshold, distributed min-label
+    // propagation above) label every vector with its component minimum,
+    // and singleton vectors keep their own id. The oracle computes the
+    // same components via a DuckDB RECURSIVE CTE (reachability closure +
+    // MIN over reachable labels — UNION dedup guarantees termination),
+    // so even the transitive-closure step is hash-checked. At 100 TB:
+    // edges are orders of magnitude smaller than the corpus (LSH bucket
+    // + threshold pruning), which is exactly the regime CC.cluster's
+    // hybrid was built for.
+    Q("j40_semantic_clusters",
+      (s, d) => {
+        val tau = 0.4
+        val bits = LlmOps.lshBits(s, d, 6)
+        val a = bits.select(col("bucket"), col("vec_id").as("d1"),
+          col("embedding").as("ea"))
+        val b = bits.select(col("bucket"), col("vec_id").as("d2"),
+          col("embedding").as("eb"))
+        val edges = a.join(b, Seq("bucket")).where(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"),
+            round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
+              .as("cos"))
+          .where(col("cos") >= tau)
+          .select(col("d1"), col("d2"))
+        val labeled = CC.cluster(s, edges)
+        val everyVec = t(s, d, "embeddings").select(col("vec_id"))
+        everyVec.join(labeled.withColumnRenamed("doc_id", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cluster"), col("vec_id")).as("cluster"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, generate_subscripts(embedding,1) - 1 AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        w AS (SELECT p.p, dm.dim,
+            (CAST('0x' || substr(md5(p.p || ':' || dm.dim),1,15) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+          FROM (SELECT DISTINCT dim FROM e) dm, unnest(range(0, 6)) p(p)),
+        bits AS (SELECT e.vec_id, w.p,
+            CASE WHEN SUM(w.w * e.v) > 0 THEN '1' ELSE '0' END AS bit
+          FROM e JOIN w ON e.dim = w.dim GROUP BY e.vec_id, w.p),
+        bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+          FROM bits GROUP BY vec_id),
+        nm AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
+        cand AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        dots AS (SELECT c.d1, c.d2, SUM(ea.v * eb.v) AS dot
+          FROM cand c JOIN e ea ON ea.vec_id = c.d1
+            JOIN e eb ON eb.vec_id = c.d2 AND ea.dim = eb.dim
+          GROUP BY c.d1, c.d2),
+        ed AS (SELECT d1, d2 FROM dots
+          JOIN nm n1 ON d1 = n1.vec_id JOIN nm n2 ON d2 = n2.vec_id
+          WHERE ROUND(dot / (n1.nm * n2.nm), 6) >= 0.4),
+        und AS (SELECT d1 AS src, d2 AS dst FROM ed
+          UNION ALL SELECT d2, d1 FROM ed),
+        reach AS (SELECT vec_id AS v, vec_id AS l FROM embeddings
+          UNION
+          SELECT u.dst, reach.l FROM reach JOIN und u ON u.src = reach.v)
+        SELECT v AS vec_id, MIN(l) AS cluster
+        FROM reach GROUP BY v ORDER BY vec_id""")))
 }

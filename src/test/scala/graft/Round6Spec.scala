@@ -120,6 +120,19 @@ class Round6Spec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("nbr_id")))
   }
 
+  test("j40 cluster labels are component minima and cover every vector") {
+    val out = run("j40_semantic_clusters").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster")))
+    val nVecs = Tables.t(spark, TestSpark.sf, "embeddings").count()
+    assert(out.length == nVecs, "every vector must be labeled")
+    assert(out.forall { case (v, c) => c <= v }, "label must be the component min")
+    // the minimum member of every cluster carries its own id as label
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._1).min == c,
+        s"cluster $c min member ${members.map(_._1).min}")
+    }
+  }
+
   test("j38 allocation exhausts the budget within rounding and respects the epoch cap") {
     val out = run("j38_token_budget").collect()
     val total = out.map(r => r.getAs[Double]("alloc_tok")).sum
