@@ -188,6 +188,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 hash exchanges:\n$p")
   }
 
+  test("j39/j40 candidates come from the bucket equi-join, never a cartesian") {
+    for (k <- Seq("j39_knn_graph", "j40_semantic_clusters")) {
+      val p = SparkEntry.queries(k)(spark, TestSpark.sf)
+        .queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans an NLJ:\n$p")
+    }
+  }
+
   test("j2 emits candidate pairs from grouped postings, not a self-join") {
     // the light path (everything at fixture df) is: ONE hash aggregate
     // groups postings into arrays, a Generate explodes the in-array pair
