@@ -210,6 +210,70 @@ object Round6 {
         SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS nbr_id, cos
         FROM r WHERE rank <= 3 ORDER BY vec_id, rank""")),
 
+    // Multi-probe variant of the kNN graph: each vector probes its own
+    // bucket PLUS the 6 one-bit-flip neighbors, so near-misses across a
+    // single hyperplane (including singleton-bucket vectors) regain
+    // candidates — recall rises while candidate generation stays a pure
+    // equi-join on the probe key (probe fan-out is planes+1, a constant;
+    // a pair within hamming ≤ 1 matches on EXACTLY one probe key, so no
+    // dedup pass is needed). This is the standard multi-probe LSH trade:
+    // (planes+1)× probe rows for ~2× bucket coverage, still shuffle-
+    // parallel at any corpus size.
+    Q("j39b_knn_multiprobe",
+      (s, d) => {
+        val planes = 6
+        val bits = LlmOps.lshBits(s, d, planes)
+        val probes = bits.select(col("vec_id").as("i"),
+            col("embedding").as("ea"),
+            explode(expr(s"""transform(sequence(0, $planes), p ->
+              CASE WHEN p = 0 THEN bucket
+              ELSE concat(substring(bucket, 1, p-1),
+                CASE WHEN substring(bucket, p, 1) = '1' THEN '0' ELSE '1' END,
+                substring(bucket, p+1, $planes - p)) END)""")).as("pk"))
+        val target = bits.select(col("bucket").as("pk"),
+          col("vec_id").as("j"), col("embedding").as("eb"))
+        val cand = probes.join(target, Seq("pk")).where(col("i") =!= col("j"))
+          .select(col("i"), col("j"),
+            round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
+              .as("cos"))
+        val w = Window.partitionBy("i").orderBy(desc("cos"), asc("j"))
+        cand.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("i").as("vec_id"), col("rank").cast("long").as("rank"),
+            col("j").as("nbr_id"), col("cos"))
+          .orderBy("vec_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) - 1 AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        w AS (SELECT p.p, dm.dim,
+            (CAST('0x' || substr(md5(p.p || ':' || dm.dim),1,15) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+          FROM (SELECT DISTINCT dim FROM e) dm, unnest(range(0, 6)) p(p)),
+        bits AS (SELECT e.vec_id, w.p,
+            CASE WHEN SUM(w.w * e.v) > 0 THEN '1' ELSE '0' END AS bit
+          FROM e JOIN w ON e.dim = w.dim GROUP BY e.vec_id, w.p),
+        bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+          FROM bits GROUP BY vec_id),
+        pr AS (SELECT vec_id AS i,
+            CASE WHEN f.f = 0 THEN bucket
+            ELSE substr(bucket, 1, f.f - 1) ||
+              (CASE WHEN substr(bucket, f.f, 1) = '1' THEN '0' ELSE '1' END) ||
+              substr(bucket, f.f + 1) END AS pk
+          FROM bk, unnest(range(0, 7)) f(f)),
+        cand AS (SELECT pr.i, t.vec_id AS j
+          FROM pr JOIN bk t ON pr.pk = t.bucket AND pr.i != t.vec_id),
+        nm AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
+        dots AS (SELECT c.i, c.j, SUM(ea.v * eb.v) AS dot
+          FROM cand c JOIN e ea ON ea.vec_id = c.i
+            JOIN e eb ON eb.vec_id = c.j AND ea.dim = eb.dim
+          GROUP BY c.i, c.j),
+        scored AS (SELECT i, j, ROUND(dot / (n1.nm * n2.nm), 6) AS cos
+          FROM dots JOIN nm n1 ON i = n1.vec_id JOIN nm n2 ON j = n2.vec_id),
+        r AS (SELECT i, j, cos,
+            row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rank
+          FROM scored)
+        SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS nbr_id, cos
+        FROM r WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
     // Semantic clustering end-to-end — the composition the pieces exist
     // for: LSH-bucketed candidate pairs (j39's device) thresholded at
     // cos ≥ 0.4 become an edge list, connected components (j14's hybrid

@@ -120,6 +120,23 @@ class Round6Spec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("nbr_id")))
   }
 
+  test("j39b multi-probe dominates single-bucket j39 per vector") {
+    // a strictly larger candidate pool can only improve the best
+    // neighbor: rank-1 cosine under multi-probe >= rank-1 under
+    // single-bucket for every vector that has one, and coverage
+    // (vectors with any edge) is a superset
+    def best(key: String): Map[Long, Double] =
+      run(key).where(col("rank") === 1).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val single = best("j39_knn_graph")
+    val multi = best("j39b_knn_multiprobe")
+    assert(single.keySet.subsetOf(multi.keySet),
+      "multi-probe must cover every vector single-bucket covers")
+    single.foreach { case (v, c) =>
+      assert(multi(v) >= c - 1e-9, s"vec $v: multi ${multi(v)} < single $c")
+    }
+  }
+
   test("j40 cluster labels are component minima and cover every vector") {
     val out = run("j40_semantic_clusters").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster")))
