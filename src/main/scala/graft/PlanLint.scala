@@ -24,7 +24,9 @@ object PlanLint {
     "j32_importance_weight",
     // token budget: 1-row Σw / leftover totals cross-join the per-source
     // relation (bounded by source cardinality, never by data volume)
-    "j38_token_budget")
+    "j38_token_budget",
+    // hybrid retrieval: the 1-row probe-embedding broadcast (j3's pattern)
+    "j41_hybrid_retrieval")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -274,6 +274,53 @@ object Round6 {
         SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS nbr_id, cos
         FROM r WHERE rank <= 3 ORDER BY vec_id, rank""")),
 
+    // Hybrid retrieval — the RAG-serving read path over the same corpus
+    // the pipeline curates: a query is a term set PLUS a probe embedding,
+    // and each document scores 0.5·lexical-overlap + 0.5·cosine, top-10.
+    // The lexical half is an exact rational (|q∩terms|/|q|); the vector
+    // half is the native codegen cosine against a 1-row broadcast probe
+    // (j3's pattern — PlanLint-allowlisted NLJ, bounded by construction).
+    // At 100 TB the doc⋈embedding join shuffles on doc_id (or is
+    // co-bucketed), the probe broadcasts, and top-10 is
+    // TakeOrderedAndProject — no global sort.
+    Q("j41_hybrid_retrieval",
+      (s, d) => {
+        val qTerms = Seq("table", "scan", "join", "filter",
+          "window", "agg", "sort", "hash")
+        val qArr = s"array(${qTerms.map(t => s"'$t'").mkString(",")})"
+        val probe = t(s, d, "embeddings").where(col("vec_id") === 0)
+          .select(col("embedding").as("e0"))
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .join(emb, "doc_id").where(col("doc_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("doc_id"),
+            round(size(array_intersect(
+                array_distinct(split(col("text"), " ")), expr(qArr)))
+              .cast("double") / qTerms.size, 6).as("lex_score"),
+            round(graft.expressions.CosineSimilarity(s, col("embedding"), col("e0")), 6)
+              .as("vec_score"))
+          .withColumn("score",
+            round(col("lex_score") * 0.5 + col("vec_score") * 0.5, 6))
+          .orderBy(desc("score"), asc("doc_id")).limit(10)
+      },
+      Some("""WITH qt AS (SELECT ['table','scan','join','filter','window','agg','sort','hash'] AS q),
+        lex AS (SELECT doc_id,
+            ROUND(len(list_intersect(list_distinct(string_split(text, ' ')), q)) / 8.0, 6) AS lex_score
+          FROM documents, qt WHERE doc_id != 0),
+        e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        p0 AS (SELECT dim, v FROM e WHERE vec_id = 0),
+        n0 AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p0),
+        vs AS (SELECT e.vec_id AS doc_id,
+            ROUND(SUM(e.v * p0.v) / (sqrt(SUM(e.v * e.v)) * (SELECT n0 FROM n0)), 6) AS vec_score
+          FROM e JOIN p0 USING (dim) WHERE e.vec_id != 0 GROUP BY e.vec_id)
+        SELECT doc_id, lex_score, vec_score,
+          ROUND(lex_score * 0.5 + vec_score * 0.5, 6) AS score
+        FROM lex JOIN vs USING (doc_id)
+        ORDER BY score DESC, doc_id LIMIT 10""")),
+
     // Semantic clustering end-to-end — the composition the pieces exist
     // for: LSH-bucketed candidate pairs (j39's device) thresholded at
     // cos ≥ 0.4 become an edge list, connected components (j14's hybrid

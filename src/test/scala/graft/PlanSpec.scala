@@ -197,6 +197,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j41 hybrid retrieval: top-10 is TakeOrderedAndProject, probe broadcasts") {
+    val p = plan("j41_hybrid_retrieval")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe must broadcast:\n$p")
+  }
+
   test("j2 emits candidate pairs from grouped postings, not a self-join") {
     // the light path (everything at fixture df) is: ONE hash aggregate
     // groups postings into arrays, a Generate explodes the in-array pair
