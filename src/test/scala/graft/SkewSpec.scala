@@ -63,6 +63,13 @@ class SkewSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
 
   test("j2c equals j2 on the boilerplate-skewed corpus") {
+    // load-bearing fixture property: the boilerplate shingles exceed j2's
+    // 256-df postings cap, so this equality proves the HEAVY equi-join
+    // branch (not just the in-array light path) produces correct pairs at
+    // production df — the only fixture where that branch carries real data
+    val maxDf = graft.ops.LlmOps.shinglesWithCount(spark, dir)
+      .groupBy("sh").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDf > 256, s"fixture must exceed the postings cap, max df $maxDf")
     val j2 = SparkEntry.queries("j2_dedup_near")(spark, dir)
       .collect().map(_.toString).sorted
     val j2c = SparkEntry.queries("j2c_dedup_prefix")(spark, dir)
