@@ -135,25 +135,39 @@ object Bench {
     // min. The JSON records first/retry pairs so a reader can tell a real
     // slow query (retry confirms) from a contaminated charge (retry 15-95x
     // faster, as the r6 judge measured on the same binary).
+    // A flaked retry records the -1.0 SENTINEL, not tFirst: retry == first
+    // would read as "retry confirmed the query is genuinely slow" — the
+    // exact distinction the retried field exists to provide. The total
+    // still charges tFirst.
     val retried = retryQueue.toSeq.map { name =>
       val tFirst = firstPass.find(_._1 == name).get._2
       val tRetry = try timeOne(name) catch { case e: Throwable =>
         System.err.println(s"[bench] $name end-of-run retry flaked (keeping first): ${e.getMessage}")
-        tFirst
+        -1.0
       }
       name -> (tFirst, tRetry)
     }.toMap
     val results = firstPass.map { case (name, t) =>
-      name -> retried.get(name).map { case (f, r) => math.min(f, r) }.getOrElse(t)
+      name -> retried.get(name)
+        .map { case (f, r) => if (r < 0) f else math.min(f, r) }.getOrElse(t)
     }
     val controlEnd = controlRun()
     def fmt(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val controlJson = s"""{"key":"$controlKey","start":${fmt(controlStart)},"end":${fmt(controlEnd)}}"""
-    val retriedJson = retried.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
-      "\"" + k + "\":{\"first\":" + fmt(f) + ",\"retry\":" + fmt(r) + "}"
-    }.mkString("{", ",", "}")
+    def retriedJsonOf(entries: Seq[(String, (Double, Double))]): String =
+      entries.sortBy(_._1).map { case (k, (f, r)) =>
+        "\"" + k + "\":{\"first\":" + fmt(f) + ",\"retry\":" + fmt(r) + "}"
+      }.mkString("{", ",", "}")
+    val retriedJson = retriedJsonOf(retried.toSeq)
+    // stdout carries only the slowest few retried pairs (a heavily
+    // contaminated run could queue dozens of >=30 s outliers and overflow
+    // the driver's bounded stdout tail — the failure mode the slowest-20
+    // query cap below exists to prevent); the full map lives in
+    // target/bench_full.json. n_retried preserves the total count.
+    val retriedStdoutJson =
+      retriedJsonOf(retried.toSeq.sortBy { case (_, (f, _)) => -f }.take(8))
     // Full per-query detail goes to a FILE; stdout carries ONE compact JSON
     // line (slowest 20 only). The driver captures a bounded tail of stdout —
     // round 1's full 103-entry map overflowed it and failed to parse
@@ -167,7 +181,7 @@ object Bench {
         .getBytes("UTF-8"))
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","failed":$failedJson,"control":$controlJson,"retried":$retriedJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","failed":$failedJson,"control":$controlJson,"n_retried":${retried.size},"retried":$retriedStdoutJson}""")
     spark.stop()
   }
 }

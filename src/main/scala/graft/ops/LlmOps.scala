@@ -1127,7 +1127,7 @@ object LlmOps {
         .withColumn("fake_height",
           lit(128L) + expr("cast(conv(substring(digest,5,4),16,10) as bigint)") % 1024L)
         .orderBy("doc_id"),
-      Some("""WITH x AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      Some("""WITH x AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
           md5(text) AS digest FROM documents)
         SELECT doc_id, n_bytes, digest,
           128 + CAST('0x' || substr(digest,1,4) AS BIGINT) % 1024 AS fake_width,

@@ -114,10 +114,16 @@ object Round6 {
         raw.crossJoin(broadcast(leftover))
           .select(col("source"), col("n_tok"),
             round(col("w").cast("double"), 6).as("weight"),
-            (col("capped_tok") + when(!col("is_capped"),
-              round(col("w").cast("double") / col("sumw_unc").cast("double")
-                * col("leftover").cast("double"), 6).cast("decimal(18,6)"))
-              .otherwise(lit(0).cast("decimal(18,6)"))).as("alloc_dec"))
+            // the epoch cap must survive redistribution: the one-pass
+            // leftover share can push an uncapped source past 4 epochs
+            // (leftover > its headroom), so the sum re-clamps to cap_tok —
+            // residual budget then goes unallocated, which is the correct
+            // answer when every source saturates
+            least(col("cap_tok"),
+              col("capped_tok") + when(!col("is_capped"),
+                round(col("w").cast("double") / col("sumw_unc").cast("double")
+                  * col("leftover").cast("double"), 6).cast("decimal(18,6)"))
+                .otherwise(lit(0).cast("decimal(18,6)"))).as("alloc_dec"))
           // output as DOUBLE: the decimals above exist for order-free SUMs;
           // surfacing them would pin an engine-specific result scale
           .select(col("source"), col("n_tok"), col("weight"),
@@ -144,10 +150,11 @@ object Round6 {
               ELSE CAST(0 AS DECIMAL(28,12)) END) OVER () AS sumw_unc
           FROM capd),
         fin AS (SELECT source, n_tok, w,
-            capped_tok + CASE WHEN NOT is_capped THEN
-              CAST(ROUND(CAST(w AS DOUBLE) / CAST(sumw_unc AS DOUBLE)
-                * CAST(leftover AS DOUBLE), 6) AS DECIMAL(18,6))
-              ELSE CAST(0 AS DECIMAL(18,6)) END AS alloc_dec
+            LEAST(cap_tok,
+              capped_tok + CASE WHEN NOT is_capped THEN
+                CAST(ROUND(CAST(w AS DOUBLE) / CAST(sumw_unc AS DOUBLE)
+                  * CAST(leftover AS DOUBLE), 6) AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS alloc_dec
           FROM lo)
         SELECT source, n_tok, ROUND(CAST(w AS DOUBLE), 6) AS weight,
           CAST(alloc_dec AS DOUBLE) AS alloc_tok,

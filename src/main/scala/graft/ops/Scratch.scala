@@ -1,23 +1,40 @@
 package graft.ops
 
-/** Fixed per-tag scratch directories for sinks / stream checkpoints.
-  * Each call wipes and recreates `${java.io.tmpdir}/graft_scratch/<tag>`,
-  * so repeated Bench/Verify/test invocations in one JVM overwrite one
+/** Per-tag scratch directories for sinks / stream checkpoints, scoped to
+  * THIS process: the root is `${java.io.tmpdir}/graft_scratch/p<pid>` so
+  * two concurrent JVMs (Bench ∥ Verify, forked test suites) can never
+  * wipe each other's live sinks or stream checkpoints — a fixed shared
+  * root made that race real (dir("x") in JVM A deletes JVM B's running
+  * stream state). Within one process each call wipes and recreates its
+  * tag subtree, so repeated Bench/Verify/test invocations overwrite one
   * tree per call site instead of accumulating fresh createTempDirectory
-  * outputs (deleteOnExit never fires for non-empty directories, so the
-  * old shape leaked a full parquet copy of the fixture per invocation).
-  * Every call site uses a distinct tag and queries run sequentially, so
-  * the wipe can never race a live reader. */
+  * outputs (deleteOnExit never fires for non-empty directories, so that
+  * shape leaked a full parquet copy of the fixture per invocation).
+  * Cross-process accumulation is handled by a shutdown hook that removes
+  * the whole per-process root (best-effort; a kill -9 leaks one root,
+  * bounded by the tmpdir janitor). Call sites use distinct tags and
+  * queries run sequentially, so an in-process wipe can never race a live
+  * reader. */
 object Scratch {
-  def dir(tag: String): String = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_scratch", tag)
+  private val root: java.nio.file.Path = {
+    val r = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch",
+      "p" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(r)))
+    r
+  }
+
+  private def deleteTree(base: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(base)) {
       val walk = java.nio.file.Files.walk(base)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       finally walk.close()
     }
+
+  def dir(tag: String): String = {
+    val base = root.resolve(tag)
+    deleteTree(base)
     java.nio.file.Files.createDirectories(base)
     base.toString
   }

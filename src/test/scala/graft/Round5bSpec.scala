@@ -138,6 +138,32 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("m1/m5 byte semantics: non-ASCII payloads count UTF-8 bytes, not characters") {
+    // Spark length(binary) counts BYTES; DuckDB length(VARCHAR) counts
+    // CHARACTERS — the oracles use strlen (bytes) so both engines agree on
+    // non-ASCII text, and this fixture is the proof the bench corpus
+    // (pure ASCII) can't give: é/ö are 2 UTF-8 bytes, ☃ is 3.
+    import spark.implicits._
+    val dir = graft.ops.Scratch.dir("nonascii")
+    val docs = Seq((0L, "héllo wörld ☃"), (7L, "plain ascii"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val utf8 = docs.map { case (id, t) => id -> t.getBytes("UTF-8").length.toLong }.toMap
+    val chars = docs.toMap
+    val m1 = SparkEntry.queries("m1_binary_meta")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bytes")).toMap
+    assert(m1 == utf8, s"m1 n_bytes $m1 != UTF-8 byte counts $utf8")
+    assert(m1(0L) > chars(0L).length.toLong,
+      "non-ASCII row must count bytes > chars (the strlen contract)")
+    // m5's bytes_saved rides the same byte length; both fixture docs land
+    // in the re-crawled doc_id%7==0 shard, so both form 2-copy groups
+    val m5 = SparkEntry.queries("m5_binary_dedup")(spark, dir).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("bytes_saved")).toMap
+    assert(m5 == utf8, s"m5 bytes_saved $m5 != UTF-8 byte counts $utf8")
+  }
+
   test("j35: pipeline stages filter monotonically and survivors obey the gates") {
     val rows = run("j35_corpus_pipeline").collect()
     assert(rows.nonEmpty)

@@ -166,4 +166,35 @@ class Round6Spec extends AnyFunSuite {
         s"epoch cap violated: $r")
     }
   }
+
+  test("j38 cap binds after redistribution when leftover exceeds headroom") {
+    // Engineered so the one-pass redistribution OVERFLOWS the only
+    // uncapped source's headroom: 4 tiny sources (100 tok, w=10) are
+    // capped at 400 each; the mid source (6400 tok, w=80) gets raw
+    // 30000·80/120 = 20000 < cap 25600, then the whole leftover
+    // 30000 − 1600 − 20000 = 8400 — un-clamped that's 28400 > 25600
+    // (4.44 epochs). The clamp must pin it to exactly cap = 4 epochs.
+    import spark.implicits._
+    val dir = graft.ops.Scratch.dir("j38cap")
+    val docs = (0 until 4).map { i =>
+      (i.toLong, (0 until 100).map(k => s"t${i}w$k").mkString(" "), s"tiny$i")
+    } :+ ((4L, (0 until 6400).map(k => s"mw$k").mkString(" "), "mid"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("j38_token_budget")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Double]("alloc_tok"),
+          r.getAs[Double]("epochs")))).toMap
+    val (nMid, allocMid, epochsMid) = out("mid")
+    assert(nMid == 6400L)
+    assert(math.abs(allocMid - 4.0 * nMid) < 1e-3,
+      s"mid must be clamped to its cap: alloc $allocMid vs ${4 * nMid}")
+    assert(math.abs(epochsMid - 4.0) < 1e-6, s"mid epochs $epochsMid != 4")
+    out.foreach { case (s0, (nt, alloc, ep)) =>
+      assert(ep <= 4.0 + 1e-6, s"$s0 epochs $ep > 4")
+      assert(alloc <= 4.0 * nt + 1e-3, s"$s0 alloc $alloc > cap")
+    }
+  }
 }
