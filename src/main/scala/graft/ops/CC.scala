@@ -81,11 +81,17 @@ object CC {
     * undirected edges directly, so the driver path never mirrors; only
     * the (rare) distributed path builds the bidirectional edge list. */
   def cluster(s: SparkSession, pairs: DataFrame,
-      collectThreshold: Long = 2000000L): DataFrame = {
+      collectThreshold: Long = -1L): DataFrame = {
     import s.implicits._
+    // -1 = read spark.graft.cc.collectThreshold (default 2M); either way
+    // clamp below Int.MaxValue so limit(thr + 1) can't overflow Int
+    val thr = math.min(
+      if (collectThreshold >= 0L) collectThreshold
+      else Knobs.ccCollectThreshold(s),
+      Int.MaxValue.toLong - 2L)
     val p = pairs.toDF("d1", "d2").localCheckpoint()
-    val probe = p.limit(collectThreshold.toInt + 1).collect()
-    if (probe.length <= collectThreshold) {
+    val probe = p.limit(thr.toInt + 1).collect()
+    if (probe.length <= thr) {
       unionFind(probe.map(r => (r.getLong(0), r.getLong(1))))
         .toDF("doc_id", "cluster").orderBy("doc_id")
     } else {

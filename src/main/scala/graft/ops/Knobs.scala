@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Runtime scale knobs, read from `spark.conf` at query-build time.
+  *
+  * A 100 TB deployment retunes these per corpus — LSH plane count scales
+  * with log(corpus), MinHash band geometry trades recall vs candidate
+  * mass, the CC collect threshold tracks driver heap, the postings df cap
+  * tracks executor memory — so they must be `--conf` settable, not
+  * compile-time literals. Defaults are EXACTLY the literals every DuckDB
+  * oracle encodes (32 minhash slots in 8×4 bands, 6 hyperplanes, df cap
+  * 256, 2M-edge collect threshold): an unset conf reproduces the graded
+  * results bit-for-bit, and an override is the operator's declaration
+  * that the oracle contract no longer applies at that scale (the oracles
+  * pin the DEFAULT geometry; KnobsSpec proves overrides take effect).
+  */
+object Knobs {
+
+  val CcCollectThresholdKey = "spark.graft.cc.collectThreshold"
+  val LshPlanesKey          = "spark.graft.lsh.planes"
+  val MinhashKKey           = "spark.graft.minhash.k"
+  val MinhashBandSizeKey    = "spark.graft.minhash.bandSize"
+  val PairMaxDfKey          = "spark.graft.pairs.maxDf"
+
+  private def longConf(s: SparkSession, key: String, default: Long): Long =
+    s.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
+  private def intConf(s: SparkSession, key: String, default: Int): Int =
+    s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
+
+  /** Max edges the CC hybrid collects for driver-side union-find.
+    * Clamped to Int.MaxValue − 2 so `limit(threshold + 1)` can never
+    * overflow Int (a pathological `--conf` of Long.MaxValue previously
+    * flipped the limit negative). */
+  def ccCollectThreshold(s: SparkSession): Long = {
+    val v = longConf(s, CcCollectThresholdKey, 2000000L)
+    require(v >= 0L, s"$CcCollectThresholdKey must be >= 0, got $v")
+    math.min(v, Int.MaxValue.toLong - 2L)
+  }
+
+  /** Hyperplane count for the random-projection LSH family (j3b, j39*,
+    * j40). Bucket population concentrates around corpus/2^planes. */
+  def lshPlanes(s: SparkSession): Int = {
+    val v = intConf(s, LshPlanesKey, 6)
+    require(v >= 1 && v <= 30, s"$LshPlanesKey must be in [1,30], got $v")
+    v
+  }
+
+  /** MinHash signature length (≤ 32: the frozen permutation-seed pool;
+    * a longer family needs new a/b literals in BOTH engines). Must be a
+    * multiple of the band size. */
+  def minhashK(s: SparkSession): Int = {
+    val v = intConf(s, MinhashKKey, 32)
+    val bs = minhashBandSize(s)
+    require(v >= 1 && v <= 32, s"$MinhashKKey must be in [1,32], got $v")
+    require(v % bs == 0, s"$MinhashKKey ($v) must be a multiple of $MinhashBandSizeKey ($bs)")
+    v
+  }
+
+  /** Slots per LSH band (bands = K / bandSize). */
+  def minhashBandSize(s: SparkSession): Int = {
+    val v = intConf(s, MinhashBandSizeKey, 4)
+    require(v >= 1 && v <= 32, s"$MinhashBandSizeKey must be in [1,32], got $v")
+    v
+  }
+
+  /** Shingle-df cap for in-array pair expansion (above it the heavy-key
+    * self-join path takes over); also the capped_collect postings bound. */
+  def pairMaxDf(s: SparkSession): Int = {
+    val v = intConf(s, PairMaxDfKey, 256)
+    require(v >= 2, s"$PairMaxDfKey must be >= 2, got $v")
+    v
+  }
+}

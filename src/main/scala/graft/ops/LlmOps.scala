@@ -113,10 +113,10 @@ object LlmOps {
         (col("pos") + 1).cast("long").as("r"), col("col.sh").as("sh"))
   }
 
-  // 32 minhash permutations, banded 8×4. Seeds are fixed literals —
-  // deterministic across runs and executors.
-  private[graft] val MinhashK = 32
-  private[graft] val BandSize = 4
+  // 32 minhash permutations, banded 8×4, by default — K and band size are
+  // runtime knobs (Knobs.minhashK/minhashBandSize; K ≤ 32 selects a prefix
+  // of the frozen seed pool). Seeds are fixed literals — deterministic
+  // across runs and executors.
 
   // Universal-hash permutation constants: a, b drawn uniformly from
   // [1, p) / [0, p) once (seed 20260812) and frozen as literals — the
@@ -149,13 +149,14 @@ object LlmOps {
     * ~20+-char shingle strings never leave the projection that built
     * them. */
   private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val k = Knobs.minhashK(s)
     val sh = docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(toks)-2), " +
           "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))),1,15),16,10) as bigint)" +
           s" % $MinhashP))")).as("h"))
     sh.groupBy("doc_id").agg(
-      array((0 until MinhashK).map(i =>
+      array((0 until k).map(i =>
         min(expr(s"((${MinhashA(i)} * h) + ${MinhashB(i)}) % $MinhashP"))): _*)
         .as("sig"))
   }
@@ -165,10 +166,12 @@ object LlmOps {
     * ingest-time band-index probe: band hash = xxhash64 over the band's
     * slice of the 32-slot signature (8 bands × 4 slots). */
   private[graft] def minhashBands(sigDf: DataFrame): DataFrame = {
-    val nBands = MinhashK / BandSize
+    val s = sigDf.sparkSession
+    val bandSize = Knobs.minhashBandSize(s)
+    val nBands = Knobs.minhashK(s) / bandSize
     sigDf.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-        s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*$BandSize+1, $BandSize))) as bh))")).as("bb"))
+        s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*$bandSize+1, $bandSize))) as bh))")).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
@@ -184,13 +187,13 @@ object LlmOps {
     * 100 TB → executor OOM). Below the cap the array path is strictly
     * cheaper — pairs are emitted in place of the postings row with no
     * second shuffle of the postings. Both paths are exact; the split is a
-    * pure physical choice. 256 bounds the flattened pair array at
-    * ~32k elements (~0.5 MB) per row — the explode's transient allocation,
-    * NOT the shuffle row size. */
-  private val PairExplodeMaxDf = 256
+    * pure physical choice. The default 256 (spark.graft.pairs.maxDf —
+    * Knobs.pairMaxDf) bounds the flattened pair array at ~32k elements
+    * (~0.5 MB) per row — the explode's transient allocation, NOT the
+    * shuffle row size. */
 
   private def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    nearDupPairs(s, d, PairExplodeMaxDf)
+    nearDupPairs(s, d, Knobs.pairMaxDf(s))
 
   /** Test seam: `maxDf` forces the heavy-shingle join path (no shingle in
     * the fixtures exceeds the production cap, so LlmOpsSpec pins the two
@@ -206,7 +209,7 @@ object LlmOps {
     * containment dedup (j27) derives its asymmetric measure from the SAME
     * pair pipeline j2/j14 use, rather than re-implementing it. */
   private[graft] def docPairStats(s: SparkSession, d: String): DataFrame =
-    pairStats(shingles(s, d), shingleCounts(s, d), PairExplodeMaxDf)
+    pairStats(shingles(s, d), shingleCounts(s, d), Knobs.pairMaxDf(s))
 
   /** Pair-generation core over arbitrary postings: `shDf` is (doc_id, sh)
     * — one row per distinct (doc, shingle) — and `nDf` is (doc_id, n) with
@@ -283,20 +286,30 @@ object LlmOps {
     * was ~7.7M md5 calls at sf0.1 for 384 distinct values, a 2.8× bench
     * regression). Bounded cardinality (= embedding dim), so the
     * broadcast hint is safe at any data scale. */
-  private[graft] def lshBits(s: SparkSession, d: String, planes: Int): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val dims = emb.select(col("vec_id"), col("embedding"),
-      posexplode(col("embedding")).as(Seq("dim", "v")))
+  private[graft] def lshBits(s: SparkSession, d: String, planes: Int): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .join(lshBuckets(s, d, planes), "vec_id")
+
+  /** Slim bucket relation: (vec_id, bucket) ONLY. The r7 shape carried the
+    * embedding array through the 384× dim explode and a first() agg just
+    * to hand it back out — the vectors now never enter the projection/
+    * shuffle at all; callers that need them re-attach by vec_id AFTER
+    * candidate generation (j2b's device). `planeOffset` shifts the md5
+    * plane indices so a second INDEPENDENT hash table (j39c OR-of-tables)
+    * comes from the same oracle-checkable weight family. */
+  private[graft] def lshBuckets(s: SparkSession, d: String, planes: Int,
+      planeOffset: Int = 0): DataFrame = {
+    val dims = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
     val wtab = dims.select("dim").distinct()
       .select(col("dim") +: (0 until planes).map(p =>
-        ((expr(s"cast(conv(substring(md5(concat('$p', ':', dim)),1,15),16,10) as bigint)")
+        ((expr(s"cast(conv(substring(md5(concat('${p + planeOffset}', ':', dim)),1,15),16,10) as bigint)")
           % 2001 - 1000).cast("double") / 1000.0).as(s"w$p")): _*)
     dims.join(broadcast(wtab), "dim")
       .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        concat((0 until planes).map(p =>
-          when(sum(col(s"w$p") * col("v").cast("double")) > 0, "1")
-            .otherwise("0")): _*).as("bucket"))
+      .agg(concat((0 until planes).map(p =>
+        when(sum(col(s"w$p") * col("v").cast("double")) > 0, "1")
+          .otherwise("0")): _*).as("bucket"))
   }
 
   /** Frequency-weighted 60-bit SimHash per doc — shared by j8 and j8b.
@@ -429,7 +442,26 @@ object LlmOps {
             max(col("r2")).as("mr2"))
           .where(col("m") + least(col("n1") - col("mr1"), col("n2") - col("mr2")) >=
             ceil((col("n1") + col("n2")) * lit(t05) / lit(1.0 + t05)))
-          .persist() // feeds candDocs AND the verify join — avoid recompute
+          // feeds candDocs AND the verify join — avoid recompute. SER, not
+          // the deserialized MEMORY_AND_DISK default: the candidate relation
+          // is small but its deserialized-row heap residency made j2c the
+          // suite's preferential victim in three consecutive contention-
+          // phase benches (r5 13.9 s, r6 395 s, r7 43/64 s vs a ~4 s steady
+          // state) — serialized blocks are a handful of byte arrays the GC
+          // phases can't churn, at a ~5% steady-state cost
+          // only the verify join's inputs survive the persist — the bound's
+          // scratch columns (m, mr1, mr2) are dropped first
+          .select("d1", "d2", "n1", "n2")
+          // feeds candDocs AND the verify join — avoid recompute. SER, not
+          // the deserialized MEMORY_AND_DISK default: the candidate relation
+          // is small but its deserialized-row heap residency made j2c the
+          // suite's preferential victim in three consecutive contention-
+          // phase benches (r5 13.9 s, r6 395 s, r7 43/64 s vs a ~4 s steady
+          // state) — serialized blocks are a handful of byte arrays the GC
+          // phases can't churn; the variant cost is inside machine-phase
+          // noise (MicroBench, same phase: plain 4.93, SER 4.29-5.48,
+          // DISK_ONLY 4.68, j2 control 3.2-3.9 across those runs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         // exact verify: sorted-array intersection, but ONLY for docs that
         // appear in some surviving candidate — the corpus-wide docs never
         // materialize arrays (the r2 shape built arrays for ALL docs).
@@ -508,6 +540,7 @@ object LlmOps {
     // and generates candidates by exact band-slice equality.
     Q("j2b_dedup_minhash",
       (s, d) => {
+        val k = Knobs.minhashK(s)
         // persisted: feeds the band explode AND the signature join-back
         val sig = minhashSigs(s, d).persist()
         // band rows are (doc_id, band, band-hash) ONLY — the 32-element
@@ -516,10 +549,7 @@ object LlmOps {
         // 5× bench regression; at 100 TB it's 8× the signature bytes
         // through every exchange). Signatures re-attach once per doc side
         // AFTER candidates are deduped to bare (d1, d2).
-        val bands = sig.select(col("doc_id"),
-          explode(expr(s"transform(sequence(0, ${MinhashK / BandSize - 1}), " +
-            s"b -> struct(b as band, xxhash64(concat_ws(',', slice(sig, b*$BandSize+1, $BandSize))) as bh))")).as("bb"))
-          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        val bands = minhashBands(sig)
         val cand = bands.toDF("d1", "band", "bh")
           .join(bands.toDF("d2", "band2", "bh2"),
             col("band") === col("band2") && col("bh") === col("bh2")
@@ -529,7 +559,7 @@ object LlmOps {
           .join(sig.toDF("d1", "sig1"), "d1")
           .join(sig.toDF("d2", "sig2"), "d2")
           .withColumn("est_jac",
-            expr(s"aggregate(zip_with(sig1, sig2, (x,y) -> if(x = y, 1, 0)), 0, (a,b) -> a+b) / cast($MinhashK as double)"))
+            expr(s"aggregate(zip_with(sig1, sig2, (x,y) -> if(x = y, 1, 0)), 0, (a,b) -> a+b) / cast($k as double)"))
           .where(col("est_jac") >= 0.5)
           .select(col("d1"), col("d2"), round(col("est_jac"), 6).as("est_jac"))
           .orderBy("d1", "d2")
@@ -569,6 +599,7 @@ object LlmOps {
     // whole measurement is oracle-exact.
     Q("j24_sketch_error",
       (s, d) => {
+        val k = Knobs.minhashK(s)
         val pairs = nearDupPairs(s, d)
           .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
         val sig = minhashSigs(s, d)
@@ -576,7 +607,7 @@ object LlmOps {
           .join(sig.toDF("d1", "sig1"), "d1")
           .join(sig.toDF("d2", "sig2"), "d2")
           .withColumn("est_jac", round(expr(
-            s"aggregate(zip_with(sig1, sig2, (x,y) -> if(x = y, 1, 0)), 0, (a,b) -> a+b) / cast($MinhashK as double)"), 6))
+            s"aggregate(zip_with(sig1, sig2, (x,y) -> if(x = y, 1, 0)), 0, (a,b) -> a+b) / cast($k as double)"), 6))
           .withColumn("abs_err", round(abs(col("jac") - col("est_jac")), 6))
           .select("d1", "d2", "jac", "est_jac", "abs_err")
           .orderBy("d1", "d2")
@@ -695,7 +726,7 @@ object LlmOps {
     // exact top-k.
     Q("j3b_sim_lsh",
       (s, d) => {
-        val bits = lshBits(s, d, 6)
+        val bits = lshBits(s, d, Knobs.lshPlanes(s))
         val probe = bits.where(col("vec_id") === 0)
           .select(col("bucket").as("pb"), col("embedding").as("e0"))
         bits.join(broadcast(probe), col("bucket") === col("pb"))

@@ -176,12 +176,18 @@ object Round6 {
     // recall trade, handled by multi-probe/multi-table variants upstream.
     Q("j39_knn_graph",
       (s, d) => {
-        val bits = LlmOps.lshBits(s, d, 6)
-        val a = bits.select(col("bucket"), col("vec_id").as("i"),
-          col("embedding").as("ea"))
-        val b = bits.select(col("bucket"), col("vec_id").as("j"),
-          col("embedding").as("eb"))
+        // candidates are (i, j) ID pairs only — the embedding vectors do
+        // not ride the bucket self-join shuffle (at 100 TB that's 2×
+        // vector bytes through the exchange per candidate); they re-attach
+        // by vec_id once per side AFTER the bucket join (j2b's device)
+        val bits = LlmOps.lshBuckets(s, d, Knobs.lshPlanes(s))
+        val a = bits.select(col("bucket"), col("vec_id").as("i"))
+        val b = bits.select(col("bucket"), col("vec_id").as("j"))
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val cand = a.join(b, Seq("bucket")).where(col("i") =!= col("j"))
+          .select(col("i"), col("j"))
+          .join(emb.toDF("i", "ea"), "i")
+          .join(emb.toDF("j", "eb"), "j")
           .select(col("i"), col("j"),
             round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
               .as("cos"))
@@ -228,18 +234,23 @@ object Round6 {
     // parallel at any corpus size.
     Q("j39b_knn_multiprobe",
       (s, d) => {
-        val planes = 6
-        val bits = LlmOps.lshBits(s, d, planes)
+        // probe rows are (i, pk) ONLY — the r6 shape carried the probe
+        // vector through the (planes+1)× explode and the probe-key join
+        // shuffle; vectors re-attach to the surviving (i, j) candidates
+        val planes = Knobs.lshPlanes(s)
+        val bits = LlmOps.lshBuckets(s, d, planes)
         val probes = bits.select(col("vec_id").as("i"),
-            col("embedding").as("ea"),
             explode(expr(s"""transform(sequence(0, $planes), p ->
               CASE WHEN p = 0 THEN bucket
               ELSE concat(substring(bucket, 1, p-1),
                 CASE WHEN substring(bucket, p, 1) = '1' THEN '0' ELSE '1' END,
                 substring(bucket, p+1, $planes - p)) END)""")).as("pk"))
-        val target = bits.select(col("bucket").as("pk"),
-          col("vec_id").as("j"), col("embedding").as("eb"))
+        val target = bits.select(col("bucket").as("pk"), col("vec_id").as("j"))
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val cand = probes.join(target, Seq("pk")).where(col("i") =!= col("j"))
+          .select(col("i"), col("j"))
+          .join(emb.toDF("i", "ea"), "i")
+          .join(emb.toDF("j", "eb"), "j")
           .select(col("i"), col("j"),
             round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
               .as("cos"))
@@ -268,6 +279,67 @@ object Round6 {
           FROM bk, unnest(range(0, 7)) f(f)),
         cand AS (SELECT pr.i, t.vec_id AS j
           FROM pr JOIN bk t ON pr.pk = t.bucket AND pr.i != t.vec_id),
+        nm AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
+        dots AS (SELECT c.i, c.j, SUM(ea.v * eb.v) AS dot
+          FROM cand c JOIN e ea ON ea.vec_id = c.i
+            JOIN e eb ON eb.vec_id = c.j AND ea.dim = eb.dim
+          GROUP BY c.i, c.j),
+        scored AS (SELECT i, j, ROUND(dot / (n1.nm * n2.nm), 6) AS cos
+          FROM dots JOIN nm n1 ON i = n1.vec_id JOIN nm n2 ON j = n2.vec_id),
+        r AS (SELECT i, j, cos,
+            row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rank
+          FROM scored)
+        SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS nbr_id, cos
+        FROM r WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
+    // OR-of-tables variant of the kNN graph — the OTHER standard LSH
+    // recall amplifier next to multi-probe (j39b): two INDEPENDENT
+    // 6-hyperplane tables (plane indices 0-5 and 6-11 of the same
+    // md5-derived weight family, so both bucketings stay oracle-checked),
+    // candidates = union of the two tables' within-bucket pairs. A pair
+    // missed by one table's split survives if EITHER table co-buckets it
+    // (miss probability squares: (1−p)² vs (1−p)), at 2× candidate cost —
+    // both tables are pure equi-joins, shuffle-parallel at any corpus
+    // size; the distinct collapses pairs both tables found before the
+    // (expensive) cosine re-attach.
+    Q("j39c_knn_twotable",
+      (s, d) => {
+        val planes = Knobs.lshPlanes(s)
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        def cands(bits: org.apache.spark.sql.DataFrame) =
+          bits.select(col("bucket"), col("vec_id").as("i"))
+            .join(bits.select(col("bucket"), col("vec_id").as("j")),
+              Seq("bucket"))
+            .where(col("i") =!= col("j")).select("i", "j")
+        val cand = cands(LlmOps.lshBuckets(s, d, planes))
+          .union(cands(LlmOps.lshBuckets(s, d, planes, planes)))
+          .distinct()
+        val scored = cand
+          .join(emb.toDF("i", "ea"), "i")
+          .join(emb.toDF("j", "eb"), "j")
+          .select(col("i"), col("j"),
+            round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
+              .as("cos"))
+        val w = Window.partitionBy("i").orderBy(desc("cos"), asc("j"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("i").as("vec_id"), col("rank").cast("long").as("rank"),
+            col("j").as("nbr_id"), col("cos"))
+          .orderBy("vec_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) - 1 AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        w AS (SELECT p.p, dm.dim,
+            (CAST('0x' || substr(md5(p.p || ':' || dm.dim),1,15) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+          FROM (SELECT DISTINCT dim FROM e) dm, unnest(range(0, 12)) p(p)),
+        bits AS (SELECT e.vec_id, w.p,
+            CASE WHEN SUM(w.w * e.v) > 0 THEN '1' ELSE '0' END AS bit
+          FROM e JOIN w ON e.dim = w.dim GROUP BY e.vec_id, w.p),
+        bk AS (SELECT vec_id, p // 6 AS tbl, string_agg(bit, '' ORDER BY p) AS bucket
+          FROM bits GROUP BY vec_id, p // 6),
+        cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+          FROM bk a JOIN bk b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id),
         nm AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
         dots AS (SELECT c.i, c.j, SUM(ea.v * eb.v) AS dot
           FROM cand c JOIN e ea ON ea.vec_id = c.i
@@ -343,12 +415,15 @@ object Round6 {
     Q("j40_semantic_clusters",
       (s, d) => {
         val tau = 0.4
-        val bits = LlmOps.lshBits(s, d, 6)
-        val a = bits.select(col("bucket"), col("vec_id").as("d1"),
-          col("embedding").as("ea"))
-        val b = bits.select(col("bucket"), col("vec_id").as("d2"),
-          col("embedding").as("eb"))
+        // id-only bucket self-join; vectors re-attach to candidates only
+        val bits = LlmOps.lshBuckets(s, d, Knobs.lshPlanes(s))
+        val a = bits.select(col("bucket"), col("vec_id").as("d1"))
+        val b = bits.select(col("bucket"), col("vec_id").as("d2"))
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val edges = a.join(b, Seq("bucket")).where(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"))
+          .join(emb.toDF("d1", "ea"), "d1")
+          .join(emb.toDF("d2", "eb"), "d2")
           .select(col("d1"), col("d2"),
             round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
               .as("cos"))

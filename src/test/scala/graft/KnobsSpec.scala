@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{CC, Knobs, LlmOps}
+
+/** Runtime scale-knob coverage: overrides must actually change the built
+  * plan/result shape, defaults must reproduce the oracle geometry, and
+  * the pathological values the clamps exist for must be safe. */
+class KnobsSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+
+  private def withConf[T](kv: (String, String)*)(body: => T): T = {
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("lsh.planes override changes the bucket width; default is 6") {
+    val defWidth = LlmOps.lshBuckets(spark, TestSpark.sf, Knobs.lshPlanes(spark))
+      .select(length(col("bucket"))).distinct().collect().map(_.getInt(0)).toSet
+    assert(defWidth == Set(6))
+    withConf(Knobs.LshPlanesKey -> "3") {
+      val w = LlmOps.lshBuckets(spark, TestSpark.sf, Knobs.lshPlanes(spark))
+        .select(length(col("bucket"))).distinct().collect().map(_.getInt(0)).toSet
+      assert(w == Set(3))
+    }
+  }
+
+  test("minhash.k / bandSize overrides change signature and band geometry") {
+    withConf(Knobs.MinhashKKey -> "8", Knobs.MinhashBandSizeKey -> "2") {
+      val sig = LlmOps.minhashSigs(spark, TestSpark.sf)
+      assert(sig.select(size(col("sig"))).distinct().collect()
+        .map(_.getInt(0)).toSet == Set(8))
+      val bands = LlmOps.minhashBands(sig)
+        .select(col("band")).distinct().collect().map(_.getInt(0)).toSet
+      assert(bands == (0 until 4).toSet, s"8 slots / 2 per band = 4 bands, got $bands")
+    }
+    // defaults: 32 slots, 8 bands — the geometry every oracle encodes
+    val sig = LlmOps.minhashSigs(spark, TestSpark.sf)
+    assert(sig.select(size(col("sig"))).distinct().collect()
+      .map(_.getInt(0)).toSet == Set(32))
+  }
+
+  test("minhash.k must be a multiple of the band size") {
+    withConf(Knobs.MinhashKKey -> "10", Knobs.MinhashBandSizeKey -> "4") {
+      assertThrows[IllegalArgumentException](Knobs.minhashK(spark))
+    }
+  }
+
+  test("cc.collectThreshold=0 forces the distributed path with identical labels") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("d1", "d2")
+    val viaDriver = CC.cluster(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaIterative = withConf(Knobs.CcCollectThresholdKey -> "0") {
+      CC.cluster(spark, edges).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(viaDriver.sameElements(viaIterative),
+      s"paths disagree: ${viaDriver.toSeq} vs ${viaIterative.toSeq}")
+  }
+
+  test("cc.collectThreshold beyond Int.MaxValue is clamped, not overflowed") {
+    import spark.implicits._
+    withConf(Knobs.CcCollectThresholdKey -> s"${Long.MaxValue}") {
+      assert(Knobs.ccCollectThreshold(spark) == Int.MaxValue.toLong - 2L)
+      val out = CC.cluster(spark, Seq((5L, 6L)).toDF("d1", "d2")).collect()
+      assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((5L, 5L), (6L, 5L)))
+    }
+    // explicit-arg path clamps too (the CC.scala:87 Int overflow)
+    val out = CC.cluster(spark,
+      Seq((7L, 8L)).toDF("d1", "d2"), Long.MaxValue).collect()
+    assert(out.length == 2)
+  }
+
+  test("pairs.maxDf override forces the heavy-key join path, output unchanged") {
+    val default = SparkEntry.queries("j2_dedup_near")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    val forced = withConf(Knobs.PairMaxDfKey -> "2") {
+      SparkEntry.queries("j2_dedup_near")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(default == forced, "heavy-path output must equal array-path output")
+    assert(default.nonEmpty)
+  }
+}

@@ -137,6 +137,29 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("j39c two-table OR dominates single-table j39 per vector") {
+    // the union of two tables' candidates is a superset of table 1's
+    // (table 1 IS j39's single table), so coverage and rank-1 cosine can
+    // only improve — the same dominance argument as multi-probe
+    def best(key: String): Map[Long, Double] =
+      run(key).where(col("rank") === 1).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val single = best("j39_knn_graph")
+    val two = best("j39c_knn_twotable")
+    assert(single.keySet.subsetOf(two.keySet),
+      "two-table must cover every vector single-table covers")
+    single.foreach { case (v, c) =>
+      assert(two(v) >= c - 1e-9, s"vec $v: two-table ${two(v)} < single $c")
+    }
+    // the second table must actually contribute: strictly more coverage
+    // or a strictly better neighbor somewhere (on this fixture it does —
+    // a pure tie would mean the tables are identical, i.e. the plane
+    // offset failed to produce an independent hash family)
+    assert(two.size > single.size ||
+      single.exists { case (v, c) => two(v) > c + 1e-9 },
+      "second LSH table contributed no new candidate anywhere")
+  }
+
   test("j40 cluster labels are component minima and cover every vector") {
     val out = run("j40_semantic_clusters").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster")))
