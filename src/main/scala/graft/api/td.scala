@@ -193,6 +193,37 @@ object td {
       acc.replace(s"{$k}", lit)
     }
 
+  /** `--dry-run` (reference `pandas_td/ipython.py :: QueryMagics`,
+    * `%%td_presto --dry-run`): the exact SQL that WOULD run after `{var}`
+    * interpolation, returned instead of executed — the reference prints
+    * it and skips the job submit; here the caller gets the string (and
+    * nothing is planned, registered, or cached). */
+  def dryRun(sql: String, params: Map[String, Any] = Map.empty): String =
+    interpolate(sql, params)
+
+  /** `%%td_use db` analog (reference `pandas_td/ipython.py :: UseMagics`,
+    * SURVEY §4.4): a bound handle over one database — the notebook binds
+    * once and every subsequent query/table read goes through it without
+    * re-stating the engine. Pure delegation: `query` ≡ readTdQuery,
+    * `table` ≡ readTdTable, `dryRun` ≡ td.dryRun, so every pushdown
+    * property of the unbound entry points holds verbatim. */
+  final case class TdUse(engine: TdEngine) {
+    def query(sql: String, params: Map[String, Any] = Map.empty,
+        distributedJoin: Boolean = false)
+        (implicit s: SparkSession): DataFrame =
+      readTdQuery(sql, engine, distributedJoin, params)
+    def table(name: String, columns: Seq[String] = Nil,
+        timeRange: Option[(String, String)] = None, timeCol: String = "time",
+        limit: Int = 10000)(implicit s: SparkSession): DataFrame =
+      readTdTable(name, engine, columns, timeRange, timeCol, limit)
+    def dryRun(sql: String, params: Map[String, Any] = Map.empty): String =
+      td.dryRun(sql, params)
+  }
+
+  /** Bind a database: `use("mydb", root)` ≈ `%td_use mydb`. */
+  def use(db: String, root: String, engineType: String = "presto"): TdUse =
+    TdUse(TdEngine(engineType, db, root))
+
   /** `read_td` — alias of read_td_query (reference `pandas_td/__init__.py`). */
   def readTd(sql: String, engine: TdEngine, distributedJoin: Boolean = false,
       params: Map[String, Any] = Map.empty)(implicit s: SparkSession): DataFrame =

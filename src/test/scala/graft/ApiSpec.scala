@@ -175,6 +175,41 @@ class ApiSpec extends AnyFunSuite {
     assert(r == 1700000000L)
   }
 
+  test("use(db) bound handle delegates to the unbound entry points") {
+    val handle = td.use("sf0.001", "/root/testdata")
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    // bound-handle table read ≡ readTdTable, row for row
+    val viaHandle = handle.table("customer",
+      columns = Seq("c_custkey", "c_mktsegment"), limit = 50)
+      .collect().map(_.toSeq).toSet
+    val viaFree = td.readTdTable("customer", e,
+      columns = Seq("c_custkey", "c_mktsegment"), limit = 50)
+      .collect().map(_.toSeq).toSet
+    assert(viaHandle == viaFree && viaHandle.nonEmpty)
+    // bound-handle query ≡ readTdQuery
+    assert(handle.query("SELECT count(*) AS n FROM nation").head().getLong(0) ==
+      td.readTdQuery("SELECT count(*) AS n FROM nation", e).head().getLong(0))
+  }
+
+  test("dryRun returns the interpolated SQL without planning anything") {
+    val sql = "SELECT * FROM t WHERE seg = {seg} AND k < {k} AND ts < {ts}"
+    val rendered = td.dryRun(sql, Map(
+      "seg" -> "O'Brien", "k" -> 100,
+      "ts" -> java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))
+    assert(rendered ==
+      "SELECT * FROM t WHERE seg = 'O''Brien' AND k < 100 " +
+        "AND ts < TIMESTAMP '2024-01-02 03:04:05.0'")
+    // no params → identity; unknown braces survive (JSON paths)
+    assert(td.dryRun("SELECT get_json_object(p,'$.k') FROM t") ==
+      "SELECT get_json_object(p,'$.k') FROM t")
+    // the bound handle exposes the same dry-run
+    assert(td.use("sf0.001", "/root/testdata").dryRun("x = {v}",
+      Map("v" -> 1)) == "x = 1")
+    // dry-run of a nonexistent table must NOT throw — nothing is planned
+    assert(td.dryRun("SELECT * FROM table_that_does_not_exist_{i}",
+      Map("i" -> 9)).endsWith("_9"))
+  }
+
   test("readTdQuery supports td_time_range in passthrough SQL") {
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     val df = td.readTdQuery(

@@ -241,16 +241,46 @@ class Round5Spec extends AnyFunSuite {
       s"temperature failed to flatten: small=$smallRate big=$bigRate")
   }
 
-  test("d19: per-group HLL sketches and their union estimate within bounds") {
+  test("d19: capped-domain sketches are EXACT; per-group and union reconcile") {
+    // the graded query sketches o_custkey % 512 — below the lgK=14
+    // coupon-list capacity the estimate IS the exact coupon count, which
+    // is what lets d19 carry a hash-matching DuckDB oracle
     val rows = run("d19_hll_partial_merge").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.length >= 2 && rows.exists(_._1 == "ALL"))
     rows.foreach { case (g, est, exact) =>
+      assert(est == exact,
+        s"group $g: capped-domain sketch must be exact, got $est vs $exact")
+    }
+    val all = rows.find(_._1 == "ALL").get._2
+    val maxPart = rows.filter(_._1 != "ALL").map(_._2).max
+    assert(all >= maxPart)
+  }
+
+  test("d19 estimate tier: full-key sketch union stays within the lgK=14 bound") {
+    // the unbounded-domain variant of the same pipeline — the regime the
+    // oracle can't hash-check, pinned here instead (d7/d18's grading mode)
+    Tables.t(spark, TestSpark.sf, "orders")
+      .createOrReplaceTempView("graft_d19t_orders")
+    val rows = spark.sql("""
+      WITH parts AS (
+        SELECT o_orderpriority, hll_sketch_agg(o_custkey, 14) AS sk,
+               COUNT(DISTINCT o_custkey) AS exact_nd
+        FROM graft_d19t_orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority,
+             CAST(hll_sketch_estimate(sk) AS BIGINT) AS est_nd, exact_nd
+      FROM parts
+      UNION ALL
+      SELECT 'ALL',
+             CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT),
+             (SELECT COUNT(DISTINCT o_custkey) FROM graft_d19t_orders)
+      FROM parts""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (g, est, exact) =>
       val err = math.abs(est - exact).toDouble / exact
-      // lgK=14 ⇒ RSE ≈ 1.6%/√... — 5% is a generous 3σ bound
+      // lgK=14 ⇒ RSE ≈ 0.8%; 5% is a generous multi-σ bound
       assert(err <= 0.05, s"group $g: estimate $est vs exact $exact (err $err)")
     }
-    // the merged sketch must cover at least the biggest part (union ≥ max)
     val all = rows.find(_._1 == "ALL").get._2
     val maxPart = rows.filter(_._1 != "ALL").map(_._2).max
     assert(all >= maxPart)
