@@ -26,7 +26,13 @@ object PlanLint {
     // relation (bounded by source cardinality, never by data volume)
     "j38_token_budget",
     // hybrid retrieval: the 1-row probe-embedding broadcast (j3's pattern)
-    "j41_hybrid_retrieval")
+    "j41_hybrid_retrieval",
+    // LSH bucket assignment (LlmOps.lshProject): the 1-row hyperplane
+    // weight-array carrier broadcasts (planes × dim doubles, bounded by
+    // embedding dim); candidate generation itself stays an equi-join —
+    // PlanSpec pins that the bucket join is never the NLJ
+    "j3b_sim_lsh", "j39_knn_graph", "j39b_knn_multiprobe",
+    "j39c_knn_twotable", "j40_semantic_clusters")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -287,29 +287,58 @@ object LlmOps {
     * regression). Bounded cardinality (= embedding dim), so the
     * broadcast hint is safe at any data scale. */
   private[graft] def lshBits(s: SparkSession, d: String, planes: Int): DataFrame =
-    t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      .join(lshBuckets(s, d, planes), "vec_id")
+    lshProject(s, d, planes, 0, keepEmbedding = true)
 
-  /** Slim bucket relation: (vec_id, bucket) ONLY. The r7 shape carried the
-    * embedding array through the 384× dim explode and a first() agg just
-    * to hand it back out — the vectors now never enter the projection/
-    * shuffle at all; callers that need them re-attach by vec_id AFTER
-    * candidate generation (j2b's device). `planeOffset` shifts the md5
-    * plane indices so a second INDEPENDENT hash table (j39c OR-of-tables)
-    * comes from the same oracle-checkable weight family. */
+  /** Slim bucket relation: (vec_id, bucket) ONLY — callers that need the
+    * vectors re-attach by vec_id AFTER candidate generation (j2b's
+    * device). `planeOffset` shifts the md5 plane indices so a second
+    * INDEPENDENT hash table (j39c OR-of-tables) comes from the same
+    * oracle-checkable weight family. */
   private[graft] def lshBuckets(s: SparkSession, d: String, planes: Int,
-      planeOffset: Int = 0): DataFrame = {
-    val dims = t(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-    val wtab = dims.select("dim").distinct()
+      planeOffset: Int = 0): DataFrame =
+    lshProject(s, d, planes, planeOffset, keepEmbedding = false)
+
+  /** Hyperplane projection core. Two properties the r7 shape (dim explode
+    * → weight join → groupBy SUM per (vec, plane)) lacked:
+    *
+    *  - ORDER-FREE BY CONSTRUCTION: the per-(vec, plane) SUM added w·v in
+    *    shuffle-partition order, so a near-zero projection could flip its
+    *    sign bit under a different partitioning (empirically stable, but
+    *    not exact — the r7 verdict's j39/j40 defect). Here the dot
+    *    product is aggregate(zip_with(embedding, wv_p, …)) — evaluated in
+    *    ARRAY order, one fixed sequence of IEEE adds per vector on every
+    *    run, partitioning-independent (and the same order the DuckDB
+    *    oracle's single-threaded unnest-order SUM performs).
+    *  - MAP-ONLY: the weight table collapses to ONE broadcast row of
+    *    per-plane, dim-ordered weight arrays (planes × dim doubles,
+    *    bounded by embedding dim — broadcastable at any corpus size), so
+    *    per-vector work is a projection: no 384× dim explode, no weight
+    *    join, no groupBy shuffle of the corpus at all. At 100 TB the
+    *    bucket assignment runs inside the scan stage.
+    */
+  private def lshProject(s: SparkSession, d: String, planes: Int,
+      planeOffset: Int, keepEmbedding: Boolean): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val wexprs = (0 until planes).map { p =>
+      expr(s"transform(sort_array(collect_list(struct(dim, w$p))), x -> x.w$p)")
+        .as(s"wv$p")
+    }
+    // dim enumeration: posexplode yields indices 0..len−1 per row, so the
+    // distinct-dim set is exactly sequence(0, max(len)−1) — computed as a
+    // map-side MAX to one row instead of a 384×-corpus explode + distinct
+    val wrow = emb
+      .agg(max(size(col("embedding"))).as("nd"))
+      .select(explode(expr("sequence(0, nd - 1)")).as("dim"))
       .select(col("dim") +: (0 until planes).map(p =>
         ((expr(s"cast(conv(substring(md5(concat('${p + planeOffset}', ':', dim)),1,15),16,10) as bigint)")
           % 2001 - 1000).cast("double") / 1000.0).as(s"w$p")): _*)
-    dims.join(broadcast(wtab), "dim")
-      .groupBy("vec_id")
-      .agg(concat((0 until planes).map(p =>
-        when(sum(col(s"w$p") * col("v").cast("double")) > 0, "1")
-          .otherwise("0")): _*).as("bucket"))
+      .agg(wexprs.head, wexprs.tail: _*)
+    val keep = if (keepEmbedding) Seq(col("vec_id"), col("embedding"))
+      else Seq(col("vec_id"))
+    emb.crossJoin(broadcast(wrow))
+      .select(keep :+ concat((0 until planes).map(p =>
+        when(graft.expressions.DotProduct(s, col("embedding"), col(s"wv$p")) > 0,
+          "1").otherwise("0")): _*).as("bucket"): _*)
   }
 
   /** Frequency-weighted 60-bit SimHash per doc — shared by j8 and j8b.

@@ -193,7 +193,21 @@ class PlanSpec extends AnyFunSuite {
       val p = SparkEntry.queries(k)(spark, TestSpark.sf)
         .queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans an NLJ:\n$p")
+      // the only legitimate nested-loop join is the 1-row hyperplane
+      // weight-array carrier (lshProject's broadcast(wrow) — planes × dim
+      // doubles, bounded by embedding dim, never by data volume); the
+      // bucket self-join plans that shared subtree once per side, so at
+      // most TWO carrier NLJs appear. The bucket candidate join itself
+      // must remain an equi-join.
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnl <= 2, s"$k plans $bnl NLJs (only the weight carrier is allowed):\n$p")
+      // j40's edge pipeline executes eagerly inside CC.cluster (bounded
+      // probe + union-find), so its FINAL plan is just the label join —
+      // the bucket-join shape is only visible in j39's lazy plan
+      if (k == "j39_knn_graph")
+        assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bucket".r
+          .findFirstIn(p).isDefined,
+          s"$k bucket candidate join is not an equi-join:\n$p")
     }
   }
 
