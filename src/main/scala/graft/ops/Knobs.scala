@@ -22,6 +22,7 @@ object Knobs {
   val MinhashKKey           = "spark.graft.minhash.k"
   val MinhashBandSizeKey    = "spark.graft.minhash.bandSize"
   val PairMaxDfKey          = "spark.graft.pairs.maxDf"
+  val GridBlocksKey         = "spark.graft.grid.blocks"
 
   private def longConf(s: SparkSession, key: String, default: Long): Long =
     s.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
@@ -69,6 +70,15 @@ object Knobs {
   def pairMaxDf(s: SparkSession): Int = {
     val v = intConf(s, PairMaxDfKey, 256)
     require(v >= 2, s"$PairMaxDfKey must be >= 2, got $v")
+    v
+  }
+
+  /** Block count B for the exact all-pairs block-grid (j12): shuffle
+    * volume n·B rows per side, parallelism B², each task one (n/B)² cell
+    * — raise with the cluster so cells keep fitting in task memory. */
+  def gridBlocks(s: SparkSession): Int = {
+    val v = intConf(s, GridBlocksKey, 8)
+    require(v >= 1 && v <= 4096, s"$GridBlocksKey must be in [1,4096], got $v")
     v
   }
 }

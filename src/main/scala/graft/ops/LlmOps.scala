@@ -1084,7 +1084,7 @@ object LlmOps {
     // LlmOpsSpec cross-checks this against the brute-force upper triangle.
     Q("j12_dedup_embed",
       (s, d) => {
-        val B = 8
+        val B = Knobs.gridBlocks(s)
         val grid = s.range(0, B.toLong * B).select(
           (col("id") / B).cast("int").as("bi"),
           (col("id") % B).cast("int").as("bj"))

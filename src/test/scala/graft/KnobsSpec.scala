@@ -74,6 +74,17 @@ class KnobsSpec extends AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("grid.blocks override re-tiles j12's block grid, output unchanged") {
+    val default = SparkEntry.queries("j12_dedup_embed")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSet
+    val retiled = withConf(Knobs.GridBlocksKey -> "3") {
+      SparkEntry.queries("j12_dedup_embed")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(default == retiled, "grid tiling is a pure physical choice")
+    assert(default.nonEmpty)
+  }
+
   test("pairs.maxDf override forces the heavy-key join path, output unchanged") {
     val default = SparkEntry.queries("j2_dedup_near")(spark, TestSpark.sf)
       .collect().map(_.toSeq).toSet
