@@ -34,7 +34,9 @@ object PlanLint {
     "j3b_sim_lsh", "j39_knn_graph", "j39b_knn_multiprobe",
     "j39c_knn_twotable", "j40_semantic_clusters",
     // BM25: the 1-row (N, avgdl) statistics carrier broadcasts
-    "j42_bm25")
+    "j42_bm25",
+    // RRF: BM25's stats carrier + the 1-row probe-embedding broadcast
+    "j43_rrf_fusion")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -31,39 +31,43 @@ import graft.Tables._
   * per-doc SUM is order-free, then surfaced as DOUBLE. */
 object Round8 {
 
-  val all: Seq[Q] = Seq(
+  private val QTerms = Seq("table", "scan", "join", "filter",
+    "window", "agg", "sort", "hash")
 
-    Q("j42_bm25",
-      (s, d) => {
-        val qTerms = Seq("table", "scan", "join", "filter",
-          "window", "agg", "sort", "hash")
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-        // (N, avgdl) — one row; avgdl = exact-long sum / exact count, one
-        // double division, identical in DuckDB
-        val st = dl.agg(count(lit(1)).as("n"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
-          .where(col("term").isin(qTerms: _*))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        // df per query term = tf's row count per term (tf rows are
-        // distinct (doc, term) by construction) — ≤ |q| rows, broadcast
-        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val contrib = tf.join(broadcast(dfT), "term")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(st))
-          .select(col("doc_id"),
-            round(
-              log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-                * col("tf") * lit(2.2)
-                / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
-              6).cast("decimal(18,6)").as("c"))
-        contrib.groupBy("doc_id")
-          .agg(sum(col("c")).cast("double").as("score"))
-          .orderBy(desc("score"), asc("doc_id")).limit(10)
-      },
-      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+  /** (doc_id, score) Okapi BM25 over the fixed query term set — the j42
+    * body, shared with j43's fusion so both keys rank the identical
+    * lexical leg. */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    // (N, avgdl) — one row; avgdl = exact-long sum / exact count, one
+    // double division, identical in DuckDB
+    val st = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(QTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df per query term = tf's row count per term (tf rows are distinct
+    // (doc, term) by construction) — ≤ |q| rows, broadcast
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        round(
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+            * col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          6).cast("decimal(18,6)").as("c"))
+    contrib.groupBy("doc_id")
+      .agg(sum(col("c")).cast("double").as("score"))
+  }
+
+  // j42's BM25 CTE chain, shared verbatim by the j43 oracle
+  private val Bm25Ctes =
+    """tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
         st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM
@@ -78,7 +82,125 @@ object Round8 {
               AS DECIMAL(18,6)) AS c
           FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st),
         agg AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
-          FROM sc GROUP BY doc_id)
+          FROM sc GROUP BY doc_id)"""
+
+  val all: Seq[Q] = Seq(
+
+    Q("j42_bm25",
+      (s, d) => bm25Scores(s, d)
+        .orderBy(desc("score"), asc("doc_id")).limit(10),
+      Some(s"""WITH $Bm25Ctes
         SELECT doc_id, score FROM agg
-        ORDER BY score DESC, doc_id LIMIT 10""")))
+        ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    // Reciprocal-rank fusion — the standard hybrid fusion step (Cormack
+    // et al., SIGIR'09; k=60): fuse the BM25 lexical top-100 with the
+    // probe-vector cosine top-100 by 1/(60+rank), so a document strong on
+    // either leg surfaces without any score normalization across
+    // incomparable scales (BM25 vs cosine — exactly why RRF displaced
+    // weighted-sum fusion in production stacks; j41's 0.5/0.5 weighted
+    // hybrid is the contrast case). Scale shape: each leg ends in
+    // TakeOrderedAndProject(100) — the only global operators run on
+    // ≤ 100-row relations (the rank windows and the outer join), so the
+    // single-partition window is bounded by construction, never by
+    // corpus size. Rank arithmetic is integer; 1/(60+r) is one double
+    // division summed in a fixed two-term order — hash-exact.
+    Q("j43_rrf_fusion",
+      (s, d) => {
+        val K = 100
+        import org.apache.spark.sql.expressions.Window
+        val wl = Window.orderBy(desc("score"), asc("doc_id"))
+        val lex = bm25Scores(s, d)
+          .orderBy(desc("score"), asc("doc_id")).limit(K)
+          .select(col("doc_id"), row_number().over(wl).cast("long").as("r_lex"))
+        val emb = t(s, d, "embeddings")
+        val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("e0"))
+        val wv = Window.orderBy(desc("cos"), asc("doc_id"))
+        val vec = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+          .select(col("vec_id").as("doc_id"),
+            round(graft.expressions.CosineSimilarity(s, col("embedding"), col("e0")), 6)
+              .as("cos"))
+          .orderBy(desc("cos"), asc("doc_id")).limit(K)
+          .select(col("doc_id"), row_number().over(wv).cast("long").as("r_vec"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("r_lex"), col("r_vec"),
+            round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+          .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+      },
+      Some(s"""WITH $Bm25Ctes,
+        bmk AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 100),
+        bmr AS (SELECT doc_id,
+            row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM bmk),
+        e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dd,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        p0 AS (SELECT dd, v FROM e WHERE vec_id = 0),
+        pn AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p0),
+        dots AS (SELECT e.vec_id AS doc_id, SUM(e.v*p0.v) AS dot,
+            sqrt(SUM(e.v*e.v)) AS n1
+          FROM e JOIN p0 USING (dd) WHERE e.vec_id != 0 GROUP BY e.vec_id),
+        vk AS (SELECT doc_id,
+            ROUND(dot/(n1*(SELECT n0 FROM pn)),6) AS cos
+          FROM dots ORDER BY cos DESC, doc_id LIMIT 100),
+        vr AS (SELECT doc_id,
+            row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec FROM vk),
+        f AS (SELECT COALESCE(bmr.doc_id, vr.doc_id) AS doc_id, r_lex, r_vec
+          FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id)
+        SELECT doc_id, r_lex, r_vec,
+          ROUND(COALESCE(CAST(1 AS DOUBLE)/(60+r_lex), 0)
+            + COALESCE(CAST(1 AS DOUBLE)/(60+r_vec), 0), 6) AS rrf
+        FROM f ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
+    // Cluster-safe train/val/test split — the leakage guard j15's
+    // row-hash split cannot give: near-duplicate documents hashed
+    // independently land in DIFFERENT splits ~19% of the time (2·0.8·0.1
+    // + …), leaking eval content into training. Here the split key is
+    // the near-dup CLUSTER id (j14's connected components; singletons
+    // are their own cluster), so an entire duplicate cluster moves as
+    // one unit — j15's exact md5-bucket arithmetic, applied one level
+    // up. The oracle recomputes the clusters via the RECURSIVE CTE and
+    // the split byte-for-byte. At 100 TB: pairs are LSH-pruned, CC is
+    // the hybrid path, the split itself is a map-only projection.
+    Q("j44_cluster_safe_split",
+      (s, d) => {
+        val pairs = LlmOps.jaccardPairs(LlmOps.shingles(s, d),
+          LlmOps.shingleCounts(s, d), Knobs.pairMaxDf(s)).select("d1", "d2")
+        val labeled = CC.cluster(s, pairs)
+        t(s, d, "documents").select(col("doc_id"))
+          .join(labeled, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .withColumn("bucket",
+            expr("cast(conv(substring(md5(cast(cluster as string)),1,8),16,10) as bigint) % 100"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+          .select("doc_id", "cluster", "bucket", "split")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
+          FROM documents WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5),
+        und AS (SELECT d1 AS a, d2 AS b FROM e UNION ALL SELECT d2, d1 FROM e),
+        reach(a, b) AS (SELECT a, b FROM und
+          UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+          FROM reach GROUP BY a),
+        f AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN lab l USING (doc_id)),
+        g AS (SELECT doc_id, cluster,
+            CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)),1,8) AS BIGINT) % 100 AS bucket
+          FROM f)
+        SELECT doc_id, cluster, bucket,
+          CASE WHEN bucket < 80 THEN 'train'
+               WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        FROM g ORDER BY doc_id""")))
 }

@@ -39,6 +39,49 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("j43 RRF fuses both legs: scores decompose into the two rank terms") {
+    val out = run("j43_rrf_fusion").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val rLex = Option(r.getAs[java.lang.Long]("r_lex")).map(_.toLong)
+      val rVec = Option(r.getAs[java.lang.Long]("r_vec")).map(_.toLong)
+      assert(rLex.isDefined || rVec.isDefined, s"row with no leg: $r")
+      val expect = rLex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rVec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") -
+        BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"rrf must be 1/(60+r_lex) + 1/(60+r_vec): $r")
+    }
+    // fused output is ordered and a doc present in BOTH legs at equal
+    // ranks dominates one present in a single leg at the same rank
+    val scores = out.map(_.getAs[Double]("rrf"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+  }
+
+  test("j44 split moves whole near-dup clusters; assignment matches j15's device") {
+    val out = run("j44_cluster_safe_split").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("bucket"), r.getAs[String]("split")))
+    val nDocs = Tables.t(spark, TestSpark.sf, "documents").count()
+    assert(out.length == nDocs, "every document must be assigned")
+    // one split per cluster — the leakage guard itself
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._4).toSet.size == 1,
+        s"cluster $c straddles splits: ${members.toSeq}")
+    }
+    // cluster ids are component minima (≤ every member's doc_id)
+    assert(out.forall { case (id, c, _, _) => c <= id })
+    // bucket→split thresholds are j15's
+    out.foreach { case (_, _, b, sp) =>
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(sp == expect)
+    }
+    // near-dup pairs exist in the fixture, so at least one real (>1 doc)
+    // cluster must have moved as a unit
+    assert(out.groupBy(_._2).exists(_._2.length > 1),
+      "fixture must contain at least one nontrivial cluster")
+  }
+
   test("j42 BM25 ranks the saturating property correctly on a planted corpus") {
     // one doc stuffed with a rare query term must outrank docs with a
     // common one (idf), and tf saturates: 50 occurrences don't score 50x
