@@ -85,6 +85,41 @@ class KnobsSpec extends AnyFunSuite {
     assert(default.nonEmpty)
   }
 
+  test("lsh buckets are partitioning-invariant (order-free projection)") {
+    // the r7 shape summed w·v in shuffle-partition order — a near-zero
+    // projection could flip under a different partitioning; the array-
+    // ordered DotProduct must produce bit-identical buckets whatever the
+    // plan's parallelism
+    val default = LlmOps.lshBuckets(spark, TestSpark.sf, 6).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val single = withConf("spark.sql.shuffle.partitions" -> "1") {
+      LlmOps.lshBuckets(spark, TestSpark.sf, 6).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(default == single, "buckets changed with partitioning")
+    assert(default.values.forall(_.length == 6))
+  }
+
+  test("DotProduct matches a left-to-right scalar reference, handles edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 64).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Array.fill(n)(rnd.nextFloat() * 2 - 1),
+        Array.fill(n)(rnd.nextDouble() * 2 - 1))
+    } :+ ((64L, Array.empty[Float], Array.empty[Double])) :+
+      ((65L, Array(1.0f, 2.0f, 3.0f), Array(0.5)))  // length mismatch → min(n)
+    val df = rows.toDF("id", "x", "w")
+    val got = df.select(col("id"),
+        graft.expressions.DotProduct(spark, col("x"), col("w")).as("dot"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, x, w) =>
+      var ref = 0.0
+      (0 until math.min(x.length, w.length)).foreach(i => ref += x(i).toDouble * w(i))
+      assert(got(id) == ref, s"row $id: ${got(id)} vs $ref")
+    }
+  }
+
   test("pairs.maxDf override forces the heavy-key join path, output unchanged") {
     val default = SparkEntry.queries("j2_dedup_near")(spark, TestSpark.sf)
       .collect().map(_.toSeq).toSet
