@@ -86,6 +86,49 @@ object Round8 {
 
   val all: Seq[Q] = Seq(
 
+    // Snapshot-versioned reads ("time travel") — the table-format
+    // capability the manifest machinery (a22) was one step short of:
+    // every commit writes a versioned manifest (the file LIST as a
+    // parquet table — distributed write, never a driver-side set), and a
+    // reader pins any historical version by scanning exactly that
+    // manifest's files, immune to later appends — Delta/Iceberg's
+    // `VERSION AS OF`, reduced to its core: immutable data files +
+    // versioned file lists. The proof: after version 2 lands, the
+    // version-1 read still aggregates to the batch-1-only oracle.
+    // Driver-side file-list collect is the read API's inherent need
+    // (every table format resolves the manifest on the driver before
+    // distributed scan planning); it is O(files-per-version), not O(rows).
+    Q("a23_time_travel",
+      (s, d) => {
+        val tbl = Scratch.dir("a23tbl"); val mani = Scratch.dir("a23mani")
+        val orders = t(s, d, "orders")
+        def commit(v: Int): Unit =
+          s.read.parquet(tbl).select(input_file_name().as("f")).distinct()
+            .write.mode("overwrite").parquet(s"$mani/v=$v")
+        orders.where(col("o_orderkey") % 3 =!= 0)
+          .write.mode("overwrite").parquet(tbl)
+        commit(1)
+        orders.where(col("o_orderkey") % 3 === 0)
+          .write.mode("append").parquet(tbl)
+        commit(2)
+        def asOf(v: Int) = s.read.parquet(
+          s.read.parquet(s"$mani/v=$v").collect().map(_.getString(0)).toIndexedSeq: _*)
+        Seq(1, 2).map { v =>
+          asOf(v).withColumn("version", lit(v.toLong))
+            .groupBy("version", "o_orderstatus")
+            .agg(count(lit(1)).as("n_orders"), mSum(col("o_totalprice")).as("sum_price"))
+        }.reduce(_.unionAll(_)).orderBy("version", "o_orderstatus")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+          COUNT(*) AS n_orders,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY o_orderstatus
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), o_orderstatus, COUNT(*),
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY version, o_orderstatus""")),
+
     Q("j42_bm25",
       (s, d) => bm25Scores(s, d)
         .orderBy(desc("score"), asc("doc_id")).limit(10),

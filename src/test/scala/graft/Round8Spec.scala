@@ -39,6 +39,18 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("a23 version-1 read is immune to the version-2 append") {
+    val orders = Tables.t(spark, TestSpark.sf, "orders")
+    val v1Expect = orders.where(col("o_orderkey") % 3 =!= 0).count()
+    val v2Expect = orders.count()
+    val out = run("a23_time_travel").collect()
+      .groupBy(_.getAs[Long]("version"))
+      .view.mapValues(_.map(_.getAs[Long]("n_orders")).sum).toMap
+    assert(out(1L) == v1Expect,
+      s"v1 must still see only batch 1 after the append: ${out(1L)} vs $v1Expect")
+    assert(out(2L) == v2Expect, s"v2 must see everything: ${out(2L)} vs $v2Expect")
+  }
+
   test("j43 RRF fuses both legs: scores decompose into the two rank terms") {
     val out = run("j43_rrf_fusion").collect()
     assert(out.length == 10)
