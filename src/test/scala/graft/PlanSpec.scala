@@ -211,6 +211,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j42/j43: retrieval top-k is TakeOrderedAndProject, stats sides broadcast") {
+    // BM25's (N, avgdl) row and the per-term df relation must broadcast
+    // (both bounded by construction), and no retrieval key may plan a
+    // global sort for its top-k
+    for (k <- Seq("j42_bm25", "j43_rrf_fusion")) {
+      val p = SparkEntry.queries(k)(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), s"$k top-k is a global sort:\n$p")
+      assert("BroadcastExchange".r.findAllIn(p).length >= 2,
+        s"$k stats/df sides must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian:\n$p")
+    }
+  }
+
   test("j41 hybrid retrieval: top-10 is TakeOrderedAndProject, probe broadcasts") {
     val p = plan("j41_hybrid_retrieval")
     assert(p.contains("TakeOrderedAndProject"), p)
