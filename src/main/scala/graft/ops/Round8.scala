@@ -84,6 +84,27 @@ object Round8 {
         agg AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
           FROM sc GROUP BY doc_id)"""
 
+  /** Two-commit versioned table under a tag-scoped scratch root: version
+    * 1 = orders with o_orderkey % 3 != 0, version 2 = everything (batch 2
+    * appended). Each commit records the file LIST as a parquet manifest
+    * under `<mani>/v=<n>` — shared by a23 (pin a version) and a24 (diff
+    * two versions). Returns (tableDir, manifestDir). */
+  private def versionedSnapshots(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String): (String, String) = {
+    val tbl = Scratch.dir(tag + "tbl"); val mani = Scratch.dir(tag + "mani")
+    val orders = t(s, d, "orders")
+    def commit(v: Int): Unit =
+      s.read.parquet(tbl).select(input_file_name().as("f")).distinct()
+        .write.mode("overwrite").parquet(s"$mani/v=$v")
+    orders.where(col("o_orderkey") % 3 =!= 0)
+      .write.mode("overwrite").parquet(tbl)
+    commit(1)
+    orders.where(col("o_orderkey") % 3 === 0)
+      .write.mode("append").parquet(tbl)
+    commit(2)
+    (tbl, mani)
+  }
+
   val all: Seq[Q] = Seq(
 
     // Snapshot-versioned reads ("time travel") — the table-format
@@ -100,17 +121,7 @@ object Round8 {
     // distributed scan planning); it is O(files-per-version), not O(rows).
     Q("a23_time_travel",
       (s, d) => {
-        val tbl = Scratch.dir("a23tbl"); val mani = Scratch.dir("a23mani")
-        val orders = t(s, d, "orders")
-        def commit(v: Int): Unit =
-          s.read.parquet(tbl).select(input_file_name().as("f")).distinct()
-            .write.mode("overwrite").parquet(s"$mani/v=$v")
-        orders.where(col("o_orderkey") % 3 =!= 0)
-          .write.mode("overwrite").parquet(tbl)
-        commit(1)
-        orders.where(col("o_orderkey") % 3 === 0)
-          .write.mode("append").parquet(tbl)
-        commit(2)
+        val (_, mani) = versionedSnapshots(s, d, "a23")
         def asOf(v: Int) = s.read.parquet(
           s.read.parquet(s"$mani/v=$v").collect().map(_.getString(0)).toIndexedSeq: _*)
         Seq(1, 2).map { v =>
@@ -128,6 +139,30 @@ object Round8 {
           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
         FROM orders GROUP BY o_orderstatus
         ORDER BY version, o_orderstatus""")),
+
+    // Incremental read between versions — the consumption side of a23's
+    // versioned manifests (what Delta's change-data-feed does for
+    // append-only tables): a downstream job that already processed
+    // version N reads EXACTLY the files version N+1 added — a
+    // distributed anti-join of the two manifest tables, never a data
+    // diff — so catch-up work is O(delta), not O(table). The oracle is
+    // the batch-2-only aggregate: any batch-1 file leaking into the
+    // delta, or any added file missed, hash-fails.
+    Q("a24_version_diff",
+      (s, d) => {
+        val (_, mani) = versionedSnapshots(s, d, "a24")
+        val added = s.read.parquet(s"$mani/v=2")
+          .join(s.read.parquet(s"$mani/v=1"), Seq("f"), "left_anti")
+          .collect().map(_.getString(0))
+        s.read.parquet(added.toIndexedSeq: _*)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), mSum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey % 3 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     Q("j42_bm25",
       (s, d) => bm25Scores(s, d)

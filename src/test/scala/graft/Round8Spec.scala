@@ -51,6 +51,14 @@ class Round8Spec extends AnyFunSuite {
     assert(out(2L) == v2Expect, s"v2 must see everything: ${out(2L)} vs $v2Expect")
   }
 
+  test("a24 version diff reads exactly the appended batch") {
+    val orders = Tables.t(spark, TestSpark.sf, "orders")
+    val batch2 = orders.where(col("o_orderkey") % 3 === 0).count()
+    val out = run("a24_version_diff").collect()
+    assert(out.map(_.getAs[Long]("n_orders")).sum == batch2,
+      "the delta must be batch 2, nothing more, nothing less")
+  }
+
   test("j43 RRF fuses both legs: scores decompose into the two rank terms") {
     val out = run("j43_rrf_fusion").collect()
     assert(out.length == 10)
