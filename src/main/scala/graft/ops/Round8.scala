@@ -84,6 +84,113 @@ object Round8 {
         agg AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
           FROM sc GROUP BY doc_id)"""
 
+  /** File sets of one copy-on-write commit: `v1` = files of the base
+    * version, `candidates` = files whose manifest key-range stats overlap
+    * the mutation's key range (the stats-prune phase), `affected` ⊆
+    * candidates = files that actually contain a mutated row (the
+    * scan-prune phase — only candidate files are read), `v2` = the new
+    * version's file list (v1 − affected + rewritten/inserted files). The
+    * vacuumable set after the commit is exactly `v1 -- v2` = `affected`:
+    * files no version ≥ 2 references. */
+  private[graft] final case class CowCommit(
+      v1: Set[String], candidates: Set[String], affected: Set[String],
+      v2: Set[String], tbl: String)
+
+  /** Writes `orders` range-partitioned on o_orderkey into 8 files (so
+    * key-range file stats actually prune) and returns
+    * (tableDir, maxKey, file-stats DF of (f, klo, khi)). A production
+    * writer records the min/max column stats in the write TASK (Iceberg
+    * manifest entries, Delta add.stats); here they are computed by one
+    * post-write scan because parquet footers aren't exposed to the query
+    * layer — the point is the READ side: every later phase touches only
+    * stats rows (O(files)) and stats-selected files, never the table. */
+  private def cowBase(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): (String, Long, org.apache.spark.sql.DataFrame) = {
+    val tbl = Scratch.dir(tag + "tbl")
+    val orders = t(s, d, "orders")
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(tbl)
+    val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val stats = s.read.parquet(tbl)
+      .select(input_file_name().as("f"), col("o_orderkey"))
+      .groupBy("f")
+      .agg(min(col("o_orderkey")).as("klo"), max(col("o_orderkey")).as("khi"))
+    (tbl, mx, stats)
+  }
+
+  private def files(s: org.apache.spark.sql.SparkSession, tbl: String): Set[String] =
+    s.read.parquet(tbl).select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+
+  /** Copy-on-write MERGE (Delta/Iceberg `MERGE INTO`, reduced to its
+    * core): matched rows (o_orderkey % 7 = 0 AND ≤ max/8 — a key-range-
+    * local update batch) get o_totalprice doubled; a not-matched batch
+    * (keys shifted past max) is inserted as new files. Two-phase file
+    * selection: manifest stats prune to files whose [klo, khi] overlaps
+    * the update range (klo ≤ max/8), then ONLY those candidates are
+    * scanned to find files truly containing a matched key. Affected files
+    * are rewritten with the update applied (broadcast join — the update
+    * batch is small by construction in any sane MERGE); untouched files
+    * carry forward into the v2 manifest BY REFERENCE. At 100 TB: the
+    * rewrite IO is O(affected files), the planning IO is O(manifest) —
+    * never O(table). File-list collects are O(files), the same driver-
+    * side manifest-resolution allowance a23/a24 established. */
+  private[graft] def mergeCommit(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String): CowCommit = {
+    val (tbl, mx, stats) = cowBase(s, d, tag)
+    val lo = mx / 8
+    val v1 = files(s, tbl)
+    val orders = t(s, d, "orders")
+    val upd = orders
+      .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") <= lo)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("new_price"))
+    val candidates = stats.where(col("klo") <= lo)
+      .select("f").collect().map(_.getString(0)).toSet
+    val affected = if (candidates.isEmpty) Set.empty[String]
+      else s.read.parquet(candidates.toSeq: _*)
+        .select(input_file_name().as("f"), col("o_orderkey"))
+        .join(broadcast(upd.select("o_orderkey")), "o_orderkey")
+        .select("f").distinct().collect().map(_.getString(0)).toSet
+    if (affected.nonEmpty)
+      s.read.parquet(affected.toSeq: _*)
+        .join(broadcast(upd), Seq("o_orderkey"), "left")
+        .withColumn("o_totalprice",
+          coalesce(col("new_price"), col("o_totalprice")))
+        .drop("new_price")
+        .write.mode("append").parquet(tbl)
+    orders.where(col("o_orderkey") % 499 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + mx + 1)
+      .write.mode("append").parquet(tbl)
+    CowCommit(v1, candidates, affected, files(s, tbl) -- affected, tbl)
+  }
+
+  /** Copy-on-write row-level DELETE + vacuum accounting: rows matching
+    * (o_orderkey % 3 = 0 AND ≤ max/8) are deleted by rewriting only the
+    * files that contain them (stats-pruned exactly like [[mergeCommit]]
+    * — the predicate is row-local, so the scan-prune phase needs no
+    * join); v2 references the survivors' rewrites plus every untouched
+    * v1 file. `v1 -- v2` is then precisely the vacuumable set — what
+    * `VACUUM` would physically remove once v1's retention lapses. */
+  private[graft] def deleteCommit(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String): CowCommit = {
+    val (tbl, mx, stats) = cowBase(s, d, tag)
+    val lo = mx / 8
+    val v1 = files(s, tbl)
+    def pred(c: org.apache.spark.sql.Column) = c % 3 === 0 && c <= lo
+    val candidates = stats.where(col("klo") <= lo)
+      .select("f").collect().map(_.getString(0)).toSet
+    val affected = if (candidates.isEmpty) Set.empty[String]
+      else s.read.parquet(candidates.toSeq: _*)
+        .select(input_file_name().as("f"), col("o_orderkey"))
+        .where(pred(col("o_orderkey")))
+        .select("f").distinct().collect().map(_.getString(0)).toSet
+    if (affected.nonEmpty)
+      s.read.parquet(affected.toSeq: _*)
+        .where(!pred(col("o_orderkey")))
+        .write.mode("append").parquet(tbl)
+    CowCommit(v1, candidates, affected, files(s, tbl) -- affected, tbl)
+  }
+
   /** Two-commit versioned table under a tag-scoped scratch root: version
     * 1 = orders with o_orderkey % 3 != 0, version 2 = everything (batch 2
     * appended). Each commit records the file LIST as a parquet manifest
@@ -163,6 +270,56 @@ object Round8 {
           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
         FROM orders WHERE o_orderkey % 3 = 0
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // MERGE INTO, copy-on-write — the mutation the append-only arc
+    // (a22 manifest → a23 time travel → a24 version diff) was missing:
+    // matched rows update in place, not-matched rows insert, and the new
+    // version rewrites ONLY the files that contain a matched key (file
+    // selection is stats-pruned, then scan-verified over candidates
+    // alone). The oracle recomputes the merged table logically from
+    // `orders` — any lost insert, unapplied update, double-applied
+    // rewrite, or dropped untouched file hash-fails the aggregate.
+    Q("a25_merge_upsert",
+      (s, d) => {
+        val c = mergeCommit(s, d, "a25")
+        s.read.parquet(c.v2.toSeq: _*)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), mSum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH mx AS (SELECT MAX(o_orderkey) AS mx, MAX(o_orderkey) // 8 AS lo
+            FROM orders),
+          merged AS (
+            SELECT o_orderstatus,
+              CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= (SELECT lo FROM mx)
+                   THEN o_totalprice * 2 ELSE o_totalprice END AS p
+            FROM orders
+            UNION ALL
+            SELECT o_orderstatus, o_totalprice AS p FROM orders
+            WHERE o_orderkey % 499 = 0)
+          SELECT o_orderstatus, COUNT(*) AS n_orders,
+            CAST(ROUND(SUM(CAST(p AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
+          FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Row-level DELETE, copy-on-write: deleted rows vanish from v2 while
+    // every untouched v1 file carries forward by reference; the files no
+    // version ≥ 2 references (v1 − v2) are exactly what VACUUM would
+    // reclaim — Round8Spec pins that set equality. The oracle is the
+    // logical complement of the delete predicate over `orders`.
+    Q("a26_delete_vacuum",
+      (s, d) => {
+        val c = deleteCommit(s, d, "a26")
+        s.read.parquet(c.v2.toSeq: _*)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), mSum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH mx AS (SELECT MAX(o_orderkey) // 8 AS lo FROM orders)
+          SELECT o_orderstatus, COUNT(*) AS n_orders,
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
+          FROM orders
+          WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey <= (SELECT lo FROM mx))
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     Q("j42_bm25",
       (s, d) => bm25Scores(s, d)

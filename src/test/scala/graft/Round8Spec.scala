@@ -102,6 +102,48 @@ class Round8Spec extends AnyFunSuite {
       "fixture must contain at least one nontrivial cluster")
   }
 
+  test("a25 merge rewrites only stats-selected files; untouched files carry forward") {
+    val c = graft.ops.Round8.mergeCommit(spark, TestSpark.sf, "a25t")
+    assert(c.v1.size == 8, s"range-partitioned base must be 8 files: ${c.v1.size}")
+    assert(c.affected.nonEmpty, "fixture must contain matched keys")
+    assert(c.affected.subsetOf(c.candidates) && c.candidates.subsetOf(c.v1))
+    assert(c.candidates.size < c.v1.size,
+      s"stats must prune: ${c.candidates.size} of ${c.v1.size} files scanned")
+    assert((c.v1 -- c.affected).subsetOf(c.v2),
+      "every untouched v1 file must carry forward into v2 by reference")
+    // contents: updates applied exactly once, inserts present, rest intact
+    val orders = Tables.t(spark, TestSpark.sf, "orders")
+    val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val lo = mx / 8
+    val v2 = spark.read.parquet(c.v2.toSeq: _*)
+    val nIns = orders.where(col("o_orderkey") % 499 === 0).count()
+    assert(v2.count() == orders.count() + nIns, "merged cardinality")
+    val mism = v2.join(orders.select(col("o_orderkey"),
+        col("o_totalprice").as("orig")), "o_orderkey")
+      .where(
+        when(col("o_orderkey") % 7 === 0 && col("o_orderkey") <= lo,
+          col("o_totalprice") =!= col("orig") * 2)
+        .otherwise(col("o_totalprice") =!= col("orig")))
+      .count()
+    assert(mism == 0, s"$mism rows with wrong post-merge price")
+  }
+
+  test("a26 delete is copy-on-write and the vacuum set is exactly the rewritten files") {
+    val c = graft.ops.Round8.deleteCommit(spark, TestSpark.sf, "a26t")
+    assert(c.affected.nonEmpty && c.affected.size < c.v1.size,
+      "delete must rewrite a strict subset of the table's files")
+    assert((c.v1 -- c.v2) == c.affected,
+      "files unreferenced by v2 (the vacuumable set) must be exactly the rewritten ones")
+    val orders = Tables.t(spark, TestSpark.sf, "orders")
+    val lo = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 8
+    val v2 = spark.read.parquet(c.v2.toSeq: _*)
+    assert(v2.where(col("o_orderkey") % 3 === 0 && col("o_orderkey") <= lo)
+      .count() == 0, "no deleted row may survive in v2")
+    assert(v2.count() == orders
+      .where(!(col("o_orderkey") % 3 === 0 && col("o_orderkey") <= lo)).count(),
+      "only matching rows may be deleted")
+  }
+
   test("j42 BM25 ranks the saturating property correctly on a planted corpus") {
     // one doc stuffed with a rare query term must outrank docs with a
     // common one (idf), and tf saturates: 50 occurrences don't score 50x
