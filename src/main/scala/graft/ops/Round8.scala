@@ -321,6 +321,18 @@ object Round8 {
           WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey <= (SELECT lo FROM mx))
           GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Streaming → versioned table: every micro-batch commits manifest
+    // v=batchId (previous file list + the batch's new files), so the
+    // stream PRODUCES the table the a23/a24/a25/a26 readers consume —
+    // atomic-prefix versions, exactly-once via checkpoint + batch-dir
+    // overwrite. Graded output = the latest version read back through
+    // its manifest (batch-equivalent aggregate).
+    Q("i16_stream_table_commit",
+      (s, d) => graft.streaming.Streams.i16(s, d),
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_v
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     Q("j42_bm25",
       (s, d) => bm25Scores(s, d)
         .orderBy(desc("score"), asc("doc_id")).limit(10),

@@ -545,6 +545,79 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** Per-version (version, table row count) of the last i16 run —
+    * observable for the spec's atomic-prefix asserts. Counting re-reads
+    * every version through its manifest (O(versions) table scans), so it
+    * runs only when the spec opts in; the graded path always reads the
+    * latest version. */
+  @volatile private[graft] var i16Versions: Seq[(Long, Long)] = Seq.empty
+  @volatile private[graft] var i16CountVersions: Boolean = false
+
+  /** i16 — streaming ingestion COMMITTING A VERSIONED TABLE: the link
+    * between the streaming arc (i6/i14) and the lakehouse arc
+    * (a22 manifests → a23 time travel → a25/a26 copy-on-write). Each
+    * rate-limited micro-batch writes its data files under a batch-scoped
+    * dir (a retried batch overwrites ITSELF — i6's idempotency device),
+    * then commits manifest version v=batchId: the previous version's
+    * file list plus this batch's files, written as a parquet table
+    * (a23's versioned-manifest shape, produced by a stream). A reader
+    * pinned to ANY version sees an atomic prefix of the stream —
+    * in-flight batches are invisible until it re-resolves the latest
+    * manifest; exactly-once follows from the checkpoint (committed batch
+    * ids replay as no-ops, proven by the spec's replay) plus the
+    * overwrite-idempotent batch dirs. The graded output reads the LATEST
+    * version through its manifest, so a double-committed or lost file
+    * hash-fails the aggregate. At 100 TB: data IO is O(batch), the
+    * manifest write is O(files-so-far) rows of parquet — never a data
+    * rewrite; version resolution stays O(manifest) on the driver, the
+    * a23/a24 allowance. */
+  def i16(s: SparkSession, d: String): DataFrame =
+    i16Run(s, d, tmp("i16src"), tmp("i16tbl"), tmp("i16mani"), tmp("i16ck"))
+
+  /** Parametrized form so tests can REPLAY with the same source +
+    * checkpoint + table + manifest dirs: a restart re-reads nothing and
+    * commits no new version. */
+  def i16Run(s: SparkSession, d: String, src: String, tbl: String,
+      mani: String, ck: String): DataFrame = withFewShufflePartitions(s) {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src, "_SUCCESS")))
+      events(s, d)
+        .select(col("event_id"), col("ts_ms"), col("user_id"),
+          col("event_type"), col("value"))
+        .repartition(9).write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_ms", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "3").parquet(src)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val dir = s"$tbl/batch=$id"
+        df.write.mode("overwrite").parquet(dir)
+        val newFiles = s.read.parquet(dir)
+          .select(input_file_name().as("f")).distinct()
+        val prevDir = s"$mani/v=${id - 1}"
+        val m = if (id == 0 ||
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(prevDir)))
+          newFiles
+        else newFiles.unionAll(s.read.parquet(prevDir))
+        m.write.mode("overwrite").parquet(s"$mani/v=$id"); ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val vs = Option(new java.io.File(mani).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("v=")).map(_.drop(2).toLong)
+      .toIndexedSeq.sorted
+    def readV(v: Long) = s.read.parquet(
+      s.read.parquet(s"$mani/v=$v").collect().map(_.getString(0)).toIndexedSeq: _*)
+    i16Versions = if (i16CountVersions) vs.map(v => (v, readV(v).count()))
+      else Seq.empty
+    readV(vs.max).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), mSum(col("value")).as("sum_v"))
+      .orderBy("event_type")
+  }
+
   /** i15 — near-dup detection AT INGEST: the streaming half of j28's
     * incremental dedup. The standing corpus's MinHash band index (doc,
     * band, band-hash) is the STATIC side; incoming documents arrive as a

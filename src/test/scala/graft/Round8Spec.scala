@@ -144,6 +144,34 @@ class Round8Spec extends AnyFunSuite {
       "only matching rows may be deleted")
   }
 
+  test("i16 stream commits atomic-prefix versions; a replay commits nothing new") {
+    import graft.ops.Scratch
+    val (src, tbl, mani, ck) = (Scratch.dir("i16tsrc"), Scratch.dir("i16ttbl"),
+      Scratch.dir("i16tmani"), Scratch.dir("i16tck"))
+    graft.streaming.Streams.i16CountVersions = true
+    val agg = graft.streaming.Streams
+      .i16Run(spark, TestSpark.sf, src, tbl, mani, ck).collect()
+    val vs = graft.streaming.Streams.i16Versions
+    val total = Tables.events(spark, TestSpark.sf).count()
+    assert(vs.size >= 2, s"rate limit must split the drain into >1 version: $vs")
+    assert(vs.map(_._2) == vs.map(_._2).sorted && vs.map(_._2).distinct == vs.map(_._2),
+      s"version row counts must be strictly increasing prefixes: $vs")
+    assert(vs.last._2 == total, "latest version must hold the full stream")
+    assert(agg.map(_.getAs[Long]("n")).sum == total)
+    // pinned read: version 0 still resolves to its original prefix even
+    // though later versions exist on disk
+    val v0 = spark.read.parquet(
+      spark.read.parquet(s"$mani/v=${vs.head._1}")
+        .collect().map(_.getString(0)).toIndexedSeq: _*).count()
+    assert(v0 == vs.head._2, "pinned version must be immune to later commits")
+    // exactly-once: a replay over the same checkpoint re-reads nothing
+    // and commits no new version
+    graft.streaming.Streams.i16Run(spark, TestSpark.sf, src, tbl, mani, ck)
+    graft.streaming.Streams.i16CountVersions = false
+    assert(graft.streaming.Streams.i16Versions == vs,
+      "a restarted run must not re-commit or extend any version")
+  }
+
   test("j42 BM25 ranks the saturating property correctly on a planted corpus") {
     // one doc stuffed with a rare query term must outrank docs with a
     // common one (idf), and tf saturates: 50 occurrences don't score 50x
