@@ -36,7 +36,10 @@ object PlanLint {
     // BM25: the 1-row (N, avgdl) statistics carrier broadcasts
     "j42_bm25",
     // RRF: BM25's stats carrier + the 1-row probe-embedding broadcast
-    "j43_rrf_fusion")
+    "j43_rrf_fusion",
+    // corpus overlap: the pairwise theta join runs on the |sources|-row
+    // SKETCH relation (one HLL per source), never the corpus
+    "j45_corpus_overlap")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -398,6 +398,58 @@ object Round8 {
             + COALESCE(CAST(1 AS DOUBLE)/(60+r_vec), 0), 6) AS rrf
         FROM f ORDER BY rrf DESC, doc_id LIMIT 10""")),
 
+    // Pairwise corpus-overlap matrix via mergeable HLL sketches +
+    // inclusion–exclusion: |A∩B| = |A| + |B| − |A∪B|, with |A∪B| from
+    // hll_union of the two per-source sketches — the "how much does
+    // source X duplicate source Y" diagnostic a mixture designer (j30's
+    // weights, j38's budget) reads before setting weights. THE scale
+    // property is mergeability: the corpus is touched ONCE (one shuffle
+    // on source, partial HLL agg map-side); every pairwise number comes
+    // from the |sources|-row sketch relation (theta self-join, broadcast
+    // — O(sources²) pair rows of O(2^lgK)-byte sketches, never a
+    // corpus-sized join; doc contents never pairwise-compared). Grading
+    // rides d19's exact-coupon device: fingerprints are compressed to a
+    // 512-value domain (md5-derived, j44's conv device) under lgK=14, so
+    // every estimate — including the union's — is exact and the DuckDB
+    // oracle recomputes the same numbers with exact DISTINCTs.
+    Q("j45_corpus_overlap",
+      (s, d) => {
+        t(s, d, "documents").createOrReplaceTempView("graft_j45_docs")
+        s.sql("""
+          WITH fp AS (
+            SELECT source,
+                   CAST(conv(substring(md5(text),1,4),16,10) AS BIGINT) % 512 AS fp
+            FROM graft_j45_docs),
+          sk AS (
+            SELECT source, hll_sketch_agg(fp, 14) AS sk,
+                   COUNT(DISTINCT fp) AS nd
+            FROM fp GROUP BY source)
+          SELECT a.source AS src_a, b.source AS src_b,
+                 a.nd AS nd_a, b.nd AS nd_b,
+                 CAST(hll_sketch_estimate(hll_union(a.sk, b.sk)) AS BIGINT) AS nd_union,
+                 a.nd + b.nd
+                   - CAST(hll_sketch_estimate(hll_union(a.sk, b.sk)) AS BIGINT) AS nd_overlap
+          FROM sk a JOIN sk b ON a.source < b.source
+          ORDER BY src_a, src_b""")
+      },
+      Some("""WITH fp AS (
+            SELECT source,
+                   CAST('0x' || substr(md5(text),1,4) AS BIGINT) % 512 AS fp
+            FROM documents),
+          n AS (SELECT source, CAST(COUNT(DISTINCT fp) AS BIGINT) AS nd
+            FROM fp GROUP BY source),
+          pairs AS (SELECT n1.source AS src_a, n2.source AS src_b,
+              n1.nd AS nd_a, n2.nd AS nd_b
+            FROM n n1 JOIN n n2 ON n1.source < n2.source),
+          un AS (SELECT p.src_a, p.src_b,
+              CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS nd_union
+            FROM pairs p JOIN fp f ON f.source = p.src_a OR f.source = p.src_b
+            GROUP BY p.src_a, p.src_b)
+          SELECT p.src_a, p.src_b, p.nd_a, p.nd_b, u.nd_union,
+                 p.nd_a + p.nd_b - u.nd_union AS nd_overlap
+          FROM pairs p JOIN un u ON p.src_a = u.src_a AND p.src_b = u.src_b
+          ORDER BY p.src_a, p.src_b""")),
+
     // Cluster-safe train/val/test split — the leakage guard j15's
     // row-hash split cannot give: near-duplicate documents hashed
     // independently land in DIFFERENT splits ~19% of the time (2·0.8·0.1

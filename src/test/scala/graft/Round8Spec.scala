@@ -172,6 +172,27 @@ class Round8Spec extends AnyFunSuite {
       "a restarted run must not re-commit or extend any version")
   }
 
+  test("j45 sketch overlap equals the exact pairwise intersection in the coupon regime") {
+    val fps = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("source"),
+        expr("cast(conv(substring(md5(text),1,4),16,10) as bigint) % 512").as("fp"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = run("j45_corpus_overlap").collect()
+    assert(out.length == fps.size * (fps.size - 1) / 2, "one row per unordered pair")
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a < b)
+      assert(r.getAs[Long]("nd_a") == fps(a).size)
+      assert(r.getAs[Long]("nd_union") == (fps(a) ++ fps(b)).size,
+        s"union estimate must be exact below saturation: $a/$b")
+      assert(r.getAs[Long]("nd_overlap") == (fps(a) & fps(b)).size,
+        s"inclusion-exclusion must recover the exact intersection: $a/$b")
+    }
+    // the diagnostic is non-degenerate on the fixture: some pair overlaps
+    assert(out.exists(_.getAs[Long]("nd_overlap") > 0))
+  }
+
   test("j42 BM25 ranks the saturating property correctly on a planted corpus") {
     // one doc stuffed with a rare query term must outrank docs with a
     // common one (idf), and tf saturates: 50 occurrences don't score 50x
