@@ -398,6 +398,50 @@ object Round8 {
             + COALESCE(CAST(1 AS DOUBLE)/(60+r_vec), 0), 6) AS rrf
         FROM f ORDER BY rrf DESC, doc_id LIMIT 10""")),
 
+    // Sketch rollup along the TIME axis — the production distinct-count
+    // dashboard pattern: per-hour HLL sketches are the stored
+    // pre-aggregate (built in the ONE pass that touches raw events);
+    // per-day distinct users come from hll_union_agg over 24 sketch rows
+    // — the re-aggregation never rescans the corpus. d19 proved
+    // mergeability across groups; this is the same algebra down a
+    // time hierarchy (hour → day), which is how a 100 TB event store
+    // serves "daily uniques" without a daily full scan: O(hours × 2^lgK)
+    // bytes re-aggregated instead of O(events). Exact-regime graded: 150
+    // distinct users ≪ the lgK=14 coupon bound (d19's device), so the
+    // estimate — including every union — is exact and the oracle uses
+    // exact DISTINCTs; exact_users rides along for in-row
+    // reconciliation.
+    Q("d22_hll_time_rollup",
+      (s, d) => {
+        events(s, d).createOrReplaceTempView("graft_d22_events")
+        s.sql("""
+          WITH e AS (
+            SELECT ts_ms div 3600000 AS hour, ts_ms div 86400000 AS day,
+                   user_id
+            FROM graft_d22_events),
+          hours AS (
+            SELECT day, hour, hll_sketch_agg(user_id, 14) AS sk
+            FROM e GROUP BY day, hour),
+          days AS (
+            SELECT day, COUNT(*) AS n_hours,
+                   CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS est_users
+            FROM hours GROUP BY day),
+          ex AS (
+            SELECT day, COUNT(DISTINCT user_id) AS exact_users
+            FROM e GROUP BY day)
+          SELECT days.day, days.n_hours, days.est_users, ex.exact_users
+          FROM days JOIN ex ON days.day = ex.day
+          ORDER BY days.day""")
+      },
+      Some("""WITH e AS (
+            SELECT CAST(epoch_ms(ts) AS BIGINT) // 3600000 AS hour,
+                   CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day, user_id
+            FROM events)
+          SELECT day, CAST(COUNT(DISTINCT hour) AS BIGINT) AS n_hours,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS est_users,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM e GROUP BY day ORDER BY day""")),
+
     // Pairwise corpus-overlap matrix via mergeable HLL sketches +
     // inclusion–exclusion: |A∩B| = |A| + |B| − |A∪B|, with |A∪B| from
     // hll_union of the two per-source sketches — the "how much does

@@ -172,6 +172,19 @@ class Round8Spec extends AnyFunSuite {
       "a restarted run must not re-commit or extend any version")
   }
 
+  test("d22 hour-sketch rollup reconciles with exact daily uniques") {
+    val out = run("d22_hll_time_rollup").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_users") == r.getAs[Long]("exact_users"),
+        s"day ${r.getAs[Long]("day")}: union estimate must be exact below saturation")
+      assert(r.getAs[Long]("n_hours") >= 1 && r.getAs[Long]("n_hours") <= 24)
+    }
+    val days = Tables.events(spark, TestSpark.sf)
+      .select(expr("ts_ms div 86400000")).distinct().count()
+    assert(out.length == days, "one row per day present in the fixture")
+  }
+
   test("j45 sketch overlap equals the exact pairwise intersection in the coupon regime") {
     val fps = Tables.t(spark, TestSpark.sf, "documents")
       .select(col("source"),
