@@ -255,6 +255,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("j45 builds sketches in one partial+final pass; pairs join only the sketch relation") {
+    val p = plan("j45_corpus_overlap")
+    // HLL sketches aggregate two-phase (map-side partials touch the
+    // corpus; the merge sees |sources| sketch rows)
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_hll_sketch_agg"), p)
+    // the pairwise stage is the nested-loop on the sketch relation — it
+    // must sit ABOVE the aggregates, i.e. no corpus-side scan feeds it
+    // directly (documents scans appear only under aggregate subtrees)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d22 rolls hour sketches into days by merging, never rescanning events") {
+    val p = plan("d22_hll_time_rollup")
+    assert(p.contains("partial_hll_sketch_agg"), p)
+    assert(p.contains("hll_union_agg"), p)
+    // the day-level union aggregates SKETCH rows: its input subtree is the
+    // hour aggregate, not a second events scan — the whole plan reads the
+    // events relation exactly twice (sketch chain + the exact_users rail)
+    val scans = "Relation.*events".r.findAllIn(p).length
+    assert(scans <= 2, s"expected at most 2 events scans, got $scans:\n$p")
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = SparkEntry.queries("d1_agg_groupby")(spark, TestSpark.sf)
     df.collect() // finalize the adaptive plan — codegen stages appear after execution
