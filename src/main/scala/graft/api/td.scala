@@ -152,8 +152,9 @@ object td {
       (implicit s: SparkSession): DataFrame = {
     s.sparkContext.setJobDescription(s"td:${engine.engineType}:${engine.database}")
     Td.register(s)
+    graft.functions.Presto.register(s) // Presto-dialect names resolve verbatim
     registerTables(engine)
-    val interpolated = interpolate(sql, params)
+    val interpolated = graft.functions.Presto.rewrite(interpolate(sql, params))
     val df =
       if (distributedJoin)
         s.sql(s"SELECT /*+ MERGE */ * FROM (${interpolated.stripSuffix(";")})")
@@ -248,6 +249,7 @@ object td {
   def issueJob(sql: String, engine: TdEngine)(implicit s: SparkSession): Long = {
     s.sparkContext.setJobDescription(s"td:${engine.engineType}:${engine.database}")
     Td.register(s)
+    graft.functions.Presto.register(s) // Presto-dialect names resolve verbatim
     registerTables(engine)
     cacheJob(s.sql(interpolate(sql, Map.empty)))
   }

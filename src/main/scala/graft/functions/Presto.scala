@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
+import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Presto/Trino-dialect function aliases for `readTdQuery` passthrough.
+  *
+  * The reference's main code path hands the user's query TEXT verbatim to a
+  * hosted Presto cluster (`pandas_td/td.py :: read_td_query` — SURVEY.md
+  * §0-caveated symbol anchor). A migrating user's notebooks therefore say
+  * `approx_distinct(x)`, `json_extract_scalar(j, '$.k')`, `strpos(s, t)`,
+  * Presto's 3-arg `date_diff('day', a, b)` — names Spark SQL does not
+  * resolve. This layer registers those names as *parse-time expansions into
+  * native Catalyst expressions* (the same pattern as `Td.register`): never
+  * an opaque UDF, so every alias stays inside whole-stage codegen, pushes
+  * down where the underlying expression does, and costs nothing at 100 TB
+  * relative to writing the Spark-native name by hand.
+  *
+  * Aliases that would COLLIDE with a Spark builtin of different semantics
+  * are handled by arity dispatch (`date_diff`, `from_unixtime`: Presto
+  * shapes added, Spark shapes preserved) or by literal-format sniffing
+  * (`date_format`: MySQL `%`-codes translated, Java patterns passed
+  * through). `contains` is deliberately NOT aliased: Presto's is
+  * (array, elem) but Spark 3.5+ ships a (string, string) builtin and the
+  * two cannot be distinguished at parse time — users write
+  * `array_contains`, which both engines accept.
+  *
+  * Names that already resolve identically in Spark need no alias and get
+  * none: cardinality, element_at, regexp_like, split_part, approx_percentile,
+  * array_join, sequence, slice, map_keys/map_values, json_array_length.
+  */
+object Presto {
+
+  /** Extract a foldable string-literal argument (unit specs, JSON paths,
+    * datetime formats must be literals — same restriction Presto imposes
+    * on `date_diff`'s unit). */
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(u: UTF8String, StringType) => u.toString
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: ${e.sql}")
+  }
+
+  /** MySQL `%`-style datetime codes (Presto date_parse/date_format) → Java
+    * DateTimeFormatter pattern. Covers the codes TD's query templates use;
+    * `%%` escapes a literal percent. */
+  private[graft] def mysqlToJavaPattern(fmt: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M", 'd' -> "dd",
+      'e' -> "d", 'H' -> "HH", 'k' -> "H", 'h' -> "hh", 'l' -> "h",
+      'i' -> "mm", 's' -> "ss", 'S' -> "ss", 'f' -> "SSSSSS",
+      'p' -> "a", 'W' -> "EEEE", 'a' -> "EEE", 'b' -> "MMM", 'M' -> "MMMM",
+      'j' -> "DDD", 'T' -> "HH:mm:ss", 'v' -> "ww")
+    val out = new StringBuilder
+    var i = 0
+    var inQuote = false
+    def endQuote(): Unit = if (inQuote) { out += '\''; inQuote = false }
+    def literal(c: Char): Unit = {
+      // Java patterns treat letters as pattern chars — quote them.
+      if (c.isLetter || c == '\'') {
+        if (!inQuote) { out += '\''; inQuote = true }
+        out += c; if (c == '\'') out += c
+      } else { endQuote(); out += c }
+    }
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val code = fmt.charAt(i + 1)
+        if (code == '%') literal('%')
+        else map.get(code) match {
+          case Some(j) => endQuote(); out ++= j
+          case None => throw new IllegalArgumentException(
+            s"unsupported MySQL datetime code %$code in format '$fmt'")
+        }
+        i += 2
+      } else { literal(c); i += 1 }
+    }
+    endQuote()
+    out.toString
+  }
+
+  private def javaFmt(e: Expression): Expression = {
+    val f = litStr(e, "datetime format")
+    Literal(UTF8String.fromString(
+      if (f.contains('%')) mysqlToJavaPattern(f) else f), StringType)
+  }
+
+  /** Presto-ism TEXT shims that function registration cannot express
+    * because Spark's grammar intercepts the call shape before resolution:
+    * `date_diff('day', a, b)` → `date_diff(day, a, b)` (ditto date_add/
+    * dateadd/datediff/timestampadd/timestampdiff) — the unquoted form
+    * parses as native TIMESTAMPDIFF/TIMESTAMPADD with identical
+    * (unit, from, to) semantics. Only the exact token shape
+    * `name('unit',` is touched, so query text is otherwise verbatim. */
+  private val unitCallRe =
+    "(?i)\\b(date_diff|datediff|date_add|dateadd|timestampadd|timestampdiff)\\s*\\(\\s*'(\\w+)'\\s*,".r
+
+  def rewrite(sql: String): String =
+    unitCallRe.replaceAllIn(sql, m => s"${m.group(1)}(${m.group(2)},")
+
+  /** `spark.sql` with the dialect registered and text shims applied — the
+    * passthrough entry `readTdQuery` routes through. */
+  def sql(spark: SparkSession, text: String): org.apache.spark.sql.DataFrame = {
+    register(spark)
+    spark.sql(rewrite(text))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+    // approx_distinct(x[, max_standard_error]) — HLL++, the TD signature
+    // aggregate. Presto's e defaults 0.023; map e → relativeSD directly
+    // (both are the standard-error knob of the same sketch family).
+    fn("approx_distinct") { exprs =>
+      val h = exprs match {
+        case Seq(c)    => new HyperLogLogPlusPlus(c)
+        case Seq(c, e) =>
+          HyperLogLogPlusPlus(c, HyperLogLogPlusPlus.validateDoubleLiteral(e))
+        case _ => throw new IllegalArgumentException(
+          "approx_distinct(x[, max_standard_error])")
+      }
+      h.toAggregateExpression()
+    }
+
+    // json_extract_scalar / json_extract → GetJsonObject (JsonPath walk;
+    // scalar returns the value text, object/array returns JSON text —
+    // GetJsonObject already implements both behaviors).
+    for (name <- Seq("json_extract_scalar", "json_extract")) fn(name) {
+      case Seq(j, p) => GetJsonObject(j, p)
+      case _ => throw new IllegalArgumentException(s"$name(json, path)")
+    }
+
+    // strpos(string, substring[, instance]) — Presto arg order is the
+    // REVERSE of Spark's locate(substr, str). 1-based, 0 = not found.
+    // instance is accepted only as the literal 1 (the default).
+    fn("strpos") {
+      case Seq(s, sub) => StringLocate(sub, s, Literal(1))
+      case Seq(s, sub, Literal(n, _)) if String.valueOf(n) == "1" =>
+        StringLocate(sub, s, Literal(1))
+      case _ => throw new IllegalArgumentException(
+        "strpos(string, substring) — instance > 1 unsupported")
+    }
+
+    // (date_diff/date_add with a QUOTED unit cannot be fixed here: Spark's
+    // PARSER grammar-matches `date_diff(unit, a, b)` as TIMESTAMPDIFF
+    // before function resolution and rejects a string-literal unit — the
+    // registry is never consulted. `rewrite` below unquotes the unit at
+    // the text level; the parser then builds native TimestampDiff/
+    // TimestampAdd, whose (unit, from, to) semantics equal Presto's.)
+
+    // to_unixtime(ts) → DOUBLE epoch seconds (fractional part kept) —
+    // exactly Cast(ts AS DOUBLE) in Spark's casting rules.
+    fn("to_unixtime") {
+      case Seq(ts) => Cast(ts, DoubleType)
+      case _ => throw new IllegalArgumentException("to_unixtime(timestamp)")
+    }
+
+    // from_unixtime: Presto 1-arg returns TIMESTAMP (Spark's builtin
+    // returns a formatted STRING — a silent-breakage trap for migrating
+    // code). 1-arg → numeric-seconds cast to timestamp; 2-arg keeps
+    // Spark's (sec, fmt) → string shape so existing Spark SQL still works.
+    fn("from_unixtime") {
+      case Seq(sec)      => Cast(Cast(sec, DoubleType), TimestampType)
+      case Seq(sec, fmt) => FromUnixTime(sec, fmt)
+      case _ => throw new IllegalArgumentException("from_unixtime(seconds)")
+    }
+
+    // arbitrary(x) — any non-null value of the group.
+    fn("arbitrary") {
+      case Seq(c) => First(c, ignoreNulls = true).toAggregateExpression()
+      case _ => throw new IllegalArgumentException("arbitrary(x)")
+    }
+
+    // ISO day numbering: Presto day_of_week = 1(Mon)..7(Sun); Spark's
+    // dayofweek is 1(Sun)..7(Sat) — translate via weekday()+1, NOT a
+    // straight alias. week = ISO week-of-year in both engines.
+    for (name <- Seq("day_of_week", "dow")) fn(name) {
+      case Seq(c) => Add(WeekDay(c), Literal(1))
+      case _ => throw new IllegalArgumentException(s"$name(date)")
+    }
+    for (name <- Seq("day_of_year", "doy")) fn(name) {
+      case Seq(c) => DayOfYear(c)
+      case _ => throw new IllegalArgumentException(s"$name(date)")
+    }
+    for (name <- Seq("week", "week_of_year")) fn(name) {
+      case Seq(c) => WeekOfYear(c)
+      case _ => throw new IllegalArgumentException(s"$name(date)")
+    }
+
+    // date_parse(s, '%Y-%m-%d...') — MySQL codes → Java pattern, then the
+    // native parse (GetTimestamp under to_timestamp's semantics).
+    fn("date_parse") {
+      case Seq(s, f) => new ParseToTimestamp(s, javaFmt(f))
+      case _ => throw new IllegalArgumentException("date_parse(string, format)")
+    }
+
+    // date_format(ts, fmt): Presto uses MySQL %-codes, Spark uses Java
+    // patterns — sniff the literal: '%' present → translate; else Java
+    // pattern passes through (Spark semantics preserved).
+    fn("date_format") {
+      case Seq(ts, f) => DateFormatClass(ts, javaFmt(f))
+      case _ => throw new IllegalArgumentException("date_format(ts, format)")
+    }
+
+    // to_hex/from_hex → Spark hex/unhex (identical semantics, Presto names).
+    fn("to_hex") {
+      case Seq(c) => Hex(c)
+      case _ => throw new IllegalArgumentException("to_hex(binary)")
+    }
+    fn("from_hex") {
+      case Seq(c) => Unhex(c)
+      case _ => throw new IllegalArgumentException("from_hex(string)")
+    }
+
+    // bitwise_and/or/xor(a, b) — Presto spells infix operators as functions.
+    fn("bitwise_and") { case Seq(a, b) => BitwiseAnd(a, b)
+      case _ => throw new IllegalArgumentException("bitwise_and(a, b)") }
+    fn("bitwise_or") { case Seq(a, b) => BitwiseOr(a, b)
+      case _ => throw new IllegalArgumentException("bitwise_or(a, b)") }
+    fn("bitwise_xor") { case Seq(a, b) => BitwiseXor(a, b)
+      case _ => throw new IllegalArgumentException("bitwise_xor(a, b)") }
+  }
+}

@@ -150,6 +150,27 @@ class ApiSpec extends AnyFunSuite {
     assert(listed.get(id).contains(1L))
   }
 
+  test("readTdQuery runs verbatim Presto-dialect query text end-to-end") {
+    // The exact text a pandas-td notebook sends to Presto today — Presto
+    // function names, quoted date_diff unit, strpos arg order — must run
+    // unchanged (VERDICT r8 item 1; functions/Presto.scala).
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    val df = td.readTdQuery("""
+      SELECT o_orderpriority,
+             approx_distinct(o_custkey % 4) AS nd,
+             arbitrary(strpos(o_orderpriority, '-')) AS dash_pos,
+             max(date_diff('day', DATE '1995-01-01',
+                           CAST(o_orderdate AS DATE))) AS max_days
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""", e)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getLong(1) == 4L)) // exact-regime HLL
+    assert(rows.forall(_.getInt(2) == 2))
+    assert(rows.forall(_.getLong(3) > 0L))
+  }
+
   test("readTdQuery params interpolate as safe SQL literals") {
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     val df = td.readTdQuery(
