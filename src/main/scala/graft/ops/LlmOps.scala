@@ -471,13 +471,6 @@ object LlmOps {
             max(col("r2")).as("mr2"))
           .where(col("m") + least(col("n1") - col("mr1"), col("n2") - col("mr2")) >=
             ceil((col("n1") + col("n2")) * lit(t05) / lit(1.0 + t05)))
-          // feeds candDocs AND the verify join — avoid recompute. SER, not
-          // the deserialized MEMORY_AND_DISK default: the candidate relation
-          // is small but its deserialized-row heap residency made j2c the
-          // suite's preferential victim in three consecutive contention-
-          // phase benches (r5 13.9 s, r6 395 s, r7 43/64 s vs a ~4 s steady
-          // state) — serialized blocks are a handful of byte arrays the GC
-          // phases can't churn, at a ~5% steady-state cost
           // only the verify join's inputs survive the persist — the bound's
           // scratch columns (m, mr1, mr2) are dropped first
           .select("d1", "d2", "n1", "n2")

@@ -13,7 +13,8 @@ import graft.Tables._
   *     the +1 idf smoothing (Lucene's variant, so idf stays positive
   *     even for df > N/2).
   *
-  * Scale shape: doc lengths are a map-only projection; the (N, avgdl)
+  * Scale shape: doc lengths are carried through the tf aggregation
+  * (constant per doc), so no separate dl join exists; the (N, avgdl)
   * statistics collapse to ONE broadcast row; per-term df over the query
   * terms is bounded by |q| (broadcast); tf touches only postings whose
   * term is in the query (the isin predicate rides the explode inside one
@@ -46,14 +47,20 @@ object Round8 {
     // double division, identical in DuckDB
     val st = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+    // dl rides THROUGH the tf aggregation (constant per doc, so max() is
+    // exact) instead of joining the corpus-sized dl relation afterwards —
+    // that join was a second corpus-sized shuffle; carried this way, the
+    // tf groupBy stays the ONLY corpus-sized shuffle and everything
+    // downstream is broadcast fan-in onto query-matching rows.
+    val tf = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
       .where(col("term").isin(QTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     // df per query term = tf's row count per term (tf rows are distinct
     // (doc, term) by construction) — ≤ |q| rows, broadcast
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib = tf.join(broadcast(dfT), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(st))
       .select(col("doc_id"),
         round(

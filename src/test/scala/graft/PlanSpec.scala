@@ -223,6 +223,13 @@ class PlanSpec extends AnyFunSuite {
         s"$k stats/df sides must broadcast:\n$p")
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian:\n$p")
     }
+    // dl rides through the tf aggregation, so BM25 scoring must plan NO
+    // shuffle join at all — its only joins are the broadcast fan-ins
+    // (the corpus-sized dl join was ADVICE r8's scale finding)
+    val pj42 = SparkEntry.queries("j42_bm25")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!pj42.contains("SortMergeJoin") && !pj42.contains("ShuffledHashJoin"),
+      s"j42 plans a shuffle join (dl must ride the tf agg):\n$pj42")
   }
 
   test("j41 hybrid retrieval: top-10 is TakeOrderedAndProject, probe broadcasts") {
