@@ -471,19 +471,22 @@ object LlmOps {
             max(col("r2")).as("mr2"))
           .where(col("m") + least(col("n1") - col("mr1"), col("n2") - col("mr2")) >=
             ceil((col("n1") + col("n2")) * lit(t05) / lit(1.0 + t05)))
-          // only the verify join's inputs survive the persist — the bound's
-          // scratch columns (m, mr1, mr2) are dropped first
+          // only the verify join's inputs survive the materialization — the
+          // bound's scratch columns (m, mr1, mr2) are dropped first
           .select("d1", "d2", "n1", "n2")
-          // feeds candDocs AND the verify join — avoid recompute. SER, not
-          // the deserialized MEMORY_AND_DISK default: the candidate relation
-          // is small but its deserialized-row heap residency made j2c the
-          // suite's preferential victim in three consecutive contention-
-          // phase benches (r5 13.9 s, r6 395 s, r7 43/64 s vs a ~4 s steady
-          // state) — serialized blocks are a handful of byte arrays the GC
-          // phases can't churn; the variant cost is inside machine-phase
-          // noise (MicroBench, same phase: plain 4.93, SER 4.29-5.48,
-          // DISK_ONLY 4.68, j2 control 3.2-3.9 across those runs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          // feeds candDocs AND the verify join — avoid recompute.
+          // localCheckpoint, not persist: the lazy MEMORY_AND_DISK_SER
+          // persist still left j2c the suite's preferential contention
+          // victim in FOUR consecutive driver benches (r5 13.9 s, r6 395 s,
+          // r7 43/64 s, r8 18.4 s vs a ~5 s steady state) because a cached
+          // plan fragment can be evicted and recomputed under memory
+          // pressure at arbitrary points mid-query. An eager localCheckpoint
+          // (the CC pair-block device, CC.scala:92) computes the candidate
+          // relation ONCE at a deterministic point, truncates the lineage so
+          // no branch can ever re-derive the Σdf² prefix join, and its
+          // materialized blocks are GC-inert — the relation is tiny
+          // (candidate (d1,d2,n1,n2) tuples post-positional-bound)
+          .localCheckpoint()
         // exact verify: sorted-array intersection, but ONLY for docs that
         // appear in some surviving candidate — the corpus-wide docs never
         // materialize arrays (the r2 shape built arrays for ALL docs).
