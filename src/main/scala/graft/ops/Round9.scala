@@ -137,6 +137,36 @@ object Round9 {
           ROUND(sqrt(CAST(width * width + height * height AS DOUBLE)), 6) AS diag
         FROM dec ORDER BY doc_id""")),
 
+    // i17 — streaming ingest dedup WITH index maintenance: batch 2's
+    // candidates include matches against batch-1 docs because each batch
+    // commits its band rows as a new index version (manifest append)
+    // after probing. The oracle reproduces the whole cascade: an odd doc
+    // pairs with the standing corpus (even doc_ids) always, and with
+    // batch-1 odd docs (doc_id%4==1) iff it arrived in batch 2
+    // (doc_id%4==3) — the committed-before-probed relation.
+    Q("i17_stream_index_update",
+      (s, d) => graft.streaming.Streams.i17(s, d),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+        shs AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        sh AS (SELECT doc_id,
+            CAST('0x' || substr(md5(sh),1,15) AS BIGINT) % 2147483647 AS h FROM shs),
+        seeds AS (SELECT unnest(range(0, 32)) AS i,
+          unnest([114060684, 143607338, 658016613, 1920833001, 1625018798, 2115868157, 1839658157, 1370607936, 1314768563, 1516846533, 899342927, 1761721496, 1792449689, 2056989732, 1252576877, 638180912, 516347111, 86660098, 1034123048, 390694563, 1490082987, 1456092804, 997229159, 1263980514, 768208874, 373428981, 381249820, 1284903395, 434862591, 97658014, 635475302, 570517315]) AS a,
+          unnest([1522425843, 334529765, 1689677233, 1003823822, 1509779900, 1177694471, 385288776, 1001072043, 1286760556, 1140912466, 1555416272, 1474034036, 137111194, 1024637812, 1326353219, 494970825, 731651806, 1540310342, 993191396, 888645945, 1275083898, 325350617, 1359272703, 771243134, 711658336, 269452704, 606543124, 1932692492, 242146161, 1168033289, 31958265, 1568728816]) AS b),
+        mh AS (SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+          FROM sh, seeds GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id)
+        SELECT DISTINCT i.doc_id AS d_inc, c.doc_id AS d_idx
+        FROM sig i JOIN sig c
+          ON i.doc_id % 2 = 1
+          AND (c.doc_id % 2 = 0 OR (c.doc_id % 4 = 1 AND i.doc_id % 4 = 3))
+          AND EXISTS (SELECT 1 FROM unnest(range(0, 8)) r(b)
+            WHERE list_slice(i.sig, r.b*4+1, r.b*4+4) = list_slice(c.sig, r.b*4+1, r.b*4+4))
+        ORDER BY d_inc, d_idx""")),
+
     Q("k6_presto_dialect_agg",
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("k6_orders")

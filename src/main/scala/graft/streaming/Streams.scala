@@ -618,6 +618,68 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** i17 — i15 PLUS index maintenance on commit: each micro-batch first
+    * PROBES the currently committed band-index version, then COMMITS its
+    * own band rows as a new version (new files + a manifest that appends
+    * them to the previous version's file list — the a23/i16 versioned-
+    * table device). A batch-2 document that near-dups a BATCH-1 document
+    * is therefore caught by the updated index, not only the pre-stream
+    * corpus, with no index rebuild: the per-batch commit cost is O(batch),
+    * the probe stays an equi-join on (band, bh). Probe-before-commit
+    * means within-batch pairs are deferred to the periodic exact dedup
+    * (j28) by design — the contract production ingest dedup runs under.
+    * Deterministic batch split (so the oracle can reproduce the cascade):
+    * standing corpus = even doc_ids (v0 of the index), batch 1 =
+    * doc_id % 4 == 1, batch 2 = doc_id % 4 == 3. */
+  def i17(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val bands = graft.ops.LlmOps.minhashBands(graft.ops.LlmOps.minhashSigs(s, d))
+    val idxDir = tmp("i17idx"); val mani = tmp("i17mani"); val out = tmp("i17out")
+    def filesOf(dir: String) =
+      s.read.parquet(dir).select(input_file_name().as("f")).distinct()
+    def currentVersion(): Long =
+      Option(new java.io.File(mani).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("v=")).map(_.drop(2).toLong).max
+    // v0: the standing corpus index, committed like any later version —
+    // the stream's first probe already reads through the manifest
+    bands.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("d_idx"), col("band"), col("bh"))
+      .write.mode("overwrite").parquet(s"$idxDir/seg=0")
+    filesOf(s"$idxDir/seg=0").write.mode("overwrite").parquet(s"$mani/v=0")
+    val incoming = bands.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("d_inc"), col("band"), col("bh"))
+      .as[BandRow].collect()
+    val b1 = incoming.filter(_.d_inc % 4 == 1).sortBy(r => (r.d_inc, r.band))
+    val b2 = incoming.filter(_.d_inc % 4 == 3).sortBy(r => (r.d_inc, r.band))
+    val stream = MemoryStream[BandRow]
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val vPrev = currentVersion()
+        val idx = s.read.parquet(s.read.parquet(s"$mani/v=$vPrev")
+          .collect().map(_.getString(0)).toIndexedSeq: _*)
+        // 1. probe the committed index (idempotent per-batch-id sink)
+        df.join(idx, Seq("band", "bh"))
+          .select(col("d_inc"), col("d_idx"))
+          .write.mode("overwrite").parquet(s"$out/batch=$id")
+        // 2. commit this batch's band rows as index version vPrev+1
+        val seg = s"$idxDir/seg=${vPrev + 1}"
+        df.select(col("d_inc").as("d_idx"), col("band"), col("bh"))
+          .write.mode("overwrite").parquet(seg)
+        filesOf(seg).unionAll(s.read.parquet(s"$mani/v=$vPrev"))
+          .write.mode("overwrite").parquet(s"$mani/v=${vPrev + 1}")
+        ()
+      }
+      .option("checkpointLocation", tmp("i17ck"))
+      .start()
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    s.read.parquet(out).select("d_inc", "d_idx").distinct()
+      .orderBy("d_inc", "d_idx")
+  }
+
   /** i15 — near-dup detection AT INGEST: the streaming half of j28's
     * incremental dedup. The standing corpus's MinHash band index (doc,
     * band, band-hash) is the STATIC side; incoming documents arrive as a

@@ -32,6 +32,38 @@ class Round9Spec extends AnyFunSuite {
     assert(rows(1).getString(1) == "unknown" && rows(1).isNullAt(2))
   }
 
+  test("i17 catches a batch-2 dup of a BATCH-1 doc via the updated index") {
+    // planted corpus (batch 1 = doc_id%4==1, batch 2 = %4==3, corpus =
+    // even): docs 1 (batch 1) and 3 (batch 2) are exact dups; doc 3
+    // shares nothing with the standing corpus. Without the per-batch
+    // index commit the (3, 1) pair is structurally impossible — doc 1 is
+    // odd, so it is never in the pre-stream corpus index. This is the
+    // maintenance contract, end to end.
+    val d = graft.ops.Scratch.dir("i17fix")
+    import spark.implicits._
+    def sentence(tag: String): String =
+      (0 until 12).map(k => s"${tag}w$k").mkString(" ")
+    Seq(
+      (0L, sentence("corpusA")), (2L, sentence("corpusB")),
+      (4L, sentence("corpusC")), (6L, sentence("corpusD")),
+      (1L, sentence("dup")),  // batch 1
+      (3L, sentence("dup")),  // batch 2 — dups batch 1's doc 1
+      (5L, sentence("solo")), // batch 1, matches nothing
+      (7L, sentence("corpusA"))) // batch 2 — dups corpus doc 0
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("i17"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pairs = graft.streaming.Streams.i17(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 1L)),
+      s"batch-2 doc 3 must match batch-1 doc 1 via the committed index, got $pairs")
+    assert(pairs.contains((7L, 0L)), s"corpus probe must still work, got $pairs")
+    assert(!pairs.exists(_._1 == 5L), s"doc 5 matches nothing, got $pairs")
+    // batch-1 docs can only have matched the v0 corpus index
+    assert(pairs.filter(_._1 == 1L).forall(_._2 % 2 == 0), s"got $pairs")
+  }
+
   test("m4b features are pure arithmetic over the decoded dims") {
     val r = SparkEntry.queries("m4b_feature_image")(spark, TestSpark.sf)
       .where(col("doc_id") === 0L).collect().head
