@@ -225,6 +225,57 @@ object td {
   def use(db: String, root: String, engineType: String = "presto"): TdUse =
     TdUse(TdEngine(engineType, db, root))
 
+  // `%%td_presto -o name` analog (reference `pandas_td/ipython.py ::
+  // QueryMagics` writes the result DataFrame into the notebook user
+  // namespace under `name`): a named-result registry beside the job-id
+  // cache. Bounded by the same MaxLiveJobs eviction? No — names are
+  // explicit user bindings, so they live until rebound or cleared, like
+  // notebook variables do.
+  private val named = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Run a query and bind its result under `name` (`-o name`). The bound
+    * frame is also returned, mirroring the magic's cell output. */
+  def queryInto(name: String, sql: String, engine: TdEngine,
+      distributedJoin: Boolean = false, params: Map[String, Any] = Map.empty)
+      (implicit s: SparkSession): DataFrame = {
+    val df = readTdQuery(sql, engine, distributedJoin, params)
+    named.put(name, df)
+    df
+  }
+
+  /** Fetch a `-o`-bound result by name. */
+  def result(name: String): DataFrame = {
+    val df = named.get(name)
+    require(df != null, s"no bound result named '$name'")
+    df
+  }
+
+  /** `-O path` analog (the magic writes the result to a local CSV file):
+    * single-file CSV with header. Driver-coalesced — the magic's output
+    * target is a notebook-local file, not a distributed dataset; use
+    * `df.write` directly for anything large. */
+  def queryToFile(sql: String, engine: TdEngine, path: String,
+      params: Map[String, Any] = Map.empty)(implicit s: SparkSession): Unit =
+    readTdQuery(sql, engine, params = params)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** `--pivot` analog: reshape a query RESULT with (index, columns,
+    * values) as its first three columns — the post-processing the magic
+    * applies client-side with pandas.pivot_table. Pivot values are
+    * DISCOVERED from the result (one extra job over the already-small
+    * result relation); d14's explicit-value-list pivot remains the form
+    * that scales to raw tables. Ties to the reference's one-aggregated-
+    * cell-per-pair contract via first(). */
+  def pivotResult(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    require(cols.length >= 3, s"--pivot needs (index, columns, values) " +
+      s"as the first three result columns, got ${cols.mkString(", ")}")
+    df.groupBy(col(cols(0))).pivot(cols(1)).agg(first(col(cols(2))))
+      .orderBy(cols(0))
+  }
+  // `--plot` has no analog in an engine library (it is a matplotlib call
+  // in the reference's notebook process) — intentionally absent.
+
   /** `read_td` — alias of read_td_query (reference `pandas_td/__init__.py`). */
   def readTd(sql: String, engine: TdEngine, distributedJoin: Boolean = false,
       params: Map[String, Any] = Map.empty)(implicit s: SparkSession): DataFrame =

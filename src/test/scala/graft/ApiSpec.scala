@@ -171,6 +171,27 @@ class ApiSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(3) > 0L))
   }
 
+  test("-o binding, -O file dump, and --pivot reshape conveniences") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    // -o: run + bind + re-fetch
+    val bound = td.queryInto("prio_counts",
+      "SELECT o_orderpriority, o_orderstatus, count(*) AS n " +
+        "FROM orders GROUP BY 1, 2", e)
+    assert(td.result("prio_counts").count() == bound.count())
+    intercept[IllegalArgumentException](td.result("never_bound"))
+    // --pivot: (index, columns, values) reshape of the bound result
+    val piv = td.pivotResult(td.result("prio_counts"))
+    assert(piv.columns.head == "o_orderpriority" && piv.columns.length >= 3)
+    assert(piv.count() == 5) // one row per priority
+    intercept[IllegalArgumentException](
+      td.pivotResult(bound.select("o_orderpriority", "n")))
+    // -O: header CSV lands on disk as one file
+    val out = java.nio.file.Files.createTempDirectory("graft_o").toString + "/res"
+    td.queryToFile("SELECT count(*) AS n FROM nation", e, out)
+    val csv = spark.read.option("header", "true").csv(out)
+    assert(csv.columns.sameElements(Array("n")) && csv.head().getString(0) == "25")
+  }
+
   test("readTdQuery params interpolate as safe SQL literals") {
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     val df = td.readTdQuery(
