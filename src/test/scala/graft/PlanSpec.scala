@@ -253,13 +253,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("> 256)"), s"heavy-branch guard missing:\n$p")
   }
 
-  test("j2c reads PPJoin doc sizes off the postings, not a count join") {
-    // the ranked prefix index carries n inside the exploded posting struct;
-    // no join on a bare doc_id-count relation should remain before the
-    // candidate stage (the verify stage legitimately joins arrays back)
+  test("j2c verifies off checkpointed candidates that carry their own sizes") {
+    // the candidate relation is an eager localCheckpoint (the r9 contention
+    // fix), so the final plan starts from lineage-truncated RDD scans whose
+    // row IS (d1, d2, n1, n2) — the PPJoin doc sizes ride the candidates
+    // and no bare doc_id-count relation is joined downstream. The prefix
+    // explode ran once, pre-checkpoint, and cannot reappear in any branch.
     val p = plan("j2c_dedup_prefix")
     assert(p.contains("sort_array"), p)     // verify arrays, map-side
-    assert(p.contains("Generate explode"), p)
+    assert("Scan ExistingRDD\\[d1#\\d+L,d2#\\d+L,n1#\\d+L,n2#\\d+L\\]".r
+      .findFirstIn(p).isDefined, p)
+    assert(!p.contains("Generate explode"), p) // pre-checkpoint, by construction
+    assert(!p.contains("count("), p)           // no count-relation join remains
   }
 
   test("j45 builds sketches in one partial+final pass; pairs join only the sketch relation") {
