@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
-import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Presto/Trino-dialect function aliases for `readTdQuery` passthrough.
@@ -223,5 +224,180 @@ object Presto {
       case _ => throw new IllegalArgumentException("bitwise_or(a, b)") }
     fn("bitwise_xor") { case Seq(a, b) => BitwiseXor(a, b)
       case _ => throw new IllegalArgumentException("bitwise_xor(a, b)") }
+
+    // url_extract_* family → ParseUrl with the matching part selector.
+    // (url_extract_port has no ParseUrl part in Spark and is NOT aliased —
+    // migrating queries use regexp_extract; documented in README.)
+    val urlParts = Seq(
+      "url_extract_protocol" -> "PROTOCOL", "url_extract_host" -> "HOST",
+      "url_extract_path" -> "PATH", "url_extract_query" -> "QUERY",
+      "url_extract_fragment" -> "REF")
+    for ((name, part) <- urlParts) fn(name) {
+      case Seq(u) => ParseUrl(Seq(u, Literal(UTF8String.fromString(part), StringType)))
+      case _ => throw new IllegalArgumentException(s"$name(url)")
+    }
+    // url_extract_parameter(url, name) — QUERY part with a key.
+    fn("url_extract_parameter") {
+      case Seq(u, k) =>
+        ParseUrl(Seq(u, Literal(UTF8String.fromString("QUERY"), StringType), k))
+      case _ => throw new IllegalArgumentException("url_extract_parameter(url, name)")
+    }
+
+    // split_to_map(s, entryDelim, kvDelim) → str_to_map: identical
+    // (text, pairDelim, keyValueDelim) order in both engines. Delimiters
+    // are literal strings in practice; Spark treats them as regexes, so
+    // escape-sensitive delimiters differ — TD templates use ',' and '='.
+    fn("split_to_map") {
+      case Seq(s0, pd, kv) => StringToMap(s0, pd, kv)
+      case _ => throw new IllegalArgumentException(
+        "split_to_map(string, entryDelim, kvDelim)")
+    }
+
+    // index(s, sub) — the legacy Presto synonym of strpos.
+    fn("index") {
+      case Seq(s0, sub) => StringLocate(sub, s0, Literal(1))
+      case _ => throw new IllegalArgumentException("index(string, substring)")
+    }
+
+    // format_datetime/parse_datetime take Joda patterns, whose common codes
+    // (yyyy MM dd HH mm ss) coincide with Java DateTimeFormatter — pass
+    // through; MySQL %-codes are also accepted (javaFmt sniffs).
+    fn("format_datetime") {
+      case Seq(ts, f) => DateFormatClass(ts, javaFmt(f))
+      case _ => throw new IllegalArgumentException("format_datetime(ts, format)")
+    }
+    fn("parse_datetime") {
+      case Seq(s0, f) => new ParseToTimestamp(s0, javaFmt(f))
+      case _ => throw new IllegalArgumentException("parse_datetime(string, format)")
+    }
+
+    // last_day_of_month → Spark last_day (identical semantics).
+    fn("last_day_of_month") {
+      case Seq(c) => LastDay(c)
+      case _ => throw new IllegalArgumentException("last_day_of_month(date)")
+    }
+
+    // from_utf8/to_utf8 ↔ Spark decode/encode with a pinned charset.
+    val utf8 = Literal(UTF8String.fromString("UTF-8"), StringType)
+    fn("from_utf8") {
+      case Seq(b) => StringDecode(b, utf8)
+      case _ => throw new IllegalArgumentException("from_utf8(binary)")
+    }
+    fn("to_utf8") {
+      case Seq(s0) => Encode(s0, utf8)
+      case _ => throw new IllegalArgumentException("to_utf8(string)")
+    }
+
+    // to_base(x, radix) → conv; Presto emits lowercase digits, Spark conv
+    // uppercase — wrap in lower. from_base parses radix → BIGINT.
+    fn("to_base") {
+      case Seq(x, r) => Lower(Conv(Cast(x, StringType), Literal(10), r))
+      case _ => throw new IllegalArgumentException("to_base(x, radix)")
+    }
+    fn("from_base") {
+      case Seq(s0, r) =>
+        Cast(Conv(s0, r, Literal(10)), LongType)
+      case _ => throw new IllegalArgumentException("from_base(string, radix)")
+    }
+
+    // truncate(x) — round toward zero, double → double. Composed from
+    // codegen'd builtins (sign · ⌊|x|⌋); Spark has no builtin of this name.
+    fn("truncate") {
+      case Seq(x) =>
+        Cast(Multiply(Signum(Cast(x, DoubleType)),
+          Cast(Floor(Abs(Cast(x, DoubleType))), DoubleType)), DoubleType)
+      case _ => throw new IllegalArgumentException("truncate(x)")
+    }
+
+    // IEEE specials: nan()/infinity() literals, is_nan predicate
+    // (is_finite/is_infinite compose from them).
+    fn("nan") { case Seq() => Literal(Double.NaN, DoubleType)
+      case _ => throw new IllegalArgumentException("nan()") }
+    fn("infinity") { case Seq() => Literal(Double.PositiveInfinity, DoubleType)
+      case _ => throw new IllegalArgumentException("infinity()") }
+    fn("is_nan") { case Seq(x) => IsNaN(Cast(x, DoubleType))
+      case _ => throw new IllegalArgumentException("is_nan(x)") }
+    fn("is_finite") {
+      case Seq(x) =>
+        val d = Cast(x, DoubleType)
+        And(Not(IsNaN(d)), And(
+          LessThan(d, Literal(Double.PositiveInfinity, DoubleType)),
+          GreaterThan(d, Literal(Double.NegativeInfinity, DoubleType))))
+      case _ => throw new IllegalArgumentException("is_finite(x)")
+    }
+    fn("is_infinite") {
+      case Seq(x) =>
+        val d = Cast(x, DoubleType)
+        Or(EqualTo(d, Literal(Double.PositiveInfinity, DoubleType)),
+          EqualTo(d, Literal(Double.NegativeInfinity, DoubleType)))
+      case _ => throw new IllegalArgumentException("is_infinite(x)")
+    }
+
+    // codepoint(ch) — Spark's ascii already returns the first character's
+    // Unicode codepoint (not just 7-bit ASCII), matching Presto on the
+    // single-character inputs Presto requires.
+    fn("codepoint") { case Seq(c) => Ascii(c)
+      case _ => throw new IllegalArgumentException("codepoint(char)") }
+
+    // ---- aggregate parity: map_agg / multimap_agg / histogram ----------
+    // All three expand to compositions over ONE collect_list aggregate —
+    // the grouped entries ride the normal partial/final aggregate path
+    // (no custom buffer class), and the map is assembled in the final
+    // projection. Presto semantics notes: map_agg on duplicate keys is
+    // nondeterministic in Presto; under Spark's default
+    // mapKeyDedupPolicy=EXCEPTION duplicates FAIL instead — stricter, and
+    // deterministic queries (unique keys per group) behave identically.
+    def entryStruct(k: Expression, v: Expression): Expression =
+      CreateNamedStruct(Seq(
+        Literal(UTF8String.fromString("k"), StringType), k,
+        Literal(UTF8String.fromString("v"), StringType), v))
+    def field(e: Expression, name: String): Expression =
+      UnresolvedExtractValue(e, Literal(UTF8String.fromString(name), StringType))
+    // Nested lambdas need DISTINCT variable names: ResolveLambdaVariables
+    // binds by name, so an inner "x" would capture an outer "x" reference.
+    def lam(name: String)(body: Expression => Expression): LambdaFunction = {
+      val v = UnresolvedNamedLambdaVariable(Seq(name))
+      LambdaFunction(body(v), Seq(v))
+    }
+    fn("map_agg") {
+      case Seq(k, v) =>
+        MapFromEntries(
+          aggregate.CollectList(entryStruct(k, v)).toAggregateExpression())
+      case _ => throw new IllegalArgumentException("map_agg(key, value)")
+    }
+    // multimap_agg(k, v) → map k → array<v>: distinct keys of the entry
+    // list, each paired with the values filtered to that key. O(d·n) per
+    // group in the final projection (d = distinct keys) — fine for the
+    // hot path ONLY when groups are modest; at huge groups write the
+    // explicit two-level groupBy instead (documented in README).
+    fn("multimap_agg") {
+      case Seq(k, v) =>
+        val entries =
+          aggregate.CollectList(entryStruct(k, v)).toAggregateExpression()
+        val keys = ArrayDistinct(
+          ArrayTransform(entries, lam("mk_e")(e => field(e, "k"))))
+        MapFromEntries(ArrayTransform(keys, lam("mk_key") { key =>
+          entryStruct(key,
+            ArrayTransform(
+              ArrayFilter(entries, lam("mk_f") { e =>
+                EqualTo(field(e, "k"), key)
+              }),
+              lam("mk_v")(e => field(e, "v"))))
+        }))
+      case _ => throw new IllegalArgumentException("multimap_agg(key, value)")
+    }
+    // histogram(x) → map value → occurrence count (BIGINT), same
+    // collected-entries device; counts via size(filter(..)).
+    fn("histogram") {
+      case Seq(x) =>
+        val xs = aggregate.CollectList(x).toAggregateExpression()
+        MapFromEntries(ArrayTransform(ArrayDistinct(xs), lam("hg_v") { v =>
+          entryStruct(v,
+            Cast(Size(ArrayFilter(xs, lam("hg_y") { y =>
+              EqualTo(y, v)
+            })), LongType))
+        }))
+      case _ => throw new IllegalArgumentException("histogram(x)")
+    }
   }
 }

@@ -24,6 +24,59 @@ import graft.Tables._
   */
 object Round6 {
 
+  /** The j39 kNN graph (vec_id, rank, nbr_id, cos) — also the edge source
+    * for j46's centrality pass. Candidates are (i, j) ID pairs only — the
+    * embedding vectors do not ride the bucket self-join shuffle (at 100 TB
+    * that's 2× vector bytes through the exchange per candidate); they
+    * re-attach by vec_id once per side AFTER the bucket join (j2b's
+    * device). */
+  private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val bits = LlmOps.lshBuckets(s, d, Knobs.lshPlanes(s))
+    val a = bits.select(col("bucket"), col("vec_id").as("i"))
+    val b = bits.select(col("bucket"), col("vec_id").as("j"))
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val cand = a.join(b, Seq("bucket")).where(col("i") =!= col("j"))
+      .select(col("i"), col("j"))
+      .join(emb.toDF("i", "ea"), "i")
+      .join(emb.toDF("j", "eb"), "j")
+      .select(col("i"), col("j"),
+        round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("i").orderBy(desc("cos"), asc("j"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("i").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("j").as("nbr_id"), col("cos"))
+  }
+
+  /** Oracle CTE chain reproducing knnGraph in DuckDB — `r` is the ranked
+    * candidate relation; `SELECT ... FROM r WHERE rank <= 3` is the graph.
+    * Shared with j46's oracle (which unrolls PageRank on top). */
+  private[graft] val KnnCtes: String =
+    """e AS (SELECT vec_id, generate_subscripts(embedding,1) - 1 AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        w AS (SELECT p.p, dm.dim,
+            (CAST('0x' || substr(md5(p.p || ':' || dm.dim),1,15) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+          FROM (SELECT DISTINCT dim FROM e) dm, unnest(range(0, 6)) p(p)),
+        bits AS (SELECT e.vec_id, w.p,
+            CASE WHEN SUM(w.w * e.v) > 0 THEN '1' ELSE '0' END AS bit
+          FROM e JOIN w ON e.dim = w.dim GROUP BY e.vec_id, w.p),
+        bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+          FROM bits GROUP BY vec_id),
+        nm AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
+        cand AS (SELECT a.vec_id AS i, b.vec_id AS j
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+        dots AS (SELECT c.i, c.j, SUM(ea.v * eb.v) AS dot
+          FROM cand c JOIN e ea ON ea.vec_id = c.i
+            JOIN e eb ON eb.vec_id = c.j AND ea.dim = eb.dim
+          GROUP BY c.i, c.j),
+        scored AS (SELECT i, j, ROUND(dot / (n1.nm * n2.nm), 6) AS cos
+          FROM dots JOIN nm n1 ON i = n1.vec_id JOIN nm n2 ON j = n2.vec_id),
+        r AS (SELECT i, j, cos,
+            row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rank
+          FROM scored)"""
+
   val all: Seq[Q] = Seq(
 
     // Paragraph-level exact dedup. Every 16-token block is keyed by
@@ -175,51 +228,8 @@ object Round6 {
     // vector. Singleton-bucket vectors emit no edges — the standard LSH
     // recall trade, handled by multi-probe/multi-table variants upstream.
     Q("j39_knn_graph",
-      (s, d) => {
-        // candidates are (i, j) ID pairs only — the embedding vectors do
-        // not ride the bucket self-join shuffle (at 100 TB that's 2×
-        // vector bytes through the exchange per candidate); they re-attach
-        // by vec_id once per side AFTER the bucket join (j2b's device)
-        val bits = LlmOps.lshBuckets(s, d, Knobs.lshPlanes(s))
-        val a = bits.select(col("bucket"), col("vec_id").as("i"))
-        val b = bits.select(col("bucket"), col("vec_id").as("j"))
-        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val cand = a.join(b, Seq("bucket")).where(col("i") =!= col("j"))
-          .select(col("i"), col("j"))
-          .join(emb.toDF("i", "ea"), "i")
-          .join(emb.toDF("j", "eb"), "j")
-          .select(col("i"), col("j"),
-            round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
-              .as("cos"))
-        val w = Window.partitionBy("i").orderBy(desc("cos"), asc("j"))
-        cand.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 3)
-          .select(col("i").as("vec_id"), col("rank").cast("long").as("rank"),
-            col("j").as("nbr_id"), col("cos"))
-          .orderBy("vec_id", "rank")
-      },
-      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) - 1 AS dim,
-            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        w AS (SELECT p.p, dm.dim,
-            (CAST('0x' || substr(md5(p.p || ':' || dm.dim),1,15) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
-          FROM (SELECT DISTINCT dim FROM e) dm, unnest(range(0, 6)) p(p)),
-        bits AS (SELECT e.vec_id, w.p,
-            CASE WHEN SUM(w.w * e.v) > 0 THEN '1' ELSE '0' END AS bit
-          FROM e JOIN w ON e.dim = w.dim GROUP BY e.vec_id, w.p),
-        bk AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
-          FROM bits GROUP BY vec_id),
-        nm AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
-        cand AS (SELECT a.vec_id AS i, b.vec_id AS j
-          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
-        dots AS (SELECT c.i, c.j, SUM(ea.v * eb.v) AS dot
-          FROM cand c JOIN e ea ON ea.vec_id = c.i
-            JOIN e eb ON eb.vec_id = c.j AND ea.dim = eb.dim
-          GROUP BY c.i, c.j),
-        scored AS (SELECT i, j, ROUND(dot / (n1.nm * n2.nm), 6) AS cos
-          FROM dots JOIN nm n1 ON i = n1.vec_id JOIN nm n2 ON j = n2.vec_id),
-        r AS (SELECT i, j, cos,
-            row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rank
-          FROM scored)
+      (s, d) => knnGraph(s, d).orderBy("vec_id", "rank"),
+      Some(s"""WITH $KnnCtes
         SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS nbr_id, cos
         FROM r WHERE rank <= 3 ORDER BY vec_id, rank""")),
 

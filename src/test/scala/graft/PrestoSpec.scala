@@ -99,4 +99,65 @@ class PrestoSpec extends AnyFunSuite {
     val r = one("SELECT arbitrary(v) AS v FROM presto_arb GROUP BY g")
     assert(r.getString(0) == "x")
   }
+
+  test("url_extract_* family parses every component; parameter takes a key") {
+    val u = "'https://h2.example.com/p/click?k=7&u=42#frag'"
+    val r = one(s"""SELECT url_extract_protocol($u) AS pr,
+      url_extract_host($u) AS h, url_extract_path($u) AS p,
+      url_extract_query($u) AS q, url_extract_fragment($u) AS f,
+      url_extract_parameter($u, 'u') AS pu""")
+    assert(r.getString(0) == "https" && r.getString(1) == "h2.example.com")
+    assert(r.getString(2) == "/p/click" && r.getString(3) == "k=7&u=42")
+    assert(r.getString(4) == "frag" && r.getString(5) == "42")
+  }
+
+  test("split_to_map, index, codepoint, to_base/from_base, truncate") {
+    val r = one("""SELECT element_at(split_to_map('a=1,b=2', ',', '='), 'b') AS b,
+      index('hello', 'll') AS i, codepoint('A') AS cp,
+      to_base(255, 16) AS b16, from_base('ff', 16) AS v16,
+      truncate(3.7) AS tp, truncate(-3.7) AS tn""")
+    assert(r.getString(0) == "2" && r.getInt(1) == 3 && r.getInt(2) == 65)
+    assert(r.getString(3) == "ff" && r.getLong(4) == 255L)
+    assert(r.getDouble(5) == 3.0 && r.getDouble(6) == -3.0)
+  }
+
+  test("format_datetime/parse_datetime, last_day_of_month, utf8 round-trip") {
+    val r = one("""SELECT format_datetime(parse_datetime('2024-02-11 09:30:00',
+        'yyyy-MM-dd HH:mm:ss'), 'yyyy/MM/dd') AS f,
+      last_day_of_month(DATE '2024-02-10') AS ld,
+      from_utf8(to_utf8('héllo')) AS rt, lower(to_hex(to_utf8('A'))) AS hx""")
+    assert(r.getString(0) == "2024/02/11")
+    assert(r.getDate(1).toString == "2024-02-29")
+    assert(r.getString(2) == "héllo" && r.getString(3) == "41")
+  }
+
+  test("IEEE specials: nan/infinity literals and the is_* predicates") {
+    val r = one("""SELECT is_nan(nan()) AS a, is_nan(1.0) AS b,
+      is_finite(1.5) AS c, is_finite(infinity()) AS d,
+      is_infinite(infinity()) AS e, is_infinite(2.0) AS f""")
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+  }
+
+  test("map_agg/multimap_agg/histogram build maps through one collect_list") {
+    spark.sql("""SELECT * FROM VALUES (1, 'a', 10), (1, 'b', 20), (1, 'a', 30),
+      (2, 'c', 40) t(g, k, v)""").createOrReplaceTempView("presto_map")
+    val r = Presto.sql(spark, """SELECT g,
+        sort_array(map_entries(histogram(k))) AS h,
+        sort_array(transform(map_entries(multimap_agg(k, v)),
+          e -> named_struct('key', e.key, 'value', sort_array(e.value)))) AS mm
+      FROM presto_map GROUP BY g ORDER BY g""").collect()
+    val h1 = r(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(h1.map(e => (e.getString(0), e.getLong(1))) == Seq("a" -> 2L, "b" -> 1L))
+    val mm1 = r(0).getSeq[org.apache.spark.sql.Row](2)
+    assert(mm1.map(e => (e.getString(0), e.getSeq[Int](1))) ==
+      Seq("a" -> Seq(10, 30), "b" -> Seq(20)))
+    // map_agg with unique keys per group
+    val kv = Presto.sql(spark,
+      """SELECT g, sort_array(map_entries(map_agg(k, v))) AS kv
+        FROM (SELECT * FROM VALUES (1, 'x', 1), (1, 'y', 2) t(g, k, v))
+        GROUP BY g""").collect().head.getSeq[org.apache.spark.sql.Row](1)
+    assert(kv.map(e => (e.getString(0), e.getInt(1))) == Seq("x" -> 1, "y" -> 2))
+  }
 }

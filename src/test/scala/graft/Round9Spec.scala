@@ -70,4 +70,57 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getLong(1) == 16L && r.getLong(2) == 16L)
     assert(r.getDouble(3) == 1.0) // aspect of the 16×16 doc-0 image
   }
+
+  test("m6 decodes WAV little-endian fields and derives duration") {
+    val out = SparkEntry.queries("m6_decode_wav")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0: ch=1, rate=8000, bits=8 → byte rate 8000; doc 1: ch=2,
+    // rate=16000, bits=16 → block 4, byte rate 64000 (the derivation)
+    val a = out(0L)
+    assert(a.getString(1) == "wav" && a.getLong(2) == 1L &&
+      a.getLong(3) == 8000L && a.getLong(4) == 8L)
+    val b = out(1L)
+    assert(b.getLong(2) == 2L && b.getLong(3) == 16000L && b.getLong(4) == 16L)
+    // duration: data_bytes·1000 div byte_rate, and the data chunk is the
+    // doc body, so n_bytes = 44-byte header + data_bytes
+    out.values.foreach { r =>
+      val byteRate = r.getLong(3) * r.getLong(2) * (r.getLong(4) / 8)
+      assert(r.getAs[Long]("dur_ms") == r.getLong(5) * 1000 / byteRate)
+      assert(r.getAs[Long]("n_bytes") == 44L + r.getLong(5))
+    }
+  }
+
+  test("j46 integer PageRank: sinks accumulate rank, fixed point is exact") {
+    // the score is a pure integer recurrence — re-running it can never
+    // drift (the reason the operator is fixed-point, asserted literally)
+    val d = TestSpark.sf
+    val r1 = SparkEntry.queries("j46_graph_pagerank")(spark, d).collect()
+    val r2 = SparkEntry.queries("j46_graph_pagerank")(spark, d).collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      r2.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // every node keeps the (1-d) floor; anything above it received edges
+    assert(r1.forall(_.getLong(1) >= 150000L))
+    assert(r1.exists(_.getLong(1) > 150000L), "some node must receive rank")
+  }
+
+  test("j47 flags exactly the cross-doc repeated 5-gram spans") {
+    val d = graft.ops.Scratch.dir("j47fix")
+    import spark.implicits._
+    // docs 10/11 share one 5-gram ("s0..s4") at different offsets; doc 12
+    // is disjoint. Coverage: doc 10 tokens 1-5 of 8; doc 11 tokens 3-7
+    // of 7; doc 12 zero.
+    Seq(
+      (10L, "s0 s1 s2 s3 s4 a b c"),
+      (11L, "x y s0 s1 s2 s3 s4"),
+      (12L, "p q r t u v w")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("j47"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("j47_repeated_ngrams")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(10L) == ((8L, 1L, 5L)), s"got $out") // 1 start at p=1 covers 1..5
+    assert(out(11L) == ((7L, 1L, 5L)), s"got $out") // start p=3 covers 3..7
+    assert(out(12L) == ((7L, 0L, 0L)), s"got $out")
+  }
 }
