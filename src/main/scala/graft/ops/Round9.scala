@@ -170,6 +170,82 @@ object Round9 {
           FROM nodes n LEFT JOIN s3 ON s3.j = n.vec_id)
         SELECT vec_id, pr FROM p3 ORDER BY vec_id""")),
 
+    // j48 — distributed BPE merge learning: the sequential tokenizer-
+    // training loop (Sennrich et al.) done the scalable way. The corpus
+    // collapses ONCE to a (word, freq) relation — the classic trick that
+    // makes BPE trainable at corpus scale, since every later pass runs
+    // over the Zipf-bounded vocabulary, not the token stream. Each of the
+    // 10 rounds is: adjacent-symbol pair counts weighted by word freq
+    // (one explode + one groupBy over the vocab), a 1-ROW argmax collect
+    // (pf desc, pair asc tie-break — the only driver traffic, the same
+    // bounded-probe pattern as CC), then the merge applied to every word
+    // via leftmost-nonoverlapping replace on the '<sym>'-wrapped form
+    // (wrapping makes adjacent occurrences share no delimiter, so ALL
+    // occurrences merge in one pass — a bare space-delimited form would
+    // miss every second occurrence of a repeated pair). The vocab rides
+    // a localCheckpoint between rounds so round k never re-derives
+    // rounds 1..k-1. Output: the learned merge table itself. The oracle
+    // unrolls the identical 10 rounds as generated CTE blocks.
+    Q("j48_bpe_learn",
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        var cur: DataFrame = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .select(regexp_replace(col("w"), "(.)", "<$1>").as("sym"), col("f"))
+          .localCheckpoint()
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String, Long)]
+        for (r <- 1 to 10) {
+          val best = cur
+            .select(expr("split(substring(sym, 2, length(sym) - 2), '><')")
+              .as("ss"), col("f"))
+            .where(size(col("ss")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(1, size(ss) - 1)," +
+                " i -> struct(ss[i - 1] AS a, ss[i] AS b))")).as("p"), col("f"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("f")).as("pf"))
+            .orderBy(desc("pf"), asc("a"), asc("b"))
+            .limit(1).collect()
+          val (a, b, pf) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r.toLong, a, b, pf))
+          cur = cur.withColumn("sym",
+              expr(s"replace(sym, '<$a><$b>', '<$a$b>')"))
+            .localCheckpoint()
+        }
+        import s.implicits._
+        merges.toSeq.toDF("rank", "a", "b", "pf").orderBy("rank")
+      },
+      Some {
+        // generated 10-round unroll of the same algorithm
+        val sb = new StringBuilder(
+          """WITH wf0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS sym,
+               CAST(COUNT(*) AS BIGINT) AS f
+             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE strlen(w) > 0 GROUP BY w)""")
+        for (r <- 1 to 10) {
+          sb.append(s""",
+            pr$r AS (SELECT ss[i.i] AS a, ss[i.i + 1] AS b,
+                CAST(SUM(f) AS BIGINT) AS pf
+              FROM (SELECT string_split(substr(sym, 2, strlen(sym) - 2), '><') AS ss,
+                      f FROM wf${r - 1} WHERE strlen(sym) > 0) t,
+                unnest(range(1, len(ss))) i(i)
+              GROUP BY ss[i.i], ss[i.i + 1]),
+            b$r AS (SELECT a, b, pf FROM pr$r ORDER BY pf DESC, a, b LIMIT 1),
+            wf$r AS (SELECT replace(sym, '<' || a || '><' || b || '>',
+                '<' || a || b || '>') AS sym, f FROM wf${r - 1}, b$r)""")
+        }
+        sb.append("\n  SELECT * FROM (")
+        sb.append((1 to 10).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, a, b, pf FROM b$r")
+          .mkString(" UNION ALL "))
+        sb.append(") ORDER BY rank")
+        sb.toString
+      }),
+
     // j47 — repeated n-gram span coverage: the exact-substring dedup
     // signal (Lee et al., "Deduplicating Training Data Makes Language
     // Models Better" — suffix-array substring dedup, here approximated

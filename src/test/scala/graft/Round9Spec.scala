@@ -103,6 +103,20 @@ class Round9Spec extends AnyFunSuite {
     assert(r1.exists(_.getLong(1) > 150000L), "some node must receive rank")
   }
 
+  test("j48 BPE learning is hierarchical, monotone, and deterministic") {
+    val out = SparkEntry.queries("j48_bpe_learn")(spark, TestSpark.sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
+    // the argmax pair count never increases round-over-round: merging the
+    // max pair can only create pairs bounded by its own count
+    val pfs = out.map(_.getLong(3)).toSeq
+    assert(pfs.zip(pfs.tail).forall { case (x, y) => x >= y }, pfs)
+    // hierarchy engages: some learned merge consumes an earlier merge's
+    // multi-char symbol (rank-8 'p'+'ar' on this corpus)
+    assert(out.exists(r => r.getString(1).length > 1 || r.getString(2).length > 1))
+    val again = SparkEntry.queries("j48_bpe_learn")(spark, TestSpark.sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("j47 flags exactly the cross-doc repeated 5-gram spans") {
     val d = graft.ops.Scratch.dir("j47fix")
     import spark.implicits._
