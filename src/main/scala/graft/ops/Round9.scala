@@ -246,6 +246,53 @@ object Round9 {
         sb.toString
       }),
 
+    // j49 — quality-classifier INFERENCE (the fasttext-style linear model
+    // production quality filters run, distinct from j9's rule gate): four
+    // engineered features per doc — log token count, mean token length,
+    // stopword fraction, type-token ratio — scored by a fixed learned-
+    // weight logistic model, gated at 0.5. Everything is per-row HOF
+    // arithmetic over one split(): MAP-ONLY, no shuffle, no UDF — the
+    // classifier scores 100 TB at scan speed, which is exactly why the
+    // linear-model-over-features shape (not a deep scorer) is the
+    // production default for corpus-wide passes. ln/exp at 6-decimal
+    // rounding is cross-engine-stable (h4's device).
+    Q("j49_quality_logistic",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("double").as("n"),
+          expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+            .cast("double").as("chars"),
+          expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))")
+            .cast("double").as("sw"),
+          size(array_distinct(col("toks"))).cast("double").as("types"))
+        .select(col("doc_id"),
+          (lit(-5.0) + lit(0.9) * log(lit(1.0) + col("n"))
+            + lit(0.35) * (col("chars") / col("n"))
+            - lit(2.2) * (col("sw") / col("n"))
+            + lit(1.1) * (col("types") / col("n"))).as("z"))
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
+        .withColumn("kept", col("score") >= 0.5)
+        .orderBy("doc_id"),
+      Some("""WITH f AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+        ft AS (SELECT doc_id,
+            CAST(len(toks) AS DOUBLE) AS n,
+            CAST(list_aggregate(list_transform(toks, t -> strlen(t)), 'sum')
+              AS DOUBLE) AS chars,
+            CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'
+              OR t = 'and' OR t = 'in')) AS DOUBLE) AS sw,
+            CAST(len(list_distinct(toks)) AS DOUBLE) AS types
+          FROM f),
+        z AS (SELECT doc_id,
+            -5.0 + 0.9 * ln(1.0 + n) + 0.35 * (chars / n)
+              - 2.2 * (sw / n) + 1.1 * (types / n) AS z
+          FROM ft)
+        SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+          (ROUND(1.0 / (1.0 + exp(-z)), 6) >= 0.5) AS kept
+        FROM z ORDER BY doc_id""")),
+
     // j47 — repeated n-gram span coverage: the exact-substring dedup
     // signal (Lee et al., "Deduplicating Training Data Makes Language
     // Models Better" — suffix-array substring dedup, here approximated

@@ -103,6 +103,20 @@ class Round9Spec extends AnyFunSuite {
     assert(r1.exists(_.getLong(1) > 150000L), "some node must receive rank")
   }
 
+  test("j49 logistic gate discriminates — both classes present (r5 j29 lesson)") {
+    val out = SparkEntry.queries("j49_quality_logistic")(spark, TestSpark.sf)
+      .groupBy("kept").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse(true, 0L) > 0 && out.getOrElse(false, 0L) > 0,
+      s"degenerate gate: $out")
+    // scores live strictly inside (0, 1): the sigmoid never saturates to
+    // a constant on this corpus
+    val mm = SparkEntry.queries("j49_quality_logistic")(spark, TestSpark.sf)
+      .agg(min("score"), max("score")).collect().head
+    assert(mm.getDouble(0) > 0.0 && mm.getDouble(1) < 1.0 &&
+      mm.getDouble(0) < mm.getDouble(1), mm.toString)
+  }
+
   test("j48 BPE learning is hierarchical, monotone, and deterministic") {
     val out = SparkEntry.queries("j48_bpe_learn")(spark, TestSpark.sf).collect()
     assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
