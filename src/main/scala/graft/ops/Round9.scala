@@ -514,6 +514,23 @@ object Round9 {
             WHERE list_slice(i.sig, r.b*4+1, r.b*4+4) = list_slice(c.sig, r.b*4+1, r.b*4+4))
         ORDER BY d_inc, d_idx""")),
 
+    // i18 — streaming ANN-candidate detection with per-batch bucket-index
+    // maintenance (i17's cascade on the vector side; scaladoc at
+    // streaming/Streams.i18). The oracle reuses the shared kNN bucket CTE
+    // (only `bk` is referenced — DuckDB leaves the unreferenced
+    // downstream CTEs unevaluated) and reproduces the committed-before-
+    // probed relation: an odd vector pairs with the standing corpus
+    // (even) always, and with a batch-1 vector (vec_id%4==1) iff it
+    // arrived in batch 2 (vec_id%4==3).
+    Q("i18_stream_vec_index",
+      (s, d) => graft.streaming.Streams.i18(s, d),
+      Some(s"""WITH ${Round6.KnnCtes}
+        SELECT DISTINCT i.vec_id AS v_inc, c.vec_id AS v_idx
+        FROM bk i JOIN bk c ON i.bucket = c.bucket
+          AND i.vec_id % 2 = 1
+          AND (c.vec_id % 2 = 0 OR (c.vec_id % 4 = 1 AND i.vec_id % 4 = 3))
+        ORDER BY v_inc, v_idx""")),
+
     Q("k6_presto_dialect_agg",
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("k6_orders")

@@ -680,6 +680,68 @@ object Streams {
       .orderBy("d_inc", "d_idx")
   }
 
+  case class BucketRow(v_inc: Long, bucket: String)
+
+  /** i18 — i17's cascade on the VECTOR side: streaming ANN-candidate
+    * detection with per-batch index maintenance. The committed index is
+    * the hyperplane-LSH bucket table over the standing embeddings (even
+    * vec_ids, v0); incoming vectors arrive as (vec_id, bucket) rows — the
+    * bucket assignment is the map-only order-free projection, computed at
+    * ingest exactly as at rest — probe the committed version on the
+    * bucket key, then commit their own rows as the next version by
+    * manifest append. A batch-2 vector whose nearest neighbor landed in
+    * batch 1 therefore surfaces candidates WITHOUT an index rebuild —
+    * the freshness contract a streaming embedding store needs (cosine
+    * re-rank of the candidates stays a batch job, as in j39). Same
+    * deterministic split as i17: corpus = even, batch 1 = vec_id%4==1,
+    * batch 2 = vec_id%4==3 — so the oracle reproduces the whole cascade
+    * including the committed-before-probed relation. */
+  def i18(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val buckets = graft.ops.LlmOps
+      .lshBuckets(s, d, graft.ops.Knobs.lshPlanes(s))
+    val idxDir = tmp("i18idx"); val mani = tmp("i18mani"); val out = tmp("i18out")
+    def filesOf(dir: String) =
+      s.read.parquet(dir).select(input_file_name().as("f")).distinct()
+    def currentVersion(): Long =
+      Option(new java.io.File(mani).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("v=")).map(_.drop(2).toLong).max
+    buckets.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("v_idx"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$idxDir/seg=0")
+    filesOf(s"$idxDir/seg=0").write.mode("overwrite").parquet(s"$mani/v=0")
+    val incoming = buckets.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("v_inc"), col("bucket"))
+      .as[BucketRow].collect()
+    val b1 = incoming.filter(_.v_inc % 4 == 1).sortBy(_.v_inc)
+    val b2 = incoming.filter(_.v_inc % 4 == 3).sortBy(_.v_inc)
+    val stream = MemoryStream[BucketRow]
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val vPrev = currentVersion()
+        val idx = s.read.parquet(s.read.parquet(s"$mani/v=$vPrev")
+          .collect().map(_.getString(0)).toIndexedSeq: _*)
+        df.join(idx, Seq("bucket"))
+          .select(col("v_inc"), col("v_idx"))
+          .write.mode("overwrite").parquet(s"$out/batch=$id")
+        val seg = s"$idxDir/seg=${vPrev + 1}"
+        df.select(col("v_inc").as("v_idx"), col("bucket"))
+          .write.mode("overwrite").parquet(seg)
+        filesOf(seg).unionAll(s.read.parquet(s"$mani/v=$vPrev"))
+          .write.mode("overwrite").parquet(s"$mani/v=${vPrev + 1}")
+        ()
+      }
+      .option("checkpointLocation", tmp("i18ck"))
+      .start()
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    s.read.parquet(out).select("v_inc", "v_idx").distinct()
+      .orderBy("v_inc", "v_idx")
+  }
+
   /** i15 — near-dup detection AT INGEST: the streaming half of j28's
     * incremental dedup. The standing corpus's MinHash band index (doc,
     * band, band-hash) is the STATIC side; incoming documents arrive as a

@@ -103,6 +103,26 @@ class Round9Spec extends AnyFunSuite {
     assert(r1.exists(_.getLong(1) > 150000L), "some node must receive rank")
   }
 
+  test("i18 catches a batch-2 vector against BATCH-1 vectors via the updated index") {
+    // planted embeddings: corpus (evens) = u; vecs 1, 5 (batch 1) and 3
+    // (batch 2) = -u, whose bucket is u's bitwise complement — so batch-1
+    // probes of the v0 corpus index match NOTHING, and batch-2's vec 3
+    // matches exactly the batch-1 vectors {1, 5} through the committed v1
+    // index. Without the per-batch commit the result would be empty.
+    val d = graft.ops.Scratch.dir("i18fix")
+    import spark.implicits._
+    val u = Array(1.0f, 0.5f, -0.25f, 2.0f, 0.75f, -1.5f, 0.3f, 1.1f)
+    val neg = u.map(-_)
+    Seq((0L, u, 0), (2L, u, 0), (4L, u, 0), (6L, u, 0),
+      (1L, neg, 1), (5L, neg, 1), (3L, neg, 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val pairs = graft.streaming.Streams.i18(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 1L), (3L, 5L)),
+      s"expected exactly the batch-2-to-batch-1 catches, got $pairs")
+  }
+
   test("j49 logistic gate discriminates — both classes present (r5 j29 lesson)") {
     val out = SparkEntry.queries("j49_quality_logistic")(spark, TestSpark.sf)
       .groupBy("kept").count().collect()
