@@ -339,6 +339,29 @@ object Presto {
     fn("codepoint") { case Seq(c) => Ascii(c)
       case _ => throw new IllegalArgumentException("codepoint(char)") }
 
+    // any_match/all_match/none_match — Presto's spellings of exists/
+    // forall. The parser already builds the LambdaFunction for any call
+    // shape `f(arr, x -> p)`, so the alias just routes it to the native
+    // higher-order expression (codegen path identical to exists/forall).
+    fn("any_match") {
+      case Seq(arr, lf: LambdaFunction) => ArrayExists(arr, lf)
+      case _ => throw new IllegalArgumentException("any_match(array, x -> pred)")
+    }
+    fn("all_match") {
+      case Seq(arr, lf: LambdaFunction) => ArrayForAll(arr, lf)
+      case _ => throw new IllegalArgumentException("all_match(array, x -> pred)")
+    }
+    // none_match(p) ≡ all_match(NOT p) (identical three-valued-logic
+    // table) — and it MUST be spelled that way: the analyzer requires the
+    // registry-returned node itself to be the higher-order function, so
+    // Not(exists(...)) is rejected while forall with a negated lambda
+    // body resolves.
+    fn("none_match") {
+      case Seq(arr, lf: LambdaFunction) =>
+        ArrayForAll(arr, LambdaFunction(Not(lf.function), lf.arguments))
+      case _ => throw new IllegalArgumentException("none_match(array, x -> pred)")
+    }
+
     // ---- aggregate parity: map_agg / multimap_agg / histogram ----------
     // All three expand to compositions over ONE collect_list aggregate —
     // the grouped entries ride the normal partial/final aggregate path

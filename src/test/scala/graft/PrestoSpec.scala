@@ -140,6 +140,17 @@ class PrestoSpec extends AnyFunSuite {
     assert(r.getBoolean(4) && !r.getBoolean(5))
   }
 
+  test("any_match/all_match/none_match route lambdas to exists/forall") {
+    val r = one("""SELECT any_match(array(1, 2, 3), x -> x > 2) AS a,
+      any_match(array(1, 2), x -> x > 5) AS b,
+      all_match(array(2, 4), x -> x % 2 = 0) AS c,
+      all_match(array(2, 3), x -> x % 2 = 0) AS d,
+      none_match(array(1, 2), x -> x > 5) AS e""")
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getBoolean(4))
+  }
+
   test("map_agg/multimap_agg/histogram build maps through one collect_list") {
     spark.sql("""SELECT * FROM VALUES (1, 'a', 10), (1, 'b', 20), (1, 'a', 30),
       (2, 'c', 40) t(g, k, v)""").createOrReplaceTempView("presto_map")
