@@ -514,6 +514,47 @@ object Round9 {
             WHERE list_slice(i.sig, r.b*4+1, r.b*4+4) = list_slice(c.sig, r.b*4+1, r.b*4+4))
         ORDER BY d_inc, d_idx""")),
 
+    // e11 — per-group top-k as a CUSTOM OPERATOR (plans/TopKPerGroup):
+    // partial per-partition bounded k-heaps → hash exchange of only the
+    // survivors → final heaps + rank emission. NOTHING is sorted and the
+    // exchange carries ≤ partitions·groups·k rows, vs the window form's
+    // full-data shuffle + whole-partition sort (e11b, same oracle — the
+    // measured head-to-head lives in BASELINE.md). The third custom
+    // physical operator next to AsOfJoinExec/IntervalJoinExec, and the
+    // first with a map-side partial phase.
+    Q("e11_topk_native",
+      (s, d) => graft.plans.TopK.perGroup(
+          events(s, d).select("user_id", "event_id", "value"),
+          "user_id", "value", "event_id", 3)
+        .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+        .orderBy("user_id", "rn"),
+      Some("""SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, value FROM (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= 3
+        ORDER BY user_id, rn""")),
+
+    // e11b — the composable twin: row_number window + filter, byte-
+    // identical output (shared oracle shape with e11). Exists to keep the
+    // custom operator honest: MicroBench runs both on the same relation.
+    Q("e11b_topk_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(desc("value"), asc("event_id"))
+        events(s, d).select("user_id", "event_id", "value")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .select("user_id", "rn", "event_id", "value")
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, value FROM (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn <= 3
+        ORDER BY user_id, rn""")),
+
     // i18 — streaming ANN-candidate detection with per-batch bucket-index
     // maintenance (i17's cascade on the vector side; scaladoc at
     // streaming/Streams.i18). The oracle reuses the shared kNN bucket CTE

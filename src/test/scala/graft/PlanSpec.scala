@@ -267,6 +267,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("count("), p)           // no count-relation join remains
   }
 
+  test("e11 top-k runs heap-wise: partial below final, pruned scan, no sort/window") {
+    val p = plan("e11_topk_native")
+    assert(p.contains("PartialTopK") && p.contains("FinalTopK"), p)
+    // column pruning reached the scan THROUGH the custom node
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,value:double>"), p)
+    // the subtree below FinalTopK (partial + scan) sorts and windows nothing;
+    // the only Sort in the whole plan is the query's global orderBy ABOVE it
+    val below = p.substring(p.indexOf("FinalTopK"))
+    assert(!below.contains("Sort") && !below.contains("Window"), p)
+    // and the executed plan inserts exactly one hash exchange between phases
+    val ex = SparkEntry.queries("e11_topk_native")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ex).length == 1, ex)
+  }
+
   test("j45 builds sketches in one partial+final pass; pairs join only the sketch relation") {
     val p = plan("j45_corpus_overlap")
     // HLL sketches aggregate two-phase (map-side partials touch the

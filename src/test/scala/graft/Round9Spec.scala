@@ -103,6 +103,48 @@ class Round9Spec extends AnyFunSuite {
     assert(r1.exists(_.getLong(1) > 150000L), "some node must receive rank")
   }
 
+  test("e11 partial phase bounds the shuffle: ≤ partitions·groups·k records") {
+    // 2M rows, 211 groups (group 0 holds half the data — heavy skew), 8
+    // input partitions. The window form must shuffle all 2M rows; the
+    // heap operator's exchange may carry AT MOST 8·211·3 = 5064 — read
+    // off the exchange's own write metric, not argued. Output equality
+    // vs the window form proves correctness under the skew.
+    import org.apache.spark.sql.expressions.Window
+    val n = 2000000L
+    val rel = spark.range(0, n, 1, 8).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 0L ELSE id % 211 END AS g",
+      "CAST((id * 2654435761) % 1000003 AS DOUBLE) / 1000.0 AS v",
+      "id AS t")
+    val native = graft.plans.TopK.perGroup(rel, "g", "v", "t", 3)
+      .select("g", "rn", "t", "v")
+    val rows = native.collect()
+    val w = Window.partitionBy("g").orderBy(desc("v"), asc("t"))
+    val expected = rel.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3).select("g", "rn", "t", "v").collect()
+    assert(rows.map(_.toSeq).toSet == expected.map(_.toSeq).toSet)
+    assert(rows.length == 211 * 3)
+    // query stages are LEAF nodes (collect stops at them) — recurse
+    // through every wrapper AQE may have introduced
+    def shufflesIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] =
+      (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shufflesIn(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shufflesIn(q.plan)
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          Seq(s) ++ p.children.flatMap(shufflesIn)
+        case _ => p.children.flatMap(shufflesIn)
+      })
+    val shuffles = shufflesIn(native.queryExecution.executedPlan)
+    assert(shuffles.nonEmpty)
+    val written = shuffles.map(_.metrics.collectFirst {
+      case (_, m) if m.name.exists(_.contains("records written")) => m.value
+    }.getOrElse(0L)).sum
+    assert(written > 0 && written <= 8L * 211 * 3,
+      s"partial phase must bound the exchange, wrote $written records")
+  }
+
   test("i18 catches a batch-2 vector against BATCH-1 vectors via the updated index") {
     // planted embeddings: corpus (evens) = u; vecs 1, 5 (batch 1) and 3
     // (batch 2) = -u, whose bucket is u's bitwise complement — so batch-1
