@@ -555,6 +555,36 @@ object Round9 {
           FROM events) WHERE rn <= 3
         ORDER BY user_id, rn""")),
 
+    // j39d — the kNN graph's top-3 stage re-planned onto the custom
+    // TopKPerGroupExec (same oracle as j39, byte-identical output): the
+    // per-vector rank window over LSH candidates becomes partial heaps →
+    // survivor-only exchange → final heaps. On a skewed bucket
+    // distribution the candidate relation concentrates in few buckets —
+    // precisely where the window form's full-candidate shuffle + sort
+    // hurts and the heap operator's partitions·vectors·3 exchange bound
+    // doesn't. The scored-candidate build is shared with j39 verbatim.
+    Q("j39d_knn_topk_native",
+      (s, d) => {
+        val bits = LlmOps.lshBuckets(s, d, Knobs.lshPlanes(s))
+        val a = bits.select(col("bucket"), col("vec_id").as("i"))
+        val b = bits.select(col("bucket"), col("vec_id").as("j"))
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val cand = a.join(b, Seq("bucket")).where(col("i") =!= col("j"))
+          .select(col("i"), col("j"))
+          .join(emb.toDF("i", "ea"), "i")
+          .join(emb.toDF("j", "eb"), "j")
+          .select(col("i"), col("j"),
+            round(graft.expressions.CosineSimilarity(s, col("ea"), col("eb")), 6)
+              .as("cos"))
+        graft.plans.TopK.perGroup(cand, "i", "cos", "j", 3)
+          .select(col("i").as("vec_id"), col("rn").as("rank"),
+            col("j").as("nbr_id"), col("cos"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH ${Round6.KnnCtes}
+        SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS nbr_id, cos
+        FROM r WHERE rank <= 3 ORDER BY vec_id, rank""")),
+
     // i18 — streaming ANN-candidate detection with per-batch bucket-index
     // maintenance (i17's cascade on the vector side; scaladoc at
     // streaming/Streams.i18). The oracle reuses the shared kNN bucket CTE

@@ -68,8 +68,11 @@ private[plans] object TopKHeap {
     * the smaller tie value. */
   val worstFirst: Ordering[TopKEntry] = new Ordering[TopKEntry] {
     def compare(a: TopKEntry, b: TopKEntry): Int = {
-      val c = java.lang.Double.compare(b.score, a.score) // worse score first
-      if (c != 0) c else java.lang.Long.compare(b.tie, a.tie) // larger tie worse
+      val c = java.lang.Double.compare(b.score, a.score) // lower score = worse = max
+      // larger tie = worse = max — note the a/b side FLIPS vs the score
+      // term (score: lower is worse; tie: higher is worse). The
+      // PropertySpec random-tie reference caught exactly this.
+      if (c != 0) c else java.lang.Long.compare(a.tie, b.tie)
     }
   }
 

@@ -80,6 +80,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("top-k operator agrees with a driver-side sort reference on random data") {
+    import spark.implicits._
+    // small group domain + a COARSE value grid so score ties are common
+    // (the tie-break path), plus groups with fewer than k rows
+    val g = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 7L), Gen.choose(0, 12)))
+    samples(g, 3).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((grp, v), i) => (grp, v.toDouble / 4.0, i.toLong) }
+        .toDF("g", "v", "t")
+      val got = graft.plans.TopK.perGroup(df, "g", "v", "t", 3)
+        .select("g", "rn", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = rows.zipWithIndex
+        .map { case ((grp, v), i) => (grp, v.toDouble / 4.0, i.toLong) }
+        .groupBy(_._1).toSeq.flatMap { case (grp, rs) =>
+          rs.sortBy(r => (-r._2, r._3)).take(3).zipWithIndex
+            .map { case (r, idx) => (grp, idx + 1L, r._3) }
+        }.toSet
+      assert(got == expect)
+    }
+  }
+
   test("as-of directions/tolerance/outer agree with a driver-side reference") {
     import spark.implicits._
     val g = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
