@@ -695,44 +695,54 @@ object Round9 {
 
     // k9 — Presto's map-shaped aggregates (map_agg / multimap_agg /
     // histogram), each expanded over ONE collect_list aggregate (normal
-    // partial/final path — no custom buffer). The oracle compares SORTED
-    // ENTRY ARRAYS, not raw maps: map key order is collection order
-    // (nondeterministic under parallel aggregation) and DuckDB's MAP
-    // values round-trip poorly through the compare harness — sorted
-    // array<struct<key, value>> is canonical on both sides. Value arrays
-    // inside multimap entries are sorted for the same reason.
+    // partial/final path — no custom buffer). Declared output is FULLY
+    // FLATTENED to scalar rows (grp, kind, k, v_num, v_str): the r9
+    // array<struct> shape crashed the driver's pandas comparator
+    // (`sort_values` cannot lexsort array cells — SURVEY §8.4's rule,
+    // now generalized: no array/struct columns in declared output, ever).
+    // The map entries are exploded after aggregation; multimap value
+    // lists are sorted then joined to one string, so every cell is a
+    // scalar and both engines sort/hash identically.
     Q("k9_presto_dialect_map",
       (s, d) => {
         events(s, d).where(col("event_id") < 60)
           .selectExpr("event_id", "event_type", "value", "user_id % 4 as grp")
           .createOrReplaceTempView("k9_events")
         graft.functions.Presto.sql(s, """
-          SELECT grp,
-                 sort_array(map_entries(map_agg(event_id, value))) AS kv,
-                 sort_array(transform(map_entries(multimap_agg(event_type, event_id)),
-                   e -> named_struct('key', e.key,
-                                     'value', sort_array(e.value)))) AS mm,
-                 sort_array(map_entries(histogram(event_type))) AS hist
-          FROM k9_events
-          GROUP BY grp
-          ORDER BY grp""")
+          WITH agg AS (
+            SELECT grp,
+                   map_entries(map_agg(event_id, value)) AS kv,
+                   map_entries(multimap_agg(event_type, event_id)) AS mm,
+                   map_entries(histogram(event_type)) AS hist
+            FROM k9_events GROUP BY grp)
+          SELECT grp, 'kv' AS kind, CAST(e.key AS STRING) AS k,
+                 e.value AS v_num, '' AS v_str
+          FROM agg LATERAL VIEW explode(kv) x AS e
+          UNION ALL
+          SELECT grp, 'mm' AS kind, e.key AS k, CAST(-1.0 AS DOUBLE) AS v_num,
+                 array_join(transform(sort_array(e.value),
+                                      v -> CAST(v AS STRING)), ',') AS v_str
+          FROM agg LATERAL VIEW explode(mm) x AS e
+          UNION ALL
+          SELECT grp, 'hist' AS kind, e.key AS k,
+                 CAST(e.value AS DOUBLE) AS v_num, '' AS v_str
+          FROM agg LATERAL VIEW explode(hist) x AS e
+          ORDER BY grp, kind, k""")
       },
       Some("""WITH src AS (SELECT event_id, event_type, value, user_id % 4 AS grp
-            FROM events WHERE event_id < 60),
-        kv AS (SELECT grp, list(struct_pack(key := event_id, value := value)
-                                ORDER BY event_id) AS kv
-          FROM src GROUP BY grp),
-        mm0 AS (SELECT grp, event_type,
-            list(event_id ORDER BY event_id) AS ids, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM src GROUP BY grp, event_type),
-        mm AS (SELECT grp,
-            list(struct_pack(key := event_type, value := ids)
-                 ORDER BY event_type) AS mm,
-            list(struct_pack(key := event_type, value := cnt)
-                 ORDER BY event_type) AS hist
-          FROM mm0 GROUP BY grp)
-        SELECT kv.grp, kv.kv, mm.mm, mm.hist
-        FROM kv JOIN mm ON kv.grp = mm.grp ORDER BY kv.grp""")),
+            FROM events WHERE event_id < 60)
+        SELECT grp, 'kv' AS kind, CAST(event_id AS VARCHAR) AS k,
+               value AS v_num, '' AS v_str
+        FROM src
+        UNION ALL
+        SELECT grp, 'mm' AS kind, event_type AS k, CAST(-1.0 AS DOUBLE) AS v_num,
+               string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS v_str
+        FROM src GROUP BY grp, event_type
+        UNION ALL
+        SELECT grp, 'hist' AS kind, event_type AS k,
+               CAST(COUNT(*) AS DOUBLE) AS v_num, '' AS v_str
+        FROM src GROUP BY grp, event_type
+        ORDER BY grp, kind, k""")),
 
     Q("k7_presto_dialect_row",
       (s, d) => {
