@@ -2,9 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, ExpressionInfo, GreaterThanOrEqual, LessThan}
-import org.apache.spark.sql.types.TimestampType
-import graft.expressions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{CosineSimilarity, TdTimeRange}
 
 /** Session-extension packaging: ship the engine's SQL functions to every
   * session cluster-wide via `spark.sql.extensions=graft.GraftExtensions`
@@ -23,18 +22,11 @@ import graft.expressions.CosineSimilarity
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def tdTimeRangeBuilder(exprs: Seq[Expression]): Expression = {
-    require(exprs.length >= 3, "td_time_range(ts, from, to)")
-    And(
-      GreaterThanOrEqual(exprs.head, Cast(exprs(1), TimestampType)),
-      LessThan(exprs.head, Cast(exprs(2), TimestampType)))
-  }
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("td_time_range"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "td_time_range"),
-      (exprs: Seq[Expression]) => tdTimeRangeBuilder(exprs)))
+      new ExpressionInfo(classOf[TdTimeRange].getName, "td_time_range"),
+      (exprs: Seq[Expression]) => TdTimeRange(exprs)))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

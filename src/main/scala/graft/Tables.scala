@@ -21,17 +21,27 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark 4 throws
-    * PARQUET_TYPE_ILLEGAL without `nanosAsLong` (SURVEY.md §8.6.1). Reads it
-    * as LongType epoch-nanos and derives:
-    *   - `ts_ms`: epoch millis, == DuckDB `cast(epoch_ms(ts) as bigint)`;
-    *   - `ts_t`:  µs-truncated TimestampType for window/session functions.
+  /** events.ts has shipped as two physical types across fixture
+    * generations: parquet TIMESTAMP(NANOS) (read as LongType epoch-nanos
+    * under `nanosAsLong`, SURVEY.md §8.6.1) and, since the 2026-08 regen,
+    * plain `timestamp[us]` (read as TIMESTAMP_NTZ). Dispatch on the read
+    * schema and derive the same canonical columns either way:
+    *   - `ts_ms`: epoch millis LONG, == DuckDB `cast(epoch_ms(ts) as bigint)`;
+    *   - `ts_t`:  TimestampType (µs) for window/session functions.
+    * Filters that must push down to the parquet scan go on raw `ts` via
+    * [[graft.functions.Td.tdTimeRangeEvents]], which does the same dispatch.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy epoch-nanos fixture
+        raw.withColumn("ts_ms", expr("ts div 1000000"))
+          .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+      case _ => // timestamp[us]: NTZ ↔ LTZ identity under the pinned UTC session
+        raw.withColumn("ts_ms", unix_millis(col("ts").cast(TimestampType)))
+          .withColumn("ts_t", col("ts").cast(TimestampType))
+    }
   }
 
   val Money: DecimalType = DecimalType(18, 4)

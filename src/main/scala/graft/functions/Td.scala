@@ -3,8 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, GreaterThanOrEqual, LessThan}
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** TD-flavored time/session function layer — the ENGINE-side UDF surface the
   * reference's generated SQL leans on (SURVEY.md §3.H; reference
@@ -54,6 +53,37 @@ object Td {
       to: java.time.Instant): Column =
     tsNanos >= lit(from.toEpochMilli * 1000000L) &&
       tsNanos < lit(to.toEpochMilli * 1000000L)
+
+  /** Half-open `[from, to)` over `df`'s `ts`, dispatching on its physical
+    * type (the events fixture has shipped as epoch-nanos LONG and as
+    * timestamp[us] → TIMESTAMP_NTZ across generations). Each branch
+    * compares the RAW column against a literal of the column's own type —
+    * no cast wraps `ts`, so the predicate reaches the parquet scan
+    * (row-group min/max skip) in every case. At 100 TB this is the
+    * difference between reading one day and reading three years. */
+  def tdTimeRangeEvents(df: DataFrame, tsName: String,
+      from: java.time.Instant, to: java.time.Instant): Column = {
+    val c = col(tsName)
+    df.schema(tsName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        tdTimeRangeNanos(c, from, to)
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ literal (LocalDateTime): same-type comparison, pushable
+        def ntz(i: java.time.Instant) =
+          lit(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
+        c >= ntz(from) && c < ntz(to)
+      case _ =>
+        c >= lit(java.sql.Timestamp.from(from)) &&
+          c < lit(java.sql.Timestamp.from(to))
+    }
+  }
+
+  def tdTimeRangeEvents(df: DataFrame, tsName: String,
+      fromIso: String, toIso: String): Column = {
+    def inst(d: String) = java.time.LocalDate.parse(d)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    tdTimeRangeEvents(df, tsName, inst(fromIso), inst(toIso))
+  }
 
   /** TD_DATE_TRUNC('unit', t) — unit ∈ second/minute/hour/day/week/month/quarter/year. */
   def tdDateTrunc(unit: String, ts: Column): Column = date_trunc(unit, ts)
@@ -119,19 +149,16 @@ object Td {
       .drop("__prev", "__new")
   }
 
-  /** SQL registration: `td_time_range(ts, 'from', 'to')` usable from
-    * `spark.sql`, expanding at parse time to `ts >= from AND ts < to` so the
-    * optimizer sees plain pushable comparisons (never a black-box UDF). */
+  /** SQL registration: `td_time_range(ts, 'from', 'to'[, tz])` usable from
+    * `spark.sql`. Expands via [[graft.expressions.TdTimeRange]] — a
+    * RuntimeReplaceable that dispatches on the resolved column type AFTER
+    * analysis, so the comparison's left side stays the bare column
+    * (epoch-long, TIMESTAMP or TIMESTAMP_NTZ alike) and pushes down to the
+    * parquet scan; never a black-box UDF. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "td_time_range",
-      (exprs: Seq[Expression]) => {
-        require(exprs.length >= 3, "td_time_range(ts, from, to)")
-        val ts = exprs.head
-        And(
-          GreaterThanOrEqual(ts, Cast(exprs(1), TimestampType)),
-          LessThan(ts, Cast(exprs(2), TimestampType)))
-      },
+      (exprs: Seq[Expression]) => graft.expressions.TdTimeRange(exprs),
       "scala_udf")
   }
 }

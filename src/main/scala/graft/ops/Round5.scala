@@ -481,8 +481,8 @@ object Round5 {
         val anchor = graft.functions.Td.tdScheduledTime(s)
         val from = anchor.plusSeconds(
           graft.functions.Td.tdIntervalSeconds("-7d"))
-        events(s, d)
-          .where(graft.functions.Td.tdTimeRangeNanos(col("ts"), from, anchor))
+        val ev = events(s, d)
+        ev.where(graft.functions.Td.tdTimeRangeEvents(ev, "ts", from, anchor))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), mSum(col("value")).as("sum_v"))
           .orderBy("event_type")

@@ -89,7 +89,7 @@ object Round5b {
     Q("h18_td_time_format",
       (s, d) => {
         val ev = events(s, d).where(col("event_id") < 2000)
-        val sec = expr("ts div 1000000000").as("t_sec")
+        val sec = expr("ts_ms div 1000").as("t_sec")
         ev.select(col("event_id"), sec)
           .withColumn("t_str", graft.functions.Td.tdTimeFormat(
             timestamp_seconds(col("t_sec")), "yyyy-MM-dd HH:mm:ss"))

@@ -35,12 +35,14 @@ object Scans {
         "ORDER BY l_orderkey, l_linenumber, l_quantity")),
 
     // read_td_table(time_range=...) → td_time_range predicate, expanded to a
-    // long-range comparison on the raw nanos column → parquet row-group skip.
+    // same-type comparison on the raw ts column → parquet row-group skip.
     Q("a3_scan_time_range",
-      (s, d) => events(s, d)
-        .where(Td.tdTimeRangeNanos(col("ts"), "2024-01-05", "2024-01-10"))
-        .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
-        .orderBy("event_id"),
+      (s, d) => {
+        val ev = events(s, d)
+        ev.where(Td.tdTimeRangeEvents(ev, "ts", "2024-01-05", "2024-01-10"))
+          .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+          .orderBy("event_id")
+      },
       Some("SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value " +
         "FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
         "AND ts < TIMESTAMP '2024-01-10 00:00:00' ORDER BY event_id")),

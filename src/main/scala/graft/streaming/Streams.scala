@@ -472,18 +472,22 @@ object Streams {
   def i6Run(s: SparkSession, d: String, out: String, ck: String,
       srcDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // file stream source requires a directory: expose the single parquet
     // file through a dir symlink (created once; replays reuse it)
     val link = java.nio.file.Paths.get(srcDir, "events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(d, "events.parquet"))
+    // pin the stream schema from a footer-only static read: the fixture's
+    // ts has shipped as epoch-nanos LONG and as timestamp[us] (NTZ) across
+    // generations, and a mismatched explicit schema reads silently wrong
+    val schema = s.read.parquet(srcDir).schema
+    val timeSec = schema("ts").dataType match {
+      case LongType => expr("ts div 1000000000")            // epoch nanos
+      case _        => unix_seconds(col("ts").cast(TimestampType))
+    }
     val q = s.readStream.schema(schema).parquet(srcDir)
-      .select(col("event_id"), expr("ts div 1000000000").as("time"), col("user_id"))
+      .select(col("event_id"), timeSec.as("time"), col("user_id"))
       .writeStream
       // one OVERWRITTEN directory per batch id: a batch retried after a
       // partial write (crash between data commit and checkpoint commit)

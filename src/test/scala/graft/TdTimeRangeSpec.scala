@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TdTimeRange RuntimeReplaceable: post-analysis type dispatch — epoch
+  * LONG/INT, TIMESTAMP, TIMESTAMP_NTZ columns all take same-type, bare-
+  * column comparisons (pushdown-visible); tz arg shifts STRING bounds
+  * only; NULL bound = unbounded. */
+class TdTimeRangeSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def register(): Unit = functions.Td.register(spark)
+
+  // epoch seconds for 2024-01-01T00:00:00Z .. +3 days
+  private val day0 = 1704067200L
+
+  test("LONG epoch-seconds column: long-vs-long comparison, correct rows") {
+    register()
+    (0 to 9).map(i => (i.toLong, day0 + i * 86400L)).toDF("id", "time")
+      .createOrReplaceTempView("ttr_long")
+    val got = spark.sql(
+      "SELECT id FROM ttr_long WHERE td_time_range(time, '2024-01-02', '2024-01-05') ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    // numeric epoch bounds work too, and ignore the tz argument
+    val got2 = spark.sql(
+      s"SELECT id FROM ttr_long WHERE td_time_range(time, ${day0 + 86400}, ${day0 + 4 * 86400}, 'Asia/Tokyo') ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(got2 == Seq(1L, 2L, 3L))
+  }
+
+  test("INT epoch-seconds column evaluates (no post-analysis type mismatch)") {
+    register()
+    (0 to 9).map(i => (i, (day0 + i * 86400L).toInt)).toDF("id", "time")
+      .createOrReplaceTempView("ttr_int")
+    val got = spark.sql(
+      "SELECT id FROM ttr_int WHERE td_time_range(time, '2024-01-02', '2024-01-05') ORDER BY id")
+      .as[Int].collect().toSeq
+    assert(got == Seq(1, 2, 3))
+  }
+
+  test("TIMESTAMP_NTZ fixture column: matches plain comparison AND pushes to scan") {
+    register()
+    val li = Tables.t(spark, TestSpark.sf, "lineitem")
+    li.createOrReplaceTempView("ttr_li")
+    val viaFn = spark.sql(
+      "SELECT count(*) FROM ttr_li WHERE td_time_range(l_shipdate, '1997-01-01', '1997-03-01')")
+      .head().getLong(0)
+    val viaCmp = spark.sql(
+      """SELECT count(*) FROM ttr_li WHERE l_shipdate >= '1997-01-01'
+         AND l_shipdate < '1997-03-01'""").head().getLong(0)
+    assert(viaFn == viaCmp && viaFn > 0)
+    // the predicate must reach the parquet source as a pushed filter on
+    // the BARE column (no cast wrapping l_shipdate)
+    if (li.schema("l_shipdate").dataType.typeName.contains("ntz")) {
+      val df = spark.sql(
+        "SELECT l_orderkey FROM ttr_li WHERE td_time_range(l_shipdate, '1997-01-01', '1997-03-01')")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+        s"expected pushed l_shipdate filter:\n$plan")
+    }
+  }
+
+  test("NULL bounds are unbounded on that side") {
+    register()
+    (0 to 9).map(i => (i.toLong, day0 + i * 86400L)).toDF("id", "time")
+      .createOrReplaceTempView("ttr_nb")
+    assert(spark.sql(
+      "SELECT count(*) FROM ttr_nb WHERE td_time_range(time, NULL, '2024-01-03')")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM ttr_nb WHERE td_time_range(time, '2024-01-03', NULL)")
+      .head().getLong(0) == 8L)
+    assert(spark.sql(
+      "SELECT count(*) FROM ttr_nb WHERE td_time_range(time, NULL, NULL)")
+      .head().getLong(0) == 10L)
+  }
+
+  test("tz argument interprets STRING bounds in that zone") {
+    register()
+    // 2024-01-02 00:00 in UTC+9 (Asia/Tokyo) = 2024-01-01 15:00 UTC
+    (Seq(("a", day0 + 14 * 3600L), ("b", day0 + 16 * 3600L)))
+      .toDF("id", "time").createOrReplaceTempView("ttr_tz")
+    val got = spark.sql(
+      "SELECT id FROM ttr_tz WHERE td_time_range(time, '2024-01-02', '2024-01-03', 'Asia/Tokyo') ORDER BY id")
+      .as[String].collect().toSeq
+    assert(got == Seq("b"))
+  }
+
+  test("events fixture: a3-style range via td_time_range matches tdTimeRangeEvents") {
+    register()
+    val ev = Tables.events(spark, TestSpark.sf)
+    val viaHelper = ev.where(
+      functions.Td.tdTimeRangeEvents(ev, "ts", "2024-01-05", "2024-01-10")).count()
+    ev.createOrReplaceTempView("ttr_ev")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM ttr_ev WHERE td_time_range(ts_t, '2024-01-05', '2024-01-10')")
+      .head().getLong(0)
+    assert(viaHelper == viaSql)
+  }
+}
