@@ -89,6 +89,23 @@ class TdTimeRangeSpec extends AnyFunSuite {
     assert(got == Seq("b"))
   }
 
+  test("Tables.events legacy branch: LONG epoch-nanos ts still derives ts_ms/ts_t") {
+    // current driver fixtures carry timestamp[us]; pin the OTHER generation
+    // (epoch-nanos LongType, rounds 1-10) so the dispatch in Tables.events
+    // keeps both paths alive
+    val dir = java.nio.file.Files.createTempDirectory("ttr_legacy").toString
+    val nanos0 = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+    (0 to 3).map(i => (i.toLong, nanos0 + i * 3600L * 1000000000L))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    val r = ev.orderBy("event_id")
+      .select("ts_ms", "ts_t").collect()
+    assert(r(0).getLong(0) == 1704067200000L)
+    assert(r(1).getLong(0) == 1704067200000L + 3600000L)
+    assert(r(0).getTimestamp(1).toInstant.toEpochMilli == 1704067200000L)
+  }
+
   test("events fixture: a3-style range via td_time_range matches tdTimeRangeEvents") {
     register()
     val ev = Tables.events(spark, TestSpark.sf)
