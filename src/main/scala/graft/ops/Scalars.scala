@@ -189,5 +189,33 @@ object Scalars {
           CAST(SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        FROM x ORDER BY event_id""")))
+        FROM x ORDER BY event_id""")),
+
+    // TD's NATIVE `time` convention: epoch SECONDS as BIGINT (every TD
+    // table carries one; the reference's generated SQL filters it with
+    // td_time_range verbatim). The SQL function resolves through the
+    // TdTimeRange RuntimeReplaceable, which — post-analysis, seeing a LONG
+    // column — folds the ISO bounds to epoch-second literals and emits
+    // bare long comparisons: on a TD-layout table at 100 TB these hit
+    // parquet row-group min/max on the time column directly. h3 covers the
+    // TIMESTAMP-column dispatch arm; this covers TD's own layout.
+    Q("h21_td_time_range_epoch",
+      (s, d) => {
+        Td.register(s)
+        events(s, d)
+          .select(col("event_id"), expr("ts_ms div 1000").as("time"),
+            col("event_type"))
+          .createOrReplaceTempView("events_epoch")
+        s.sql("""SELECT event_id, time, event_type FROM events_epoch
+          WHERE td_time_range(time, '2024-01-08', '2024-01-15')
+          ORDER BY event_id""")
+      },
+      {
+        val lo = epochMs("2024-01-08") / 1000
+        val hi = epochMs("2024-01-15") / 1000
+        Some(s"""SELECT event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS time, event_type
+          FROM events
+          WHERE epoch_ms(ts) // 1000 >= $lo AND epoch_ms(ts) // 1000 < $hi
+          ORDER BY event_id""")
+      }))
 }
