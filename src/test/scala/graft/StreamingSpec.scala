@@ -64,6 +64,14 @@ class StreamingSpec extends AnyFunSuite {
     val out = Streams.i6(spark, TestSpark.sf).collect()
     assert(out.length == 1000)
     assert(out.map(_.getLong(0)).distinct.length == 1000)
+    // pin the MAGNITUDE of the derived epoch-seconds `time`: the r11
+    // fixture regen (ts LONG-nanos → timestamp[us]) made i6 read µs as
+    // nanos and emit 1000×-off values with matching rows+schema — a
+    // value-range assert is what catches that class of silent corruption
+    val times = out.map(_.getLong(1))
+    val (lo, hi) = (1704067200L, 1706745600L) // [2024-01-01, 2024-02-01) UTC
+    assert(times.forall(t => t >= lo && t <= hi),
+      s"i6 time out of epoch-second range: min=${times.min} max=${times.max}")
   }
 
   test("ingest REPLAY with same checkpoint is idempotent (no duplicates)") {
