@@ -37,6 +37,62 @@ class FixtureSchemaSpec extends AnyFunSuite {
         "(FIXTURES.md events domain) — check the Tables.events dispatch")
   }
 
+  test("all table schemas match FIXTURES.md (name -> Spark type, sf0.01 footers)") {
+    // one pointed failure beats fifty cryptic ones: any regeneration that
+    // changes a column name or type trips HERE first, naming the table.
+    // Timestamp columns accept either tz flavor (the physical parquet
+    // flag has flipped across generations); events.ts additionally
+    // accepts LongType (the nanos generation).
+    val expected = Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "events" -> Seq("event_id" -> LongType, "ts" -> TimestampNTZType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+    def tsLike(dt: DataType) = dt == TimestampType || dt.isInstanceOf[TimestampNTZType]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for ((table, cols) <- expected) {
+      val schema = spark.read.parquet(s"/root/testdata/sf0.01/$table.parquet").schema
+      assert(schema.fieldNames.toSeq == cols.map(_._1),
+        s"$table columns drifted — driver regenerated testdata; update " +
+          s"FIXTURES.md and the consumers. got ${schema.fieldNames.toSeq}")
+      for ((name, want) <- cols) {
+        val got = schema(name).dataType
+        val okTs = tsLike(want) && (tsLike(got) ||
+          (table == "events" && name == "ts" && got == LongType))
+        val okArr = (want, got) match {
+          case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => true
+          case _ => false
+        }
+        assert(got == want || okTs || okArr,
+          s"$table.$name type drifted: expected $want-compatible, got $got — " +
+            "extend the central loader dispatch before touching queries")
+      }
+    }
+  }
+
   test("row counts match FIXTURES.md at every SF") {
     val expected = Map(
       ("sf0.001", "events") -> 1000L, ("sf0.01", "events") -> 10000L,
