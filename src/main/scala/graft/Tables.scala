@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * aggregation for monetary doubles, round-then-cast-to-double emission
   * (keeps the decimal→double conversion in the exact `<2^52`-unit range so
   * Spark and DuckDB produce bit-identical doubles), epoch-millis emission
-  * for the nanosecond `events.ts`, and ISO date strings for timestamps.
+  * for `events.ts` (either physical generation), and ISO date strings
+  * for timestamps.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -473,7 +473,8 @@ object Round5 {
     // anchor". The anchor comes from session conf (the scheduler sets it;
     // pinned here for determinism), the '-7d' spec goes through
     // td_interval parsing, and the resulting bounds are plain long
-    // comparisons on the nanos column → parquet stats pushdown, same as
+    // comparisons on the raw ts column (same-type via tdTimeRangeEvents) →
+    // parquet stats pushdown, same as
     // a3. Oracle writes the expanded absolute timestamps.
     Q("h17_td_interval",
       (s, d) => {
