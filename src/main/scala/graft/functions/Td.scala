@@ -85,6 +85,43 @@ object Td {
     tdTimeRangeEvents(df, tsName, inst(fromIso), inst(toIso))
   }
 
+  /** TD_TIME_STRING(time, 'fmt'[, tz]) — TD's truncating epoch formatter
+    * (public TD UDF docs): `fmt` is a unit letter y/q/M/w/d/h/m/s with an
+    * optional `!`. The bare form renders the FULL `yyyy-MM-dd HH:mm:ss`
+    * truncated to the unit plus the zone offset (`+0900`); the `!` form
+    * renders only the leading fields (`'d!'` → `2024-01-07`). Pure
+    * construction-time expansion into from_utc_timestamp/date_trunc/
+    * date_format — all codegen'd, no UDF; the zone offset is derived
+    * arithmetically (shifted minus original epoch), so DST zones render
+    * their per-row offset correctly. */
+  def tdTimeString(timeSec: Column, fmt: String, tz: String = "UTC"): Column = {
+    val Fmt = "([yqMwdhms])(!?)".r
+    val (unit, bang) = fmt match {
+      case Fmt(u, b) => (u, b == "!")
+      case _ => throw new IllegalArgumentException(
+        s"td_time_string format must be one of y q M w d h m s (optionally with !), got: $fmt")
+    }
+    val truncUnit = Map("y" -> "year", "q" -> "quarter", "M" -> "month",
+      "w" -> "week", "d" -> "day", "h" -> "hour", "m" -> "minute",
+      "s" -> "second")(unit)
+    val local = from_utc_timestamp(timestamp_seconds(timeSec), tz)
+    val truncated = date_trunc(truncUnit, local)
+    if (bang) {
+      val pat = Map("y" -> "yyyy", "q" -> "yyyy-MM", "M" -> "yyyy-MM",
+        "w" -> "yyyy-MM-dd", "d" -> "yyyy-MM-dd", "h" -> "yyyy-MM-dd HH",
+        "m" -> "yyyy-MM-dd HH:mm", "s" -> "yyyy-MM-dd HH:mm:ss")(unit)
+      date_format(truncated, pat)
+    } else {
+      // zone offset at THIS instant: wall-clock epoch minus true epoch
+      val offSec = local.cast("long") - timeSec
+      val offStr = concat(
+        when(offSec < 0, lit("-")).otherwise(lit("+")),
+        lpad((abs(offSec) / 3600).cast("long").cast("string"), 2, "0"),
+        lpad(((abs(offSec) % 3600) / 60).cast("long").cast("string"), 2, "0"))
+      concat(date_format(truncated, "yyyy-MM-dd HH:mm:ss"), offStr)
+    }
+  }
+
   /** TD_DATE_TRUNC('unit', t) — unit ∈ second/minute/hour/day/week/month/quarter/year. */
   def tdDateTrunc(unit: String, ts: Column): Column = date_trunc(unit, ts)
 

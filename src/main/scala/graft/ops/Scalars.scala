@@ -217,5 +217,35 @@ object Scalars {
           FROM events
           WHERE epoch_ms(ts) // 1000 >= $lo AND epoch_ms(ts) // 1000 < $hi
           ORDER BY event_id""")
-      }))
+      }),
+
+    // TD_TIME_STRING(time, fmt[, tz]) — the truncating epoch formatter TD
+    // queries render report columns with (public TD UDF docs): unit letter
+    // + optional '!' (leading fields only). All construction-time
+    // expansion into date_trunc/date_format in the target zone; the
+    // non-'!' form carries the per-row zone offset. Tokyo (+09:00, no DST)
+    // keeps the oracle a fixed epoch shift.
+    Q("h22_td_time_string",
+      (s, d) => {
+        val tz = "Asia/Tokyo"
+        val ev = events(s, d).where(col("event_id") < 2000)
+          .select(col("event_id"), expr("ts_ms div 1000").as("time"))
+        ev.select(col("event_id"),
+            Td.tdTimeString(col("time"), "y!", tz).as("t_y"),
+            Td.tdTimeString(col("time"), "M!", tz).as("t_month"),
+            Td.tdTimeString(col("time"), "d!", tz).as("t_d"),
+            Td.tdTimeString(col("time"), "h!", tz).as("t_h"),
+            Td.tdTimeString(col("time"), "d", tz).as("t_d_full"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id,
+            make_timestamp((epoch_ms(ts) // 1000 + 32400) * 1000000) AS sh
+          FROM events WHERE event_id < 2000)
+        SELECT event_id,
+          strftime(sh, '%Y') AS t_y,
+          strftime(sh, '%Y-%m') AS t_month,
+          strftime(sh, '%Y-%m-%d') AS t_d,
+          strftime(sh, '%Y-%m-%d %H') AS t_h,
+          strftime(date_trunc('day', sh), '%Y-%m-%d %H:%M:%S') || '+0900' AS t_d_full
+        FROM e ORDER BY event_id""")))
 }
