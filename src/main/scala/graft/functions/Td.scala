@@ -197,5 +197,58 @@ object Td {
       "td_time_range",
       (exprs: Seq[Expression]) => graft.expressions.TdTimeRange(exprs),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "td_time_string",
+      (exprs: Seq[Expression]) => tdTimeStringBuilder(exprs),
+      "scala_udf")
+  }
+
+  /** SQL builder for `td_time_string(time, 'fmt'[, 'tz'])`. The format
+    * (and zone) select which expression tree to BUILD, so they must be
+    * literals — exactly TD's contract, where both are part of the query
+    * text. Built from concrete catalyst nodes (the Column DSL's
+    * ColumnNode tree does not resolve through a parse-time function
+    * builder); the expansion is spliced BEFORE analysis, so type coercion
+    * and ResolveTimeZone apply normally and everything stays codegen'd. */
+  private def tdTimeStringBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    require(exprs.length == 2 || exprs.length == 3,
+      "td_time_string(time, 'fmt'[, 'tz'])")
+    def litStr(e: Expression, what: String): String = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"td_time_string $what must be a string literal")
+    }
+    val fmt = litStr(exprs(1), "format")
+    val tz = exprs.drop(2).headOption.map(litStr(_, "timezone")).getOrElse("UTC")
+    val Fmt = "([yqMwdhms])(!?)".r
+    val (unit, bang) = fmt match {
+      case Fmt(u, b) => (u, b == "!")
+      case _ => throw new IllegalArgumentException(
+        s"td_time_string format must be one of y q M w d h m s (optionally with !), got: $fmt")
+    }
+    val truncUnit = Map("y" -> "year", "q" -> "quarter", "M" -> "month",
+      "w" -> "week", "d" -> "day", "h" -> "hour", "m" -> "minute",
+      "s" -> "second")(unit)
+    val timeSec = Cast(exprs.head, LongType)
+    val local = FromUTCTimestamp(SecondsToTimestamp(timeSec), Literal(tz))
+    val truncated = TruncTimestamp(Literal(truncUnit), local)
+    if (bang) {
+      val pat = Map("y" -> "yyyy", "q" -> "yyyy-MM", "M" -> "yyyy-MM",
+        "w" -> "yyyy-MM-dd", "d" -> "yyyy-MM-dd", "h" -> "yyyy-MM-dd HH",
+        "m" -> "yyyy-MM-dd HH:mm", "s" -> "yyyy-MM-dd HH:mm:ss")(unit)
+      DateFormatClass(truncated, Literal(pat))
+    } else {
+      val off = Subtract(Cast(local, LongType), timeSec)
+      val absOff = If(LessThan(off, Literal(0L)), UnaryMinus(off), off)
+      def pad2(e: Expression) =
+        StringLPad(Cast(e, StringType), Literal(2), Literal("0"))
+      Concat(Seq(
+        DateFormatClass(truncated, Literal("yyyy-MM-dd HH:mm:ss")),
+        If(LessThan(off, Literal(0L)), Literal("-"), Literal("+")),
+        pad2(IntegralDivide(absOff, Literal(3600L))),
+        pad2(IntegralDivide(Remainder(absOff, Literal(3600L)), Literal(60L)))))
+    }
   }
 }

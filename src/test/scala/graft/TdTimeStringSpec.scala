@@ -46,6 +46,18 @@ class TdTimeStringSpec extends AnyFunSuite {
     assert(got == "2024-07-15 08:00:00-0400")
   }
 
+  test("SQL registration: td_time_string usable from spark.sql") {
+    Td.register(spark)
+    Seq(t0).toDF("time").createOrReplaceTempView("tts_sql")
+    val r = spark.sql(
+      "SELECT td_time_string(time, 'd!', 'Asia/Tokyo') AS d, " +
+        "td_time_string(time, 'h') AS h FROM tts_sql").head()
+    assert(r.getString(0) == "2024-01-15")
+    assert(r.getString(1) == "2024-01-15 12:00:00+0000")
+    intercept[Exception](spark.sql(
+      "SELECT td_time_string(time, time) FROM tts_sql").collect())
+  }
+
   test("malformed format throws at construction") {
     intercept[IllegalArgumentException](Td.tdTimeString(lit(0L), "x!"))
     intercept[IllegalArgumentException](Td.tdTimeString(lit(0L), "dd"))
