@@ -10,6 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Wipe stale JUnit XML before each test run: reports of since-deleted
+// specs otherwise survive forever (a deleted debug spec's failure XML
+// outlived its source by a round), so tooling that sums the directory
+// would over-count. After this, test-reports/ always equals the LAST run.
+Test / testOptions += Tests.Setup { () =>
+  val dir = new java.io.File("target/test-reports")
+  Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    .filter(_.getName.endsWith(".xml")).foreach(_.delete())
+}
 run / fork := true
 // Forked run output goes straight through to stdout/stderr, WITHOUT sbt's
 // "[info] "/"[error] " logger prefixes: Bench prints a single JSON line on

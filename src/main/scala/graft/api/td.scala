@@ -48,8 +48,12 @@ object td {
   /** `create_engine("presto:mydb")` analog. `engineType` is accepted for
     * URL-compat (presto vs hive chose the TD backend; both run on Spark
     * here). `root` is the directory holding `<database>` subdirs or the
-    * table files themselves. */
-  final case class TdEngine(engineType: String, database: String, root: String) {
+    * table files themselves. `apiKey`/`endpoint` are carried from the
+    * long-form URL (or TD_API_KEY/TD_API_SERVER env) for parity with the
+    * reference's engine handle — stored but inert, since there is no REST
+    * hop behind this engine. */
+  final case class TdEngine(engineType: String, database: String, root: String,
+      apiKey: Option[String] = None, endpoint: Option[String] = None) {
     def tablePath(table: String): String = {
       val nested = Paths.get(root, database, s"$table.parquet")
       if (Files.exists(nested)) nested.toString
@@ -57,7 +61,8 @@ object td {
     }
   }
 
-  final case class TdConnection(root: String) {
+  final case class TdConnection(root: String,
+      apiKey: Option[String] = None, apiServer: Option[String] = None) {
     /** `Connection.databases()` — subdirectories holding parquet tables. */
     def databases()(implicit s: SparkSession): DataFrame = {
       import s.implicits._
@@ -95,17 +100,19 @@ object td {
 
   /** Env-var `connect()` (reference `pandas_td.connect()` reads
     * TD_API_KEY / TD_API_SERVER). The key must be PRESENT — parity with
-    * the reference, which refuses to build a client without one — but is
-    * otherwise unused (no REST backend behind this engine); the server
-    * value is likewise accepted and ignored. The data root comes from
-    * TD_SPARK_ROOT, falling back to the working directory. */
+    * the reference, which refuses to build a client without one; key and
+    * server are carried on the handle but inert (no REST backend behind
+    * this engine). The data root comes from TD_SPARK_ROOT, falling back
+    * to the working directory. */
   def connect(): TdConnection = connectFromEnv(sys.env)
 
   private[graft] def connectFromEnv(env: Map[String, String]): TdConnection = {
     require(env.get("TD_API_KEY").exists(_.trim.nonEmpty),
       "TD_API_KEY is not set (connect() without arguments reads the " +
         "reference's environment variables; pass a root explicitly otherwise)")
-    TdConnection(env.getOrElse("TD_SPARK_ROOT", "."))
+    TdConnection(env.getOrElse("TD_SPARK_ROOT", "."),
+      apiKey = env.get("TD_API_KEY"),
+      apiServer = env.get("TD_API_SERVER").filter(_.trim.nonEmpty))
   }
 
   // long-form engine URL: td+presto://<apikey>@<endpoint>/<db>[?params].
@@ -114,20 +121,32 @@ object td {
   // (td+presto:///db is malformed), and the database is the FULL remaining
   // path — the reference passes the path through verbatim, so a '/' in the
   // database name survives rather than being silently truncated.
-  private val LongUrl = "td\\+(presto|hive)://(?:.*@)?[^/@?#]+/([^?#]+?)/?(?:[?#].*)?".r
+  private val LongUrl = "td\\+(presto|hive)://(?:(.*)@)?([^/@?#]+)/([^?#]+?)/?(?:[?#].*)?".r
 
   /** Parse `"presto:db"` / `"hive:db"` (reference short URL shapes) and the
     * long form `td+presto://apikey@api.example.com/db` (reference
-    * `create_engine` URL): credentials and endpoint are parsed for
-    * compatibility and ignored — there is no REST hop here. */
-  def createEngine(url: String, root: String): TdEngine = url match {
-    case LongUrl(e, db) => TdEngine(e, db, root)
-    case _ => url.split(":", 2) match {
-      case Array(e, db) if (e == "presto" || e == "hive") && db.nonEmpty =>
-        TdEngine(e, db, root)
-      case _ => throw new IllegalArgumentException(
-        "engine url must be presto:<db>, hive:<db> or " +
-          s"td+presto://key@endpoint/<db>, got: $url")
+    * `create_engine` URL). Credentials/endpoint land on the engine handle
+    * (apikey falls back to TD_API_KEY, endpoint to TD_API_SERVER — the
+    * reference's env defaults) but trigger no REST hop here. */
+  def createEngine(url: String, root: String): TdEngine =
+    createEngineFromEnv(url, root, sys.env)
+
+  private[graft] def createEngineFromEnv(url: String, root: String,
+      env: Map[String, String]): TdEngine = {
+    def envKey = env.get("TD_API_KEY").filter(_.trim.nonEmpty)
+    def envServer = env.get("TD_API_SERVER").filter(_.trim.nonEmpty)
+    url match {
+      case LongUrl(e, key, endpoint, db) =>
+        TdEngine(e, db, root,
+          apiKey = Option(key).filter(_.nonEmpty).orElse(envKey),
+          endpoint = Some(endpoint))
+      case _ => url.split(":", 2) match {
+        case Array(e, db) if (e == "presto" || e == "hive") && db.nonEmpty =>
+          TdEngine(e, db, root, apiKey = envKey, endpoint = envServer)
+        case _ => throw new IllegalArgumentException(
+          "engine url must be presto:<db>, hive:<db> or " +
+            s"td+presto://key@endpoint/<db>, got: $url")
+      }
     }
   }
 

@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.catalyst.trees.TreePattern.TreePattern
@@ -27,7 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     directly to the epoch column, TD's own layout; integer bounds are
   *     epoch seconds and are NOT shifted by the tz argument, matching TD);
   *   - TIMESTAMP_NTZ `t` → `t >= <ntz literal> AND ...` (string bounds
-  *     parse as wall-clock; same-type comparison, no cast on `t`);
+  *     parse as wall-clock, or — with an explicit tz arg — as an instant
+  *     in that zone rendered back through the session zone; either way a
+  *     same-type comparison, no cast on `t`);
   *   - TIMESTAMP/DATE/other → `CAST(t AS TIMESTAMP) >= ...` (for
   *     TIMESTAMP columns `SimplifyCasts` removes the no-op cast, so the
   *     comparison still reaches the scan).
@@ -58,8 +61,24 @@ case class TdTimeRange(children: Seq[Expression],
 
   private def t = children.head
 
-  /** Explicit 4th-arg zone when it is a foldable string (the only form TD
-    * supports — the zone is part of the query text). */
+  /** A 4th argument must be a foldable non-null string — the zone is part
+    * of the query text in TD's contract. Anything else (a column reference
+    * typo'd where a zone was meant, a NULL) is rejected at ANALYSIS, not
+    * silently dropped: a silent fallback to the session zone would change
+    * filter semantics with no signal. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.drop(3).headOption match {
+      case Some(e) if !(e.foldable && e.dataType == StringType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "td_time_range: 4th argument (timezone) must be a string literal, " +
+            s"got: ${e.sql}")
+      case Some(e) if e.eval() == null =>
+        TypeCheckResult.TypeCheckFailure(
+          "td_time_range: 4th argument (timezone) must not be NULL")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+
+  /** Explicit 4th-arg zone (validated by checkInputDataTypes above). */
   private def tzArg: Option[String] = children.drop(3).headOption.flatMap {
     case Literal(s: UTF8String, StringType) => Option(s).map(_.toString)
     case e if e.foldable && e.dataType == StringType =>
@@ -94,10 +113,16 @@ case class TdTimeRange(children: Seq[Expression],
           case _ => Cast(tsBound(e), it, timeZoneId)
         })
       case _: TimestampNTZType =>
-        // wall-clock column: string bounds parse as wall-clock NTZ;
-        // instant-typed bounds convert via the session zone
+        // wall-clock column: with no tz arg, string bounds parse as
+        // wall-clock NTZ directly (zone-agnostic). With an explicit tz
+        // arg, honor it like every other arm: parse the string as an
+        // instant IN that zone, then render to the column's wall-clock
+        // convention via the session zone — two foldable casts, so the
+        // comparison is still literal-vs-bare-column and pushable.
         (t, (e: Expression) => e.dataType match {
-          case StringType => Cast(e, TimestampNTZType, boundZone)
+          case StringType if tzArg.isDefined =>
+            Cast(Cast(e, TimestampType, tzArg), TimestampNTZType, timeZoneId)
+          case StringType => Cast(e, TimestampNTZType, timeZoneId)
           case _: TimestampNTZType => e
           case _ => Cast(tsBound(e), TimestampNTZType, timeZoneId)
         })

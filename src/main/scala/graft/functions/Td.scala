@@ -90,10 +90,19 @@ object Td {
     * optional `!`. The bare form renders the FULL `yyyy-MM-dd HH:mm:ss`
     * truncated to the unit plus the zone offset (`+0900`); the `!` form
     * renders only the leading fields (`'d!'` → `2024-01-07`). Pure
-    * construction-time expansion into from_utc_timestamp/date_trunc/
+    * construction-time expansion into convert_timezone/date_trunc/
     * date_format — all codegen'd, no UDF; the zone offset is derived
     * arithmetically (shifted minus original epoch), so DST zones render
-    * their per-row offset correctly. */
+    * their per-row offset correctly.
+    *
+    * Session-zone independent by construction: the local wall clock is
+    * built as TIMESTAMP_NTZ through zone-EXPLICIT ops only (epoch +
+    * interval arithmetic, then convert_timezone('UTC', tz, _)), and
+    * date_format over NTZ renders wall-clock fields with no zone
+    * conversion — so the output is the same whatever
+    * spark.sql.session.timeZone is. (The earlier from_utc_timestamp +
+    * date_format shape formatted in the SESSION zone and was only
+    * correct under the harness's pinned UTC.) */
   def tdTimeString(timeSec: Column, fmt: String, tz: String = "UTC"): Column = {
     val Fmt = "([yqMwdhms])(!?)".r
     val (unit, bang) = fmt match {
@@ -104,7 +113,11 @@ object Td {
     val truncUnit = Map("y" -> "year", "q" -> "quarter", "M" -> "month",
       "w" -> "week", "d" -> "day", "h" -> "hour", "m" -> "minute",
       "s" -> "second")(unit)
-    val local = from_utc_timestamp(timestamp_seconds(timeSec), tz)
+    // UTC wall clock as NTZ: epoch origin + timeSec seconds, pure interval
+    // arithmetic (a timestamp_seconds→NTZ cast would read the session zone)
+    val utcWall = to_timestamp_ntz(lit("1970-01-01 00:00:00")) +
+      make_dt_interval(lit(0), lit(0), lit(0), timeSec.cast("decimal(18,6)"))
+    val local = convert_timezone(lit("UTC"), lit(tz), utcWall)
     val truncated = date_trunc(truncUnit, local)
     if (bang) {
       val pat = Map("y" -> "yyyy", "q" -> "yyyy-MM", "M" -> "yyyy-MM",
@@ -112,8 +125,12 @@ object Td {
         "m" -> "yyyy-MM-dd HH:mm", "s" -> "yyyy-MM-dd HH:mm:ss")(unit)
       date_format(truncated, pat)
     } else {
-      // zone offset at THIS instant: wall-clock epoch minus true epoch
-      val offSec = local.cast("long") - timeSec
+      // zone offset at THIS instant: wall-clock epoch minus true epoch.
+      // from_utc_timestamp shifts the INSTANT and LTZ→long reads epoch
+      // seconds — both zone-explicit/zone-free, so this too is
+      // session-independent.
+      val offSec =
+        from_utc_timestamp(timestamp_seconds(timeSec), tz).cast("long") - timeSec
       val offStr = concat(
         when(offSec < 0, lit("-")).otherwise(lit("+")),
         lpad((abs(offSec) / 3600).cast("long").cast("string"), 2, "0"),

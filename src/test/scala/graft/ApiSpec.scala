@@ -19,10 +19,15 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](td.createEngine("mysql://x", "/root/testdata"))
   }
 
-  test("createEngine accepts the long td+presto URL form (credentials ignored)") {
+  test("createEngine accepts the long td+presto URL form (credentials carried, inert)") {
     val e = td.createEngine(
       "td+presto://0123/abcd@api.treasuredata.example.com/sf0.001", "/root/testdata")
     assert(e.engineType == "presto" && e.database == "sf0.001")
+    // the handle carries the parsed credentials/endpoint (reference engine
+    // attributes) — nothing consumes them in-sandbox, but a migrating
+    // caller can read them back; a '/' in the api key survives (greedy @)
+    assert(e.apiKey.contains("0123/abcd"))
+    assert(e.endpoint.contains("api.treasuredata.example.com"))
     val h = td.createEngine("td+hive://k@host/mydb?param=1", "/root/testdata")
     assert(h.engineType == "hive" && h.database == "mydb")
     intercept[IllegalArgumentException](
@@ -40,11 +45,33 @@ class ApiSpec extends AnyFunSuite {
 
   test("connect() reads the reference's environment variables") {
     val con = td.connectFromEnv(Map(
-      "TD_API_KEY" -> "0123/abcd", "TD_SPARK_ROOT" -> "/root/testdata"))
+      "TD_API_KEY" -> "0123/abcd", "TD_API_SERVER" -> "api.example.com",
+      "TD_SPARK_ROOT" -> "/root/testdata"))
     assert(con.root == "/root/testdata")
+    assert(con.apiKey.contains("0123/abcd"))
+    assert(con.apiServer.contains("api.example.com"))
     // no key → same failure mode as the reference's client construction
     intercept[IllegalArgumentException](td.connectFromEnv(Map.empty))
     intercept[IllegalArgumentException](td.connectFromEnv(Map("TD_API_KEY" -> " ")))
+  }
+
+  test("createEngine falls back to TD_API_KEY/TD_API_SERVER env defaults") {
+    // short form: key + server both from env (reference create_engine
+    // default-apikey behavior)
+    val s = td.createEngineFromEnv("presto:mydb", "/root/testdata",
+      Map("TD_API_KEY" -> "9/z", "TD_API_SERVER" -> "api.example.com"))
+    assert(s.apiKey.contains("9/z") && s.endpoint.contains("api.example.com"))
+    // long form: URL credentials win over env; URL endpoint always wins
+    val l = td.createEngineFromEnv("td+presto://urlkey@host/db", "/root/testdata",
+      Map("TD_API_KEY" -> "9/z", "TD_API_SERVER" -> "api.example.com"))
+    assert(l.apiKey.contains("urlkey") && l.endpoint.contains("host"))
+    // long form without credentials: env key fills in
+    val n = td.createEngineFromEnv("td+presto://host/db", "/root/testdata",
+      Map("TD_API_KEY" -> "9/z"))
+    assert(n.apiKey.contains("9/z") && n.endpoint.contains("host"))
+    // no env at all: fields stay empty, engine still works
+    assert(td.createEngineFromEnv("presto:mydb", "/root/testdata", Map.empty)
+      .apiKey.isEmpty)
   }
 
   test("toTd refuses bucket granularities coarser than the read-side slack") {

@@ -17,7 +17,7 @@ class FixtureSchemaSpec extends AnyFunSuite {
   test("events.ts physical type is a known generation (footer check)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val dt = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
+      val dt = spark.read.parquet(s"${TestSpark.sfRoot}/$sf/events.parquet")
         .schema("ts").dataType
       assert(dt == LongType || dt == TimestampType || dt.isInstanceOf[TimestampNTZType],
         s"UNKNOWN events.ts type $dt at $sf — driver regenerated testdata " +
@@ -74,7 +74,7 @@ class FixtureSchemaSpec extends AnyFunSuite {
     def tsLike(dt: DataType) = dt == TimestampType || dt.isInstanceOf[TimestampNTZType]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for ((table, cols) <- expected) {
-      val schema = spark.read.parquet(s"/root/testdata/sf0.01/$table.parquet").schema
+      val schema = spark.read.parquet(s"${TestSpark.sfRoot}/sf0.01/$table.parquet").schema
       assert(schema.fieldNames.toSeq == cols.map(_._1),
         s"$table columns drifted — driver regenerated testdata; update " +
           s"FIXTURES.md and the consumers. got ${schema.fieldNames.toSeq}")
@@ -99,7 +99,7 @@ class FixtureSchemaSpec extends AnyFunSuite {
       ("sf0.1", "events") -> 100000L, ("sf0.001", "lineitem") -> 6000L,
       ("sf0.01", "lineitem") -> 60000L, ("sf0.1", "lineitem") -> 600000L)
     for (((sf, table), n) <- expected) {
-      val got = spark.read.parquet(s"/root/testdata/$sf/$table.parquet").count()
+      val got = spark.read.parquet(s"${TestSpark.sfRoot}/$sf/$table.parquet").count()
       assert(got == n, s"$table at $sf: expected $n rows, got $got — " +
         "driver regenerated testdata at a different scale")
     }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured row-group pruning for the h21 LONG-epoch arm (VERDICT r12
+  * item 6): turns the "td_time_range folds to epoch-second literals →
+  * parquet min/max skipping applies on TD's native layout" claim from
+  * plan-shape inference into a metrics fact. A multi-row-group file
+  * sorted by `time` is scanned through td_time_range; the FileSourceScan's
+  * numOutputRows must show that non-matching row groups were never
+  * decoded — the 100 TB behavior (read one day, not three years), sampled
+  * at test scale.
+  */
+class RowGroupSkipSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def scanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scanNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(scanNodes)
+  }
+
+  test("LONG epoch-seconds td_time_range skips row groups, not just rows") {
+    graft.functions.Td.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("rg_skip").toString
+    val file = s"$dir/events_long.parquet"
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    val total = 400000L
+    // one physical file, sorted by time (1 row/second ≈ 4.6 days), with a
+    // small block size so the writer flushes MANY row groups — the shape a
+    // TD time-bucketed table has at scale (sorted epoch column, min/max
+    // per row group)
+    spark.range(total)
+      .select(col("id"), (lit(base) + col("id")).as("time"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (128 * 1024).toString)
+      .parquet(file)
+    // footer tripwire: the fixture must actually BE multi-row-group, or
+    // the skip assert below would pass vacuously
+    val part = new java.io.File(file).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    val nGroups = try footer.getFooter.getBlocks.size finally footer.close()
+    assert(nGroups >= 4, s"fixture has only $nGroups row groups — raise rows " +
+      "or lower parquet.block.size so skipping is observable")
+
+    // a 2-hour slice of a 4.6-day file = 7200 matching rows (~1.8%)
+    spark.read.parquet(file).createOrReplaceTempView("rg_events")
+    val df = spark.sql(
+      """SELECT id FROM rg_events
+         WHERE td_time_range(time, '2024-01-03 00:00:00', '2024-01-03 02:00:00')""")
+    // execute THIS plan (count() would spawn a separate QueryExecution
+    // whose metrics are the ones populated) and read its scan metric
+    assert(df.collect().length == 7200)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(time), GreaterThanOrEqual(time"),
+      s"expected the folded epoch bounds pushed on bare `time`:\n$plan")
+    // the measured fact: the scan emitted only the surviving row groups'
+    // rows, not the whole file. With ~$nGroups groups over 400k rows a
+    // 7200-row slice touches a handful of groups; anything under total/5
+    // proves group-level skipping (no skipping would emit all 400k).
+    val scans = scanNodes(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no FileSourceScanExec found")
+    val emitted = scans.map(_.metrics("numOutputRows").value).sum
+    assert(emitted >= 7200L && emitted < total / 5,
+      s"scan emitted $emitted of $total rows across $nGroups row groups — " +
+        "row-group min/max skipping did not engage")
+  }
+}

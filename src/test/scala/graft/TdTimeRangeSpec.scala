@@ -89,6 +89,40 @@ class TdTimeRangeSpec extends AnyFunSuite {
     assert(got == Seq("b"))
   }
 
+  test("tz argument applies to STRING bounds on a TIMESTAMP_NTZ column too") {
+    register()
+    // NTZ wall clocks around 2024-01-01T15:00 (the fixtures' convention:
+    // NTZ wall clock == UTC instant). '2024-01-02' in Asia/Tokyo is the
+    // instant 2024-01-01T15:00Z → NTZ bound 2024-01-01T15:00.
+    (Seq(("a", "2024-01-01T14:00:00"), ("b", "2024-01-01T16:00:00")))
+      .toDF("id", "w").selectExpr("id", "cast(w as timestamp_ntz) AS time")
+      .createOrReplaceTempView("ttr_ntz_tz")
+    val got = spark.sql(
+      "SELECT id FROM ttr_ntz_tz WHERE td_time_range(time, '2024-01-02', '2024-01-03', 'Asia/Tokyo') ORDER BY id")
+      .as[String].collect().toSeq
+    assert(got == Seq("b"))
+    // without tz the same strings parse as wall-clock midnight → no rows
+    val bare = spark.sql(
+      "SELECT id FROM ttr_ntz_tz WHERE td_time_range(time, '2024-01-02', '2024-01-03')")
+      .count()
+    assert(bare == 0L)
+  }
+
+  test("a non-literal 4th argument is an analysis error, not a silent session-zone fallback") {
+    register()
+    (0 to 3).map(i => (s"Asia/Tokyo", day0 + i * 86400L)).toDF("zone", "time")
+      .createOrReplaceTempView("ttr_badtz")
+    // a column where a zone literal was meant (the typo scenario)
+    val e = intercept[Exception](spark.sql(
+      "SELECT count(*) FROM ttr_badtz WHERE td_time_range(time, '2024-01-01', '2024-01-03', zone)")
+      .collect())
+    assert(e.getMessage.contains("timezone"), e.getMessage)
+    // NULL zone likewise rejected
+    intercept[Exception](spark.sql(
+      "SELECT count(*) FROM ttr_badtz WHERE td_time_range(time, '2024-01-01', '2024-01-03', NULL)")
+      .collect())
+  }
+
   test("Tables.events legacy branch: LONG epoch-nanos ts still derives ts_ms/ts_t") {
     // current driver fixtures carry timestamp[us]; pin the OTHER generation
     // (epoch-nanos LongType, rounds 1-10) so the dispatch in Tables.events
@@ -104,6 +138,42 @@ class TdTimeRangeSpec extends AnyFunSuite {
     assert(r(0).getLong(0) == 1704067200000L)
     assert(r(1).getLong(0) == 1704067200000L + 3600000L)
     assert(r(0).getTimestamp(1).toInstant.toEpochMilli == 1704067200000L)
+  }
+
+  test("LTZ generation: tz-adjusted µs ts exercises the TIMESTAMP arms end to end") {
+    // the THIRD physical generation Tables.events/TdTimeRange accept —
+    // parquet timestamp[us] with isAdjustedToUTC=true (TimestampType).
+    // No driver fixture has shipped it yet; pin it synthetically so a
+    // silent regen flipping the parquet flag cannot land in never-run
+    // dispatch arms (Tables.scala case _, TdTimeRange.scala case _).
+    register()
+    val dir = java.nio.file.Files.createTempDirectory("ttr_ltz").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    (0 to 47).map(i =>
+        (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i * 3600L))))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // writer default TIMESTAMP_MICROS is tz-adjusted → must read back LTZ
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"expected instant TIMESTAMP read-back, got ${raw.schema("ts").dataType}")
+    val ev = Tables.events(spark, dir)
+    val r = ev.orderBy("event_id").select("ts_ms", "ts_t").collect()
+    assert(r(0).getLong(0) == 1704067200000L)
+    assert(r(1).getLong(0) == 1704067200000L + 3600000L)
+    assert(r(0).getTimestamp(1).toInstant.toEpochMilli == 1704067200000L)
+    // helper dispatch (case _ instant arm): the Jan-2 day slice is 24 rows
+    assert(ev.where(functions.Td.tdTimeRangeEvents(
+      ev, "ts", "2024-01-02", "2024-01-03")).count() == 24L)
+    // SQL face: same slice, and SimplifyCasts must strip the no-op cast so
+    // the predicate reaches the parquet scan on the BARE column
+    raw.createOrReplaceTempView("ttr_ltz")
+    val df = spark.sql(
+      "SELECT event_id FROM ttr_ltz WHERE td_time_range(ts, '2024-01-02', '2024-01-03')")
+    assert(df.count() == 24L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"expected pushed bare-ts filter:\n$plan")
   }
 
   test("events fixture: a3-style range via td_time_range matches tdTimeRangeEvents") {

@@ -58,6 +58,25 @@ class TdTimeStringSpec extends AnyFunSuite {
       "SELECT td_time_string(time, time) FROM tts_sql").collect())
   }
 
+  test("output is independent of spark.sql.session.timeZone") {
+    // the expansion goes NTZ + convert_timezone (zone-explicit) end to
+    // end, so a non-UTC notebook session must render the same strings as
+    // the harness's pinned UTC session — the old from_utc_timestamp +
+    // date_format shape double-shifted here
+    val cases = Seq(("s", "Asia/Tokyo"), ("h", "America/New_York"),
+      ("d", "UTC"), ("d!", "Asia/Tokyo"), ("m!", "America/New_York"))
+    val underUtc = cases.map { case (f, z) => one(f, z) }
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (sessionZone <- Seq("Asia/Tokyo", "America/New_York")) {
+        spark.conf.set("spark.sql.session.timeZone", sessionZone)
+        val got = cases.map { case (f, z) => one(f, z) }
+        assert(got == underUtc,
+          s"session zone $sessionZone changed output: $got vs $underUtc")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("malformed format throws at construction") {
     intercept[IllegalArgumentException](Td.tdTimeString(lit(0L), "x!"))
     intercept[IllegalArgumentException](Td.tdTimeString(lit(0L), "dd"))

@@ -14,5 +14,9 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  val sf: String = "/root/testdata/sf0.001"
+  /** Root holding the driver-generated sf* fixture dirs — the single
+    * source of truth; specs that need other scale factors derive from it
+    * rather than hardcoding absolute paths. */
+  val sfRoot: String = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+  val sf: String = s"$sfRoot/sf0.001"
 }
