@@ -156,9 +156,20 @@ class ApiSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
       plan.contains("time_bucket"), plan)
-    val n = pruned.count()
+    // collect() executes THIS QueryExecution, so its scan metrics are the
+    // populated ones (count() would spawn a fresh execution)
+    val n = pruned.collect().length.toLong
     assert(n > 0 && n < ev.count() / 10,
       s"bucket pruning should cut to ~1/30 of the month, got $n")
+    // measured, not just planned: the scan OPENED only the matched
+    // buckets' files — the requested day plus the 1-day lower-bound slack
+    // is ≤ 72 hour-dirs of the month's ~700; at 100 TB this numFiles cut
+    // is the TD time-index behavior the layout exists for
+    val numFiles = TestSpark.fileScans(pruned.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(numFiles > 0 && numFiles < dirs.length / 3,
+      s"scan opened $numFiles files of ${dirs.length} bucket dirs — " +
+        "partition pruning did not engage")
   }
 
   test("readTdQuery executes through temp views; readTdJob re-serves cached") {

@@ -16,14 +16,6 @@ class RowGroupSkipSpec extends AnyFunSuite {
   lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
   import spark.implicits._
 
-  private def scanNodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      scanNodes(a.executedPlan)
-    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-    case other => other.children.flatMap(scanNodes)
-  }
-
   test("LONG epoch-seconds td_time_range skips row groups, not just rows") {
     graft.functions.Td.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("rg_skip").toString
@@ -67,7 +59,7 @@ class RowGroupSkipSpec extends AnyFunSuite {
     // rows, not the whole file. With ~$nGroups groups over 400k rows a
     // 7200-row slice touches a handful of groups; anything under total/5
     // proves group-level skipping (no skipping would emit all 400k).
-    val scans = scanNodes(df.queryExecution.executedPlan)
+    val scans = TestSpark.fileScans(df.queryExecution.executedPlan)
     assert(scans.nonEmpty, "no FileSourceScanExec found")
     val emitted = scans.map(_.metrics("numOutputRows").value).sum
     assert(emitted >= 7200L && emitted < total / 5,

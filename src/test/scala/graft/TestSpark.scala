@@ -19,4 +19,17 @@ object TestSpark {
     * rather than hardcoding absolute paths. */
   val sfRoot: String = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
   val sf: String = s"$sfRoot/sf0.001"
+
+  /** All FileSourceScanExec nodes of an EXECUTED plan, descending through
+    * adaptive wrappers — for metrics-based pruning asserts (numFiles,
+    * numOutputRows). The plan must have been executed via ITS OWN
+    * QueryExecution (collect()/foreach on the same df; count() spawns a
+    * fresh one whose metrics are the populated ones). */
+  def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(fileScans)
+  }
 }
