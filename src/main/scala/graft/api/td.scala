@@ -51,9 +51,21 @@ object td {
     * table files themselves. `apiKey`/`endpoint` are carried from the
     * long-form URL (or TD_API_KEY/TD_API_SERVER env) for parity with the
     * reference's engine handle — stored but inert, since there is no REST
-    * hop behind this engine. */
+    * hop behind this engine.
+    *
+    * `header` is the reference's `create_engine(header=)`: a provenance
+    * tag prepended to submitted query text as a SQL comment and used as
+    * the Spark job description (the analog of TD's job-console tag).
+    * None = the default `td:<engine>:<db>` tag; Some("") = suppress
+    * (reference header=False). The reference's `show_progress`/
+    * `clear_progress` are notebook display-loop knobs with no engine
+    * analog — intentionally absent. */
   final case class TdEngine(engineType: String, database: String, root: String,
-      apiKey: Option[String] = None, endpoint: Option[String] = None) {
+      apiKey: Option[String] = None, endpoint: Option[String] = None,
+      header: Option[String] = None) {
+    /** Job-description tag for a query submitted through this engine. */
+    def headerTag: String =
+      header.getOrElse(s"td:$engineType:$database")
     def tablePath(table: String): String = {
       val nested = Paths.get(root, database, s"$table.parquet")
       if (Files.exists(nested)) nested.toString
@@ -63,25 +75,35 @@ object td {
 
   final case class TdConnection(root: String,
       apiKey: Option[String] = None, apiServer: Option[String] = None) {
-    /** `Connection.databases()` — subdirectories holding parquet tables. */
-    def databases()(implicit s: SparkSession): DataFrame = {
+    // `%td_databases [pattern]` / `%td_tables [pattern]` filter with an
+    // unanchored regex (Python re.search semantics) — a bare substring
+    // matches anywhere in the name
+    private[td] def matches(pattern: Option[String], name: String): Boolean =
+      pattern.forall(_.r.unanchored.findFirstIn(name).isDefined)
+
+    /** `Connection.databases()` / `%td_databases [pat]` — subdirectories
+      * holding parquet tables, optionally regex-filtered. */
+    def databases(pattern: Option[String] = None)
+        (implicit s: SparkSession): DataFrame = {
       import s.implicits._
       val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
-        .filter(_.isDirectory).map(_.getName).sorted
+        .filter(_.isDirectory).map(_.getName).filter(matches(pattern, _)).sorted
       dirs.toSeq.toDF("name")
     }
-    /** `Connection.tables(db)` — name + row count, batched
-      * union-of-aggregates (counts served from parquet row-group metadata
-      * via the zero-column scan), not a driver-side count() loop per
-      * table. Analyzer/optimizer cost grows with union width, so the
+    /** `Connection.tables(db)` / `%td_tables [pat]` — name + row count,
+      * batched union-of-aggregates (counts served from parquet row-group
+      * metadata via the zero-column scan), not a driver-side count() loop
+      * per table. Analyzer/optimizer cost grows with union width, so the
       * catalog is planned in bounded batches: each batch is ONE Spark job
       * over ≤64 tables, and only the tiny (name, n_rows) results are
       * unioned driver-side. */
-    def tables(db: String)(implicit s: SparkSession): DataFrame = {
+    def tables(db: String, pattern: Option[String] = None)
+        (implicit s: SparkSession): DataFrame = {
       import s.implicits._
       val dir = Paths.get(root, db).toFile
       val names = Option(dir.listFiles()).getOrElse(Array())
-        .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet")).sorted
+        .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+        .filter(matches(pattern, _)).sorted
       val batched = names.toSeq.grouped(64).flatMap { batch =>
         batch
           .map { n =>
@@ -128,21 +150,23 @@ object td {
     * `create_engine` URL). Credentials/endpoint land on the engine handle
     * (apikey falls back to TD_API_KEY, endpoint to TD_API_SERVER — the
     * reference's env defaults) but trigger no REST hop here. */
-  def createEngine(url: String, root: String): TdEngine =
-    createEngineFromEnv(url, root, sys.env)
+  def createEngine(url: String, root: String,
+      header: Option[String] = None): TdEngine =
+    createEngineFromEnv(url, root, sys.env, header)
 
   private[graft] def createEngineFromEnv(url: String, root: String,
-      env: Map[String, String]): TdEngine = {
+      env: Map[String, String], header: Option[String] = None): TdEngine = {
     def envKey = env.get("TD_API_KEY").filter(_.trim.nonEmpty)
     def envServer = env.get("TD_API_SERVER").filter(_.trim.nonEmpty)
     url match {
       case LongUrl(e, key, endpoint, db) =>
         TdEngine(e, db, root,
           apiKey = Option(key).filter(_.nonEmpty).orElse(envKey),
-          endpoint = Some(endpoint))
+          endpoint = Some(endpoint), header = header)
       case _ => url.split(":", 2) match {
         case Array(e, db) if (e == "presto" || e == "hive") && db.nonEmpty =>
-          TdEngine(e, db, root, apiKey = envKey, endpoint = envServer)
+          TdEngine(e, db, root, apiKey = envKey, endpoint = envServer,
+            header = header)
         case _ => throw new IllegalArgumentException(
           "engine url must be presto:<db>, hive:<db> or " +
             s"td+presto://key@endpoint/<db>, got: $url")
@@ -169,15 +193,20 @@ object td {
   def readTdQuery(sql: String, engine: TdEngine, distributedJoin: Boolean = false,
       params: Map[String, Any] = Map.empty)
       (implicit s: SparkSession): DataFrame = {
-    s.sparkContext.setJobDescription(s"td:${engine.engineType}:${engine.database}")
+    s.sparkContext.setJobDescription(engine.headerTag)
     Td.register(s)
     graft.functions.Presto.register(s) // Presto-dialect names resolve verbatim
     registerTables(engine)
     val interpolated = graft.functions.Presto.rewrite(interpolate(sql, params))
+    // the reference prepends the header as a SQL comment so the submitted
+    // query text itself carries provenance; a leading comment parses fine
+    val tagged = engine.header.filter(_.nonEmpty)
+      .map(h => s"-- ${h.replace('\n', ' ')}\n$interpolated")
+      .getOrElse(interpolated)
     val df =
       if (distributedJoin)
-        s.sql(s"SELECT /*+ MERGE */ * FROM (${interpolated.stripSuffix(";")})")
-      else s.sql(interpolated)
+        s.sql(s"SELECT /*+ MERGE */ * FROM (${tagged.stripSuffix(";")})")
+      else s.sql(tagged)
     cacheJob(df)
     df
   }
@@ -317,7 +346,7 @@ object td {
     * The id is taken from THIS query's cache entry, not a racy re-read of
     * the shared counter. */
   def issueJob(sql: String, engine: TdEngine)(implicit s: SparkSession): Long = {
-    s.sparkContext.setJobDescription(s"td:${engine.engineType}:${engine.database}")
+    s.sparkContext.setJobDescription(engine.headerTag)
     Td.register(s)
     graft.functions.Presto.register(s) // Presto-dialect names resolve verbatim
     registerTables(engine)

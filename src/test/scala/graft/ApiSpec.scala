@@ -74,6 +74,38 @@ class ApiSpec extends AnyFunSuite {
       .apiKey.isEmpty)
   }
 
+  test("databases/tables accept the magics' optional filter pattern") {
+    val wh = Files.createTempDirectory("graft_whp").toString
+    val con = td.connect(wh)
+    val src = spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+    td.toTd(src, "marketing.region", con, IfExists.Replace, loadTime = Some(1L))
+    td.toTd(src, "marketing.users", con, IfExists.Replace, loadTime = Some(1L))
+    td.toTd(src, "sales.region", con, IfExists.Replace, loadTime = Some(1L))
+    // %td_databases mark → unanchored regex, re.search semantics
+    assert(con.databases(Some("mark")).collect().map(_.getString(0)).toSeq
+      == Seq("marketing"))
+    assert(con.databases().count() == 2)
+    // %td_tables reg → filters within the db
+    assert(con.tables("marketing", Some("^reg")).collect().map(_.getString(0)).toSeq
+      == Seq("region"))
+    assert(con.tables("marketing").count() == 2)
+  }
+
+  test("create_engine(header=) tags the job description and the query text") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata",
+      header = Some("nightly kpi rollup"))
+    assert(e.headerTag == "nightly kpi rollup")
+    // the comment-prefixed text must still parse and run
+    val df = td.readTdQuery("SELECT count(*) AS n FROM nation", e)
+    assert(df.head().getLong(0) == 25)
+    assert(spark.sparkContext.getLocalProperty("spark.job.description")
+      == "nightly kpi rollup")
+    // default: the td:<engine>:<db> tag
+    td.readTdQuery("SELECT 1 AS one", td.createEngine("presto:sf0.001", "/root/testdata"))
+    assert(spark.sparkContext.getLocalProperty("spark.job.description")
+      == "td:presto:sf0.001")
+  }
+
   test("toTd refuses bucket granularities coarser than the read-side slack") {
     val wh = Files.createTempDirectory("graft_wh3").toString
     val con = td.connect(wh)
