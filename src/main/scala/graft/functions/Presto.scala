@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, First, HyperLogLogPlusPlus}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Presto/Trino-dialect function aliases for `readTdQuery` passthrough.
@@ -32,6 +32,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Names that already resolve identically in Spark need no alias and get
   * none: cardinality, element_at, regexp_like, split_part, approx_percentile,
   * array_join, sequence, slice, map_keys/map_values, json_array_length.
+  *
+  * Two aliases REPLACE Spark builtins whose Presto reading differs —
+  * `split` (literal delimiter, not regex) and `regexp_extract` (default
+  * group 0, not 1); both are the classic silent-migration hazards, both
+  * preserve every internal SQL use in this repo (audited: delimiters are
+  * `' '`/`''`, groups always explicit), and both keep the native
+  * codegen'd expression underneath.
   */
 object Presto {
 
@@ -421,6 +428,235 @@ object Presto {
             })), LongType))
         }))
       case _ => throw new IllegalArgumentException("histogram(x)")
+    }
+
+    // ---- round-13 widening: ISO-8601 time, week-year, literal split,
+    // Presto regexp_extract default, math/string/array tier ------------
+    // Every entry is still a parse-time expansion into native Catalyst
+    // nodes (codegen'd, pushdown-transparent) — the same contract as the
+    // tiers above. Two entries REPLACE Spark builtins whose Presto
+    // semantics differ (`split`, `regexp_extract`); the divergences and
+    // why the replacement is safe for this session are documented inline.
+
+    def lam2(n1: String, n2: String)(
+        body: (Expression, Expression) => Expression): LambdaFunction = {
+      val v1 = UnresolvedNamedLambdaVariable(Seq(n1))
+      val v2 = UnresolvedNamedLambdaVariable(Seq(n2))
+      LambdaFunction(body(v1, v2), Seq(v1, v2))
+    }
+    def str(s0: String): Expression =
+      Literal(UTF8String.fromString(s0), StringType)
+
+    // to_iso8601 — DATE renders 'yyyy-MM-dd', TIMESTAMP
+    // 'yyyy-MM-ddTHH:mm:ss.SSS': one name, format chosen by ARGUMENT
+    // type, which a parse-time builder cannot see — deferred to the
+    // ToIso8601 RuntimeReplaceable (same device as TdTimeRange).
+    // from_iso8601_* are plain casts: Spark's string→timestamp/date cast
+    // accepts ISO-8601 text including zone offsets.
+    fn("to_iso8601") { case Seq(x) => graft.expressions.ToIso8601(x)
+      case _ => throw new IllegalArgumentException("to_iso8601(date|timestamp)") }
+    fn("from_iso8601_timestamp") { case Seq(s0) => Cast(s0, TimestampType)
+      case _ => throw new IllegalArgumentException("from_iso8601_timestamp(string)") }
+    fn("from_iso8601_date") { case Seq(s0) => Cast(s0, DateType)
+      case _ => throw new IllegalArgumentException("from_iso8601_date(string)") }
+
+    // year_of_week / yow — ISO week-numbering year (the year week()
+    // belongs to; differs from year() near Jan 1). Native YearOfWeek.
+    for (name <- Seq("year_of_week", "yow")) fn(name) {
+      case Seq(d) => YearOfWeek(Cast(d, DateType))
+      case _ => throw new IllegalArgumentException(s"$name(date)")
+    }
+
+    // current_timezone() — the session zone, resolved when the query is
+    // planned (the builder runs at resolution, so a SET timezone takes
+    // effect on the next query, matching Presto's session property).
+    fn("current_timezone") {
+      case Seq() => str(spark.sessionState.conf.sessionLocalTimeZone)
+      case _ => throw new IllegalArgumentException("current_timezone()")
+    }
+
+    // split(string, delimiter[, limit]) — Presto's delimiter is a LITERAL,
+    // Spark's builtin a REGEX: split('a.b.c', '.') must give 3 parts, not
+    // 4 empties. The literal is regex-quoted at parse time so the
+    // expansion is still the codegen'd StringSplit; limit semantics
+    // (last element keeps the rest) already agree. REPLACES the builtin
+    // for SQL text in this session: every internal SQL split in this repo
+    // uses ' ' or '' (audited — regex-equivalent to the literal reading),
+    // and a non-literal delimiter is rejected at parse rather than
+    // silently re-interpreted as a regex.
+    // (the EMPTY delimiter passes through verbatim: quoting it to \Q\E
+    // would skip StringSplit's special empty-pattern path and grow a
+    // trailing "" that the native path — and this repo's per-char
+    // fingerprints — do not produce)
+    def splitDelim(d: Expression): Expression = {
+      val lit = litStr(d, "split delimiter")
+      str(if (lit.isEmpty) lit else java.util.regex.Pattern.quote(lit))
+    }
+    fn("split") {
+      case Seq(s0, d) => StringSplit(s0, splitDelim(d), Literal(-1))
+      case Seq(s0, d, lim) => StringSplit(s0, splitDelim(d), lim)
+      case _ => throw new IllegalArgumentException(
+        "split(string, delimiter[, limit])")
+    }
+
+    // regexp_extract(s, pattern[, group]) — Presto's default group is 0
+    // (the WHOLE match); Spark's builtin defaults to 1 (a silent
+    // migration hazard). Arity dispatch: 2-arg gets Presto's 0, the
+    // explicit 3-arg form is identical in both dialects and passes
+    // through. Internal SQL always spells the group (audited).
+    fn("regexp_extract") {
+      case Seq(s0, p) => RegExpExtract(s0, p, Literal(0))
+      case Seq(s0, p, g) => RegExpExtract(s0, p, g)
+      case _ => throw new IllegalArgumentException(
+        "regexp_extract(string, pattern[, group])")
+    }
+
+    // strrpos(string, substring) — LAST occurrence (1-based, 0 absent):
+    // locate the reversed needle in the reversed haystack and mirror the
+    // index back. Pure composition of native string expressions.
+    fn("strrpos") {
+      case Seq(s0, sub) =>
+        val revPos = StringLocate(Reverse(sub), Reverse(s0), Literal(1))
+        If(EqualTo(revPos, Literal(0)), Literal(0),
+          Subtract(Add(Subtract(Length(s0), revPos), Literal(2)), Length(sub)))
+      case _ => throw new IllegalArgumentException("strrpos(string, substring)")
+    }
+
+    // levenshtein_distance → native Levenshtein.
+    fn("levenshtein_distance") {
+      case Seq(a, b) => Levenshtein(a, b)
+      case _ => throw new IllegalArgumentException("levenshtein_distance(a, b)")
+    }
+
+    // hamming_distance(a, b) — per-position mismatch count:
+    // zip_with over the char arrays, aggregate-sum the 0/1 flags — all
+    // higher-order natives, stays in codegen. Presto ERRORS on unequal
+    // lengths; here zip_with's null padding lands in the mismatch branch
+    // so surplus chars count as differences (documented divergence —
+    // strict queries guard with length() equality).
+    fn("hamming_distance") {
+      case Seq(a, b) =>
+        new ArrayAggregate(
+          ZipWith(StringSplit(a, str(""), Literal(-1)),
+            StringSplit(b, str(""), Literal(-1)),
+            lam2("hd_x", "hd_y")((x, y) =>
+              If(EqualTo(x, y), Literal(0L), Literal(1L)))),
+          Literal(0L),
+          lam2("hd_acc", "hd_v")((acc, v) => Add(acc, v)))
+      case _ => throw new IllegalArgumentException("hamming_distance(a, b)")
+    }
+
+    // geometric_mean(x) → exp(avg(ln(x))) — ONE native aggregate; the
+    // exp rides the final projection, so partial aggregation and the
+    // two-phase hash-agg path apply unchanged at 100 TB.
+    fn("geometric_mean") {
+      case Seq(x) =>
+        Exp(Average(Log(Cast(x, DoubleType))).toAggregateExpression())
+      case _ => throw new IllegalArgumentException("geometric_mean(x)")
+    }
+
+    // zip(a, b) → array of row(field0, field1), null-padded to the
+    // longer side — ZipWith with a struct-building lambda, Presto's
+    // field names kept so downstream `.field0` access migrates verbatim.
+    fn("zip") {
+      case Seq(a, b) =>
+        ZipWith(a, b, lam2("zp_x", "zp_y")((x, y) =>
+          CreateNamedStruct(Seq(str("field0"), x, str("field1"), y))))
+      case _ => throw new IllegalArgumentException("zip(a, b) — 2-array form")
+    }
+
+    // ngrams(array, n) → all n-element windows; n ≥ cardinality yields
+    // the single whole-array gram (Presto's edge case). sequence +
+    // transform(slice) composition.
+    fn("ngrams") {
+      case Seq(arr, n) =>
+        val i = UnresolvedNamedLambdaVariable(Seq("ng_i"))
+        val windows = ArrayTransform(
+          new Sequence(Literal(1), Add(Subtract(Size(arr), n), Literal(1))),
+          LambdaFunction(Slice(arr, i, n), Seq(i)))
+        CaseWhen(Seq((LessThanOrEqual(Size(arr), n), CreateArray(Seq(arr)))),
+          windows)
+      case _ => throw new IllegalArgumentException("ngrams(array, n)")
+    }
+
+    // array_sum / array_average (Trino tier) — skip null elements like
+    // the SQL aggregates; empty/all-null input yields NULL. Elements are
+    // computed in DOUBLE (documented: Trino returns bigint for integral
+    // arrays; one numeric type keeps the expansion a two-node compose).
+    def nonNullDoubles(arr: Expression, tag: String): Expression = {
+      val x = UnresolvedNamedLambdaVariable(Seq(tag + "_x"))
+      val c = UnresolvedNamedLambdaVariable(Seq(tag + "_c"))
+      ArrayTransform(
+        ArrayFilter(arr, LambdaFunction(IsNotNull(x), Seq(x))),
+        LambdaFunction(Cast(c, DoubleType), Seq(c)))
+    }
+    def arraySumExpr(arr: Expression, tag: String): (Expression, Expression) = {
+      val nn = nonNullDoubles(arr, tag)
+      (nn, new ArrayAggregate(nn, Literal(0.0),
+        lam2(tag + "_acc", tag + "_v")((acc, v) => Add(acc, v))))
+    }
+    fn("array_sum") {
+      case Seq(arr) =>
+        val (nn, sum) = arraySumExpr(arr, "asum")
+        If(EqualTo(Size(nn), Literal(0)), Literal(null, DoubleType), sum)
+      case _ => throw new IllegalArgumentException("array_sum(array)")
+    }
+    fn("array_average") {
+      case Seq(arr) =>
+        val (nn, sum) = arraySumExpr(arr, "aavg")
+        If(EqualTo(Size(nn), Literal(0)), Literal(null, DoubleType),
+          Divide(sum, Cast(Size(nn), DoubleType)))
+      case _ => throw new IllegalArgumentException("array_average(array)")
+    }
+
+    // bitwise shifts / not — Spark spells these shiftleft /
+    // shiftrightunsigned (Presto's right shift is the LOGICAL zero-fill
+    // one) / ~.
+    fn("bitwise_left_shift") { case Seq(a, b) => ShiftLeft(a, b)
+      case _ => throw new IllegalArgumentException("bitwise_left_shift(x, n)") }
+    fn("bitwise_right_shift") { case Seq(a, b) => ShiftRightUnsigned(a, b)
+      case _ => throw new IllegalArgumentException("bitwise_right_shift(x, n)") }
+    fn("bitwise_not") { case Seq(a) => BitwiseNot(a)
+      case _ => throw new IllegalArgumentException("bitwise_not(x)") }
+
+    // json_parse / json_format — this engine's JSON values ARE their
+    // text (GetJsonObject consumes strings), so both are the identity on
+    // the text; registered so round-trip query text resolves.
+    for (name <- Seq("json_parse", "json_format")) fn(name) {
+      case Seq(j) => j
+      case _ => throw new IllegalArgumentException(s"$name(json)")
+    }
+
+    // normalize(s[, form]) — Unicode normalization (NFC default), the
+    // canonicalization dedup pipelines hash after. A graft-native
+    // UnaryExpression WITH doGenCode (one static Normalizer call inside
+    // the codegen span); the form keyword must be a literal, like Presto.
+    fn("normalize") {
+      case Seq(s0) =>
+        graft.expressions.UnicodeNormalize(s0, java.text.Normalizer.Form.NFC)
+      case Seq(s0, f) =>
+        graft.expressions.UnicodeNormalize(s0,
+          graft.expressions.UnicodeNormalize.form(litStr(f, "normalize form")))
+      case _ => throw new IllegalArgumentException("normalize(string[, form])")
+    }
+
+    // try(x) → NULL on runtime error — the native TryEval node Spark's
+    // try_* family builds on, exactly Presto's contract.
+    fn("try") { case Seq(e) => TryEval(e)
+      case _ => throw new IllegalArgumentException("try(expr)") }
+
+    // format(fmt, args...) → printf (both are java.util.Formatter).
+    fn("format") {
+      case args if args.length >= 2 => FormatString(args: _*)
+      case _ => throw new IllegalArgumentException("format(fmt, args...)")
+    }
+
+    // random() / random(n) — uniform [0,1) / integer [0,n).
+    fn("random") {
+      case Seq() => new Rand()
+      case Seq(n) =>
+        Cast(Floor(Multiply(new Rand(), Cast(n, DoubleType))), LongType)
+      case _ => throw new IllegalArgumentException("random([n])")
     }
   }
 }

@@ -27,6 +27,15 @@ import graft.Tables._
   * Scale shape: k6 is one shuffle (the groupBy); k7 is map-only projection
   * — every alias expands to a codegen'd native expression, so the dialect
   * layer adds ZERO plan cost over hand-written Spark names.
+  *
+  * Round-13 widening (k10/k11): the ISO-8601 time tier (to_iso8601's
+  * type-dispatching render via the ToIso8601 RuntimeReplaceable,
+  * from_iso8601_* parses, year_of_week) and the string/array/math tier
+  * (LITERAL-semantics split — the '.' regex hazard —, Presto group-0
+  * regexp_extract, strrpos, hamming/levenshtein, ngrams/zip,
+  * array_sum/array_average, logical bit shifts, try(), format(),
+  * geometric_mean). Both map-only except k11's one scalar-subquery
+  * aggregate.
   */
 object Round9 {
 
@@ -769,6 +778,107 @@ object Round9 {
                strftime(to_timestamp(1700000000), '%Y/%m/%d %H:%M') AS rt_fmt,
                lower(to_hex(event_id)) AS id_hex,
                CAST(event_id & 255 AS BIGINT) AS id_low_byte
-        FROM events WHERE event_id < 200 ORDER BY event_id"""))
+        FROM events WHERE event_id < 200 ORDER BY event_id""")),
+
+    // k10 — round-13 widening, time tier: to_iso8601 (type-dispatching
+    // DATE vs TIMESTAMP render via the ToIso8601 RuntimeReplaceable),
+    // from_iso8601_timestamp/date round trips, ISO week-numbering year
+    // (year_of_week + its yow alias), current_timezone. Map-only
+    // projection — every alias expands to codegen'd natives.
+    Q("k10_presto_dialect_time",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("k10_orders")
+        graft.functions.Presto.sql(s, """
+          SELECT o_orderkey,
+                 to_iso8601(CAST(o_orderdate AS DATE)) AS d_iso,
+                 to_iso8601(o_orderdate) AS ts_iso,
+                 to_iso8601(from_iso8601_timestamp(to_iso8601(o_orderdate))) AS rt_iso,
+                 from_iso8601_date(to_iso8601(CAST(o_orderdate AS DATE))) AS rt_date,
+                 CAST(to_unixtime(from_iso8601_timestamp(
+                        to_iso8601(o_orderdate))) AS BIGINT) AS rt_sec,
+                 CAST(year_of_week(o_orderdate) AS BIGINT) AS iso_year,
+                 CAST(yow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_year2,
+                 current_timezone() AS tz
+          FROM k10_orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') AS ts_iso,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g') AS rt_iso,
+               CAST(o_orderdate AS DATE) AS rt_date,
+               CAST(epoch(o_orderdate) AS BIGINT) AS rt_sec,
+               CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+               CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year2,
+               'UTC' AS tz
+        FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")),
+
+    // k11 — round-13 widening, string/array/math tier: literal split
+    // (the '.' regex hazard), Presto group-0 regexp_extract, strrpos,
+    // hamming/levenshtein distances, array_average/array_sum, ngrams,
+    // zip (Presto field0/field1 names), logical bit shifts, try()
+    // null-on-error, printf-style format, and geometric_mean as a
+    // scalar subquery (one native aggregate). Flattened to scalar
+    // columns per §8.4 (arrays re-joined to strings).
+    Q("k11_presto_dialect_strarr",
+      (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("k11_part")
+        graft.functions.Presto.sql(s, """
+          SELECT p_partkey,
+                 array_join(split(replace(p_name, ' ', '.'), '.'), '|') AS words,
+                 regexp_extract(p_name, '[a-z]+') AS first_word,
+                 CAST(strrpos(p_name, 'e') AS BIGINT) AS last_e,
+                 CAST(hamming_distance(lpad(p_brand, 9, '#'),
+                                       lpad(p_type, 9, '_')) AS BIGINT) AS ham,
+                 CAST(levenshtein_distance(p_brand, p_type) AS BIGINT) AS lev,
+                 round(array_average(transform(split(p_name, ' '),
+                                               w -> length(w))), 6) AS avg_wlen,
+                 CAST(array_sum(transform(split(p_name, ' '),
+                                          w -> length(w))) AS BIGINT) AS sum_wlen,
+                 array_join(transform(ngrams(split(concat(p_name, ' ', p_brand), ' '), 2),
+                                      g -> array_join(g, '_')), ',') AS grams,
+                 array_join(transform(zip(split(p_name, ' '), split(p_brand, '#')),
+                                      r -> concat(coalesce(r.field0, '-'), '~',
+                                                  coalesce(r.field1, '-'))), ',') AS zipped,
+                 CAST(bitwise_left_shift(p_size, 2) AS BIGINT) AS shl,
+                 CAST(bitwise_right_shift(CAST(p_size AS BIGINT) * 16, 3) AS BIGINT) AS shr,
+                 CAST(bitwise_not(p_size) AS BIGINT) AS bnot,
+                 round(try(p_size / (p_partkey % 3)), 6) AS try_div,
+                 normalize(concat(substr(p_name, 1, 1), 'é')) AS nfc,
+                 format('%s|%04d', p_type, p_partkey % 97) AS tag,
+                 (SELECT round(geometric_mean(p_retailprice), 4)
+                  FROM k11_part) AS gm_price
+          FROM k11_part ORDER BY p_partkey""")
+      },
+      Some("""SELECT p_partkey,
+               array_to_string(string_split(replace(p_name, ' ', '.'), '.'), '|') AS words,
+               regexp_extract(p_name, '[a-z]+') AS first_word,
+               CAST(CASE WHEN instr(reverse(p_name), 'e') = 0 THEN 0
+                    ELSE length(p_name) - instr(reverse(p_name), 'e') + 1
+                    END AS BIGINT) AS last_e,
+               CAST(hamming(lpad(p_brand, 9, '#'), lpad(p_type, 9, '_')) AS BIGINT) AS ham,
+               CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+               round(list_avg(list_transform(string_split(p_name, ' '),
+                                             w -> length(w))), 6) AS avg_wlen,
+               CAST(list_sum(list_transform(string_split(p_name, ' '),
+                                            w -> length(w))) AS BIGINT) AS sum_wlen,
+               array_to_string(list_transform(
+                 generate_series(1, len(string_split(p_name || ' ' || p_brand, ' ')) - 1),
+                 i -> array_to_string(list_slice(
+                        string_split(p_name || ' ' || p_brand, ' '), i, i + 1), '_')),
+                 ',') AS grams,
+               array_to_string(list_transform(
+                 generate_series(1, greatest(len(string_split(p_name, ' ')),
+                                             len(string_split(p_brand, '#')))),
+                 i -> coalesce(string_split(p_name, ' ')[i], '-') || '~'
+                      || coalesce(string_split(p_brand, '#')[i], '-')),
+                 ',') AS zipped,
+               CAST(p_size << 2 AS BIGINT) AS shl,
+               CAST((CAST(p_size AS BIGINT) * 16) >> 3 AS BIGINT) AS shr,
+               CAST(~p_size AS BIGINT) AS bnot,
+               round(p_size / nullif(p_partkey % 3, 0), 6) AS try_div,
+               nfc_normalize(substr(p_name, 1, 1) || 'é') AS nfc,
+               printf('%s|%04d', p_type, CAST(p_partkey % 97 AS INTEGER)) AS tag,
+               (SELECT round(exp(avg(ln(p_retailprice))), 4) FROM part) AS gm_price
+        FROM part ORDER BY p_partkey"""))
   )
 }

@@ -171,4 +171,181 @@ class PrestoSpec extends AnyFunSuite {
         GROUP BY g""").collect().head.getSeq[org.apache.spark.sql.Row](1)
     assert(kv.map(e => (e.getString(0), e.getInt(1))) == Seq("x" -> 1, "y" -> 2))
   }
+
+  // ---- round-13 widening ---------------------------------------------
+
+  test("to_iso8601 dispatches on DATE vs TIMESTAMP; from_iso8601_* parse back") {
+    val r = one("""SELECT to_iso8601(DATE '2024-02-29') AS d,
+        to_iso8601(TIMESTAMP '2024-02-29 12:34:56.789') AS ts,
+        to_iso8601(from_iso8601_timestamp('2024-02-29T12:34:56.789')) AS rt,
+        from_iso8601_date('2024-02-29') AS pd""")
+    assert(r.getString(0) == "2024-02-29")
+    assert(r.getString(1) == "2024-02-29T12:34:56.789")
+    assert(r.getString(2) == "2024-02-29T12:34:56.789")
+    assert(r.getDate(3).toString == "2024-02-29")
+  }
+
+  test("year_of_week is the ISO week-numbering year (differs near Jan 1)") {
+    val r = one("""SELECT year_of_week(DATE '2021-01-01') AS a,
+        yow(DATE '2021-01-04') AS b, year_of_week(DATE '2024-12-30') AS c""")
+    // 2021-01-01 is ISO week 53 of 2020; 2024-12-30 is week 1 of 2025
+    assert(r.getInt(0) == 2020 && r.getInt(1) == 2021 && r.getInt(2) == 2025)
+  }
+
+  test("split is literal (Presto), not regex — the '.' migration hazard") {
+    val r = one("""SELECT split('a.b.c', '.') AS dot,
+        split('a,b,', ',') AS trail,
+        split('a,b,c', ',', 2) AS lim,
+        split('abc', '') AS chars""")
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    // Presto keeps the trailing empty string
+    assert(r.getSeq[String](1) == Seq("a", "b", ""))
+    // limit: last element keeps the rest
+    assert(r.getSeq[String](2) == Seq("a", "b,c"))
+    // empty delimiter ≡ per-char split (Pattern.quote('') is the empty literal)
+    assert(r.getSeq[String](3) == Seq("a", "b", "c"))
+    // non-literal delimiter is rejected at parse, not re-read as a regex
+    intercept[Exception] {
+      Presto.sql(spark, "SELECT split('a.b', substr('.x', 1, 1))").collect()
+    }
+  }
+
+  test("regexp_extract defaults to group 0 (Presto), 3-arg passes through") {
+    val r = one("""SELECT regexp_extract('ver 12.3', '[0-9]+\\.[0-9]+') AS whole,
+        regexp_extract('ver 12.3', '([0-9]+)\\.([0-9]+)', 2) AS minor""")
+    assert(r.getString(0) == "12.3" && r.getString(1) == "3")
+  }
+
+  test("strrpos finds the LAST occurrence, 1-based, 0 when absent") {
+    val r = one("""SELECT strrpos('abcabc', 'bc') AS a,
+        strrpos('abcabc', 'z') AS b, strrpos('aaa', 'a') AS c,
+        strrpos('abc', 'abc') AS d""")
+    assert(r.getInt(0) == 5 && r.getInt(1) == 0 && r.getInt(2) == 3
+      && r.getInt(3) == 1)
+  }
+
+  test("hamming/levenshtein distances") {
+    val r = one("""SELECT hamming_distance('cat', 'car') AS h1,
+        hamming_distance('abc', 'abc') AS h0,
+        hamming_distance('ab', 'abxy') AS hpad,
+        levenshtein_distance('kitten', 'sitting') AS lev""")
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
+    // documented divergence: surplus chars count as mismatches
+    assert(r.getLong(2) == 2L)
+    assert(r.getInt(3) == 3)
+  }
+
+  test("geometric_mean is exp(avg(ln)) as one aggregate") {
+    val r = one(
+      "SELECT geometric_mean(x) AS g FROM VALUES (2.0), (8.0) AS t(x)")
+    assert(math.abs(r.getDouble(0) - 4.0) < 1e-12)
+  }
+
+  test("zip pads to the longer side with Presto's field names") {
+    val r = one("SELECT zip(array(1, 2), array('a')) AS z")
+    val z = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(z.length == 2)
+    assert(z(0).getInt(0) == 1 && z(0).getString(1) == "a")
+    assert(z(1).getInt(0) == 2 && z(1).isNullAt(1))
+    val named = Presto.sql(spark,
+      "SELECT z.field0, z.field1 FROM (SELECT explode(zip(array(7), array('q'))) AS z)")
+      .collect().head
+    assert(named.getInt(0) == 7 && named.getString(1) == "q")
+  }
+
+  test("ngrams windows; n >= cardinality yields the whole-array gram") {
+    val r = one("""SELECT ngrams(array(1, 2, 3), 2) AS g2,
+        ngrams(array(1, 2), 5) AS gbig""")
+    assert(r.getSeq[Seq[Int]](0) == Seq(Seq(1, 2), Seq(2, 3)))
+    assert(r.getSeq[Seq[Int]](1) == Seq(Seq(1, 2)))
+  }
+
+  test("array_sum/array_average skip nulls; empty yields NULL") {
+    val r = one("""SELECT array_sum(array(1.0, NULL, 2.5)) AS s,
+        array_average(array(2, NULL, 4)) AS a,
+        array_sum(array(CAST(NULL AS DOUBLE))) AS en""")
+    assert(r.getDouble(0) == 3.5 && r.getDouble(1) == 3.0 && r.isNullAt(2))
+  }
+
+  test("bitwise shifts are logical; not is ~") {
+    val r = one("""SELECT bitwise_left_shift(3, 2) AS l,
+        bitwise_right_shift(CAST(-8 AS BIGINT), 1) AS rl,
+        bitwise_not(0) AS n""")
+    assert(r.getInt(0) == 12)
+    assert(r.getLong(1) == (-8L >>> 1))
+    assert(r.getInt(2) == -1)
+  }
+
+  test("json_parse/json_format are the identity on JSON text; try nulls errors") {
+    val r = one("""SELECT json_format(json_parse('{"k": 1}')) AS j,
+        json_extract_scalar(json_parse('{"k": 42}'), '$.k') AS k,
+        try(1 / 0) AS t, try(CAST('x' AS INT)) AS tc""")
+    assert(r.getString(0) == """{"k": 1}""" && r.getString(1) == "42")
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("normalize composes/decomposes Unicode; codegen'd, form is plan-time") {
+    // input: 'e' + combining acute (decomposed, 2 code points)
+    val r = one("SELECT normalize('é') AS nfc, " +
+      "normalize('é', 'NFD') AS nfd, " +
+      "normalize('ﬁre', 'NFKC') AS nfkc, " +
+      "length(normalize('é')) AS nfc_len")
+    assert(r.getString(0) == "é")       // composed é, 1 code point
+    assert(r.getString(1) == "é")      // decomposed back out
+    assert(r.getString(2) == "fire")          // ﬁ ligature → fi
+    assert(r.getInt(3) == 1)
+    // a non-literal form is rejected at plan time (Presto contract)
+    intercept[Exception] {
+      Presto.sql(spark, "SELECT normalize('x', substr('NFC1', 1, 3))").collect()
+    }
+  }
+
+  test("dialect aliases add ZERO plan cost — same optimized plan as native spellings") {
+    spark.read.parquet(TestSpark.sfRoot + "/sf0.001/part.parquet")
+      .createOrReplaceTempView("pd_part")
+    spark.read.parquet(TestSpark.sfRoot + "/sf0.001/orders.parquet")
+      .createOrReplaceTempView("pd_orders")
+    // Each pair: the Presto spelling vs the hand-written Spark-native one.
+    // sameResult over the optimized plans IS the "zero plan cost" claim —
+    // the alias layer leaves nothing behind that the native form wouldn't.
+    val pairs = Seq(
+      ("SELECT strpos(p_name, 'e') AS x FROM pd_part",
+        "SELECT locate('e', p_name) AS x FROM pd_part"),
+      ("SELECT geometric_mean(p_retailprice) AS x FROM pd_part",
+        "SELECT exp(avg(ln(cast(p_retailprice AS DOUBLE)))) AS x FROM pd_part"),
+      ("SELECT levenshtein_distance(p_name, p_brand) AS x FROM pd_part",
+        "SELECT levenshtein(p_name, p_brand) AS x FROM pd_part"),
+      ("SELECT bitwise_left_shift(p_size, 2) AS x FROM pd_part",
+        "SELECT shiftleft(p_size, 2) AS x FROM pd_part"),
+      ("SELECT year_of_week(o_orderdate) AS x FROM pd_orders",
+        "SELECT extract(YEAROFWEEK FROM CAST(o_orderdate AS DATE)) AS x FROM pd_orders"),
+      ("SELECT to_iso8601(o_orderdate) AS x FROM pd_orders",
+        "SELECT date_format(CAST(o_orderdate AS TIMESTAMP), " +
+          "\"yyyy-MM-dd'T'HH:mm:ss.SSS\") AS x FROM pd_orders"))
+    for ((presto, native) <- pairs) {
+      val p = Presto.sql(spark, presto).queryExecution.optimizedPlan
+      val n = spark.sql(native).queryExecution.optimizedPlan
+      assert(p.sameResult(n), s"plans differ:\n$presto\n$p\nvs\n$native\n$n")
+    }
+    // ... and the composed k11-style projection stays UDF-free inside one
+    // whole-stage-codegen span.
+    val df = Presto.sql(spark, """SELECT
+        array_join(split(replace(p_name, ' ', '.'), '.'), '|') AS words,
+        hamming_distance(lpad(p_brand, 9, '#'), lpad(p_type, 9, '_')) AS ham,
+        regexp_extract(p_name, '[a-z]+') AS w0
+      FROM pd_part""")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
+  test("format is printf; current_timezone reads the session zone; random bounds") {
+    val r = one("""SELECT format('%s-%03d', 'id', 7) AS f,
+        current_timezone() AS tz, random() AS r1, random(10) AS rn""")
+    assert(r.getString(0) == "id-007")
+    assert(r.getString(1) == "UTC")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+    assert(r.getLong(3) >= 0L && r.getLong(3) < 10L)
+  }
 }
