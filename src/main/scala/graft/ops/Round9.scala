@@ -396,6 +396,49 @@ object Round9 {
           ROUND(sqrt(CAST(width * width + height * height AS DOUBLE)), 6) AS diag
         FROM dec ORDER BY doc_id""")),
 
+    // m7 (r13) — binary INGEST through Spark's binaryFile source: the
+    // step every multimodal pipeline starts with (a directory of media
+    // files → (path, length, content) rows) that the m-keys' synthesized
+    // payload columns stand downstream of. The fixture files are the m1
+    // payloads materialized to disk driver-side (BOUNDED: 64 rows —
+    // Spark has no binary-file writer; the unit under test is the
+    // READER). Integrity is oracle-checked against the hex-space payload
+    // reconstruction: byte length plus head/tail hex windows, doc
+    // identity recovered from the file path. At scale this source
+    // partitions by file and never shuffles — content bytes stay in the
+    // scan.
+    Q("m7_binary_ingest",
+      (s, d) => {
+        val out = graft.ops.Scratch.dir("m7")
+        val rows = imagePayloads(s, d).where(col("doc_id") < 64)
+          .select(col("doc_id"), col("payload")).collect()
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%05d.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+        s.read.format("binaryFile").load(out)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+              .cast("long").as("doc_id"),
+            col("length"),
+            upper(hex(expr("substring(content, 1, 16)"))).as("head_hex"),
+            upper(hex(expr("substring(content, length(content) - 7, 8)")))
+              .as("tail_hex"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 24 + length(text)
+               ELSE 11 + length(text) END AS BIGINT) AS length,
+          CASE WHEN doc_id % 2 = 0 THEN '89504E470D0A1A0A0000000D49484452'
+               ELSE upper('FFD8FFC0001108'
+                 || lpad(hex(16 + (doc_id * 7) % 2048), 4, '0')
+                 || lpad(hex(16 + doc_id % 2048), 4, '0')
+                 || hex(substr(text, 1, 5))) END AS head_hex,
+          upper(hex(substr(text, length(text) - 7, 8))) AS tail_hex
+        FROM documents WHERE doc_id < 64 ORDER BY doc_id"""),
+    ),
+
     // m6 — the AUDIO leg of the byte-decode story (m2b/m4b are images):
     // a spec-layout RIFF/WAVE container (fmt chunk: PCM tag, channels,
     // sample rate, byte rate, block align, bits/sample; data chunk sized

@@ -156,5 +156,46 @@ object Scans {
           .write.mode("overwrite").orc(out)
         s.read.orc(out).orderBy("p_partkey")
       },
-      Some("SELECT p_partkey, p_name, p_size FROM part ORDER BY p_partkey")))
+      Some("SELECT p_partkey, p_name, p_size FROM part ORDER BY p_partkey")),
+
+    // Avro round trip (r13) — the row-oriented interchange format TD's
+    // bulk-import path speaks (reference ingest accepts msgpack/JSON; Avro
+    // is the Spark-native row-container analog). Built into spark-sql 4.x
+    // — no external connector. Schema pinned on read like a11/a12: at
+    // 100 TB, container-embedded schemas make inference cheap, but
+    // pinning keeps the read path plan-stable across writer versions.
+    Q("a27_source_avro",
+      (s, d) => {
+        val out = sinkDir("a27")
+        // this distribution ships AvroFileFormat inside spark-sql but
+        // without its DataSourceRegister services entry, so the short
+        // name "avro" does not resolve — the class name does
+        val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+        t(s, d, "region").select("r_regionkey", "r_name")
+          .write.mode("overwrite").format(avro).save(out)
+        s.read.format(avro).load(out).orderBy("r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // (to_avro/from_avro SERDE — the Kafka wire shape — is deliberately
+    // absent: this distribution ships only the Avro FILE format inside
+    // spark-sql; the serde Catalyst expressions AvroDataToCatalyst/
+    // CatalystDataToAvro live in the spark-avro connector jar, which is
+    // not on the classpath, and the sql-api stubs throw
+    // AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE. Verified 2026-08-14.)
+
+    // XML round trip (r13) — the document-feed format (Spark 4 ships the
+    // former spark-xml as a built-in source). rowTag pins the record
+    // element; schema pinned on read (XML inference is a full extra pass
+    // AND type-guessy — never at scale).
+    Q("a28_source_xml",
+      (s, d) => {
+        val out = sinkDir("a28")
+        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").option("rowTag", "nation").xml(out)
+        s.read.option("rowTag", "nation")
+          .schema("n_nationkey BIGINT, n_name STRING, n_regionkey INT")
+          .xml(out).orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")))
 }

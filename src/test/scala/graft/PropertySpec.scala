@@ -437,4 +437,60 @@ class PropertySpec extends AnyFunSuite {
       assert(got == ref, s"round $round packing mismatch")
     }
   }
+
+  test("r13 dialect shims agree with JVM references on random strings") {
+    val s = spark
+    graft.functions.Presto.register(s)
+    import s.implicits._
+    // fixed 12-char strings over a small alphabet incl. the regex
+    // metachars '.' and '|' — the hazard class split/regexp must handle
+    val strGen = Gen.listOfN(12,
+      Gen.oneOf('a', 'b', 'c', 'd', 'e', '.', '|', ' ')).map(_.mkString)
+    val cases = samples(Gen.zip(strGen, strGen), 60)
+    val rows = cases.toDF("a", "b").selectExpr("a", "b",
+        "strrpos(a, substr(b, 1, 2)) AS rp",
+        "hamming_distance(a, b) AS hd",
+        "split(a, '.') AS sp",
+        "regexp_extract(a, '[a-e]+') AS re0",
+        "transform(ngrams(split(a, ''), 3), g -> array_join(g, '')) AS g3",
+        "round(array_average(transform(split(a, ''), c -> ascii(c))), 6) AS avg_cp")
+      .collect()
+    rows.foreach { r =>
+      val a = r.getString(0); val b = r.getString(1)
+      val sub = b.take(2)
+      assert(r.getInt(2) == a.lastIndexOf(sub) + 1,
+        s"strrpos('$a','$sub')") // lastIndexOf is -1-based-absent ⇒ +1 = 0
+      assert(r.getLong(3) == a.zip(b).count { case (x, y) => x != y },
+        s"hamming('$a','$b')")
+      assert(r.getSeq[String](4) ==
+        a.split(java.util.regex.Pattern.quote("."), -1).toSeq,
+        s"split('$a','.')")
+      assert(r.getString(5) == "[a-e]+".r.findFirstIn(a).getOrElse(""),
+        s"regexp_extract('$a')")
+      assert(r.getSeq[String](6) == a.sliding(3).toSeq, s"ngrams('$a',3)")
+      val ref = a.map(_.toInt.toDouble).sum / a.length
+      assert(math.abs(r.getDouble(7) - (math.rint(ref * 1e6) / 1e6)) < 1e-9,
+        s"array_average('$a')")
+    }
+  }
+
+  test("normalize matches java.text.Normalizer on mixed composed/decomposed text") {
+    val s = spark
+    graft.functions.Presto.register(s)
+    import s.implicits._
+    // alphabet mixes plain ASCII, a precomposed é, and the decomposed
+    // pair (e + U+0301) so random strings hit real (de)composition work
+    val strGen = Gen.listOfN(8,
+      Gen.oneOf("a", "e", "é", "é", "f", "ﬁ")).map(_.mkString)
+    val cases = samples(strGen, 50)
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = cases.toDF("t")
+        .selectExpr("t", s"normalize(t, '$form') AS n").collect()
+      got.foreach { r =>
+        val expected = java.text.Normalizer.normalize(
+          r.getString(0), java.text.Normalizer.Form.valueOf(form))
+        assert(r.getString(1) == expected, s"normalize($form) on ${r.getString(0)}")
+      }
+    }
+  }
 }
