@@ -16,6 +16,9 @@ import graft.expressions.{CosineSimilarity, TdTimeRange}
   *   - `cosine_similarity(a, b)` — native codegen'd float-vector cosine
   *     (see expressions/CosineSimilarity.scala)
   *   - `char_ngrams(text, n)` — custom Generator UDTF (LATERAL VIEW)
+  *   - the whole Presto dialect (functions/Presto.scala, ~50 names:
+  *     approx_distinct … normalize) — TD's query language resolves
+  *     verbatim in any session built with the extension
   *   - the as-of join's planner strategy + `PruneAsOfJoin` optimizer rule,
   *     so `AsOf.join` plans work in any session built with the extension
   *     (AsOf.join also self-registers via `experimental` for ad-hoc use)
@@ -35,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[graft.expressions.CharNGrams].getName, "char_ngrams"),
       (exprs: Seq[Expression]) => graft.expressions.CharNGrams(exprs.head, exprs(1))))
+    // the whole Presto dialect (functions/Presto.scala): same session-free
+    // builders readTdQuery registers at runtime, here shipped at session
+    // build — a cluster sets spark.sql.extensions and every session
+    // resolves TD's Presto SQL verbatim with zero per-session code
+    graft.functions.Presto.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Presto", name),
+        builder))
+    }
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoin)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
@@ -49,5 +62,6 @@ object GraftExtensions {
     expressions.CosineSimilarity.register(spark)
     expressions.CharNGrams.register(spark)
     functions.HeavyHitters.register(spark)
+    functions.Presto.register(spark)
   }
 }

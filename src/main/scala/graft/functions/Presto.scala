@@ -115,10 +115,19 @@ object Presto {
     spark.sql(rewrite(text))
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** The whole dialect as session-free (name → parse-time builder)
+    * pairs: ONE definition serves both registration routes — runtime
+    * `createOrReplaceTempFunction` (`register` below, what readTdQuery
+    * uses on an existing session) and build-time
+    * `SparkSessionExtensions.injectFunction` (GraftExtensions), the
+    * Spark-first way to ship the dialect cluster-wide via
+    * `spark.sql.extensions` with no per-session code. Builders run at
+    * resolution time inside an active session, so per-session state is
+    * read through SQLConf.get, never a captured SparkSession. */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val acc = Seq.newBuilder[(String, Seq[Expression] => Expression)]
     def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      acc += name -> builder
 
     // approx_distinct(x[, max_standard_error]) — HLL++, the TD signature
     // aggregate. Presto's e defaults 0.023; map e → relativeSD directly
@@ -469,9 +478,12 @@ object Presto {
 
     // current_timezone() — the session zone, resolved when the query is
     // planned (the builder runs at resolution, so a SET timezone takes
-    // effect on the next query, matching Presto's session property).
+    // effect on the next query, matching Presto's session property;
+    // SQLConf.get reads the ACTIVE session's conf — builders hold no
+    // session reference).
     fn("current_timezone") {
-      case Seq() => str(spark.sessionState.conf.sessionLocalTimeZone)
+      case Seq() =>
+        str(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
       case _ => throw new IllegalArgumentException("current_timezone()")
     }
 
@@ -657,6 +669,16 @@ object Presto {
       case Seq(n) =>
         Cast(Floor(Multiply(new Rand(), Cast(n, DoubleType))), LongType)
       case _ => throw new IllegalArgumentException("random([n])")
+    }
+
+    acc.result()
+  }
+
+  /** Register the dialect on an existing session (readTdQuery's route). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }
 }

@@ -32,6 +32,21 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0) == 1.0)
   }
 
+  test("registerAll/inject carry the whole Presto dialect") {
+    // the builder list is what injectFunction ships at session build —
+    // wiring must accept every entry without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(graft.functions.Presto.builders.size >= 50)
+    // and registerAll exposes the dialect names to plain spark.sql
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql("""SELECT strpos('hello', 'll') AS p,
+        to_iso8601(DATE '2024-02-29') AS d,
+        normalize('ﬁre', 'NFKC') AS n""").head()
+    assert(r.getInt(0) == 3 && r.getString(1) == "2024-02-29"
+      && r.getString(2) == "fire")
+  }
+
   test("registerAll exposes char_ngrams and heavy_hitters to SQL") {
     GraftExtensions.registerAll(spark)
     val grams = spark.sql(
