@@ -11,8 +11,9 @@ import graft.expressions.{CosineSimilarity, TdTimeRange}
   * `GraftExtensions.registerAll(spark)` on an existing session.
   *
   * Registered surface:
-  *   - `td_time_range(ts, from, to)` — parse-time expansion into pushable
-  *     plain comparisons (see functions/Td.scala)
+  *   - the whole TD UDF tier (functions/Td.scala, 12 names: td_time_range
+  *     … td_url_decode) — parse-time expansions into pushable native
+  *     expressions
   *   - `cosine_similarity(a, b)` — native codegen'd float-vector cosine
   *     (see expressions/CosineSimilarity.scala)
   *   - `char_ngrams(text, n)` — custom Generator UDTF (LATERAL VIEW)
@@ -26,10 +27,17 @@ import graft.expressions.{CosineSimilarity, TdTimeRange}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("td_time_range"),
-      new ExpressionInfo(classOf[TdTimeRange].getName, "td_time_range"),
-      (exprs: Seq[Expression]) => TdTimeRange(exprs)))
+    // the whole TD UDF tier (functions/Td.scala builders: td_time_range,
+    // td_time_string, td_time_format, td_time_parse, td_time_add,
+    // td_date_trunc, td_scheduled_time, td_interval, td_first, td_last,
+    // td_md5, td_url_decode) — same session-free builders readTdQuery
+    // registers at runtime
+    graft.functions.Td.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[TdTimeRange].getName, name),
+        builder))
+    }
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

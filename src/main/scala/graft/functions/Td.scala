@@ -203,22 +203,60 @@ object Td {
       .drop("__prev", "__new")
   }
 
-  /** SQL registration: `td_time_range(ts, 'from', 'to'[, tz])` usable from
-    * `spark.sql`. Expands via [[graft.expressions.TdTimeRange]] — a
+  /** The SQL-callable TD UDF tier as session-free (name → parse-time
+    * builder) pairs — ONE definition serves both registration routes, the
+    * same device as [[Presto.builders]]: runtime
+    * `createOrReplaceTempFunction` (`register` below, what readTdQuery
+    * uses) and build-time `SparkSessionExtensions.injectFunction`
+    * (GraftExtensions), so a cluster that sets `spark.sql.extensions`
+    * resolves TD's query text verbatim in every session.
+    *
+    * Coverage is the TD UDF set a migrating user's query TEXT actually
+    * contains (public TD UDF docs; the reference submits that text
+    * untouched — `pandas_td/td.py :: read_td_query`): the time family
+    * over TD's native epoch-seconds `time` column (td_time_range,
+    * td_time_string, td_time_format, td_time_parse, td_time_add,
+    * td_date_trunc, td_scheduled_time, td_interval), the argmin/argmax
+    * aggregates (td_first, td_last), and the scalar utilities (td_md5,
+    * td_url_decode). Every builder expands into native Catalyst nodes —
+    * codegen'd, pushdown-transparent, no opaque UDF anywhere.
+    *
+    * Session-zone independence: every zone-sensitive expansion carries its
+    * target zone EXPLICITLY on the TimeZoneAwareExpression (the pre-set
+    * `timeZoneId` survives ResolveTimeZone, which only fills empty ones),
+    * so results do not change under a non-UTC `spark.sql.session.timeZone`.
+    *
+    * `td_x_rank` is deliberately absent: its Hive semantics (stateful rank
+    * over CLUSTER BY order) have no sound parse-time expansion — the e7
+    * row_number-per-group idiom is the engine-native replacement
+    * (documented in README). */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "td_time_range" ->
+      ((exprs: Seq[Expression]) => graft.expressions.TdTimeRange(exprs)),
+    "td_time_string" -> ((exprs: Seq[Expression]) => tdTimeStringBuilder(exprs)),
+    "td_time_format" -> ((exprs: Seq[Expression]) => tdTimeFormatBuilder(exprs)),
+    "td_time_parse" -> ((exprs: Seq[Expression]) => tdTimeParseBuilder(exprs)),
+    "td_time_add" -> ((exprs: Seq[Expression]) => tdTimeAddBuilder(exprs)),
+    "td_date_trunc" -> ((exprs: Seq[Expression]) => tdDateTruncBuilder(exprs)),
+    "td_scheduled_time" ->
+      ((exprs: Seq[Expression]) => tdScheduledTimeBuilder(exprs)),
+    "td_interval" -> ((exprs: Seq[Expression]) => tdIntervalBuilder(exprs)),
+    "td_first" -> ((exprs: Seq[Expression]) => tdFirstLastBuilder(exprs, last = false)),
+    "td_last" -> ((exprs: Seq[Expression]) => tdFirstLastBuilder(exprs, last = true)),
+    "td_md5" -> ((exprs: Seq[Expression]) => tdMd5Builder(exprs)),
+    "td_url_decode" -> ((exprs: Seq[Expression]) => tdUrlDecodeBuilder(exprs)))
+
+  /** SQL registration of the whole tier on an existing session.
+    * `td_time_range` expands via [[graft.expressions.TdTimeRange]] — a
     * RuntimeReplaceable that dispatches on the resolved column type AFTER
     * analysis, so the comparison's left side stays the bare column
     * (epoch-long, TIMESTAMP or TIMESTAMP_NTZ alike) and pushes down to the
     * parquet scan; never a black-box UDF. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "td_time_range",
-      (exprs: Seq[Expression]) => graft.expressions.TdTimeRange(exprs),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "td_time_string",
-      (exprs: Seq[Expression]) => tdTimeStringBuilder(exprs),
-      "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 
   /** SQL builder for `td_time_string(time, 'fmt'[, 'tz'])`. The format
     * (and zone) select which expression tree to BUILD, so they must be
@@ -249,23 +287,260 @@ object Td {
       "w" -> "week", "d" -> "day", "h" -> "hour", "m" -> "minute",
       "s" -> "second")(unit)
     val timeSec = Cast(exprs.head, LongType)
-    val local = FromUTCTimestamp(SecondsToTimestamp(timeSec), Literal(tz))
-    val truncated = TruncTimestamp(Literal(truncUnit), local)
+    // zone handling is EXPLICIT on each TimeZoneAwareExpression (pre-set
+    // timeZoneId survives ResolveTimeZone, which only fills empty ones):
+    // truncation and rendering both happen in the TARGET zone whatever
+    // spark.sql.session.timeZone says — same contract as the Column API's
+    // convert_timezone/NTZ device, expressed instant-side.
+    val truncated =
+      TruncTimestamp(Literal(truncUnit), SecondsToTimestamp(timeSec), Some(tz))
     if (bang) {
       val pat = Map("y" -> "yyyy", "q" -> "yyyy-MM", "M" -> "yyyy-MM",
         "w" -> "yyyy-MM-dd", "d" -> "yyyy-MM-dd", "h" -> "yyyy-MM-dd HH",
         "m" -> "yyyy-MM-dd HH:mm", "s" -> "yyyy-MM-dd HH:mm:ss")(unit)
-      DateFormatClass(truncated, Literal(pat))
+      DateFormatClass(truncated, Literal(pat), Some(tz))
     } else {
+      // zone offset at THIS instant, derived arithmetically (shifted minus
+      // true epoch) — FromUTCTimestamp and the LTZ→long cast are both
+      // zone-free, so this term is session-independent as it stands
+      val local = FromUTCTimestamp(SecondsToTimestamp(timeSec), Literal(tz))
       val off = Subtract(Cast(local, LongType), timeSec)
       val absOff = If(LessThan(off, Literal(0L)), UnaryMinus(off), off)
       def pad2(e: Expression) =
         StringLPad(Cast(e, StringType), Literal(2), Literal("0"))
       Concat(Seq(
-        DateFormatClass(truncated, Literal("yyyy-MM-dd HH:mm:ss")),
+        DateFormatClass(truncated, Literal("yyyy-MM-dd HH:mm:ss"), Some(tz)),
         If(LessThan(off, Literal(0L)), Literal("-"), Literal("+")),
         pad2(IntegralDivide(absOff, Literal(3600L))),
         pad2(IntegralDivide(Remainder(absOff, Literal(3600L)), Literal(60L)))))
     }
+  }
+
+  // ---- SQL builders for the wider TD UDF tier (round 13) ---------------
+  // Shared contract: literal arguments (format / zone / duration specs) are
+  // part of the query TEXT in TD — a non-literal is a coding error and
+  // throws at parse time rather than silently changing semantics (the same
+  // strictness TdTimeRange applies to its tz argument).
+
+  private def litStrArg(name: String)(e: Expression, what: String): String =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"$name $what must be a string literal, got: ${e.sql}")
+    }
+
+  /** TD_TIME_FORMAT(time, 'fmt'[, 'tz']) — epoch seconds rendered in the
+    * given zone with a Java datetime pattern (TD's format dialect; public
+    * TD UDF docs). The zone rides EXPLICITLY on DateFormatClass, so output
+    * is independent of spark.sql.session.timeZone — and no instant
+    * shifting is needed at all. */
+  private def tdTimeFormatBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    require(exprs.length == 2 || exprs.length == 3,
+      "td_time_format(time, 'fmt'[, 'tz'])")
+    val lit = litStrArg("td_time_format") _
+    val fmt = lit(exprs(1), "format")
+    val tz = exprs.drop(2).headOption.map(lit(_, "timezone")).getOrElse("UTC")
+    DateFormatClass(SecondsToTimestamp(Cast(exprs.head, LongType)),
+      Literal(fmt), Some(tz))
+  }
+
+  /** TD_TIME_PARSE(s[, 'tz']) → epoch seconds LONG. The string parses as a
+    * zone-less wall clock (ISO date / `yyyy-MM-dd HH:mm:ss`, Spark's
+    * string→TIMESTAMP_NTZ cast), then the wall clock is interpreted in the
+    * given zone via a zone-EXPLICIT NTZ→LTZ cast — session-independent by
+    * construction. UnixSeconds reads the instant's epoch (zone-free). */
+  private def tdTimeParseBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    require(exprs.length == 1 || exprs.length == 2,
+      "td_time_parse(string[, 'tz'])")
+    val tz = exprs.drop(1).headOption
+      .map(litStrArg("td_time_parse")(_, "timezone")).getOrElse("UTC")
+    UnixSeconds(
+      Cast(Cast(exprs.head, TimestampNTZType), TimestampType, Some(tz)))
+  }
+
+  /** TD_TIME_ADD(time, 'dur'[, 'tz']) — epoch seconds plus a signed
+    * fixed-unit duration spec (`'1d'`, `'-2h30m'`, `'1w'`; units s/m/h/d/w,
+    * the grammar of [[tdIntervalSeconds]]). Like TD, calendar units are NOT
+    * supported here — month/quarter/year arithmetic goes through
+    * TD_DATE_TRUNC. The optional zone argument is accepted for TD
+    * signature-compat and validated, but fixed-second arithmetic is
+    * zone-free, so it does not influence the result. Folds to
+    * `time + <const>` — a bare-column comparison after the usual constant
+    * folding when used inside a range predicate, so parquet row-group
+    * pruning still applies. */
+  private def tdTimeAddBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    require(exprs.length == 2 || exprs.length == 3,
+      "td_time_add(time, 'dur'[, 'tz'])")
+    val lit = litStrArg("td_time_add") _
+    val dur = tdIntervalSeconds(lit(exprs(1), "duration"))
+    exprs.drop(2).headOption.foreach { e =>
+      java.time.ZoneId.of(lit(e, "timezone")) // validate, zone-free result
+    }
+    Add(Cast(exprs.head, LongType), Literal(dur))
+  }
+
+  /** TD_DATE_TRUNC('unit', time[, 'tz']) → epoch seconds of the truncation
+    * boundary as seen in the given zone's wall clock (public TD UDF docs;
+    * unit ∈ minute/hour/day/week/month/quarter/year). The zone rides
+    * explicitly on TruncTimestamp (DST-correct: Spark truncates the LOCAL
+    * clock and maps back through the zone rules), UnixSeconds reads the
+    * resulting instant — both session-independent. */
+  private def tdDateTruncBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    require(exprs.length == 2 || exprs.length == 3,
+      "td_date_trunc('unit', time[, 'tz'])")
+    val lit = litStrArg("td_date_trunc") _
+    val unit = lit(exprs.head, "unit").toLowerCase(java.util.Locale.ROOT)
+    require(Set("second", "minute", "hour", "day", "week", "month",
+      "quarter", "year")(unit), s"td_date_trunc unit must be one of " +
+      s"second/minute/hour/day/week/month/quarter/year, got: $unit")
+    val tz = exprs.drop(2).headOption.map(lit(_, "timezone")).getOrElse("UTC")
+    UnixSeconds(TruncTimestamp(Literal(unit),
+      SecondsToTimestamp(Cast(exprs(1), LongType)), Some(tz)))
+  }
+
+  /** Scheduled-time epoch seconds from session conf
+    * `spark.graft.scheduled_time` (ISO local datetime, UTC) — read at
+    * RESOLUTION time through SQLConf.get (the active session's conf, no
+    * captured session), same contract as [[tdScheduledTime]]. */
+  private def scheduledEpochFromConf(): Long = {
+    val iso = Option(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.scheduled_time", null))
+      .getOrElse(throw new IllegalStateException(
+        "spark.graft.scheduled_time is not set (the scheduler sets it; " +
+          "set it explicitly for ad-hoc runs)"))
+    java.time.LocalDateTime.parse(iso.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond
+  }
+
+  /** TD_SCHEDULED_TIME() → epoch seconds LONG, folded to a literal when
+    * the query is planned (TD injects the scheduled time into the query's
+    * session the same way). */
+  private def tdScheduledTimeBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(exprs.isEmpty, "td_scheduled_time()")
+    Literal(scheduledEpochFromConf())
+  }
+
+  /** `[lo, hi)` epoch-second bounds for a TD_INTERVAL spec, computed
+    * driver-side with java.time in the target zone (DST-correct calendar
+    * arithmetic). Grammar (reconstructed from public TD UDF docs —
+    * SURVEY.md §0 [verify] applies): `<sign?><n><unit>[/<offset>]`, unit ∈
+    * s/m/h/d/w/M/q/y. The anchor is the scheduled time truncated to the
+    * unit's granularity (weeks start Monday, ISO); a negative count selects
+    * the n whole units BEFORE the anchor (`'-1d'` = yesterday), a positive
+    * count the current unit onward (`'1d'` = today, `'1M'` = this month).
+    * The optional `/<offset>` term shifts the anchor by a signed spec of
+    * the same unit grammar before the window is applied
+    * (`'-1d/-1d'` = the day before yesterday). */
+  private[graft] def tdIntervalBounds(scheduledSec: Long, spec: String,
+      tz: String): (Long, Long) = {
+    import java.time._
+    import java.time.temporal.ChronoUnit
+    val zone = ZoneId.of(tz)
+    val Re = "([+-]?)(\\d+)([smhdwMqy])(?:/(.+))?".r
+    def shift(z: ZonedDateTime, unit: String, k: Long): ZonedDateTime =
+      unit match {
+        case "s" => z.plusSeconds(k)
+        case "m" => z.plusMinutes(k)
+        case "h" => z.plusHours(k)
+        case "d" => z.plusDays(k)
+        case "w" => z.plusWeeks(k)
+        case "M" => z.plusMonths(k)
+        case "q" => z.plusMonths(3 * k)
+        case "y" => z.plusYears(k)
+      }
+    spec.trim match {
+      case Re(signS, nS, unit, offset) =>
+        val n = nS.toLong
+        require(n > 0, s"td_interval count must be positive, got: $spec")
+        val sched = Instant.ofEpochSecond(scheduledSec).atZone(zone)
+        val day = sched.truncatedTo(ChronoUnit.DAYS)
+        val anchor0 = unit match {
+          case "s" => sched.truncatedTo(ChronoUnit.SECONDS)
+          case "m" => sched.truncatedTo(ChronoUnit.MINUTES)
+          case "h" => sched.truncatedTo(ChronoUnit.HOURS)
+          case "d" => day
+          case "w" => day.`with`(DayOfWeek.MONDAY)
+          case "M" => day.withDayOfMonth(1)
+          case "q" => day.withDayOfMonth(1)
+            .withMonth(((sched.getMonthValue - 1) / 3) * 3 + 1)
+          case "y" => day.withDayOfYear(1)
+        }
+        val anchor = Option(offset) match {
+          case Some(off) => off.trim match {
+            case Re(oSign, oN, oUnit, null) =>
+              shift(anchor0, oUnit, (if (oSign == "-") -1 else 1) * oN.toLong)
+            case _ => throw new IllegalArgumentException(
+              s"malformed td_interval offset: $off")
+          }
+          case None => anchor0
+        }
+        val (lo, hi) =
+          if (signS == "-") (shift(anchor, unit, -n), anchor)
+          else (anchor, shift(anchor, unit, n))
+        (lo.toInstant.getEpochSecond, hi.toInstant.getEpochSecond)
+      case _ => throw new IllegalArgumentException(
+        s"malformed td_interval spec: $spec")
+    }
+  }
+
+  /** TD_INTERVAL(time, 'spec'[, 'tz']) — the scheduled-query period filter.
+    * Bounds are computed at RESOLUTION time (scheduled time, spec and zone
+    * are all literals) and emitted as bare epoch-second comparisons on the
+    * time column — at 100 TB the predicate reaches the parquet scan as
+    * row-group min/max pruning, exactly like td_time_range's LONG arm. */
+  private def tdIntervalBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    require(exprs.length == 2 || exprs.length == 3,
+      "td_interval(time, 'spec'[, 'tz'])")
+    val lit = litStrArg("td_interval") _
+    val spec = lit(exprs(1), "interval spec")
+    val tz = exprs.drop(2).headOption.map(lit(_, "timezone")).getOrElse("UTC")
+    val (lo, hi) = tdIntervalBounds(scheduledEpochFromConf(), spec, tz)
+    val t = Cast(exprs.head, LongType)
+    And(GreaterThanOrEqual(t, Literal(lo)), LessThan(t, Literal(hi)))
+  }
+
+  /** TD_FIRST(ret, key...) / TD_LAST(ret, key...) — the Hive argmin/argmax
+    * UDAFs (public TD UDF docs) → native MinBy/MaxBy (partial+final hash
+    * aggregate, mergeable at any scale). Multiple key columns order
+    * lexicographically via a struct key, matching the Hive UDAF's
+    * multi-column comparison. */
+  private def tdFirstLastBuilder(exprs: Seq[Expression],
+      last: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.CreateStruct
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
+    require(exprs.length >= 2,
+      s"td_${if (last) "last" else "first"}(ret, key[, key2...])")
+    val key =
+      if (exprs.length == 2) exprs(1) else CreateStruct(exprs.tail)
+    (if (last) MaxBy(exprs.head, key) else MinBy(exprs.head, key))
+      .toAggregateExpression()
+  }
+
+  /** TD_MD5(s) → lowercase hex MD5 of the UTF-8 bytes (native Md5). */
+  private def tdMd5Builder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Md5}
+    import org.apache.spark.sql.types.BinaryType
+    require(exprs.length == 1, "td_md5(string)")
+    Md5(Cast(exprs.head, BinaryType))
+  }
+
+  /** TD_URL_DECODE(s) → percent-decoding (+ as space) via the native
+    * UrlDecode expression. */
+  private def tdUrlDecodeBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.UrlDecode
+    require(exprs.length == 1, "td_url_decode(string)")
+    UrlDecode(exprs.head)
   }
 }

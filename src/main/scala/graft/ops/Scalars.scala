@@ -247,5 +247,99 @@ object Scalars {
           strftime(sh, '%Y-%m-%d') AS t_d,
           strftime(sh, '%Y-%m-%d %H') AS t_h,
           strftime(date_trunc('day', sh), '%Y-%m-%d %H:%M:%S') || '+0900' AS t_d_full
-        FROM e ORDER BY event_id""")))
+        FROM e ORDER BY event_id""")),
+
+    // TD_TIME_FORMAT / TD_TIME_PARSE / TD_URL_DECODE — verbatim TD query
+    // text through the SQL-registered builders (functions/Td.scala round-13
+    // tier). The format/parse pair round-trips through Tokyo to pin the
+    // zone handling; everything expands to native datetime expressions
+    // with the target zone pre-set on the TimeZoneAwareExpression, so no
+    // UDF and no session-zone dependence.
+    Q("h23_td_time_format",
+      (s, d) => {
+        Td.register(s)
+        events(s, d).where(col("event_id") < 2000)
+          .select(col("event_id"), expr("ts_ms div 1000").as("time"),
+            col("event_type"))
+          .createOrReplaceTempView("events_epoch_fmt")
+        s.sql("""SELECT event_id,
+            td_time_format(time, 'yyyy-MM-dd HH:mm:ss', 'Asia/Tokyo') AS tf,
+            td_time_parse(td_time_format(time, 'yyyy-MM-dd HH:mm:ss', 'Asia/Tokyo'), 'Asia/Tokyo') AS rt,
+            td_time_parse(td_time_format(time, 'yyyy-MM-dd HH:mm:ss')) AS rt_utc,
+            td_url_decode(concat('a%20b%2F', event_type)) AS dec
+          FROM events_epoch_fmt ORDER BY event_id""")
+      },
+      Some("""SELECT event_id,
+          strftime(make_timestamp((epoch_ms(ts) // 1000 + 32400) * 1000000), '%Y-%m-%d %H:%M:%S') AS tf,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS rt,
+          CAST(epoch_ms(ts) // 1000 AS BIGINT) AS rt_utc,
+          concat('a b/', event_type) AS dec
+        FROM events WHERE event_id < 2000 ORDER BY event_id""")),
+
+    // TD_TIME_ADD / TD_DATE_TRUNC over epoch seconds: fixed-duration
+    // arithmetic folds to `time + const`; truncation runs on the target
+    // zone's wall clock (Tokyo: fixed +09:00, so the oracle is an exact
+    // epoch-shift algebra).
+    Q("h24_td_time_arith",
+      (s, d) => {
+        Td.register(s)
+        events(s, d).select(col("event_id"), expr("ts_ms div 1000").as("time"))
+          .createOrReplaceTempView("events_epoch_arith")
+        s.sql("""SELECT event_id, time,
+            td_time_add(time, '-1d2h') AS back,
+            td_date_trunc('day', time, 'Asia/Tokyo') AS day_jst,
+            td_date_trunc('month', time) AS mon_utc
+          FROM events_epoch_arith ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS time,
+          CAST(epoch_ms(ts) // 1000 - 93600 AS BIGINT) AS back,
+          CAST(epoch(date_trunc('day', make_timestamp((epoch_ms(ts) // 1000 + 32400) * 1000000))) - 32400 AS BIGINT) AS day_jst,
+          CAST(epoch(date_trunc('month', make_timestamp((epoch_ms(ts) // 1000) * 1000000))) AS BIGINT) AS mon_utc
+        FROM events ORDER BY event_id""")),
+
+    // TD_INTERVAL — the scheduled-query period filter. The scheduled time
+    // is pinned in-session conf (as TD's scheduler injects it); '-1d' in
+    // Tokyo selects the whole previous Tokyo day. The bounds fold at
+    // resolution into bare epoch-second comparisons (TdSqlSpec pins the
+    // optimized plan), so at TD's native table layout this prunes parquet
+    // row groups exactly like td_time_range's LONG arm. Oracle bounds are
+    // hand-derived independently: scheduled 2024-01-10T05:00Z = Tokyo
+    // 14:00; previous Tokyo day = [2024-01-09 00:00, 2024-01-10 00:00) JST
+    // = [1704726000, 1704812400).
+    Q("h25_td_interval",
+      (s, d) => {
+        Td.register(s)
+        s.conf.set("spark.graft.scheduled_time", "2024-01-10 05:00:00")
+        events(s, d).select(col("event_id"), expr("ts_ms div 1000").as("time"))
+          .createOrReplaceTempView("events_epoch_iv")
+        s.sql("""SELECT event_id, time FROM events_epoch_iv
+          WHERE td_interval(time, '-1d', 'Asia/Tokyo')
+          ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS time
+        FROM events
+        WHERE epoch_ms(ts) // 1000 >= 1704726000 AND epoch_ms(ts) // 1000 < 1704812400
+        ORDER BY event_id""")),
+
+    // TD_FIRST / TD_LAST (Hive argmin/argmax UDAFs) + TD_MD5 through the
+    // SQL names → native MinBy/MaxBy partial+final hash aggregate; the
+    // multi-key form orders by a composite scalar on both sides (ties on
+    // o_orderdate broken by o_orderkey — §8.4.4 determinism).
+    Q("h26_td_first_last",
+      (s, d) => {
+        Td.register(s)
+        t(s, d, "orders").createOrReplaceTempView("orders_tfl")
+        s.sql("""SELECT o_orderpriority,
+            td_first(o_orderstatus, o_orderkey) AS first_status,
+            td_last(o_orderstatus, o_orderkey) AS last_status,
+            td_last(o_totalprice, unix_millis(cast(o_orderdate AS timestamp)) * 1000000 + o_orderkey) AS last_price,
+            td_md5(o_orderpriority) AS pri_md5
+          FROM orders_tfl GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+          arg_min(o_orderstatus, o_orderkey) AS first_status,
+          arg_max(o_orderstatus, o_orderkey) AS last_status,
+          arg_max(o_totalprice, epoch_ms(CAST(o_orderdate AS timestamp)) * 1000000 + o_orderkey) AS last_price,
+          md5(o_orderpriority) AS pri_md5
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
 }
