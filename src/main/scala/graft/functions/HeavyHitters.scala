@@ -27,14 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class HeavyHitters(
     child: Expression,
     k: Int,
+    capacityOpt: Option[Int] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.Map[String, Long]] {
 
-  // survival guarantee is freq > N/capacity — generous slack because near-
-  // uniform distributions (like this word-soup corpus) need capacity close
-  // to the distinct-term count to rank the head reliably
-  private def capacity: Int = 16 * k
+  // survival guarantee is freq > N/capacity — the default's generous slack
+  // is because near-uniform distributions (like this word-soup corpus)
+  // need capacity close to the distinct-term count to rank the head
+  // reliably; td_approx_most_frequent passes TD's explicit capacity arg
+  private def capacity: Int = capacityOpt.getOrElse(16 * k)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

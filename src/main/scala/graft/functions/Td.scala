@@ -217,9 +217,13 @@ object Td {
     * over TD's native epoch-seconds `time` column (td_time_range,
     * td_time_string, td_time_format, td_time_parse, td_time_add,
     * td_date_trunc, td_scheduled_time, td_interval), the argmin/argmax
-    * aggregates (td_first, td_last), and the scalar utilities (td_md5,
-    * td_url_decode). Every builder expands into native Catalyst nodes —
-    * codegen'd, pushdown-transparent, no opaque UDF anywhere.
+    * aggregates (td_first, td_last), the scalar utilities (td_md5,
+    * td_url_decode), the windowed sessionizer (td_sessionize_window), and
+    * the frequency-sketch aggregate (td_approx_most_frequent), and the
+    * user-agent parser (td_parse_agent). Every builder expands into native
+    * Catalyst nodes — codegen'd, pushdown-transparent, no opaque UDF
+    * anywhere (the sketch aggregate is a TypedImperativeAggregate, the
+    * same tier as Spark's own HLL).
     *
     * Session-zone independence: every zone-sensitive expansion carries its
     * target zone EXPLICITLY on the TimeZoneAwareExpression (the pre-set
@@ -244,7 +248,110 @@ object Td {
     "td_first" -> ((exprs: Seq[Expression]) => tdFirstLastBuilder(exprs, last = false)),
     "td_last" -> ((exprs: Seq[Expression]) => tdFirstLastBuilder(exprs, last = true)),
     "td_md5" -> ((exprs: Seq[Expression]) => tdMd5Builder(exprs)),
-    "td_url_decode" -> ((exprs: Seq[Expression]) => tdUrlDecodeBuilder(exprs)))
+    "td_url_decode" -> ((exprs: Seq[Expression]) => tdUrlDecodeBuilder(exprs)),
+    "td_sessionize_window" ->
+      ((exprs: Seq[Expression]) => tdSessionizeWindowBuilder(exprs)),
+    "td_approx_most_frequent" ->
+      ((exprs: Seq[Expression]) => tdApproxMostFrequentBuilder(exprs)),
+    "td_parse_agent" ->
+      ((exprs: Seq[Expression]) => tdParseAgentBuilder(exprs)))
+
+  /** TD_SESSIONIZE_WINDOW(time, timeout[, salt...]) — must appear under an
+    * OVER (PARTITION BY … ORDER BY time, …) clause; expands to the
+    * [[graft.expressions.TdSessionizeWindow]] AggregateWindowFunction
+    * (single-pass running-frame sessionizer; see its scaladoc for the
+    * deterministic-id-vs-TD-UUID contract and the salt extension). */
+  private def tdSessionizeWindowBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2,
+      "td_sessionize_window(time, timeout[, salt...]) OVER (...)")
+    graft.expressions.TdSessionizeWindow(exprs.head, exprs(1), exprs.drop(2))
+  }
+
+  /** TD_APPROX_MOST_FREQUENT(num, col, capacity) → map<col, count> — TD's
+    * Hive UDAF (signature per public TD UDF docs — SURVEY.md §0 [verify]),
+    * expanded over the SpaceSaving `TypedImperativeAggregate`
+    * ([[graft.functions.HeavyHitters]]) with TD's explicit sketch capacity:
+    * mergeable map-side partials, memory bounded by `capacity` regardless
+    * of cardinality — the whole point of the UDAF at 100 TB. Counts are
+    * exact iff the column's distinct count stays ≤ capacity (SpaceSaving
+    * never evicts); otherwise over-count-bounded by N/capacity. The
+    * aggregate is wrapped here (`toAggregateExpression`) because the
+    * analyzer only auto-wraps functions it resolves at TOP level, and this
+    * expansion nests it under `map_from_entries`. */
+  private def tdApproxMostFrequentBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, MapFromEntries}
+    import org.apache.spark.sql.types.StringType
+    require(exprs.length == 3,
+      "td_approx_most_frequent(num, col, capacity)")
+    def intLit(e: Expression, what: String): Int = {
+      require(e.foldable, s"td_approx_most_frequent: $what must be a literal")
+      e.eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"td_approx_most_frequent: $what must be integral, got $other")
+      }
+    }
+    val k = intLit(exprs.head, "num")
+    val cap = intLit(exprs(2), "capacity")
+    require(k > 0 && cap >= k,
+      s"td_approx_most_frequent: need num > 0 and capacity >= num, got num=$k capacity=$cap")
+    MapFromEntries(graft.functions.HeavyHitters(
+      Cast(exprs(1), StringType), k, Some(cap)).toAggregateExpression())
+  }
+
+  /** TD_PARSE_AGENT(ua) → map<string,string> of os / os_version / browser /
+    * browser_version / category — TD's Presto UA parser (signature per
+    * public TD docs — SURVEY.md §0 [verify]; its bundled device database is
+    * proprietary, so a regexp ruleset for the mainstream engine families
+    * stands in, the same stance as the h14 column-API analog). Expands to
+    * `map(...)` over RegExpExtract/CaseWhen — all codegen'd builtins; a
+    * missing field is the empty string, matching Presto's map behavior of
+    * absent-vs-null being caller-handled. */
+  private def tdParseAgentBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    require(exprs.length == 1, "td_parse_agent(user_agent)")
+    val ua = Cast(exprs.head, StringType)
+    def s(v: String) = Literal.create(v, StringType)
+    def rex(pat: String, idx: Int) =
+      RegExpExtract(ua, s(pat), Literal(idx))
+    def has(pat: String) = GreaterThan(Length(rex(pat, 0)), Literal(0))
+    val browser = CaseWhen(Seq(
+      has("Edg[e/]") -> s("Edge"),
+      has("OPR/|Opera") -> s("Opera"),
+      has("Chrome/") -> s("Chrome"),
+      has("Safari/") -> s("Safari"),
+      has("Firefox/") -> s("Firefox"),
+      has("MSIE |Trident/") -> s("IE")), Some(s("")))
+    val browserVersion = CaseWhen(Seq(
+      has("Edg[e/]") -> rex("Edge?/([0-9.]+)", 1),
+      has("OPR/") -> rex("OPR/([0-9.]+)", 1),
+      has("Chrome/") -> rex("Chrome/([0-9.]+)", 1),
+      has("Version/[0-9.]+.*Safari") -> rex("Version/([0-9.]+)", 1),
+      has("Firefox/") -> rex("Firefox/([0-9.]+)", 1),
+      has("MSIE ") -> rex("MSIE ([0-9.]+)", 1)), Some(s("")))
+    val os = CaseWhen(Seq(
+      has("Windows NT") -> s("Windows"),
+      has("Android") -> s("Android"),
+      has("iPhone|iPad|iPod") -> s("iOS"),
+      has("Mac OS X") -> s("Mac OSX"),
+      has("Linux") -> s("Linux")), Some(s("")))
+    val osVersion = CaseWhen(Seq(
+      has("Windows NT") -> rex("Windows NT ([0-9.]+)", 1),
+      has("Android") -> rex("Android ([0-9.]+)", 1),
+      has("iPhone OS|CPU OS") -> rex("OS ([0-9_]+)", 1),
+      has("Mac OS X") -> rex("Mac OS X ([0-9_.]+)", 1)), Some(s("")))
+    val category = CaseWhen(Seq(
+      has("iPad|Android(?!.*Mobile)") -> s("tablet"),
+      has("Mobile|iPhone|iPod") -> s("smartphone"),
+      has("bot|Bot|spider|crawl") -> s("crawler")), Some(s("pc")))
+    CreateMap(Seq(
+      s("os"), os,
+      s("os_version"), osVersion,
+      s("browser"), browser,
+      s("browser_version"), browserVersion,
+      s("category"), category))
+  }
 
   /** SQL registration of the whole tier on an existing session.
     * `td_time_range` expands via [[graft.expressions.TdTimeRange]] — a

@@ -341,5 +341,102 @@ object Scalars {
           arg_max(o_orderstatus, o_orderkey) AS last_status,
           arg_max(o_totalprice, epoch_ms(CAST(o_orderdate AS timestamp)) * 1000000 + o_orderkey) AS last_price,
           md5(o_orderpriority) AS pri_md5
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TD_SESSIONIZE_WINDOW — the windowed sessionizer TD ships as a Presto
+    // window UDF, here a native AggregateWindowFunction (single Window
+    // exec, one shuffle on user_id + one in-partition sort — the h10
+    // lag+sum idiom needs two window passes for the same answer; see
+    // expressions/TdSessionizeWindow.scala). Ids are md5(sessionStart:
+    // salt) rather than TD's nondeterministic UUIDs, so the oracle can
+    // replay them: DuckDB derives session starts via the classic
+    // lag→flag→cumsum→min-over-session chain and hashes the same string.
+    Q("h27_td_sessionize_window",
+      (s, d) => {
+        Td.register(s)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("ts_ms div 1000").as("time"))
+          .createOrReplaceTempView("events_epoch_sess")
+        s.sql("""SELECT event_id, user_id, time,
+            td_sessionize_window(time, 1800, user_id)
+              OVER (PARTITION BY user_id ORDER BY time, event_id) AS session_id
+          FROM events_epoch_sess ORDER BY event_id""")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(epoch_ms(ts) // 1000 AS BIGINT) AS time FROM events),
+        x AS (SELECT *, lag(time) OVER
+            (PARTITION BY user_id ORDER BY time, event_id) AS prev FROM e),
+        s AS (SELECT *, SUM(CASE WHEN prev IS NULL OR time - prev > 1800
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY time, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM x),
+        g AS (SELECT *, MIN(time) OVER (PARTITION BY user_id, sid) AS sess_start
+          FROM s)
+        SELECT event_id, user_id, time,
+          md5(CAST(sess_start AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) AS session_id
+        FROM g ORDER BY event_id""")),
+
+    // TD_APPROX_MOST_FREQUENT — TD's frequency-sketch UDAF through the SQL
+    // name: SpaceSaving partials merged map-side, memory bounded by the
+    // capacity arg at any cardinality. Graded in the EXACT regime (the
+    // d21/k4 device): 31 terms/lang < capacity 100, so no eviction fires
+    // and the map equals the exact top-5 — hash-checkable row-wise after
+    // exploding the map (map columns don't hash stably across engines;
+    // the map SHAPE itself is pinned in TdSqlSpec).
+    Q("h28_td_approx_most_frequent",
+      (s, d) => {
+        Td.register(s)
+        t(s, d, "documents").createOrReplaceTempView("documents_amf")
+        s.sql("""SELECT lang, term, cnt FROM (
+            SELECT lang, td_approx_most_frequent(5, term, 100) AS m
+            FROM (SELECT lang, explode(split(text, ' ')) AS term
+              FROM documents_amf)
+            GROUP BY lang)
+          LATERAL VIEW explode(m) AS term, cnt
+          ORDER BY lang, cnt DESC, term""")
+      },
+      Some("""WITH tc AS (SELECT lang, term, COUNT(*) AS cnt
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+          GROUP BY 1, 2),
+        r AS (SELECT lang, term, cnt,
+            row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+          FROM tc)
+        SELECT lang, term, cnt FROM r WHERE rn <= 5
+        ORDER BY lang, cnt DESC, term""")),
+
+    // TD_PARSE_AGENT through the SQL name — map-returning UA parser over
+    // codegen'd regexp/case nodes (h14 is the column-API shape; this is
+    // the Presto-UDF shape TD queries splice in). The oracle re-derives
+    // the fields from the synthesis rule rather than re-parsing, so it
+    // checks the parser against the ground truth the UAs were built FROM.
+    Q("h29_td_parse_agent",
+      (s, d) => {
+        Td.register(s)
+        t(s, d, "customer")
+          .withColumn("ua", concat(lit("Mozilla/5.0 ("),
+            when(col("c_custkey") % 3 === 0, "X11; Linux x86_64")
+              .when(col("c_custkey") % 3 === 1, "Macintosh; Intel Mac OS X 10_15_7")
+              .otherwise("Windows NT 10.0; Win64; x64"),
+            lit(") AppleWebKit/537.36 Chrome/"),
+            (lit(90) + col("c_custkey") % 30), lit(".0.0.0 Safari/537.36")))
+          .createOrReplaceTempView("customer_ua")
+        s.sql("""SELECT c_custkey,
+            m['browser'] AS browser, m['browser_version'] AS bv,
+            m['os'] AS os, m['os_version'] AS osv, m['category'] AS cat
+          FROM (SELECT c_custkey, td_parse_agent(ua) AS m FROM customer_ua)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey,
+          'Chrome' AS browser,
+          (90 + c_custkey % 30) || '.0.0.0' AS bv,
+          CASE WHEN c_custkey % 3 = 0 THEN 'Linux'
+               WHEN c_custkey % 3 = 1 THEN 'Mac OSX'
+               ELSE 'Windows' END AS os,
+          CASE WHEN c_custkey % 3 = 1 THEN '10_15_7'
+               WHEN c_custkey % 3 = 2 THEN '10.0' ELSE '' END AS osv,
+          'pc' AS cat
+        FROM customer ORDER BY c_custkey""")))
 }

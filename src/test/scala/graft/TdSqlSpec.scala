@@ -197,4 +197,124 @@ class TdSqlSpec extends AnyFunSuite {
         s"expected folded epoch bounds in:\n$plan")
     } finally spark.conf.unset("spark.graft.scheduled_time")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("td_sessionize_window assigns deterministic per-session ids") {
+    Td.register(spark)
+    // user 1: [1000, 1100] | gap 2000s | [3200]; user 2: [1000]
+    Seq((1L, 1000L, 1L), (2L, 1100L, 1L), (3L, 3200L, 1L), (4L, 1000L, 2L))
+      .toDF("event_id", "time", "uid").createOrReplaceTempView("td_sess")
+    val rows = spark.sql("""SELECT event_id,
+        td_sessionize_window(time, 1800, uid)
+          OVER (PARTITION BY uid ORDER BY time, event_id) AS sid
+      FROM td_sess ORDER BY event_id""").collect()
+    val ids = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids(1L) == md5hex("1000:1") && ids(2L) == md5hex("1000:1"),
+      "rows within the timeout share the session-start id")
+    assert(ids(3L) == md5hex("3200:1"), "a gap > timeout opens a new session")
+    assert(ids(4L) == md5hex("1000:2"),
+      "the salt separates same-start sessions across partitions")
+  }
+
+  test("td_sessionize_window boundary: a gap of exactly timeout continues") {
+    Td.register(spark)
+    Seq((1L, 0L), (2L, 1800L), (3L, 1801L + 1800L))
+      .toDF("event_id", "time").createOrReplaceTempView("td_sess_b")
+    val rows = spark.sql("""SELECT event_id,
+        td_sessionize_window(time, 1800)
+          OVER (ORDER BY time, event_id) AS sid
+      FROM td_sess_b ORDER BY event_id""").collect()
+    assert(rows(0).getString(1) == rows(1).getString(1),
+      "gap == timeout stays in-session (strict > opens)")
+    assert(rows(2).getString(1) != rows(1).getString(1))
+    assert(rows(0).getString(1) == md5hex("0"), "no salt → md5(start) alone")
+  }
+
+  test("td_sessionize_window rejects non-window use and bad types") {
+    Td.register(spark)
+    Seq((1L, 1000L)).toDF("event_id", "time")
+      .createOrReplaceTempView("td_sess_e")
+    intercept[Exception] {
+      spark.sql("SELECT td_sessionize_window(time, 1800) FROM td_sess_e")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("""SELECT td_sessionize_window(cast(time AS string), 1800)
+          OVER (ORDER BY time) FROM td_sess_e""").collect()
+    }
+  }
+
+  test("td_approx_most_frequent returns the exact top-k map when capacity holds") {
+    Td.register(spark)
+    // frequencies: a×4, b×3, c×2, d×1
+    Seq("a", "a", "a", "a", "b", "b", "b", "c", "c", "d")
+      .toDF("v").createOrReplaceTempView("td_amf")
+    val m = spark.sql(
+      "SELECT td_approx_most_frequent(3, v, 10) AS m FROM td_amf")
+      .head().getMap[String, Long](0)
+    assert(m == Map("a" -> 4L, "b" -> 3L, "c" -> 2L))
+  }
+
+  test("td_approx_most_frequent stays capacity-bounded and keeps the heavy head") {
+    Td.register(spark)
+    // one heavy term among a long uniform tail; capacity 8 << 101 distinct
+    val rows = (1 to 100).map(i => s"t$i") ++ Seq.fill(50)("heavy")
+    rows.toDF("v").createOrReplaceTempView("td_amf_cap")
+    val m = spark.sql(
+      "SELECT td_approx_most_frequent(2, v, 8) AS m FROM td_amf_cap")
+      .head().getMap[String, Long](0)
+    assert(m.size == 2)
+    assert(m.contains("heavy"), s"heavy hitter must survive eviction: $m")
+    // SpaceSaving over-counts by at most N/capacity
+    assert(m("heavy") >= 50L && m("heavy") <= 50L + 150L / 8 + 1)
+  }
+
+  test("td_parse_agent classifies the mainstream UA families") {
+    Td.register(spark)
+    val uas = Seq(
+      ("chrome-linux", "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36"),
+      ("safari-mac", "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 Version/17.1 Safari/605.1.15"),
+      ("firefox-win", "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:121.0) Gecko/20100101 Firefox/121.0"),
+      ("chrome-android", "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 Chrome/120.0.6099.43 Mobile Safari/537.36"),
+      ("safari-iphone", "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 Version/17.1 Mobile/15E148 Safari/604.1"),
+      ("edge-win", "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"))
+    uas.toDF("label", "ua").createOrReplaceTempView("td_ua")
+    val got = spark.sql("""SELECT label, td_parse_agent(ua) AS m FROM td_ua""")
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](1)).toMap
+    assert(got("chrome-linux")("browser") == "Chrome" &&
+      got("chrome-linux")("os") == "Linux" &&
+      got("chrome-linux")("browser_version") == "120.0.0.0" &&
+      got("chrome-linux")("category") == "pc")
+    assert(got("safari-mac")("browser") == "Safari" &&
+      got("safari-mac")("os") == "Mac OSX" &&
+      got("safari-mac")("browser_version") == "17.1" &&
+      got("safari-mac")("os_version") == "10_15_7")
+    assert(got("firefox-win")("browser") == "Firefox" &&
+      got("firefox-win")("os") == "Windows" &&
+      got("firefox-win")("os_version") == "10.0")
+    assert(got("chrome-android")("os") == "Android" &&
+      got("chrome-android")("category") == "smartphone" &&
+      got("chrome-android")("os_version") == "14")
+    assert(got("safari-iphone")("os") == "iOS" &&
+      got("safari-iphone")("category") == "smartphone" &&
+      got("safari-iphone")("os_version") == "17_1")
+    assert(got("edge-win")("browser") == "Edge" &&
+      got("edge-win")("browser_version") == "120.0.2210.91")
+  }
+
+  test("td_approx_most_frequent validates its literal arguments") {
+    Td.register(spark)
+    Seq("a").toDF("v").createOrReplaceTempView("td_amf_e")
+    intercept[Exception] {
+      spark.sql("SELECT td_approx_most_frequent(5, v, 3) FROM td_amf_e")
+        .collect() // capacity < num
+    }
+    intercept[Exception] {
+      spark.sql("SELECT td_approx_most_frequent(v, v, 10) FROM td_amf_e")
+        .collect() // non-literal num
+    }
+  }
 }
