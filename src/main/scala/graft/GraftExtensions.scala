@@ -30,8 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the whole TD UDF tier (functions/Td.scala builders: td_time_range,
     // td_time_string, td_time_format, td_time_parse, td_time_add,
     // td_date_trunc, td_scheduled_time, td_interval, td_first, td_last,
-    // td_md5, td_url_decode) — same session-free builders readTdQuery
-    // registers at runtime
+    // td_md5, td_url_decode, td_sessionize_window, td_approx_most_frequent,
+    // td_parse_agent) — same session-free builders readTdQuery registers
+    // at runtime
     graft.functions.Td.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -47,6 +47,24 @@ class ExtensionsSpec extends AnyFunSuite {
       && r.getString(2) == "fire")
   }
 
+  test("registerAll carries the session-3 TD tier additions") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    Seq((1L, 1000L), (2L, 1100L)).toDF("id", "time")
+      .createOrReplaceTempView("ext_sess")
+    val sess = spark.sql("""SELECT td_sessionize_window(time, 1800)
+        OVER (ORDER BY time, id) AS sid FROM ext_sess""").collect()
+    assert(sess.length == 2 && sess(0).getString(0) == sess(1).getString(0))
+    val amf = spark.sql("""SELECT td_approx_most_frequent(1, x, 4) AS m
+        FROM (SELECT explode(array('a','a','b')) AS x)""")
+      .head().getMap[String, Long](0)
+    assert(amf == Map("a" -> 2L))
+    val ua = spark.sql("""SELECT td_parse_agent(
+        'Mozilla/5.0 (X11; Linux x86_64) Chrome/120.0 Safari/537.36')['os']""")
+      .head().getString(0)
+    assert(ua == "Linux")
+  }
+
   test("registerAll exposes char_ngrams and heavy_hitters to SQL") {
     GraftExtensions.registerAll(spark)
     val grams = spark.sql(

@@ -493,4 +493,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("td_sessionize_window partitions rows identically to the lag+sum sessionizer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Td.register(spark)
+    // random event streams: few keys, clustered times so both in-session
+    // steps and >gap breaks occur
+    val evGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(1L, 4L),                   // key
+      Gen.choose(0L, 40L).map(_ * 100L)))   // time (collisions likely)
+    samples(evGen, 20).zipWithIndex.foreach { case (evs, i) =>
+      val df = evs.zipWithIndex
+        .map { case ((k, t), id) => (id.toLong, k, t) }
+        .toDF("event_id", "uid", "time")
+      df.createOrReplaceTempView(s"prop_sess_$i")
+      val gap = 500L
+      // reference: the h10 two-window composition (ordinal session ids)
+      val ref = Td.tdSessionize(df, "uid", "time", gap, "event_id")
+        .select(col("event_id"), concat_ws("/", col("uid"), col("session_id")).as("sid"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val got = spark.sql(s"""SELECT event_id,
+          td_sessionize_window(time, $gap, uid)
+            OVER (PARTITION BY uid ORDER BY time, event_id) AS sid
+        FROM prop_sess_$i""")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // same PARTITION of events into sessions: the id alphabets differ
+      // (ordinal vs md5), so compare the induced equivalence classes
+      def classes(m: Map[Long, String]) =
+        m.groupBy(_._2).values.map(_.keys.toSet).toSet
+      assert(classes(got) == classes(ref), s"case $i disagreed")
+    }
+  }
 }
