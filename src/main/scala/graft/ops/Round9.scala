@@ -116,6 +116,69 @@ object Round9 {
           CAST(strlen(hx) / 2 + body AS BIGINT) AS n_bytes
         FROM hs)"""
 
+  /** The j48 BPE learn loop (see that key's scaladoc for the algorithm
+    * and scale argument), factored so j50 can APPLY what j48 learns:
+    * returns the 10-round merge table and the final segmented vocabulary
+    * `(sym, f)` — each distinct word's '<sym>'-wrapped form after all
+    * merges, which IS the tokenization of that word. Learning segments
+    * the Zipf-bounded vocab once; appliers never re-merge per occurrence. */
+  private[ops] def bpeLearn(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.DataFrame
+    var cur: DataFrame = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("sym"), col("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    for (r <- 1 to 10) {
+      val best = cur
+        .select(expr("split(substring(sym, 2, length(sym) - 2), '><')")
+          .as("ss"), col("f"))
+        .where(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ss) - 1)," +
+            " i -> struct(ss[i - 1] AS a, ss[i] AS b))")).as("p"), col("f"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("pf"))
+        .orderBy(desc("pf"), asc("a"), asc("b"))
+        .limit(1).collect()
+      val (a, b, pf) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r.toLong, a, b, pf))
+      cur = cur.withColumn("sym",
+          expr(s"replace(sym, '<$a><$b>', '<$a$b>')"))
+        .localCheckpoint()
+    }
+    (merges.toSeq, cur)
+  }
+
+  /** DuckDB CTE prefix unrolling the identical 10 learn rounds: defines
+    * `wf0`..`wf10` (the evolving segmented vocab) and `b1`..`b10` (each
+    * round's winning pair) — shared by j48's and j50's oracles. */
+  private[ops] def bpeWfCtes: String = {
+    val sb = new StringBuilder(
+      """wf0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS sym,
+           CAST(COUNT(*) AS BIGINT) AS f
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE strlen(w) > 0 GROUP BY w)""")
+    for (r <- 1 to 10) {
+      sb.append(s""",
+        pr$r AS (SELECT ss[i.i] AS a, ss[i.i + 1] AS b,
+            CAST(SUM(f) AS BIGINT) AS pf
+          FROM (SELECT string_split(substr(sym, 2, strlen(sym) - 2), '><') AS ss,
+                  f FROM wf${r - 1} WHERE strlen(sym) > 0) t,
+            unnest(range(1, len(ss))) i(i)
+          GROUP BY ss[i.i], ss[i.i + 1]),
+        b$r AS (SELECT a, b, pf FROM pr$r ORDER BY pf DESC, a, b LIMIT 1),
+        wf$r AS (SELECT replace(sym, '<' || a || '><' || b || '>',
+            '<' || a || b || '>') AS sym, f FROM wf${r - 1}, b$r)""")
+    }
+    sb.toString
+  }
+
   val all: Seq[Q] = Seq(
 
     // j46 — graph centrality over the j39 kNN graph: 3 fixed iterations
@@ -197,62 +260,15 @@ object Round9 {
     // unrolls the identical 10 rounds as generated CTE blocks.
     Q("j48_bpe_learn",
       (s, d) => {
-        import org.apache.spark.sql.DataFrame
-        var cur: DataFrame = t(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("w"))
-          .where(length(col("w")) > 0)
-          .groupBy("w").agg(count(lit(1)).as("f"))
-          .select(regexp_replace(col("w"), "(.)", "<$1>").as("sym"), col("f"))
-          .localCheckpoint()
-        val merges = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, String, String, Long)]
-        for (r <- 1 to 10) {
-          val best = cur
-            .select(expr("split(substring(sym, 2, length(sym) - 2), '><')")
-              .as("ss"), col("f"))
-            .where(size(col("ss")) >= 2)
-            .select(explode(expr(
-              "transform(sequence(1, size(ss) - 1)," +
-                " i -> struct(ss[i - 1] AS a, ss[i] AS b))")).as("p"), col("f"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("f")).as("pf"))
-            .orderBy(desc("pf"), asc("a"), asc("b"))
-            .limit(1).collect()
-          val (a, b, pf) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          merges += ((r.toLong, a, b, pf))
-          cur = cur.withColumn("sym",
-              expr(s"replace(sym, '<$a><$b>', '<$a$b>')"))
-            .localCheckpoint()
-        }
         import s.implicits._
-        merges.toSeq.toDF("rank", "a", "b", "pf").orderBy("rank")
+        bpeLearn(s, d)._1.toDF("rank", "a", "b", "pf").orderBy("rank")
       },
       Some {
-        // generated 10-round unroll of the same algorithm
-        val sb = new StringBuilder(
-          """WITH wf0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS sym,
-               CAST(COUNT(*) AS BIGINT) AS f
-             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-             WHERE strlen(w) > 0 GROUP BY w)""")
-        for (r <- 1 to 10) {
-          sb.append(s""",
-            pr$r AS (SELECT ss[i.i] AS a, ss[i.i + 1] AS b,
-                CAST(SUM(f) AS BIGINT) AS pf
-              FROM (SELECT string_split(substr(sym, 2, strlen(sym) - 2), '><') AS ss,
-                      f FROM wf${r - 1} WHERE strlen(sym) > 0) t,
-                unnest(range(1, len(ss))) i(i)
-              GROUP BY ss[i.i], ss[i.i + 1]),
-            b$r AS (SELECT a, b, pf FROM pr$r ORDER BY pf DESC, a, b LIMIT 1),
-            wf$r AS (SELECT replace(sym, '<' || a || '><' || b || '>',
-                '<' || a || b || '>') AS sym, f FROM wf${r - 1}, b$r)""")
-        }
-        sb.append("\n  SELECT * FROM (")
-        sb.append((1 to 10).map(r =>
-          s"SELECT CAST($r AS BIGINT) AS rank, a, b, pf FROM b$r")
-          .mkString(" UNION ALL "))
-        sb.append(") ORDER BY rank")
-        sb.toString
+        // generated 10-round unroll of the same algorithm (bpeWfCtes)
+        s"""WITH $bpeWfCtes
+          SELECT * FROM (${(1 to 10).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS rank, a, b, pf FROM b$r")
+            .mkString(" UNION ALL ")}) ORDER BY rank"""
       }),
 
     // j49 — quality-classifier INFERENCE (the fasttext-style linear model
@@ -922,6 +938,47 @@ object Round9 {
                nfc_normalize(substr(p_name, 1, 1) || 'é') AS nfc,
                printf('%s|%04d', p_type, CAST(p_partkey % 97 AS INTEGER)) AS tag,
                (SELECT round(exp(avg(ln(p_retailprice))), 4) FROM part) AS gm_price
-        FROM part ORDER BY p_partkey"""))
+        FROM part ORDER BY p_partkey""")),
+
+    // j50 — BPE tokenizer APPLICATION, j48's missing half: the learned
+    // merges tokenize the corpus. The scale insight is that application
+    // needs NO per-occurrence merge work at all — the learn loop already
+    // left every distinct word's final segmentation in the vocab relation
+    // (sym = the word's token sequence), so tokenizing 100 TB is: explode
+    // the doc word stream, broadcast-join the Zipf-bounded (word → #tokens)
+    // map, one per-doc groupBy. That is one corpus pass at scan speed plus
+    // a map-side join — the same reason production tokenizers cache
+    // word→pieces. Output per doc: word count, BPE token count (integers —
+    // hash-exact, no float ratio). The oracle re-learns the identical 10
+    // rounds (shared bpeWfCtes) and re-joins the same way; un-joinable
+    // words cannot exist since the vocab came from this same corpus.
+    Q("j50_bpe_apply",
+      (s, d) => {
+        val vocab = bpeLearn(s, d)._2
+          .select(
+            regexp_replace(col("sym"), "[<>]", "").as("w"),
+            expr("size(split(substring(sym, 2, length(sym) - 2), '><'))")
+              .cast("long").as("ntok"))
+        val words = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) > 0)
+        words.join(broadcast(vocab), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $bpeWfCtes,
+        voc AS (SELECT replace(replace(sym, '<', ''), '>', '') AS w,
+            CAST(len(string_split(substr(sym, 2, strlen(sym) - 2), '><'))
+              AS BIGINT) AS ntok
+          FROM wf10),
+        dw AS (SELECT doc_id, w FROM
+            (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+          WHERE strlen(w) > 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM dw JOIN voc USING (w)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

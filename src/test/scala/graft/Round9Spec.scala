@@ -193,6 +193,31 @@ class Round9Spec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("j50 BPE application compresses the corpus within the char/word bounds") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("j50_bpe_apply")(spark, TestSpark.sf)
+    // per doc: a word is ≥1 token, a token is ≥1 char
+    val chars = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"),
+        expr("aggregate(filter(split(text, ' '), w -> length(w) > 0)," +
+          " 0L, (a, w) -> a + length(w))").as("n_chars_w"))
+    val j = out.join(chars, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val (nw, nt, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt >= nw && nt <= nc, s"doc ${r.getLong(0)}: $nw/$nt/$nc")
+    }
+    // 10 merges must actually compress: strictly fewer tokens than chars
+    val (tots, totc) = j.foldLeft((0L, 0L)) { case ((a, b), r) =>
+      (a + r.getLong(2), b + r.getLong(3)) }
+    assert(tots < totc, s"no compression: $tots vs $totc")
+    // every corpus word is in-vocabulary: word totals match the raw stream
+    val rawWords = Tables.t(spark, TestSpark.sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).count()
+    assert(j.map(_.getLong(1)).sum == rawWords)
+  }
+
   test("j47 flags exactly the cross-doc repeated 5-gram spans") {
     val d = graft.ops.Scratch.dir("j47fix")
     import spark.implicits._
