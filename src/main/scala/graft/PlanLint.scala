@@ -32,7 +32,7 @@ object PlanLint {
     // embedding dim); candidate generation itself stays an equi-join —
     // PlanSpec pins that the bucket join is never the NLJ
     "j3b_sim_lsh", "j39_knn_graph", "j39b_knn_multiprobe",
-    "j39c_knn_twotable", "j40_semantic_clusters",
+    "j39c_knn_twotable", "j39d_knn_topk_native", "j40_semantic_clusters",
     // BM25: the 1-row (N, avgdl) statistics carrier broadcasts
     "j42_bm25",
     // RRF: BM25's stats carrier + the 1-row probe-embedding broadcast
