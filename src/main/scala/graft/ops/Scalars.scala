@@ -438,5 +438,66 @@ object Scalars {
           CASE WHEN c_custkey % 3 = 1 THEN '10_15_7'
                WHEN c_custkey % 3 = 2 THEN '10.0' ELSE '' END AS osv,
           'pc' AS cat
-        FROM customer ORDER BY c_custkey""")))
+        FROM customer ORDER BY c_custkey""")),
+
+    // Linear interpolation gap-fill — pandas `interpolate('linear')`
+    // engine-side, the sibling of h15's LOCF and h19's resample+ffill:
+    // interior gaps blend the bracketing observations by time distance,
+    // trailing gaps clamp to the last observation (np.interp semantics),
+    // leading gaps stay null. Readings are masked deterministically
+    // (event_id % 5 == 0) so the oracle sees the identical gap pattern.
+    // Both bracketing scans are windows over the SAME (user, time)
+    // partitioning/ordering — Spark plans ONE shuffle + one sort for the
+    // running and reversed frames together; same single-exchange bound as
+    // h15 at 100 TB. The blend multiplies before dividing on both engines
+    // (left-assoc), so the doubles agree bit-for-bit at round-6.
+    Q("h30_interpolate_linear",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wp = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wn = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+          .rowsBetween(0, Window.unboundedFollowing)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            when(col("event_id") % 5 =!= 0, col("value")).as("v"))
+          .withColumn("pt",
+            last(when(col("v").isNotNull, col("ts_ms")), ignoreNulls = true).over(wp))
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+          .withColumn("nt",
+            first(when(col("v").isNotNull, col("ts_ms")), ignoreNulls = true).over(wn))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+          .select(col("event_id"), col("user_id"),
+            round(
+              when(col("v").isNotNull, col("v"))
+                .when(col("pv").isNull, lit(null))
+                .when(col("nv").isNull, col("pv"))
+                .when(col("nt") === col("pt"), col("pv"))
+                .otherwise(col("pv") + (col("nv") - col("pv"))
+                  * (col("ts_ms") - col("pt")) / (col("nt") - col("pt"))),
+              6).as("vi"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+            CASE WHEN event_id % 5 <> 0 THEN value END AS v FROM events),
+        w AS (SELECT event_id, user_id, ts_ms, v,
+            last_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+              OVER wp AS pt,
+            last_value(v IGNORE NULLS) OVER wp AS pv,
+            first_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+              OVER wn AS nt,
+            first_value(v IGNORE NULLS) OVER wn AS nv
+          FROM e
+          WINDOW wp AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wn AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_id, user_id,
+          ROUND(CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN NULL
+            WHEN nv IS NULL THEN pv
+            WHEN nt = pt THEN pv
+            ELSE pv + (nv - pv) * (ts_ms - pt) / (nt - pt) END, 6) AS vi
+        FROM w ORDER BY event_id""")))
 }

@@ -100,6 +100,24 @@ class KnobsSpec extends AnyFunSuite {
     assert(default.values.forall(_.length == 6))
   }
 
+  test("session-3 keys are partitioning-invariant (h27/h28/h30/j50)") {
+    // h27: per-partition window state; h28: SpaceSaving in its exact
+    // regime (no eviction ⇒ merge-order-free); h30: window blend
+    // multiplies-then-divides identically per row; j50: long-sum groupBy.
+    // Each must produce byte-identical rows at 1 shuffle partition.
+    for (key <- Seq("h27_td_sessionize_window", "h28_td_approx_most_frequent",
+        "h30_interpolate_linear", "j50_bpe_apply")) {
+      val default = SparkEntry.queries(key)(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSeq
+      val single = withConf("spark.sql.shuffle.partitions" -> "1") {
+        SparkEntry.queries(key)(spark, TestSpark.sf)
+          .collect().map(_.toSeq).toSeq
+      }
+      assert(default == single, s"$key changed with partitioning")
+      assert(default.nonEmpty, key)
+    }
+  }
+
   test("DotProduct matches a left-to-right scalar reference, handles edges") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
