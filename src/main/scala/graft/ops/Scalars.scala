@@ -499,5 +499,39 @@ object Scalars {
             WHEN nv IS NULL THEN pv
             WHEN nt = pt THEN pv
             ELSE pv + (nv - pv) * (ts_ms - pt) / (nt - pt) END, 6) AS vi
-        FROM w ORDER BY event_id""")))
+        FROM w ORDER BY event_id""")),
+
+    // Retention cohort matrix — the canonical product-analytics query a TD
+    // user runs over an events table: users cohorted by first-seen day,
+    // then counted per (cohort, day-offset). Shape at 100 TB: ONE shuffle
+    // on user_id building each user's day SET (collect_set dedups
+    // map-side; per-user state is calendar-bounded — #days in the table's
+    // span — never data-bounded), cohort = array_min of the same set, so
+    // no join and no second events pass. The rejected join shape (distinct
+    // (user, day) ⋈ min-per-user) re-shuffles: distinct partitions on
+    // BOTH columns, the join needs user_id alone. The final (cohort,
+    // offset) groupBy runs on user-days, orders of magnitude below
+    // events. Day boundaries are UTC session days; cohort emitted as ISO
+    // string per §8.4.3.
+    Q("h31_retention_cohort",
+      (s, d) => {
+        events(s, d)
+          .select(col("user_id"), to_date(col("ts_t")).as("day"))
+          .groupBy("user_id").agg(collect_set(col("day")).as("days"))
+          .select(array_min(col("days")).as("cohort"),
+            explode(col("days")).as("day"))
+          .select(dateStr(col("cohort")).as("cohort"),
+            datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+          .groupBy("cohort", "day_offset")
+          .agg(count(lit(1)).as("users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+        c AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id)
+        SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+          CAST(datediff('day', c.cohort, e.day) AS BIGINT) AS day_offset,
+          CAST(COUNT(*) AS BIGINT) AS users
+        FROM e JOIN c USING (user_id)
+        GROUP BY c.cohort, day_offset ORDER BY cohort, day_offset""")))
 }
