@@ -61,6 +61,13 @@ case class TdSessionizeWindow(
       TypeCheckResult.TypeCheckFailure(
         "td_sessionize_window: timeout must be an integral literal in " +
           "the same unit as time")
+    } else if (timeout.eval(null) == null ||
+        timeout.eval(null).asInstanceOf[Number].longValue() <= 0) {
+      // a non-positive timeout would silently open a session per row —
+      // a typo'd argument changes semantics with no signal (the
+      // TdTimeRange tz-arg lesson); TD's contract is a positive gap
+      TypeCheckResult.TypeCheckFailure(
+        "td_sessionize_window: timeout must be > 0")
     } else TypeCheckResult.TypeCheckSuccess
   }
 

@@ -345,12 +345,15 @@ object Td {
       has("iPad|Android(?!.*Mobile)") -> s("tablet"),
       has("Mobile|iPhone|iPod") -> s("smartphone"),
       has("bot|Bot|spider|crawl") -> s("crawler")), Some(s("pc")))
-    CreateMap(Seq(
+    val m = CreateMap(Seq(
       s("os"), os,
       s("os_version"), osVersion,
       s("browser"), browser,
       s("browser_version"), browserVersion,
       s("category"), category))
+    // null in → null out (Presto UDF convention), not a map of empty
+    // fields claiming the UA was parsed
+    If(IsNull(ua), Literal.create(null, m.dataType), m)
   }
 
   /** SQL registration of the whole tier on an existing session.

@@ -303,6 +303,23 @@ class TdSqlSpec extends AnyFunSuite {
       got("safari-iphone")("os_version") == "17_1")
     assert(got("edge-win")("browser") == "Edge" &&
       got("edge-win")("browser_version") == "120.0.2210.91")
+    // null in → null out, not a map of empty fields
+    assert(spark.sql("SELECT td_parse_agent(CAST(NULL AS STRING))")
+      .head().isNullAt(0))
+  }
+
+  test("td_sessionize_window rejects a non-positive timeout") {
+    Td.register(spark)
+    Seq((1L, 1000L)).toDF("event_id", "time")
+      .createOrReplaceTempView("td_sess_t0")
+    intercept[Exception] {
+      spark.sql("""SELECT td_sessionize_window(time, 0)
+          OVER (ORDER BY time) FROM td_sess_t0""").collect()
+    }
+    intercept[Exception] {
+      spark.sql("""SELECT td_sessionize_window(time, -5)
+          OVER (ORDER BY time) FROM td_sess_t0""").collect()
+    }
   }
 
   test("td_approx_most_frequent validates its literal arguments") {
