@@ -979,6 +979,88 @@ object Round9 {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
           CAST(SUM(ntok) AS BIGINT) AS n_tokens
         FROM dw JOIN voc USING (w)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // j51 — edit-distance near-dup join (Ed-Join, Xiao et al.): the typo/
+    // OCR-noise duplication mode that token-set similarity (j2's Jaccard,
+    // j2b's MinHash) cannot catch — "recieve" vs "receive" shares almost
+    // no shingles but is ed=2. All-pairs-free by the RARITY-ORDERED
+    // prefix filter: k=2 edits destroy at most k·q = 6 of a string's
+    // 3-grams, so two strings within ed 2 MUST share a gram among their
+    // first k·q+1 = 7 grams under any fixed global ordering; ordering by
+    // ascending document frequency (rarest first — one corpus gram-df
+    // pass, the j2c/PPJoin device at character granularity) makes those
+    // prefix grams the most SELECTIVE ones, so candidate groups are
+    // rarity-bounded. Exact levenshtein verifies candidates only, behind
+    // a length-band pre-filter. NEGATIVE RESULT, measured at sf0.1
+    // (40k strings): the first cut used PassJoin's positional segment
+    // signature (3 canonical segments, probe at ±2 positions) — sound,
+    // but mid-name segments recur corpus-wide in TPC-H's ~92-word name
+    // vocabulary, candidates hit 61M pairs (1500/string) and the key ran
+    // 144-205 s; the df-ordered prefix collapses candidates to the
+    // near-linear set (rarest grams live in each string's distinctive
+    // md5-prefix region) at three corpus-shaped shuffles. The corpus is
+    // md5-prefixed part names (the doc-id/URL head real dedup corpora
+    // carry) plus deterministic typo variants — delete / 1-sub / 2-sub,
+    // and an ed-4 'zzz ' prepend that must NOT match. The oracle
+    // recomputes from the length-banded quadratic join, so the pruning
+    // claim itself is hash-checked.
+    Q("j51_dedup_editdist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, d, "part").select(col("p_partkey").as("id"),
+          concat(substring(md5(col("p_partkey").cast("string")), 1, 8),
+            lit(" "), col("p_name")).as("txt"))
+        val variants = base.select((col("id") + 1000000L).as("id"),
+          expr("""CASE CAST(id % 4 AS INT)
+            WHEN 0 THEN concat(substring(txt, 1, 2), substring(txt, 4))
+            WHEN 1 THEN concat(substring(txt, 1, 4), 'q', substring(txt, 6))
+            WHEN 2 THEN concat(substring(txt, 1, 3), 'x', substring(txt, 5, 4),
+                               'z', substring(txt, 10))
+            ELSE concat('zzz ', txt) END""").as("txt"))
+        val corpus = base.unionAll(variants).where(length(col("txt")) >= 9)
+          .localCheckpoint()
+        // distinct 3-grams per string, global df, rarest-7 prefix
+        val grams = corpus.select(col("id"), col("txt"),
+            explode(expr(
+              "array_distinct(transform(sequence(1, length(txt) - 2)," +
+                " p -> substring(txt, p, 3)))")).as("g"))
+        val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        val prefix = grams.join(df, "g")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("id").orderBy("df", "g")))
+          .where(col("rn") <= 7).select(col("id"), col("txt"), col("g"))
+        val a = prefix.select(col("id").as("id_a"), col("txt").as("ta"),
+          col("g"))
+        val b = prefix.select(col("id").as("id_b"), col("txt").as("tb"),
+          col("g"))
+        a.join(b, Seq("g"))
+          .where(col("id_a") < col("id_b") &&
+            abs(length(col("ta")) - length(col("tb"))) <= 2)
+          .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
+          .withColumn("dist", levenshtein(col("ta"), col("tb")))
+          .where(col("dist") <= 2)
+          .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT p_partkey AS id,
+            substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8) || ' ' || p_name AS txt
+          FROM part),
+        var AS (SELECT id + 1000000 AS id,
+            CASE CAST(id % 4 AS INT)
+              WHEN 0 THEN substr(txt, 1, 2) || substr(txt, 4)
+              WHEN 1 THEN substr(txt, 1, 4) || 'q' || substr(txt, 6)
+              WHEN 2 THEN substr(txt, 1, 3) || 'x' || substr(txt, 5, 4)
+                          || 'z' || substr(txt, 10)
+              ELSE 'zzz ' || txt END AS txt
+          FROM base),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+        c AS (SELECT * FROM corpus WHERE strlen(txt) >= 9)
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
+        FROM c a JOIN c b
+          ON a.id < b.id AND abs(strlen(a.txt) - strlen(b.txt)) <= 2
+        WHERE levenshtein(a.txt, b.txt) <= 2
+        ORDER BY id_a, id_b"""))
   )
 }

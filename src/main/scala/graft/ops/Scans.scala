@@ -197,5 +197,46 @@ object Scans {
           .schema("n_nationkey BIGINT, n_name STRING, n_regionkey INT")
           .xml(out).orderBy("n_nationkey")
       },
-      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")))
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // SCD2 dimension-history construction (r13 s3) — the warehouse pattern
+    // next to a25's MERGE: a change stream collapses into validity
+    // intervals. Per user, consecutive duplicate attribute values are
+    // dropped (real SCD2's change-detection step, a lag over the (user,
+    // time) window), then each surviving change takes
+    // [valid_from, valid_to) from its own and the NEXT change's time —
+    // a lead over the SAME partitioning/ordering, which the filter
+    // preserves, so the whole build is ONE shuffle + one sort; the open
+    // row (valid_to null) is the current version. At 100 TB this is the
+    // standard one-pass history rebuild; incremental upkeep is a25's
+    // MERGE against the open rows.
+    Q("a29_scd2_history",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+          .select(col("user_id"), col("event_type"),
+            col("ts_ms").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("user_id", "valid_from", "event_type")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events),
+        ch AS (SELECT *, lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+          FROM e),
+        sc AS (SELECT * FROM ch
+          WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type, ts_ms AS valid_from,
+          lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+            AS valid_to,
+          (lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+            IS NULL) AS is_current
+        FROM sc ORDER BY user_id, valid_from, event_type""")))
 }
