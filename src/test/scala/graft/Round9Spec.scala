@@ -218,6 +218,55 @@ class Round9Spec extends AnyFunSuite {
     assert(j.map(_.getLong(1)).sum == rawWords)
   }
 
+  test("j51 finds the planted typo pairs and rejects the ed-4 decoys") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("j51_dedup_editdist")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every delete/1-sub/2-sub variant (id % 4 in 0..2) pairs with its
+    // original at the planted distance; 'zzz ' prepends (id % 4 == 3) never
+    val parts = Tables.t(spark, TestSpark.sf, "part")
+      .select(col("p_partkey")).collect().map(_.getLong(0))
+    val expected = parts.collect {
+      case id if id % 4 == 0 => (id, id + 1000000L, 1L)
+      case id if id % 4 == 1 => (id, id + 1000000L, 1L)
+      case id if id % 4 == 2 => (id, id + 1000000L, 2L)
+    }.toSet
+    val got = out.toSet
+    assert(expected.subsetOf(got),
+      s"missing planted pairs: ${(expected -- got).take(5)}")
+    assert(!got.exists { case (a, b, _) => b - a == 1000000L && a % 4 == 3 },
+      "an ed-4 prepend decoy matched")
+    // distances are genuine levenshtein values within the threshold
+    assert(out.forall(_._3 <= 2))
+  }
+
+  test("a29 SCD2 intervals tile each user's timeline without adjacent dups") {
+    val rows = SparkEntry.queries("a29_scd2_history")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0),
+        r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, h0) =>
+      val h = h0.sortBy(r => (r._3, r._2))
+      // exactly one open (current) row per user, and it is the last
+      assert(h.count(_._4.isEmpty) == 1, s"user $uid open rows")
+      assert(h.last._4.isEmpty && h.last._5, s"user $uid current flag")
+      // intervals tile: each closed interval ends where the next begins
+      h.sliding(2).foreach {
+        case Array((_, _, _, Some(to1), _), (_, _, from2, _, _)) =>
+          assert(to1 == from2, s"user $uid gap: $to1 != $from2")
+        case _ => ()
+      }
+      // change-detection collapsed consecutive repeats: adjacent versions
+      // at DISTINCT times never carry the same attribute value
+      h.sliding(2).foreach {
+        case Array((_, t1, f1, _, _), (_, t2, f2, _, _)) if f1 != f2 =>
+          assert(t1 != t2, s"user $uid adjacent dup type $t1")
+        case _ => ()
+      }
+    }
+  }
+
   test("j47 flags exactly the cross-doc repeated 5-gram spans") {
     val d = graft.ops.Scratch.dir("j47fix")
     import spark.implicits._
