@@ -1020,7 +1020,13 @@ object Round9 {
             ELSE concat('zzz ', txt) END""").as("txt"))
         val corpus = base.unionAll(variants).where(length(col("txt")) >= 9)
           .localCheckpoint()
-        // distinct 3-grams per string, global df, rarest-7 prefix
+        // distinct 3-grams per string, global df, rarest-7 prefix.
+        // The gram stream carries txt alongside: the j2b id-only-then-
+        // re-attach device was MEASURED SLOWER here (8.4 s vs 6.3 s
+        // min-of-3 at sf0.1) — with ~40-char strings the two re-attach
+        // joins cost more than hauling the payload through the shuffles;
+        // that device pays off for j2b's wide signature arrays, not for
+        // short scalar strings.
         val grams = corpus.select(col("id"), col("txt"),
             explode(expr(
               "array_distinct(transform(sequence(1, length(txt) - 2)," +
