@@ -81,6 +81,26 @@ object Extras {
         SELECT user_id, event_id AS last_event_id, ts_ms AS last_ts_ms
         FROM r WHERE rn = 1 ORDER BY user_id""")),
 
+    // Streaming SCD2 maintenance (CDC apply): per batch, only (open rows ∪
+    // batch changes) re-run the a29 lag/lead window; closed history
+    // accumulates untouched behind the i11 swap commit. Final table ==
+    // the batch a29 rebuild — same oracle, same ordering.
+    Q("i19_stream_scd2",
+      (s, d) => Streams.i19(s, d),
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events),
+        ch AS (SELECT *, lag(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+          FROM e),
+        sc AS (SELECT * FROM ch
+          WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type, ts_ms AS valid_from,
+          lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+            AS valid_to,
+          (lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+            IS NULL) AS is_current
+        FROM sc ORDER BY user_id, valid_from, event_type""")),
+
     // Complete-mode streaming aggregation: the memory sink holds the FULL
     // current aggregate after every batch; after the last batch it equals
     // the batch groupBy (the oracle) — the third output mode next to

@@ -804,4 +804,73 @@ object Streams {
       corpusIdx.unpersist(blocking = false)
     }
   }
+
+  /** i19 — streaming SCD2 maintenance (CDC apply): each micro-batch folds
+    * its changes into the a29 dimension-history table. The incremental
+    * trick: only the OPEN rows participate — a batch's impact on history
+    * is confined to (open versions ∪ batch changes), so each batch
+    * re-runs the a29 lag/lead window over exactly that union (each open
+    * row rides along as the pseudo-change at its own valid_from, which
+    * makes the lag comparison against the standing version free) and the
+    * CLOSED history accumulates untouched. At 100 TB the open set is one
+    * row per live entity — the working set CDC appliers actually keep —
+    * while closed history is append-only; commit is the i11/i16
+    * write-new-then-swap. Correct only for time-ordered arrival (CDC log
+    * order, the collectEvents contract); late data would need i4's
+    * watermark machinery in front. Final table == the batch a29 rebuild
+    * (the oracle). */
+  def i19(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val stateDir = tmp("i19state")
+    val stream = MemoryStream[Ev]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val cur = new java.io.File(s"$stateDir/cur")
+        val existing =
+          if (cur.exists()) s.read.parquet(cur.getPath)
+          else s.range(0).select(lit(0L).as("user_id"), lit("").as("event_type"),
+            lit(0L).as("valid_from"), lit(0L).cast("long").as("valid_to"),
+            lit(0L).as("event_id")).limit(0)
+        val open = existing.where(col("valid_to").isNull)
+        val closed = existing.where(col("valid_to").isNotNull)
+        // open rows re-enter as the pseudo-change at their own valid_from
+        val changes = open.select(col("user_id"), col("event_type"),
+            col("valid_from").as("ts_ms"), col("event_id"))
+          .unionByName(batch.select(col("user_id"), col("event_type"),
+            col("ts_ms"), col("event_id")))
+        val rebuilt = changes
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+          .select(col("user_id"), col("event_type"),
+            col("ts_ms").as("valid_from"), col("valid_to"), col("event_id"))
+        val merged = closed.unionByName(rebuilt)
+        val next = s"$stateDir/next_$id"
+        merged.write.mode("overwrite").parquet(next)
+        val curPath = java.nio.file.Paths.get(s"$stateDir/cur")
+        val tmpOld = java.nio.file.Paths.get(s"$stateDir/old_$id")
+        if (java.nio.file.Files.exists(curPath))
+          java.nio.file.Files.move(curPath, tmpOld)
+        java.nio.file.Files.move(java.nio.file.Paths.get(next), curPath)
+        ()
+      }
+      .option("checkpointLocation", tmp("i19ck")).start()
+    val third = evs.length / 3
+    stream.addData(evs.take(third).toSeq)
+    q.processAllAvailable()
+    stream.addData(evs.slice(third, 2 * third).toSeq)
+    q.processAllAvailable()
+    stream.addData(evs.drop(2 * third).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$stateDir/cur")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
 }

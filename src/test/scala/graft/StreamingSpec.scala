@@ -111,4 +111,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(nBefore >= 24 && nAfter < nBefore, s"$nBefore -> $nAfter")
     assert(spark.read.parquet(dir).count() == rowsBefore)
   }
+
+  test("i19 planted cascade: cross-batch dup dropped, late user opens cleanly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = graft.ops.Scratch.dir("i19fix")
+    // time-ordered 3-batch split lands [1000] | [2000] | [2500, 3000]:
+    // the 2000 'a' arrives in its own batch and must be dropped against
+    // batch 1's OPEN 'a' row (the pseudo-change lag); u2 first appears in
+    // batch 3; u1's 'b' closes the standing 'a' version across batches
+    Seq(
+      (1L, 1000L, 1L, "a", 0.0),
+      (2L, 2000L, 1L, "a", 0.0),
+      (3L, 2500L, 2L, "c", 0.0),
+      (4L, 3000L, 1L, "b", 0.0))
+      .toDF("event_id", "ts_ms", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.streaming.Streams.i19(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 1000L, Some(3000L), false),
+      (1L, "b", 3000L, None, true),
+      (2L, "c", 2500L, None, true)), out.toSeq.toString)
+  }
 }
