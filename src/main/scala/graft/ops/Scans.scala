@@ -238,5 +238,57 @@ object Scans {
             AS valid_to,
           (lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
             IS NULL) AS is_current
-        FROM sc ORDER BY user_id, valid_from, event_type""")))
+        FROM sc ORDER BY user_id, valid_from, event_type""")),
+
+    // Row-level table diff (r13 s3) — the ROW-granularity complement of
+    // a23/a24's file-level time travel: given two keyed snapshots, emit
+    // each key's change class. One co-partitioned full outer join on the
+    // key; row identity compares a single xxhash64 over the value columns
+    // (codegen'd, no column-by-column predicate explosion), so at 100 TB
+    // the diff moves keys + 8-byte hashes through the shuffle, and the
+    // 'unchanged' majority is filtered before any output materializes.
+    // v2 derives from v1 deterministically: keys ≡1 (mod 7) update their
+    // segment, ≡2 (mod 11) are deleted, and a shifted-key range inserts.
+    Q("a30_table_diff",
+      (s, d) => {
+        val v1 = t(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_name"), col("c_mktsegment"))
+        val v2 = v1.where(col("k") % 11 =!= 2)
+          .select(col("k"), col("c_name"),
+            when(col("k") % 7 === 1, lit("MOVED")).otherwise(col("c_mktsegment"))
+              .as("c_mktsegment"))
+          .unionAll(v1.where(col("k") % 13 === 3)
+            .select((col("k") + 500000L).as("k"), col("c_name"),
+              lit("FRESH").as("c_mktsegment")))
+        val h1 = v1.select(col("k"),
+          xxhash64(col("c_name"), col("c_mktsegment")).as("h1"))
+        val h2 = v2.select(col("k").as("k2"),
+          xxhash64(col("c_name"), col("c_mktsegment")).as("h2"))
+        h1.join(h2, col("k") === col("k2"), "full_outer")
+          .select(coalesce(col("k"), col("k2")).as("k"),
+            when(col("k").isNull, "inserted")
+              .when(col("k2").isNull, "deleted")
+              .when(col("h1") =!= col("h2"), "updated")
+              .otherwise("unchanged").as("change"))
+          .where(col("change") =!= "unchanged")
+          .orderBy("k", "change")
+      },
+      Some("""WITH v1 AS (SELECT c_custkey AS k, c_name, c_mktsegment
+            FROM customer),
+        v2 AS (SELECT k, c_name,
+            CASE WHEN k % 7 = 1 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+          FROM v1 WHERE k % 11 <> 2
+          UNION ALL
+          SELECT k + 500000 AS k, c_name, 'FRESH' AS c_mktsegment
+          FROM v1 WHERE k % 13 = 3)
+        SELECT COALESCE(v1.k, v2.k) AS k,
+          CASE WHEN v1.k IS NULL THEN 'inserted'
+               WHEN v2.k IS NULL THEN 'deleted'
+               WHEN v1.c_name <> v2.c_name
+                 OR v1.c_mktsegment <> v2.c_mktsegment THEN 'updated'
+               ELSE 'unchanged' END AS change
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        WHERE NOT (v1.k IS NOT NULL AND v2.k IS NOT NULL
+          AND v1.c_name = v2.c_name AND v1.c_mktsegment = v2.c_mktsegment)
+        ORDER BY k, change""")))
 }

@@ -310,4 +310,44 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p) // "*(n)" marks a WholeStageCodegen stage
   }
+
+  test("h27 sessionizes in ONE Window exec (vs the lag+sum idiom's two)") {
+    val p = plan("h27_td_sessionize_window")
+    assert("(?m)^\\s*\\+?-? ?Window ".r.findAllIn(p).length == 1, p)
+    assert(p.contains("td_sessionize_window"), p)
+  }
+
+  // the window-required SortExecs appear only in the prepared plan; on the
+  // pre-AQE sparkPlan the single-sort property shows as both Window nodes
+  // carrying the IDENTICAL partition/order spec (EnsureRequirements then
+  // satisfies the second window from the first's ordering)
+  private def windowSpecs(p: String): Seq[String] =
+    "(?m)^\\s*(?:\\+- |:- )?Window .*".r.findAllIn(p)
+      .map(_.replaceAll(".*\\], (\\[[^\\]]*\\], \\[[^\\]]*\\])$", "$1")).toSeq
+
+  test("h30's two bracketing frames share one window sort") {
+    val p = plan("h30_interpolate_linear")
+    val specs = windowSpecs(p)
+    assert(specs.length == 2, p)
+    assert(specs.distinct.length == 1, s"windows disagree on partition/order:\n$p")
+  }
+
+  test("h31 retention cohorts build with no join and one user-keyed aggregate") {
+    val p = plan("h31_retention_cohort")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("collect_set"), p)
+  }
+
+  test("a29's SCD2 lag and lead share one window sort (filter preserves order)") {
+    val p = plan("a29_scd2_history")
+    val specs = windowSpecs(p)
+    assert(specs.length == 2, p)
+    assert(specs.distinct.length == 1, s"windows disagree on partition/order:\n$p")
+  }
+
+  test("j51 candidates come from an equi-join on the gram, never a cartesian") {
+    val p = plan("j51_dedup_editdist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("levenshtein"), p)
+  }
 }
