@@ -533,5 +533,64 @@ object Scalars {
           CAST(datediff('day', c.cohort, e.day) AS BIGINT) AS day_offset,
           CAST(COUNT(*) AS BIGINT) AS users
         FROM e JOIN c USING (user_id)
-        GROUP BY c.cohort, day_offset ORDER BY cohort, day_offset""")))
+        GROUP BY c.cohort, day_offset ORDER BY cohort, day_offset""")),
+
+    // TD_CURRENCY_CONV's engine-side shape with a user-supplied rate table
+    // (the UDF itself embeds TD's licensed FX feed — documented absence;
+    // this key is the bring-your-own-table form): convert each order at
+    // the latest rate effective on or before its date. An AS-OF lookup
+    // against a dimension: the rate table is tiny (currencies × effective
+    // dates) so it BROADCASTS, each order map-side-expands to its ≤12
+    // admissible rates, and the argmax folds in ONE aggregate that
+    // carries the order's payload (first() over the group — no join-back,
+    // so the fact table crosses the wire exactly once). c10c's sorted
+    // AsOfJoinExec is the zero-shuffle alternative when facts arrive
+    // time-sorted. Exact decimal arithmetic (rate as DECIMAL(18,6),
+    // §8.4.2) keeps converted totals hash-identical across engines.
+    // Currencies/rates derive deterministically so the oracle rebuilds
+    // them.
+    Q("h32_currency_conv",
+      (s, d) => {
+        val orders = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          expr("element_at(array('USD','JPY','EUR'), CAST(o_custkey % 3 AS INT) + 1)")
+            .as("cur"))
+        // rate table: per currency, monthly effective dates with a
+        // deterministic drift; USD is the identity
+        val rates = s.range(1, 13).select(
+            explode(expr("array('USD','JPY','EUR')")).as("cur"),
+            expr("make_date(1992, CAST(id AS INT), 1)").as("eff"),
+            col("id").cast("int").as("m"))
+          .select(col("cur"), col("eff"),
+            expr("""CAST(CASE cur WHEN 'USD' THEN 1.0
+              WHEN 'JPY' THEN 0.009 + m * 0.0001
+              ELSE 1.08 + m * 0.001 END AS DECIMAL(18,6))""").as("rate"))
+        orders.join(broadcast(rates),
+            orders("cur") === rates("cur") && rates("eff") <= orders("o_orderdate"))
+          .groupBy(orders("o_orderkey"))
+          .agg(first(orders("cur")).as("cur"),
+            first(col("o_totalprice")).as("price"),
+            expr("max_by(rate, eff)").as("rate"))
+          .select(col("o_orderkey"), col("cur"),
+            expr("CAST(round(CAST(price AS DECIMAL(18,4)) * rate, 4) AS DOUBLE)")
+              .as("usd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderdate,
+            CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+            ['USD','JPY','EUR'][CAST(o_custkey % 3 AS INT) + 1] AS cur
+          FROM orders),
+        r AS (SELECT cur, make_date(1992, CAST(m AS INT), 1) AS eff,
+            CAST(CASE cur WHEN 'USD' THEN 1.0
+              WHEN 'JPY' THEN 0.009 + m * 0.0001
+              ELSE 1.08 + m * 0.001 END AS DECIMAL(18,6)) AS rate
+          FROM (SELECT unnest(range(1, 13)) AS m),
+            (SELECT unnest(['USD','JPY','EUR']) AS cur)),
+        eff AS (SELECT o.o_orderkey, arg_max(r.rate, r.eff) AS rate
+          FROM o JOIN r ON o.cur = r.cur AND r.eff <= o.o_orderdate
+          GROUP BY o.o_orderkey)
+        SELECT o.o_orderkey, o.cur,
+          CAST(round(o.price * eff.rate, 4) AS DOUBLE) AS usd
+        FROM o JOIN eff USING (o_orderkey)
+        ORDER BY o_orderkey""")))
 }
