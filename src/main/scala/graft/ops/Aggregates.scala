@@ -197,5 +197,29 @@ object Aggregates {
         .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names
         FROM customer WHERE c_custkey < 20
-        GROUP BY c_mktsegment ORDER BY c_mktsegment""")))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Weighted (frequency) exact percentile — `percentile(col, p, freq)`'s
+    // third argument, the surface weighted-survey/row-multiplicity
+    // percentiles need without physically expanding rows: Spark treats
+    // each value as repeated `freq` times and interpolates on the
+    // expanded multiset. The oracle proves that semantic by DOING the
+    // expansion (unnest(range(freq))) and running plain quantile_cont —
+    // equality means the weighted form is exactly the expanded form,
+    // which is why at 100 TB you ship (value, weight) pairs and never the
+    // multiplied rows.
+    Q("d23_percentile_weighted",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5, l_linenumber)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9, l_linenumber)"), 4).as("p90"))
+        .orderBy("l_returnflag"),
+      Some("""WITH x AS (SELECT l_returnflag, l_quantity
+          FROM (SELECT l_returnflag, l_quantity, l_linenumber FROM lineitem),
+            unnest(range(l_linenumber)))
+        SELECT l_returnflag,
+          ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+          ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90
+        FROM x GROUP BY l_returnflag ORDER BY l_returnflag""")))
 }

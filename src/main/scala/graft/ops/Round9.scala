@@ -981,6 +981,55 @@ object Round9 {
         FROM dw JOIN voc USING (w)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // m8 — the PALETTE-IMAGE leg of the byte-decode story: GIF and BMP
+    // carry their dimensions LITTLE-endian (GIF: logical-screen u16 pair
+    // right after "GIF89a"; BMP: i32 pair at offsets 19/23 of the
+    // BITMAPINFOHEADER) — the inverse endianness of m2b's PNG/JPEG and
+    // the image counterpart of m6's WAV. Same machinery: spec-layout
+    // headers synthesized per doc, decoded by per-byte hex slices
+    // reassembled in reverse order, magic-byte dispatch ("GIF8" vs "BM"),
+    // map-only codegen'd substring+conv — no UDF, scan-speed at any
+    // scale. The oracle re-derives dimensions from the synthesis rule,
+    // so equality proves the byte round trip.
+    Q("m8_decode_gif_bmp",
+      (s, d) => {
+        def le(v: String, n: Int): String =
+          (0 until n).map(k => s"lpad(hex(shiftright($v, ${8 * k}) & 255), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val fixture = t(s, d, "documents").selectExpr("doc_id", "text",
+            "16L + doc_id % 1024 as w0", "16L + (doc_id * 5) % 1024 as h0",
+            "cast(length(text) as long) as body")
+          .selectExpr("doc_id",
+            ("unhex(case when doc_id % 2 = 0 " +
+              s"then concat('474946383961', ${le("w0", 2)}, ${le("h0", 2)}) " +
+              s"else concat('424D', ${le("26L + body", 4)}, '00000000', " +
+              s"'1A000000', '28000000', ${le("w0", 4)}, ${le("h0", 4)}) end)") +
+              " as header",
+            "cast(text as binary) as bodyb")
+          .select(col("doc_id"), concat(col("header"), col("bodyb")).as("payload"))
+        def leInt(start: Int, len: Int) = expr(
+          s"cast(conv(concat(" +
+            (0 until len).reverse
+              .map(k => s"hex(substring(payload, ${start + k}, 1))")
+              .mkString(", ") +
+            s"), 16, 10) as bigint)")
+        val isGif = hex(substring(col("payload"), 1, 4)) === "47494638"
+        val isBmp = hex(substring(col("payload"), 1, 2)) === "424D"
+        fixture.select(col("doc_id"),
+            when(isGif, "gif").when(isBmp, "bmp").otherwise("unknown").as("fmt"),
+            when(isGif, leInt(7, 2)).when(isBmp, leInt(19, 4)).as("width"),
+            when(isGif, leInt(9, 2)).when(isBmp, leInt(23, 4)).as("height"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS fmt,
+          CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+          CAST(16 + (doc_id * 5) % 1024 AS BIGINT) AS height,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 26 END
+            + strlen(text) AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
+
     // j51 — edit-distance near-dup join (Ed-Join, Xiao et al.): the typo/
     // OCR-noise duplication mode that token-set similarity (j2's Jaccard,
     // j2b's MinHash) cannot catch — "recieve" vs "receive" shares almost

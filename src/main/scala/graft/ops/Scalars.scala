@@ -592,5 +592,69 @@ object Scalars {
         SELECT o.o_orderkey, o.cur,
           CAST(round(o.price * eff.rate, 4) AS DOUBLE) AS usd
         FROM o JOIN eff USING (o_orderkey)
-        ORDER BY o_orderkey""")))
+        ORDER BY o_orderkey""")),
+
+    // TD_IP_TO_COUNTRY's engine-side shape with a user-supplied CIDR table
+    // (the UDF embeds TD's licensed GeoIP database — documented absence;
+    // this is the bring-your-own-table form): dotted-quad → uint32 via
+    // native split/cast arithmetic, then a PREFIX-BUCKETED lookup — each
+    // CIDR block expands to the first octets it covers, the probe joins on
+    // its own first octet (plain hash join, broadcast dim), and the
+    // start <= ip < end residual filters within the bucket. The bucketed
+    // equi-join is the point: a raw BETWEEN against the dim would plan a
+    // nested loop over every row; bucketing by prefix is how IP lookups
+    // stay an equi-join at 100 TB (and how real GeoIP services index).
+    Q("h33_ip_to_country",
+      (s, d) => {
+        val ips = t(s, d, "customer").select(col("c_custkey").as("id"),
+          concat_ws(".",
+            (lit(10) + (col("c_custkey") % 3) * 60).cast("string"),
+            (col("c_custkey") % 256).cast("string"),
+            ((col("c_custkey") * 7) % 256).cast("string"),
+            ((col("c_custkey") * 13) % 256).cast("string")).as("ip"))
+        import s.implicits._
+        // (cidr_start, cidr_end_exclusive, country) as uint32 ranges:
+        // 10.0.0.0/9 US, 10.128.0.0/9 CA, 70.0.0.0/9 FR, 70.128.0.0/9 DE,
+        // 130.0.0.0/8 JP
+        val cidr = Seq(
+          (10L * 16777216, 10L * 16777216 + 8388608, "US"),
+          (10L * 16777216 + 8388608, 11L * 16777216, "CA"),
+          (70L * 16777216, 70L * 16777216 + 8388608, "FR"),
+          (70L * 16777216 + 8388608, 71L * 16777216, "DE"),
+          (130L * 16777216, 131L * 16777216, "JP"))
+          .toDF("r_start", "r_end", "country")
+          .select(col("r_start"), col("r_end"), col("country"),
+            explode(expr("sequence(r_start div 16777216, (r_end - 1) div 16777216)"))
+              .as("bucket"))
+        val probe = ips.select(col("id"), col("ip"),
+          expr("""CAST(split(ip, '\\.')[0] AS BIGINT) * 16777216
+            + CAST(split(ip, '\\.')[1] AS BIGINT) * 65536
+            + CAST(split(ip, '\\.')[2] AS BIGINT) * 256
+            + CAST(split(ip, '\\.')[3] AS BIGINT)""").as("ipn"))
+          .withColumn("bucket", expr("ipn div 16777216"))
+        probe.join(broadcast(cidr), Seq("bucket"))
+          .where(col("ipn") >= col("r_start") && col("ipn") < col("r_end"))
+          .select(col("id"), col("ip"), col("country"))
+          .orderBy("id")
+      },
+      Some("""WITH ips AS (SELECT c_custkey AS id,
+            (10 + (c_custkey % 3) * 60) || '.' || (c_custkey % 256) || '.'
+              || ((c_custkey * 7) % 256) || '.' || ((c_custkey * 13) % 256)
+              AS ip
+          FROM customer),
+        cidr(r_start, r_end, country) AS (VALUES
+          (CAST(10 AS BIGINT) * 16777216, CAST(10 AS BIGINT) * 16777216 + 8388608, 'US'),
+          (CAST(10 AS BIGINT) * 16777216 + 8388608, CAST(11 AS BIGINT) * 16777216, 'CA'),
+          (CAST(70 AS BIGINT) * 16777216, CAST(70 AS BIGINT) * 16777216 + 8388608, 'FR'),
+          (CAST(70 AS BIGINT) * 16777216 + 8388608, CAST(71 AS BIGINT) * 16777216, 'DE'),
+          (CAST(130 AS BIGINT) * 16777216, CAST(131 AS BIGINT) * 16777216, 'JP')),
+        p AS (SELECT id, ip,
+            CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+              + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+              + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+              + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipn
+          FROM ips)
+        SELECT p.id, p.ip, c.country
+        FROM p JOIN cidr c ON p.ipn >= c.r_start AND p.ipn < c.r_end
+        ORDER BY p.id""")))
 }

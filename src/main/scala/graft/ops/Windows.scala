@@ -198,6 +198,42 @@ object Windows {
             PARTITION BY user_id ORDER BY ts_ms, event_id), 4) AS next_reading
         FROM e ORDER BY event_id""")),
 
+    // Windowed COUNT DISTINCT — a surface Spark rejects outright
+    // (`COUNT(DISTINCT …) OVER` is unsupported in the engine): the
+    // engine-native idiom is size(collect_set() OVER), which the
+    // aggregate-buffer path evaluates per frame. Running flavor: distinct
+    // event types seen per user UP TO each event (cumulative vocabulary);
+    // whole-partition flavor: the user's total distinct types on every
+    // row. Both frames share the one (user, time) sort. At scale the set
+    // is bounded by the attribute's cardinality (event types ≈ enum), the
+    // same calendar/enum-bounded-state argument as h31 — this idiom is NOT
+    // for high-cardinality values (there the d7/d19 HLL sketches are the
+    // tool).
+    Q("e12_win_count_distinct",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"))
+          .select(col("event_id"), col("user_id"),
+            size(collect_set(col("event_type"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .cast("long").as("types_so_far"),
+            size(collect_set(col("event_type"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+              .cast("long").as("types_total"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events)
+        SELECT event_id, user_id,
+          CAST(COUNT(DISTINCT event_type) OVER (
+            PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS types_so_far,
+          CAST(COUNT(DISTINCT event_type) OVER (
+            PARTITION BY user_id) AS BIGINT) AS types_total
+        FROM e ORDER BY event_id""")),
+
     // Multi-key sort with explicit NULL placement (testdata has no NULLs —
     // synthesized via CASE, FIXTURES.md gotcha 2).
     Q("f1_sort_multi",
