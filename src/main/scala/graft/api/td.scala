@@ -203,10 +203,14 @@ object td {
     val tagged = engine.header.filter(_.nonEmpty)
       .map(h => s"-- ${h.replace('\n', ' ')}\n$interpolated")
       .getOrElse(interpolated)
+    // builtin shadows are statement-scoped (see Presto.sql): they resolve
+    // for THIS eagerly-analyzed text, then native resolution is restored
     val df =
-      if (distributedJoin)
-        s.sql(s"SELECT /*+ MERGE */ * FROM (${tagged.stripSuffix(";")})")
-      else s.sql(tagged)
+      try {
+        if (distributedJoin)
+          s.sql(s"SELECT /*+ MERGE */ * FROM (${tagged.stripSuffix(";")})")
+        else s.sql(tagged)
+      } finally graft.functions.Presto.dropShadowing(s)
     cacheJob(df)
     df
   }
@@ -350,7 +354,8 @@ object td {
     Td.register(s)
     graft.functions.Presto.register(s) // Presto-dialect names resolve verbatim
     registerTables(engine)
-    cacheJob(s.sql(interpolate(sql, Map.empty)))
+    try cacheJob(s.sql(interpolate(sql, Map.empty)))
+    finally graft.functions.Presto.dropShadowing(s)
   }
 
   /** `read_td_job(job_id)`: re-serve a completed result without recompute. */

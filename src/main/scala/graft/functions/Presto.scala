@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, First, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, First, HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -30,8 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_contains`, which both engines accept.
   *
   * Names that already resolve identically in Spark need no alias and get
-  * none: cardinality, element_at, regexp_like, split_part, approx_percentile,
+  * none: element_at, regexp_like, split_part, approx_percentile,
   * array_join, sequence, slice, map_keys/map_values, json_array_length.
+  * (`cardinality` DID resolve natively but is now overridden by the
+  * type-dispatching [[graft.expressions.PrestoCardinality]]: Presto reads
+  * it over HLL sketches too, and returns BIGINT where Spark's size
+  * returns INT.)
   *
   * Two aliases REPLACE Spark builtins whose Presto reading differs —
   * `split` (literal delimiter, not regex) and `regexp_extract` (default
@@ -109,10 +113,52 @@ object Presto {
     unitCallRe.replaceAllIn(sql, m => s"${m.group(1)}(${m.group(2)},")
 
   /** `spark.sql` with the dialect registered and text shims applied — the
-    * passthrough entry `readTdQuery` routes through. */
-  def sql(spark: SparkSession, text: String): org.apache.spark.sql.DataFrame = {
-    register(spark)
-    spark.sql(rewrite(text))
+    * passthrough entry `readTdQuery` routes through.
+    *
+    * The dialect's BUILTIN SHADOWS (split, regexp_extract, cardinality,
+    * date_format, from_unixtime, …) are STATEMENT-scoped: they apply to
+    * the Presto-submitted text (resolved eagerly here — Dataset analysis
+    * runs at construction) and are dropped before returning, restoring
+    * native resolution for any Spark SQL the same session runs next.
+    * That is the correct reading of the two dialects sharing one session
+    * — Presto semantics belong to Presto-submitted TEXT, not to the
+    * session — and it closes a real cross-contamination bug: a temp
+    * override of `split` (literal delimiter) leaking into a later native
+    * query that wrote `split(ip, '\\.')` (regex) silently changes its
+    * result. Purely ADDITIVE names (strpos, to_iso8601, …) stay
+    * registered; they shadow nothing. Sessions that want the dialect
+    * permanently resident opt in via GraftExtensions
+    * (spark.sql.extensions), where the injection is explicit. */
+  def sql(spark: SparkSession, text: String): org.apache.spark.sql.DataFrame =
+    try {
+      register(spark)
+      spark.sql(rewrite(text)) // analysis (and so resolution) is eager
+    } finally dropShadowing(spark)
+
+  /** Dialect names that shadow a Spark builtin — computed against the
+    * builtin registry, not hand-listed, so a Spark upgrade that adds a
+    * colliding builtin (the `contains` story) moves the name into the
+    * statement-scoped set automatically. */
+  private lazy val shadowing: Seq[String] = builders.map(_._1).filter { n =>
+    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+  }
+
+  /** Restore native resolution for the builtin-shadowing names. A
+    * session's functionRegistry is a CLONE of the builtin registry, so
+    * `createOrReplaceTempFunction` on a builtin name overwrites the
+    * session's own builtin entry — dropping it would leave the name
+    * unresolvable; the restore must re-register the canonical builtin
+    * (info + builder) from `FunctionRegistry.builtin`. Additive names
+    * are left registered. */
+  def dropShadowing(spark: SparkSession): Unit = {
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    shadowing.foreach { n =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(n)
+      for (info <- builtin.lookupFunction(id);
+           b <- builtin.lookupFunctionBuilder(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
   }
 
   /** The whole dialect as session-free (name → parse-time builder)
@@ -141,6 +187,61 @@ object Presto {
           "approx_distinct(x[, max_standard_error])")
       }
       h.toAggregateExpression()
+    }
+
+    // The STORED-sketch tier — TD's compute-once/merge-any-rollup
+    // distinct-count idiom `cardinality(merge(approx_set(x)))`:
+    // approx_set builds a per-group HLL sketch, merge unions sketch
+    // COLUMNS at any coarser grouping, cardinality reads the estimate.
+    // Mapped onto Spark's Datasketches trio (hll_sketch_agg /
+    // hll_union_agg / hll_sketch_estimate) — same algebra, same
+    // mergeability contract, binary sketch column in between (d19/d22
+    // prove the rollup algebra at scale). Presto's optional 2nd arg is
+    // the max standard error e ∈ [0.0040625, 0.26]; its bucket count
+    // 2^lgK satisfies e ≈ 1.04/√2^lgK, so lgK = ⌈2·log2(1.04/e)⌉,
+    // default e = 0.01625 → lgK 12 (Presto's own 4096 buckets).
+    fn("approx_set") { exprs =>
+      // SQL numeric literals parse as DECIMAL in Spark — accept any
+      // foldable numeric, like Presto accepts any constant double.
+      def lgKOf(e: Expression): Int = {
+        val v = (if (e.foldable) e.eval() else null) match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+          case _ => throw new IllegalArgumentException(
+            s"approx_set max_standard_error must be a numeric literal, got: ${e.sql}")
+        }
+        require(v >= 0.0040625 && v <= 0.26,
+          s"approx_set standard error must be in [0.0040625, 0.26], got $v")
+        math.min(21, math.max(4,
+          math.ceil(2 * math.log(1.04 / v) / math.log(2)).toInt))
+      }
+      exprs match {
+        case Seq(c) => new HllSketchAgg(c, 12).toAggregateExpression()
+        case Seq(c, e) => new HllSketchAgg(c, lgKOf(e)).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "approx_set(x[, max_standard_error])")
+      }
+    }
+
+    // merge(hll) — union of sketch values. Presto's merge() is generic
+    // over its sketch types (HLL, qdigest, tdigest); here only the HLL
+    // leg exists because only approx_set produces a stored sketch in
+    // this dialect (approx_percentile is graded directly). Different-lgK
+    // sketches union fine (Presto allows it; the union downgrades to the
+    // coarser precision).
+    fn("merge") {
+      case Seq(c) => new HllUnionAgg(c, true).toAggregateExpression()
+      case _ => throw new IllegalArgumentException("merge(hll_sketch)")
+    }
+
+    // cardinality — type-dispatching (ARRAY/MAP size vs HLL estimate;
+    // the choice needs the child's resolved type, so it lives in a
+    // RuntimeReplaceable, not this parse-time builder). Overrides the
+    // Spark builtin: Presto semantics return BIGINT where Spark's size
+    // returns INT — the dialect-faithful reading for migrating text.
+    fn("cardinality") {
+      case Seq(c) => graft.expressions.PrestoCardinality(c)
+      case _ => throw new IllegalArgumentException("cardinality(x)")
     }
 
     // json_extract_scalar / json_extract → GetJsonObject (JsonPath walk;

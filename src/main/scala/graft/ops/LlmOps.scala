@@ -1225,6 +1225,47 @@ object LlmOps {
         SELECT doc_id, hits, hits >= 3 AS contaminated
         FROM hits ORDER BY doc_id""")),
 
+    // j25's decontamination gate with a BLOOM-FILTER pre-prune — the
+    // 100 TB form. j25 broadcasts the benchmark's distinct gram set and
+    // hash-probes it for EVERY train gram; at a 100 TB corpus that is a
+    // multi-GB broadcast build side probed ~10¹¹ times. Here the bench
+    // set compresses to a ~KB-per-10k-grams Bloom bitset (c13's
+    // `df.stat.bloomFilter` treeAggregate build + Spark's own codegen'd
+    // BloomFilterMightContain probe), train grams stream past it MAP-ONLY,
+    // and only the surviving ~1% reach the exact broadcast join — which
+    // removes the false positives, so the per-doc hit counts (and the
+    // contaminated verdicts) are EXACT and the oracle is j25's own SQL.
+    // The filter is sized by the SUITE's gram count, never the corpus's:
+    // the prune gets cheaper, relatively, the bigger the corpus.
+    Q("j52_decontam_bloom",
+      (s, d) => {
+        val docs = docsTok(s, d).where(size(col("toks")) >= 4)
+        def grams(c: DataFrame) = c.select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks)-3), " +
+            "i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))")).as("g"))
+        val bench = grams(docs.where(col("source") === "src0"))
+          .select("g").distinct()
+        val bytes = graft.functions.Bloom.build(bench, bench.count(), 0.01,
+          col("g"))
+        val train = grams(docs.where(col("source") =!= "src0"))
+          .where(graft.functions.Bloom.mightContain(s, bytes, col("g")))
+        train.join(broadcast(bench), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+          .withColumn("contaminated", col("hits") >= 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS toks
+          FROM documents WHERE len(string_split(text,' ')) >= 4),
+        g AS (SELECT DISTINCT doc_id, source,
+            toks[i.i]||' '||toks[i.i+1]||' '||toks[i.i+2]||' '||toks[i.i+3] AS g
+          FROM tk, unnest(range(1, len(toks)-2)) i(i)),
+        b AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        t AS (SELECT doc_id, g AS gg FROM g WHERE source <> 'src0'),
+        hits AS (SELECT t.doc_id, COUNT(*) AS hits
+          FROM t JOIN b ON t.gg = b.g GROUP BY t.doc_id)
+        SELECT doc_id, hits, hits >= 3 AS contaminated
+        FROM hits ORDER BY doc_id""")),
+
     // Multimodal feature extraction: payload → fixed-dim embedding, the
     // stage between decode (m2) and similarity search (j3*). The extractor
     // here is the deterministic stub (8 dims off the md5 digest, scaled to

@@ -1116,6 +1116,56 @@ object Round9 {
         FROM c a JOIN c b
           ON a.id < b.id AND abs(strlen(a.txt) - strlen(b.txt)) <= 2
         WHERE levenshtein(a.txt, b.txt) <= 2
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // k12 — round-13 s4 widening, STORED-SKETCH tier: TD's
+    // `cardinality(merge(approx_set(x)))` distinct-count idiom, verbatim.
+    // This is the dialect's only tier where a VALUE outlives the query —
+    // approx_set materializes a per-group HLL sketch column, merge unions
+    // stored sketches at any coarser grouping, cardinality reads either a
+    // sketch (estimate) or a container (size) — one Presto name, two
+    // Spark expressions, dispatched post-analysis by the
+    // PrestoCardinality RuntimeReplaceable since parse time cannot see
+    // the argument's type. Mapped onto Spark's Datasketches trio, so the
+    // sketches inherit d19/d22's mergeability story (group → ALL rollup
+    // here re-aggregates |groups| sketch rows, never the events). Graded
+    // in the exact coupon regime (fingerprint domain 512 ≪ both the
+    // default-lgK=12 and the e=0.008125→lgK=14 coupon capacities), so
+    // both sketch columns — and every merge — hash-match the oracle's
+    // exact DISTINCTs; the default-e and explicit-e paths are both
+    // exercised.
+    Q("k12_presto_dialect_hll",
+      (s, d) => {
+        graft.Tables.events(s, d).createOrReplaceTempView("k12_events")
+        graft.functions.Presto.sql(s, """
+          WITH e AS (SELECT event_type, user_id % 512 AS fp FROM k12_events),
+          sk AS (SELECT event_type AS grp,
+                        approx_set(fp) AS s,
+                        approx_set(fp, 0.008125) AS s14,
+                        max(cardinality(split(event_type, '-'))) AS toks
+                 FROM e GROUP BY event_type)
+          SELECT grp, cardinality(s) AS uniq, cardinality(s14) AS uniq14,
+                 toks
+          FROM sk
+          UNION ALL
+          SELECT 'ALL' AS grp, cardinality(merge(s)) AS uniq,
+                 cardinality(merge(s14)) AS uniq14, max(toks) AS toks
+          FROM sk
+          ORDER BY grp""")
+      },
+      Some("""WITH e AS (SELECT event_type, user_id % 512 AS fp FROM events),
+        sk AS (SELECT event_type AS grp,
+            CAST(COUNT(DISTINCT fp) AS BIGINT) AS uniq,
+            CAST(COUNT(DISTINCT fp) AS BIGINT) AS uniq14,
+            CAST(MAX(len(string_split(event_type, '-'))) AS BIGINT) AS toks
+          FROM e GROUP BY event_type)
+        SELECT grp, uniq, uniq14, toks FROM sk
+        UNION ALL
+        SELECT 'ALL' AS grp,
+          (SELECT CAST(COUNT(DISTINCT fp) AS BIGINT) FROM e) AS uniq,
+          (SELECT CAST(COUNT(DISTINCT fp) AS BIGINT) FROM e) AS uniq14,
+          (SELECT MAX(CAST(len(string_split(event_type, '-')) AS BIGINT))
+           FROM e) AS toks
+        ORDER BY grp"""))
   )
 }

@@ -656,5 +656,60 @@ object Scalars {
           FROM ips)
         SELECT p.id, p.ip, c.country
         FROM p JOIN cidr c ON p.ipn >= c.r_start AND p.ipn < c.r_end
+        ORDER BY p.id""")),
+
+    // TD_LAT_LONG_TO_COUNTRY's engine-side shape with a user-supplied
+    // geometry table (the UDF embeds TD's licensed boundary data —
+    // documented absence; this is the bring-your-own-table form, boxes
+    // standing in for polygons): the 2-D sibling of h33's CIDR bucketing.
+    // Each country bounding box expands to the 10°×10° GRID CELLS it
+    // covers (a bounded few dozen rows per box), the probe computes its
+    // own cell from (lat, lon), and the join is a plain broadcast hash
+    // join on the cell id with the point-in-box residual filtered
+    // in-bucket. A raw 4-way BETWEEN against the dim would plan a nested
+    // loop over every row × every box; cell-bucketing is how geo lookups
+    // stay an equi-join at 100 TB (and how real geo indexes — S2/H3/
+    // geohash — work, with this grid as their fixed-precision level).
+    // Points land on exact .5-degree doubles and boxes on integer
+    // degrees, so containment is float-safe and the oracle (which joins
+    // the raw boxes — the layout must not change results) hash-matches.
+    Q("h34_lat_long_to_country",
+      (s, d) => {
+        import s.implicits._
+        val pts = t(s, d, "customer").select(col("c_custkey").as("id"),
+            (((col("c_custkey") * 17) % 140) - 60 + lit(0.5)).as("lat"),
+            (((col("c_custkey") * 31) % 360) - 180 + lit(0.5)).as("lon"))
+          .withColumn("cell",
+            (floor((col("lat") + 90) / 10) * 36
+              + floor((col("lon") + 180) / 10)).cast("long"))
+        // disjoint half-open [min, max) integer-degree boxes
+        val boxes = Seq(
+          ("US", 25, 50, -125, -65), ("BR", -35, 5, -75, -35),
+          ("RU", 50, 80, 30, 180), ("AU", -45, -10, 110, 155),
+          ("IN", 5, 35, 65, 90), ("ZA", -35, -20, 15, 35))
+          .toDF("country", "lat_min", "lat_max", "lon_min", "lon_max")
+        val dim = boxes
+          .select(col("*"), explode(expr(
+            "sequence((lat_min + 90) div 10, (lat_max + 90 - 1) div 10)")).as("cy"))
+          .select(col("*"), explode(expr(
+            "sequence((lon_min + 180) div 10, (lon_max + 180 - 1) div 10)")).as("cx"))
+          .withColumn("cell", (col("cy") * 36 + col("cx")).cast("long"))
+        pts.join(broadcast(dim), Seq("cell"))
+          .where(col("lat") >= col("lat_min") && col("lat") < col("lat_max")
+            && col("lon") >= col("lon_min") && col("lon") < col("lon_max"))
+          .select(col("id"), col("lat"), col("lon"), col("country"))
+          .orderBy("id")
+      },
+      Some("""WITH p AS (SELECT c_custkey AS id,
+            CAST(((c_custkey * 17) % 140) - 60 + 0.5 AS DOUBLE) AS lat,
+            CAST(((c_custkey * 31) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+          FROM customer),
+        b(country, lat_min, lat_max, lon_min, lon_max) AS (VALUES
+          ('US', 25, 50, -125, -65), ('BR', -35, 5, -75, -35),
+          ('RU', 50, 80, 30, 180), ('AU', -45, -10, 110, 155),
+          ('IN', 5, 35, 65, 90), ('ZA', -35, -20, 15, 35))
+        SELECT p.id, p.lat, p.lon, b.country
+        FROM p JOIN b ON p.lat >= b.lat_min AND p.lat < b.lat_max
+          AND p.lon >= b.lon_min AND p.lon < b.lon_max
         ORDER BY p.id""")))
 }

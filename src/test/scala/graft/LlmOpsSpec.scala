@@ -144,4 +144,30 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(j >= 0.5 && j <= 1.0)
     }
   }
+
+  test("j52 bloom decontamination equals j25 exactly; the prune actually prunes") {
+    import org.apache.spark.sql.functions._
+    // identical verdicts — the bloom is an optimization, never a semantic
+    val exact = run("j25_decontaminate").collect().map(_.toSeq).toSeq
+    val bloom = run("j52_decontam_bloom").collect().map(_.toSeq).toSeq
+    assert(bloom == exact)
+    // measure the map-only prune on the same gram streams j52 builds:
+    // at 1% fpp the surviving non-bench gram mass must be a small fraction
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 4)
+    def grams(src: org.apache.spark.sql.DataFrame) = src.select(explode(expr(
+      "array_distinct(transform(sequence(1, size(toks)-3), " +
+        "i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))")).as("g"))
+    val bench = grams(docs.where(col("source") === "src0")).distinct()
+    val bytes = graft.functions.Bloom.build(bench, bench.count(), 0.01, col("g"))
+    val train = grams(docs.where(col("source") =!= "src0"))
+    val total = train.count()
+    val kept = train
+      .where(graft.functions.Bloom.mightContain(spark, bytes, col("g"))).count()
+    val trueHits = train.join(bench, "g").count()
+    assert(kept >= trueHits, "bloom dropped a true bench gram (impossible)")
+    assert(kept < total / 2,
+      s"bloom pruned nothing: kept $kept of $total train grams")
+  }
 }

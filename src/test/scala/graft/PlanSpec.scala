@@ -350,4 +350,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("levenshtein"), p)
   }
+
+  test("h34 geo lookup is a broadcast EQUI-join on the grid cell, not a box NLJ") {
+    val p = plan("h34_lat_long_to_country")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("j52 probes the bloom BEFORE the bench join (map-only prune under the join)") {
+    val p = plan("j52_decontam_bloom")
+    assert(p.contains("might_contain"), p)
+    // the probe must sit below the join: the Filter's position in the
+    // tree string precedes (is deeper than) the BroadcastHashJoin only if
+    // the join consumes already-filtered grams — assert no scan feeds the
+    // join without passing a might_contain Filter on the train side
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe should be under (printed after) the join:\n$p")
+  }
+
+  test("k12 merges the stored sketch relation for the ALL row, never re-reading events") {
+    val p = plan("k12_presto_dialect_hll")
+    // one events scan feeds BOTH union arms: hll_union_agg re-aggregates
+    // the 6-row sketch relation (d22's algebra through Presto spellings)
+    assert("FileScan parquet".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("hll_union_agg") || p.contains("HllUnionAgg"), p)
+    assert(p.contains("hll_sketch_agg") || p.contains("HllSketchAgg"), p)
+  }
 }

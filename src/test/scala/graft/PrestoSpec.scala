@@ -348,4 +348,41 @@ class PrestoSpec extends AnyFunSuite {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
     assert(r.getLong(3) >= 0L && r.getLong(3) < 10L)
   }
+
+  test("cardinality dispatches: ARRAY/MAP size (as BIGINT) vs HLL sketch estimate") {
+    val r = one("""SELECT cardinality(split('a b c', ' ')) AS na,
+        cardinality(split_to_map('x=1&y=2', '&', '=')) AS nm""")
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L) // Presto returns BIGINT
+    // sketch arm: binary child selects hll_sketch_estimate
+    val s = one("""SELECT cardinality(s) AS est FROM
+        (SELECT approx_set(x) AS s FROM (SELECT explode(sequence(1, 40)) AS x))""")
+    assert(s.getLong(0) == 40L)
+    // neither container nor sketch → analysis error, not a wrong answer
+    intercept[Exception](one("SELECT cardinality(42) AS bad"))
+  }
+
+  test("approx_set maps max_standard_error to lgK; merge unions stored sketches") {
+    // default e=0.01625 → lgK 12 (Presto's 4096 buckets); exact in the
+    // coupon regime, so a 300-value domain reads back exactly
+    val r = one("""SELECT cardinality(merge(s)) AS total FROM
+        (SELECT g, approx_set(x) AS s FROM
+           (SELECT x, 'g' || CAST(x % 3 AS STRING) AS g FROM
+             (SELECT explode(sequence(1, 300)) AS x))
+         GROUP BY g)""")
+    assert(r.getLong(0) == 300L)
+    // explicit e reaches the sketch: coarser error → smaller sketch bytes
+    val sz = one("""SELECT length(approx_set(x)) AS fine,
+        length(approx_set(x, CAST(0.26 AS DOUBLE))) AS coarse FROM
+        (SELECT explode(sequence(1, 3000)) AS x)""")
+    assert(sz.getInt(0) > sz.getInt(1),
+      s"lgK 12 sketch (${sz.getInt(0)} B) should out-size lgK 4 (${sz.getInt(1)} B)")
+    // different-lgK sketches union (Presto allows; downgrades precision)
+    val u = one("""SELECT cardinality(merge(s)) AS n FROM (
+        SELECT approx_set(x) AS s FROM (SELECT explode(sequence(1, 50)) AS x)
+        UNION ALL
+        SELECT approx_set(x, 0.008125) AS s FROM (SELECT explode(sequence(41, 90)) AS x))""")
+    assert(u.getLong(0) == 90L)
+    // out-of-contract error bound is rejected at build time
+    intercept[Exception](one("SELECT approx_set(x, CAST(0.5 AS DOUBLE)) FROM (SELECT 1 AS x)"))
+  }
 }
