@@ -101,6 +101,23 @@ object Extras {
             IS NULL) AS is_current
         FROM sc ORDER BY user_id, valid_from, event_type""")),
 
+    // Streaming maintenance of the d22 per-hour HLL sketch table: each
+    // micro-batch merges its partial sketches into the committed sketch
+    // relation (hll_union_agg) and commits a new version — O(batch) +
+    // O(hours × sketch bytes) per batch, never an events rescan; retry-
+    // idempotent by register-max algebra. Final day rollup from the
+    // stream-built sketches == the batch d22 (exact coupon regime).
+    Q("i20_stream_sketch_table",
+      (s, d) => Streams.i20(s, d),
+      Some("""WITH e AS (
+            SELECT CAST(epoch_ms(ts) AS BIGINT) // 3600000 AS hour,
+                   CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day, user_id
+            FROM events)
+          SELECT day, CAST(COUNT(DISTINCT hour) AS BIGINT) AS n_hours,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS est_users,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM e GROUP BY day ORDER BY day""")),
+
     // Complete-mode streaming aggregation: the memory sink holds the FULL
     // current aggregate after every batch; after the last batch it equals
     // the batch groupBy (the oracle) — the third output mode next to

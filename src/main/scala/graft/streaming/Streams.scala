@@ -873,4 +873,82 @@ object Streams {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
       .orderBy("user_id", "valid_from", "event_type")
   }
+
+  /** i20 — streaming maintenance of a MERGEABLE-SKETCH table: d22's
+    * per-hour HLL distinct-count pre-aggregate, produced and kept fresh
+    * by a stream instead of a batch rebuild. Each rate-limited
+    * micro-batch (1) partial-aggregates ITS events into per-hour
+    * sketches, (2) merges them into the previously committed sketch
+    * table via hll_union_agg, and (3) commits the result as version
+    * v=batchId (i16's versioned commit; recovery reads the latest
+    * version BELOW the replaying batch id, so a half-committed version
+    * is simply rebuilt). Per-batch cost is O(batch) for the partials
+    * plus O(hours × 2^lgK bytes) to rewrite the sketch relation — never
+    * an events rescan; that relation IS the serving layer ("daily
+    * uniques" = union over 24 sketch rows, d22's read path). The deeper
+    * scale property is that sketch maintenance is RETRY-IDEMPOTENT BY
+    * ALGEBRA: HLL registers merge by max, so re-merging an
+    * already-merged batch is a no-op — exactly-once falls out of the
+    * aggregate itself, where i16's counts needed file-manifest care
+    * (Round8Spec pins the self-union; the replay spec pins the
+    * versioned-commit recovery too). Exact-regime graded like d22
+    * (users ≪ lgK=14 coupon capacity): the final day rollup — computed
+    * from the STREAM-BUILT sketches — hash-matches the oracle's exact
+    * DISTINCTs, with exact_users alongside for in-row reconciliation. */
+  def i20(s: SparkSession, d: String): DataFrame =
+    i20Run(s, d, tmp("i20src"), tmp("i20tbl"), tmp("i20ck"))
+
+  /** Parametrized form so the spec can REPLAY with the same dirs (no new
+    * version, identical estimates) — i16Run's device. */
+  def i20Run(s: SparkSession, d: String, src: String, tbl: String,
+      ck: String): DataFrame = withFewShufflePartitions(s) {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src, "_SUCCESS")))
+      events(s, d).select(col("event_id"), col("ts_ms"), col("user_id"))
+        .repartition(9).write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_ms", LongType),
+      StructField("user_id", LongType)))
+    def versions(): Seq[Long] =
+      Option(new java.io.File(tbl).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("v=")).map(_.drop(2).toLong)
+        .toIndexedSeq.sorted
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "3").parquet(src)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val part = df
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .withColumn("hour", expr("ts_ms div 3600000"))
+          .groupBy("day", "hour")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        // recovery contract: merge into the latest version committed by a
+        // PRIOR batch — a crash after writing v=id but before the
+        // checkpoint commit replays id, ignores the orphan v=id, and
+        // rebuilds it from v=id-1 + the same data
+        val merged = versions().filter(_ < id).lastOption match {
+          case Some(v) => s.read.parquet(s"$tbl/v=$v").unionAll(part)
+            .groupBy("day", "hour").agg(expr("hll_union_agg(sk)").as("sk"))
+          case None => part
+        }
+        merged.write.mode("overwrite").parquet(s"$tbl/v=$id"); ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$tbl/v=${versions().last}")
+      .createOrReplaceTempView("graft_i20_sk")
+    events(s, d).createOrReplaceTempView("graft_i20_events")
+    s.sql("""
+      WITH days AS (
+        SELECT day, COUNT(*) AS n_hours,
+               CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS est_users
+        FROM graft_i20_sk GROUP BY day),
+      ex AS (
+        SELECT ts_ms div 86400000 AS day,
+               COUNT(DISTINCT user_id) AS exact_users
+        FROM graft_i20_events GROUP BY ts_ms div 86400000)
+      SELECT days.day, days.n_hours, days.est_users, ex.exact_users
+      FROM days JOIN ex ON days.day = ex.day
+      ORDER BY days.day""")
+  }
 }

@@ -185,6 +185,38 @@ class Round8Spec extends AnyFunSuite {
     assert(out.length == days, "one row per day present in the fixture")
   }
 
+  test("i20 stream-built sketch table equals batch d22; replay and re-merge are no-ops") {
+    import graft.ops.Scratch
+    val (src, tbl, ck) =
+      (Scratch.dir("i20tsrc"), Scratch.dir("i20ttbl"), Scratch.dir("i20tck"))
+    def versions() = Option(new java.io.File(tbl).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("v="))
+      .map(_.drop(2).toLong).toIndexedSeq.sorted
+    val out = graft.streaming.Streams
+      .i20Run(spark, TestSpark.sf, src, tbl, ck).collect()
+    // the stream-maintained pre-aggregate serves the same day rollup as
+    // the batch-built one (column-for-column — same d22 algebra)
+    val batch = run("d22_hll_time_rollup").collect()
+    assert(out.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    val vs = versions()
+    assert(vs.size >= 2, s"rate limit must split the drain into >1 version: $vs")
+    // register-max idempotence: merging the final table with itself moves
+    // no estimate — the property that makes sketch maintenance retry-safe
+    val tblDf = spark.read.parquet(s"$tbl/v=${vs.last}")
+    def estimates(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("day", "hour").agg(expr("hll_union_agg(sk)").as("sk"))
+      .select(col("day"), col("hour"),
+        expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(estimates(tblDf.unionAll(tblDf)) == estimates(tblDf))
+    // exactly-once: a replay over the same checkpoint commits no new
+    // version and reproduces the identical rollup
+    val out2 = graft.streaming.Streams
+      .i20Run(spark, TestSpark.sf, src, tbl, ck).collect()
+    assert(out2.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+    assert(versions() == vs, "a restarted run must not commit a new version")
+  }
+
   test("j45 sketch overlap equals the exact pairwise intersection in the coupon regime") {
     val fps = Tables.t(spark, TestSpark.sf, "documents")
       .select(col("source"),
