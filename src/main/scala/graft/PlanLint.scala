@@ -39,7 +39,10 @@ object PlanLint {
     "j43_rrf_fusion",
     // corpus overlap: the pairwise theta join runs on the |sources|-row
     // SKETCH relation (one HLL per source), never the corpus
-    "j45_corpus_overlap")
+    "j45_corpus_overlap",
+    // PQ re-rank: the 1-row full-probe broadcast over the 50-row
+    // shortlist (j3's pattern; ADC + codebook joins stay equi)
+    "j53_pq_ann")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

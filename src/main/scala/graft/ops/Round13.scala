@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-13 session-4 operators.
+  *
+  * j53 — product quantization (PQ) ANN: the embedding-compression scale
+  * path BEYOND j26's int8. int8 keeps 1 byte/dim; PQ keeps ~1 byte per
+  * SUBSPACE (here 64 dims → 4 codes), because each vector is replaced by
+  * its nearest-centroid id in M=4 disjoint 16-dim subspaces (Jégou et
+  * al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+  * the index format behind FAISS IVF-PQ). Query-time distance is ADC
+  * (asymmetric distance computation): one 16-row lookup table of
+  * probe-to-centroid distances per subspace, then every candidate's
+  * distance is M table lookups + adds — no float vector math per
+  * candidate at all.
+  *
+  * EXACTNESS DEVICE (what makes a k-means loop hash-checkable): all
+  * arithmetic after one explicit quantization step (×1e6, half-up — the
+  * j26 device) happens in INTEGER domain. Distances are integer sums
+  * (order-free), centroid updates are integer floor-divisions (made
+  * portable by subtracting the positive remainder first, since Spark's
+  * `div` truncates while DuckDB's `//` floors), argmin ties break on
+  * centroid id. The DuckDB oracle unrolls the identical init + 2 Lloyd
+  * rounds + encode + ADC (the j48 unrolled-loop precedent), so the
+  * TRAINING is hash-checked, not just the final ranking. Seeds are the 4
+  * vectors of smallest md5(vec_id) — the j44 cross-engine hash device.
+  *
+  * The graded read path is ADC-shortlist-then-EXACT-rerank — the shape
+  * FAISS serves with: ADC ranks a 50-candidate shortlist from codes
+  * alone, then the true (integer) distances are computed for those 50
+  * full vectors only, and the top-10 of that re-rank is the answer.
+  * MEASURED geometry choice (DuckDB harness over the sf0.001 fixture,
+  * recall of the exact top-10 inside the shortlist): M=4/K=4 collapses
+  * (0-1/10 — with 16-dim subspaces and 4 cells the ADC estimate is all
+  * quantization noise on this isotropic corpus); M=8/K=16 reaches 5/10;
+  * M=16/K=16 (4-dim subspaces) reaches 8/10 at shortlist 50 — recorded
+  * negative: more centroids at coarse M (M=8/K=32) did NOT close the
+  * gap; finer SUBSPACES did. M=16/K=16 is also still a real index: 16
+  * 4-bit codes = 8 bytes/vector vs 256 float bytes (32×).
+  *
+  * At 100 TB: training runs on a sample (here: the corpus; the sample is
+  * a knob), encode is one broadcast join against the 256 centroid rows —
+  * map-only, scan speed. The ADC probe touches the (vec_id, m, cid) code
+  * relation only; full vectors are fetched for the 50 shortlisted ids,
+  * never scanned.
+  */
+object Round13 {
+
+  private val M = 16      // subspaces
+  private val SubDim = 4  // dims per subspace (16 × 4 = the 64-dim fixture)
+  private val K = 16      // centroids per subspace
+  private val Shortlist = 50
+
+  /** Portable exact integer floor division: make the numerator exactly
+    * divisible first, so Spark `div` (truncates) and DuckDB `//` (floors)
+    * agree for negative sums too. */
+  private def floorDiv(a: String, n: String) =
+    s"(($a) - ((($a) % ($n)) + ($n)) % ($n)) div ($n)"
+
+  /** Exact integer squared L2 over two bigint arrays (fold order fixed by
+    * the array — and irrelevant anyway: integer adds commute exactly). */
+  private def sqDist(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)"
+
+  /** Quantized full vectors (vec_id, qv[64]): the ONE float→int step;
+    * everything after is exact. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))")
+      .as("qv"))
+
+  /** Quantized subvector relation (vec_id, m, sv[SubDim]). */
+  private def pqSub(s: SparkSession, d: String): DataFrame =
+    quantized(s, d)
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> " +
+          s"struct(cast(m as int) as m, slice(qv, m * $SubDim + 1, $SubDim) as sv))")).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+
+  /** Assignment step: nearest centroid per (vec_id, m), ties to the
+    * smaller cid. Centroids are ≤ M·K rows — always broadcast. */
+  private[graft] def lloydAssign(sub: DataFrame, cent: DataFrame): DataFrame =
+    sub.join(broadcast(cent), "m")
+      .select(col("vec_id"), col("m"), col("sv"), col("cid"),
+        expr(sqDist("sv", "cv")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"), col("sv"))).as("a"))
+      .select(col("vec_id"), col("m"),
+        col("a.cid").as("cid"), col("a.sv").as("sv"))
+
+  /** Update step: per-dim integer floor-mean of the assigned subvectors;
+    * empty centroids drop (both engines see the same memberships, so they
+    * drop identically). */
+  private def lloydUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("d", "v")))
+      .groupBy("m", "cid", "d")
+      .agg(sum("v").as("sv_sum"), count(lit(1)).as("n"))
+      .select(col("m"), col("cid"), col("d"),
+        expr(floorDiv("sv_sum", "n")).as("cv_d"))
+      .groupBy("m", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(d, cv_d))), x -> x.cv_d)")
+        .as("cv"))
+
+  /** The trained codebook after 2 Lloyd rounds (16-row relation), plus
+    * the subvector relation it was trained on. Centroid relations are
+    * localCheckpoint()ed per round — M·K rows, trivial to materialize,
+    * and it truncates the 2-round lineage (the j48 vocab device). */
+  private[graft] def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sub = pqSub(s, d).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("h", "vec_id")
+    // seed pick: a 4-row global-window rank over the md5 ordering — the
+    // window is bounded by the seed COUNT at any corpus size only if run
+    // on a sample; here the corpus is the sample (see scaladoc)
+    val seeds = t(s, d, "embeddings").select(col("vec_id"),
+        expr("md5(cast(vec_id as string))").as("h"))
+      .withColumn("cid", row_number().over(w) - 1)
+      .where(col("cid") < K).drop("h")
+    val c0 = seeds.join(sub, "vec_id")
+      .select(col("m"), col("cid"), col("sv").as("cv")).localCheckpoint()
+    val c1 = lloydUpdate(lloydAssign(sub, c0)).localCheckpoint()
+    val c2 = lloydUpdate(lloydAssign(sub, c1)).localCheckpoint()
+    (sub, c2)
+  }
+
+  /** Oracle text for one Lloyd round r (assign aR over centroids `prev`,
+    * update uR) — generated so both rounds are literally the same
+    * arithmetic, like the Spark side's shared helpers. */
+  private def oracleRound(r: Int, prev: String): String =
+    s"""a$r AS (SELECT vec_id, m, cid, sv FROM (
+          SELECT sub.vec_id, sub.m, c.cid, sub.sv,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              ORDER BY list_sum(list_transform(range(1, ${SubDim + 1}),
+                i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), c.cid) AS rn
+          FROM sub JOIN $prev c ON sub.m = c.m)
+        WHERE rn = 1),
+      u$r AS (SELECT m, cid, list(cv_d ORDER BY d) AS cv FROM (
+          SELECT m, cid, d,
+            (SUM(sv[d]) - ((SUM(sv[d]) % COUNT(*)) + COUNT(*)) % COUNT(*))
+              // COUNT(*) AS cv_d
+          FROM a$r, unnest(range(1, ${SubDim + 1})) AS t(d)
+          GROUP BY m, cid, d)
+        GROUP BY m, cid)"""
+
+  private val pqOracle: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      sub AS (SELECT vec_id, m, qv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sv
+        FROM q, (SELECT unnest(range($M)) AS m) mm),
+      seeds AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, row_number() OVER (
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+          FROM q)
+        WHERE cid < $K),
+      c0 AS (SELECT sub.m, s.cid, sub.sv AS cv
+        FROM seeds s JOIN sub ON sub.vec_id = s.vec_id),
+      ${oracleRound(1, "c0")},
+      ${oracleRound(2, "u1")},
+      codes AS (SELECT vec_id, m, cid FROM (
+          SELECT sub.vec_id, sub.m, c.cid,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              ORDER BY list_sum(list_transform(range(1, ${SubDim + 1}),
+                i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), c.cid) AS rn
+          FROM sub JOIN u2 c ON sub.m = c.m)
+        WHERE rn = 1),
+      probe AS (SELECT m, sv AS pv FROM sub WHERE vec_id = 0),
+      lut AS (SELECT c.m, c.cid,
+          list_sum(list_transform(range(1, ${SubDim + 1}),
+            i -> (cv[i] - pv[i]) * (cv[i] - pv[i]))) AS pd
+        FROM u2 c JOIN probe p ON c.m = p.m),
+      short AS (SELECT codes.vec_id, CAST(SUM(pd) AS BIGINT) AS adc
+        FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+        WHERE vec_id != 0
+        GROUP BY codes.vec_id
+        ORDER BY adc, vec_id LIMIT $Shortlist),
+      pfull AS (SELECT qv AS pv FROM q WHERE vec_id = 0)
+      SELECT s.vec_id,
+        CAST(list_sum(list_transform(range(1, ${M * SubDim + 1}),
+          i -> (qv[i] - pv[i]) * (qv[i] - pv[i]))) AS BIGINT) AS d2,
+        s.adc
+      FROM short s JOIN q ON s.vec_id = q.vec_id, pfull
+      ORDER BY d2, s.vec_id LIMIT 10"""
+
+  val all: Seq[Q] = Seq(
+
+    Q("j53_pq_ann",
+      (s, d) => {
+        val (sub, codebook) = pqTrain(s, d)
+        val codes = lloydAssign(sub, codebook).select("vec_id", "m", "cid")
+        val probe = sub.where(col("vec_id") === 0)
+          .select(col("m"), col("sv").as("pv"))
+        val lut = codebook.join(broadcast(probe), "m")
+          .select(col("m"), col("cid"), expr(sqDist("cv", "pv")).as("pd"))
+        val shortlist = codes.where(col("vec_id") =!= 0)
+          .join(broadcast(lut), Seq("m", "cid"))
+          .groupBy("vec_id").agg(sum("pd").as("adc"))
+          .orderBy(asc("adc"), asc("vec_id")).limit(Shortlist)
+        // exact re-rank: fetch the full quantized vectors for the 50
+        // shortlisted ids only (broadcast join on the id) and emit the
+        // true integer distances. The 1-row full-probe carrier is the
+        // j3/j41 bounded broadcast (a constant-key equi spelling gets
+        // constant-folded back to the same nested loop by Catalyst —
+        // enumerated in PlanLint's allowlist).
+        val pvFull = quantized(s, d).where(col("vec_id") === 0)
+          .select(col("qv").as("pv"))
+        quantized(s, d).join(broadcast(shortlist), "vec_id")
+          .crossJoin(broadcast(pvFull))
+          .select(col("vec_id"), expr(sqDist("qv", "pv")).as("d2"), col("adc"))
+          .orderBy(asc("d2"), asc("vec_id")).limit(10)
+      },
+      Some(pqOracle)))
+}
