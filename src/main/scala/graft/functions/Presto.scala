@@ -30,8 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_contains`, which both engines accept.
   *
   * Names that already resolve identically in Spark need no alias and get
-  * none: element_at, regexp_like, split_part, approx_percentile,
-  * array_join, sequence, slice, map_keys/map_values, json_array_length.
+  * none: element_at, regexp_like, split_part, array_join, sequence,
+  * slice, map_keys/map_values, json_array_length. (`approx_percentile`
+  * gained a shape-dispatching alias for Presto's WEIGHTED 3-arg form;
+  * the Spark shapes delegate to the builtin unchanged.)
   * (`cardinality` DID resolve natively but is now overridden by the
   * type-dispatching [[graft.expressions.PrestoCardinality]]: Presto reads
   * it over HLL sketches too, and returns BIGINT where Spark's size
@@ -232,6 +234,35 @@ object Presto {
     fn("merge") {
       case Seq(c) => new HllUnionAgg(c, true).toAggregateExpression()
       case _ => throw new IllegalArgumentException("merge(hll_sketch)")
+    }
+
+    // approx_percentile — Presto's WEIGHTED 3-arg shape (x, w, percentage)
+    // vs Spark's (col, percentage, accuracy): disambiguated by the 3rd
+    // argument (a fraction in (0, 1] is a Presto percentage — Spark's
+    // accuracy there is a positive integer > 1, so the shapes cannot
+    // collide on valid inputs). The weighted form maps to Spark's EXACT
+    // Percentile(x, p, w) — d23's device: shipping (value, weight) pairs
+    // into the exact weighted quantile is deterministic cross-engine,
+    // and serving the exact quantile satisfies (strictly tightens) the
+    // approx contract. Everything else — (x, p), (x, p, accuracy), array
+    // percentages — delegates verbatim to the Spark builtin.
+    fn("approx_percentile") { exprs =>
+      def fracLit(e: Expression): Boolean = (e.foldable, e.eval()) match {
+        case (true, d: org.apache.spark.sql.types.Decimal) =>
+          d.toDouble > 0 && d.toDouble <= 1
+        case (true, n: Number) => n.doubleValue() > 0 && n.doubleValue() <= 1
+        case _ => false
+      }
+      exprs match {
+        case Seq(x, w, p) if fracLit(p) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .Percentile(x, p, w).toAggregateExpression()
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+            .lookupFunctionBuilder(
+              org.apache.spark.sql.catalyst.FunctionIdentifier("approx_percentile"))
+            .get(other)
+      }
     }
 
     // cardinality — type-dispatching (ARRAY/MAP size vs HLL estimate;

@@ -248,6 +248,7 @@ object Td {
     "td_first" -> ((exprs: Seq[Expression]) => tdFirstLastBuilder(exprs, last = false)),
     "td_last" -> ((exprs: Seq[Expression]) => tdFirstLastBuilder(exprs, last = true)),
     "td_md5" -> ((exprs: Seq[Expression]) => tdMd5Builder(exprs)),
+    "td_sha1" -> ((exprs: Seq[Expression]) => tdSha1Builder(exprs)),
     "td_url_decode" -> ((exprs: Seq[Expression]) => tdUrlDecodeBuilder(exprs)),
     "td_sessionize_window" ->
       ((exprs: Seq[Expression]) => tdSessionizeWindowBuilder(exprs)),
@@ -644,6 +645,15 @@ object Td {
     import org.apache.spark.sql.types.BinaryType
     require(exprs.length == 1, "td_md5(string)")
     Md5(Cast(exprs.head, BinaryType))
+  }
+
+  /** TD_SHA1(s) → lowercase hex SHA-1 of the UTF-8 bytes (native Sha1) —
+    * TD_MD5's sibling in TD's hash-function pair (public TD UDF docs). */
+  private def tdSha1Builder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Sha1}
+    import org.apache.spark.sql.types.BinaryType
+    require(exprs.length == 1, "td_sha1(string)")
+    Sha1(Cast(exprs.head, BinaryType))
   }
 
   /** TD_URL_DECODE(s) → percent-decoding (+ as space) via the native

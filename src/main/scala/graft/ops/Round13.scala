@@ -186,6 +186,48 @@ object Round13 {
 
   val all: Seq[Q] = Seq(
 
+    // a31 — parquet BLOOM-FILTER point lookups: the needle-in-100 TB path
+    // for HIGH-CARDINALITY keys in a layout with no useful sort order.
+    // a20's min/max skipping needs the file/row-group ranges to be narrow
+    // (range-sorted layout); a hash-distributed table — the layout every
+    // shuffled write produces — has every row group spanning the full key
+    // range, so min/max prunes nothing and a point predicate decodes the
+    // whole table. Writing a parquet bloom filter on the key column
+    // (parquet.bloom.filter.enabled#col) gives each row group a ~KB
+    // membership sketch the reader consults BEFORE decoding: non-matching
+    // groups are skipped at footer time, the same contract as min/max but
+    // order-free. Dictionary encoding is disabled on the key to model the
+    // 100 TB regime honestly — at real row-group sizes a high-cardinality
+    // key blows the dictionary page limit and falls back to plain, taking
+    // dictionary-based pruning with it; bloom is what remains (and is
+    // exactly why Iceberg/Delta tables carry them). Result correctness is
+    // layout-independent (the oracle reads the raw table);
+    // RowGroupSkipSpec pins the measured skip vs a bloom-less twin.
+    Q("a31_parquet_bloom",
+      (s, d) => {
+        val out = Scratch.dir("a31")
+        t(s, d, "lineitem")
+          .repartition(8, col("l_partkey")) // hash layout: no key locality
+          .write.mode("overwrite")
+          .option("parquet.enable.dictionary", "false")
+          .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#l_orderkey", "1000000")
+          .parquet(out)
+        s.read.parquet(out).where(col("l_orderkey") === 7)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"), col("l_returnflag"),
+            col("l_linestatus"), dateStr(col("l_shipdate")).as("ship_d"))
+          .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "ship_d")
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+          l_linestatus, strftime(l_shipdate, '%Y-%m-%d') AS ship_d
+        FROM lineitem WHERE l_orderkey = 7
+        ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          l_quantity, l_extendedprice, ship_d""")),
+
     Q("j53_pq_ann",
       (s, d) => {
         val (sub, codebook) = pqTrain(s, d)

@@ -385,4 +385,18 @@ class PrestoSpec extends AnyFunSuite {
     // out-of-contract error bound is rejected at build time
     intercept[Exception](one("SELECT approx_set(x, CAST(0.5 AS DOUBLE)) FROM (SELECT 1 AS x)"))
   }
+
+  test("approx_percentile dispatches Presto's weighted 3-arg shape; Spark shapes pass through") {
+    // (x, w, percentage): a weight of w repeats x w times — the d23
+    // weighted-quantile semantics, exact. Median of {1×1, 2×1, 10×8} = 10.
+    val r = one("""SELECT approx_percentile(x, w, 0.5) AS med FROM
+        (SELECT * FROM VALUES (1, 1), (2, 1), (10, 8) AS t(x, w))""")
+    assert(r.getDouble(0) == 10.0) // exact Percentile emits DOUBLE
+    // Spark's (col, percentage) and (col, percentage, accuracy) still
+    // resolve to the builtin sketch unchanged
+    val s = one("""SELECT approx_percentile(x, 0.5) AS a,
+        approx_percentile(x, 0.5, 10000) AS b FROM
+        (SELECT explode(sequence(1, 101)) AS x)""")
+    assert(s.getInt(0) == 51 && s.getInt(1) == 51)
+  }
 }

@@ -138,11 +138,12 @@ class TdSqlSpec extends AnyFunSuite {
     assert(r(0).getLong(3) == 1L && r(1).getLong(3) == 4L)
   }
 
-  test("td_md5 and td_url_decode match their reference values") {
-    val r = sql1("""SELECT td_md5('abc') AS m,
+  test("td_md5, td_sha1 and td_url_decode match their reference values") {
+    val r = sql1("""SELECT td_md5('abc') AS m, td_sha1('abc') AS s,
       td_url_decode('a%20b%2Fc+d') AS u FROM td_sql_one""")
     assert(r.getString(0) == "900150983cd24fb0d6963f7d28e17f72")
-    assert(r.getString(1) == "a b/c d")
+    assert(r.getString(1) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(2) == "a b/c d")
   }
 
   test("literal-argument and spec strictness") {
