@@ -42,7 +42,11 @@ object PlanLint {
     "j45_corpus_overlap",
     // PQ re-rank: the 1-row full-probe broadcast over the 50-row
     // shortlist (j3's pattern; ADC + codebook joins stay equi)
-    "j53_pq_ann")
+    "j53_pq_ann",
+    // IVF-PQ: three bounded probe carriers (1-row probe × 8-row coarse
+    // centroids, × nprobe cells, × 50-row shortlist); cell assignment,
+    // code joins and LUT joins stay equi
+    "j54_ivfpq_ann")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -53,6 +53,9 @@ object Round13 {
   private val SubDim = 4  // dims per subspace (16 × 4 = the 64-dim fixture)
   private val K = 16      // centroids per subspace
   private val Shortlist = 50
+  private val Dim = M * SubDim
+  private val CoarseK = 8 // IVF cells (j54)
+  private val Nprobe = 2  // cells a probe visits (j54)
 
   /** Portable exact integer floor division: make the numerator exactly
     * divisible first, so Spark `div` (truncates) and DuckDB `//` (floors)
@@ -72,12 +75,14 @@ object Round13 {
       "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))")
       .as("qv"))
 
-  /** Quantized subvector relation (vec_id, m, sv[SubDim]). */
-  private def pqSub(s: SparkSession, d: String): DataFrame =
-    quantized(s, d)
-      .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${M - 1}), m -> " +
-          s"struct(cast(m as int) as m, slice(qv, m * $SubDim + 1, $SubDim) as sv))")).as("x"))
+  /** Subvector relation (vec_id, m, sv[subdim]) of any (vec_id, qv)
+    * relation — m=1/subdim=dim degenerates to the whole vector, which is
+    * how the coarse quantizer reuses the same machinery (k-means IS PQ
+    * with one subspace). */
+  private def subRelOf(qvRel: DataFrame, m: Int, subdim: Int): DataFrame =
+    qvRel.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), mm -> " +
+          s"struct(cast(mm as int) as m, slice(qv, mm * $subdim + 1, $subdim) as sv))")).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
 
   /** Assignment step: nearest centroid per (vec_id, m), ties to the
@@ -104,20 +109,22 @@ object Round13 {
       .agg(expr("transform(array_sort(collect_list(struct(d, cv_d))), x -> x.cv_d)")
         .as("cv"))
 
-  /** The trained codebook after 2 Lloyd rounds (16-row relation), plus
-    * the subvector relation it was trained on. Centroid relations are
-    * localCheckpoint()ed per round — M·K rows, trivial to materialize,
-    * and it truncates the 2-round lineage (the j48 vocab device). */
-  private[graft] def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sub = pqSub(s, d).localCheckpoint()
+  /** Train a codebook over any (vec_id, qv) relation: seeds are the k
+    * vectors of smallest md5(vec_id), then 2 Lloyd rounds. Returns the
+    * subvector relation and the trained (m, cid, cv) codebook. Centroid
+    * relations are localCheckpoint()ed per round — m·k rows, trivial to
+    * materialize, and it truncates the loop lineage (the j48 vocab
+    * device). The seed pick is a global-window rank over the md5
+    * ordering — bounded by the seed COUNT at any corpus size only when
+    * run on a sample; here the corpus is the sample (see scaladoc). */
+  private[graft] def trainCodebook(s: SparkSession, qvRel: DataFrame,
+      m: Int, subdim: Int, k: Int): (DataFrame, DataFrame) = {
+    val sub = subRelOf(qvRel, m, subdim).localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window.orderBy("h", "vec_id")
-    // seed pick: a 4-row global-window rank over the md5 ordering — the
-    // window is bounded by the seed COUNT at any corpus size only if run
-    // on a sample; here the corpus is the sample (see scaladoc)
-    val seeds = t(s, d, "embeddings").select(col("vec_id"),
+    val seeds = qvRel.select(col("vec_id"),
         expr("md5(cast(vec_id as string))").as("h"))
       .withColumn("cid", row_number().over(w) - 1)
-      .where(col("cid") < K).drop("h")
+      .where(col("cid") < k).drop("h")
     val c0 = seeds.join(sub, "vec_id")
       .select(col("m"), col("cid"), col("sv").as("cv")).localCheckpoint()
     val c1 = lloydUpdate(lloydAssign(sub, c0)).localCheckpoint()
@@ -125,24 +132,51 @@ object Round13 {
     (sub, c2)
   }
 
-  /** Oracle text for one Lloyd round r (assign aR over centroids `prev`,
-    * update uR) — generated so both rounds are literally the same
-    * arithmetic, like the Spark side's shared helpers. */
-  private def oracleRound(r: Int, prev: String): String =
-    s"""a$r AS (SELECT vec_id, m, cid, sv FROM (
+  /** j53's codebook: M×K over the quantized corpus. */
+  private[graft] def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    trainCodebook(s, quantized(s, d), M, SubDim, K)
+
+  /** Oracle text for one Lloyd round r (assign {pfx}aR over centroids
+    * `prev`, update {pfx}uR) — generated so every round of every stage is
+    * literally the same arithmetic, like the Spark side's shared
+    * helpers. `subTable` is the (vec_id, m, sv) relation being
+    * clustered; `subdim` its subvector width. */
+  private def oracleRound(pfx: String, r: Int, prev: String,
+      subTable: String, subdim: Int): String =
+    s"""${pfx}a$r AS (SELECT vec_id, m, cid, sv FROM (
           SELECT sub.vec_id, sub.m, c.cid, sub.sv,
             row_number() OVER (PARTITION BY sub.vec_id, sub.m
-              ORDER BY list_sum(list_transform(range(1, ${SubDim + 1}),
+              ORDER BY list_sum(list_transform(range(1, ${subdim + 1}),
                 i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), c.cid) AS rn
-          FROM sub JOIN $prev c ON sub.m = c.m)
+          FROM $subTable sub JOIN $prev c ON sub.m = c.m)
         WHERE rn = 1),
-      u$r AS (SELECT m, cid, list(cv_d ORDER BY d) AS cv FROM (
+      ${pfx}u$r AS (SELECT m, cid, list(cv_d ORDER BY d) AS cv FROM (
           SELECT m, cid, d,
             (SUM(sv[d]) - ((SUM(sv[d]) % COUNT(*)) + COUNT(*)) % COUNT(*))
               // COUNT(*) AS cv_d
-          FROM a$r, unnest(range(1, ${SubDim + 1})) AS t(d)
+          FROM ${pfx}a$r, unnest(range(1, ${subdim + 1})) AS t(d)
           GROUP BY m, cid, d)
         GROUP BY m, cid)"""
+
+  /** Oracle encode step: argmin assignment of `subTable` against trained
+    * centroids `cent` (ties to the smaller cid). */
+  private def oracleEncode(name: String, cent: String,
+      subTable: String, subdim: Int): String =
+    s"""$name AS (SELECT vec_id, m, cid FROM (
+          SELECT sub.vec_id, sub.m, c.cid,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              ORDER BY list_sum(list_transform(range(1, ${subdim + 1}),
+                i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), c.cid) AS rn
+          FROM $subTable sub JOIN $cent c ON sub.m = c.m)
+        WHERE rn = 1)"""
+
+  /** Oracle seed pick: the k vectors of smallest md5(vec_id). */
+  private def oracleSeeds(name: String, k: Int): String =
+    s"""$name AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, row_number() OVER (
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+          FROM q)
+        WHERE cid < $k)"""
 
   private val pqOracle: String =
     s"""WITH q AS (SELECT vec_id, list_transform(embedding,
@@ -150,22 +184,12 @@ object Round13 {
         FROM embeddings),
       sub AS (SELECT vec_id, m, qv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sv
         FROM q, (SELECT unnest(range($M)) AS m) mm),
-      seeds AS (SELECT vec_id, cid FROM (
-          SELECT vec_id, row_number() OVER (
-              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-          FROM q)
-        WHERE cid < $K),
+      ${oracleSeeds("seeds", K)},
       c0 AS (SELECT sub.m, s.cid, sub.sv AS cv
         FROM seeds s JOIN sub ON sub.vec_id = s.vec_id),
-      ${oracleRound(1, "c0")},
-      ${oracleRound(2, "u1")},
-      codes AS (SELECT vec_id, m, cid FROM (
-          SELECT sub.vec_id, sub.m, c.cid,
-            row_number() OVER (PARTITION BY sub.vec_id, sub.m
-              ORDER BY list_sum(list_transform(range(1, ${SubDim + 1}),
-                i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), c.cid) AS rn
-          FROM sub JOIN u2 c ON sub.m = c.m)
-        WHERE rn = 1),
+      ${oracleRound("", 1, "c0", "sub", SubDim)},
+      ${oracleRound("", 2, "u1", "sub", SubDim)},
+      ${oracleEncode("codes", "u2", "sub", SubDim)},
       probe AS (SELECT m, sv AS pv FROM sub WHERE vec_id = 0),
       lut AS (SELECT c.m, c.cid,
           list_sum(list_transform(range(1, ${SubDim + 1}),
@@ -179,6 +203,66 @@ object Round13 {
       pfull AS (SELECT qv AS pv FROM q WHERE vec_id = 0)
       SELECT s.vec_id,
         CAST(list_sum(list_transform(range(1, ${M * SubDim + 1}),
+          i -> (qv[i] - pv[i]) * (qv[i] - pv[i]))) AS BIGINT) AS d2,
+        s.adc
+      FROM short s JOIN q ON s.vec_id = q.vec_id, pfull
+      ORDER BY d2, s.vec_id LIMIT 10"""
+
+  /** j54's oracle: coarse k-means (M=1 PQ) → cells, nprobe cells for the
+    * probe, RESIDUAL fine PQ, per-cell ADC LUTs, shortlist, exact
+    * re-rank. Every stage reuses the same generated round/encode/seed
+    * blocks as j53's. */
+  private val ivfpqOracle: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      csub AS (SELECT vec_id, 0 AS m, qv AS sv FROM q),
+      ${oracleSeeds("cseeds", CoarseK)},
+      cc0 AS (SELECT csub.m, s.cid, csub.sv AS cv
+        FROM cseeds s JOIN csub ON csub.vec_id = s.vec_id),
+      ${oracleRound("c", 1, "cc0", "csub", Dim)},
+      ${oracleRound("c", 2, "cu1", "csub", Dim)},
+      ${oracleEncode("cellsraw", "cu2", "csub", Dim)},
+      cells AS (SELECT vec_id, cid AS cell FROM cellsraw),
+      pq0 AS (SELECT qv FROM q WHERE vec_id = 0),
+      pcells AS (SELECT cid AS pcell FROM (
+          SELECT c.cid, row_number() OVER (ORDER BY
+              list_sum(list_transform(range(1, ${Dim + 1}),
+                i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))), c.cid) AS rn
+          FROM cu2 c, pq0)
+        WHERE rn <= $Nprobe),
+      rq AS (SELECT q.vec_id, cells.cell,
+          list_transform(range(1, ${Dim + 1}), i -> qv[i] - cv[i]) AS qv
+        FROM q JOIN cells ON q.vec_id = cells.vec_id
+          JOIN cu2 c ON cells.cell = c.cid),
+      fsub AS (SELECT vec_id, m, qv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sv
+        FROM rq, (SELECT unnest(range($M)) AS m) mm),
+      ${oracleSeeds("fseeds", K)},
+      fc0 AS (SELECT fsub.m, s.cid, fsub.sv AS cv
+        FROM fseeds s JOIN fsub ON fsub.vec_id = s.vec_id),
+      ${oracleRound("f", 1, "fc0", "fsub", SubDim)},
+      ${oracleRound("f", 2, "fu1", "fsub", SubDim)},
+      ${oracleEncode("codes", "fu2", "fsub", SubDim)},
+      pr AS (SELECT c.cid AS cell,
+          list_transform(range(1, ${Dim + 1}), i -> pq0.qv[i] - c.cv[i]) AS rv
+        FROM cu2 c JOIN pcells ON c.cid = pcells.pcell, pq0),
+      rpsub AS (SELECT cell, m, rv[m * $SubDim + 1 : m * $SubDim + $SubDim] AS pv
+        FROM pr, (SELECT unnest(range($M)) AS m) mm),
+      lut AS (SELECT r.cell, c.m, c.cid,
+          list_sum(list_transform(range(1, ${SubDim + 1}),
+            i -> (cv[i] - pv[i]) * (cv[i] - pv[i]))) AS pd
+        FROM fu2 c JOIN rpsub r ON c.m = r.m),
+      short AS (SELECT codes.vec_id, CAST(SUM(pd) AS BIGINT) AS adc
+        FROM codes
+          JOIN cells ON codes.vec_id = cells.vec_id
+          JOIN lut ON cells.cell = lut.cell
+            AND codes.m = lut.m AND codes.cid = lut.cid
+        WHERE codes.vec_id != 0
+        GROUP BY codes.vec_id
+        ORDER BY adc, codes.vec_id LIMIT $Shortlist),
+      pfull AS (SELECT qv AS pv FROM q WHERE vec_id = 0)
+      SELECT s.vec_id,
+        CAST(list_sum(list_transform(range(1, ${Dim + 1}),
           i -> (qv[i] - pv[i]) * (qv[i] - pv[i]))) AS BIGINT) AS d2,
         s.adc
       FROM short s JOIN q ON s.vec_id = q.vec_id, pfull
@@ -253,5 +337,65 @@ object Round13 {
           .select(col("vec_id"), expr(sqDist("qv", "pv")).as("d2"), col("adc"))
           .orderBy(asc("d2"), asc("vec_id")).limit(10)
       },
-      Some(pqOracle)))
+      Some(pqOracle)),
+
+    // j54 — IVF-PQ (IVFADC, Jégou et al. §IV): j3d's inverted-file coarse
+    // partitioning COMPOSED with j53's PQ, the index FAISS actually
+    // serves billion-vector corpora with. Coarse k-means is j53's own
+    // trainer run with ONE 64-dim subspace (k-means IS PQ at M=1) — 8
+    // cells; every vector stores (cell, 16 fine codes) where the fine
+    // codebook quantizes the RESIDUAL qv − cell_centroid (residuals are
+    // exact integer subtractions here, so the whole cascade stays
+    // hash-checkable). A probe visits its nprobe=2 nearest cells, builds
+    // one per-cell ADC lookup table from ITS residual against each cell,
+    // and scores only those cells' candidates — at 100 TB the cell id is
+    // the partition key, a probe touches nprobe/k of the data (j3d's
+    // property), and within the touched partitions reads 8-byte codes,
+    // not vectors (j53's property). Exact re-rank of the 50-row
+    // shortlist as in j53. The oracle unrolls BOTH trainings (coarse and
+    // fine-over-residuals) from the shared generated blocks.
+    Q("j54_ivfpq_ann",
+      (s, d) => {
+        val q = quantized(s, d).localCheckpoint()
+        // coarse stage: 8 cells over the full vectors
+        val (csub, ccent) = trainCodebook(s, q, 1, Dim, CoarseK)
+        val cells = lloydAssign(csub, ccent)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val probeQ = q.where(col("vec_id") === 0).select(col("qv").as("pqv"))
+        val pcells = ccent.crossJoin(broadcast(probeQ)) // 8-row carrier
+          .select(col("cid").as("pcell"), expr(sqDist("cv", "pqv")).as("cd"))
+          .orderBy(asc("cd"), asc("pcell")).limit(Nprobe).select("pcell")
+        // residual fine stage: PQ over qv − cell centroid
+        val resid = q.join(cells, "vec_id")
+          .join(broadcast(ccent.select(col("cid").as("cell"), col("cv").as("ccv"))),
+            "cell")
+          .select(col("vec_id"), col("cell"),
+            expr("zip_with(qv, ccv, (a, b) -> a - b)").as("qv"))
+          .localCheckpoint()
+        val (fsub, fcent) = trainCodebook(s, resid.select("vec_id", "qv"), M, SubDim, K)
+        val codes = lloydAssign(fsub, fcent).select("vec_id", "m", "cid")
+        // per-probed-cell ADC lookup tables from the PROBE's residuals
+        val pr = ccent.select(col("cid").as("cell"), col("cv").as("ccv"))
+          .join(broadcast(pcells), col("cell") === col("pcell")).drop("pcell")
+          .crossJoin(broadcast(probeQ))
+          .select(col("cell"), expr("zip_with(pqv, ccv, (a, b) -> a - b)").as("rv"))
+        val rpsub = pr.select(col("cell"), explode(expr(
+            s"transform(sequence(0, ${M - 1}), mm -> " +
+              s"struct(cast(mm as int) as m, slice(rv, mm * $SubDim + 1, $SubDim) as pv))")).as("x"))
+          .select(col("cell"), col("x.m").as("m"), col("x.pv").as("pv"))
+        val lut = fcent.join(broadcast(rpsub), "m")
+          .select(col("cell"), col("m"), col("cid"), expr(sqDist("cv", "pv")).as("pd"))
+        val shortlist = codes.join(cells, "vec_id")
+          .join(broadcast(pcells), col("cell") === col("pcell"))
+          .where(col("vec_id") =!= 0)
+          .join(broadcast(lut), Seq("cell", "m", "cid"))
+          .groupBy("vec_id").agg(sum("pd").as("adc"))
+          .orderBy(asc("adc"), asc("vec_id")).limit(Shortlist)
+        val pvFull = q.where(col("vec_id") === 0).select(col("qv").as("pv"))
+        q.join(broadcast(shortlist), "vec_id")
+          .crossJoin(broadcast(pvFull))
+          .select(col("vec_id"), expr(sqDist("qv", "pv")).as("d2"), col("adc"))
+          .orderBy(asc("d2"), asc("vec_id")).limit(10)
+      },
+      Some(ivfpqOracle)))
 }

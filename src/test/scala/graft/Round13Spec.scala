@@ -59,6 +59,31 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("j54 IVF-PQ recalls usefully against the exact top-10") {
+    // (the cell restriction itself — only probed cells' candidates are
+    // scored — is part of the hash-checked oracle cascade)
+    val q = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))")
+        .as("qv"))
+    val probe = q.where(col("vec_id") === 0).select(col("qv").as("pv"))
+    val exact = q.crossJoin(broadcast(probe)).where(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr(
+        "aggregate(zip_with(qv, pv, (p, q) -> (p - q) * (p - q)), 0L, (a, v) -> a + v)")
+        .as("d2"))
+      .orderBy(asc("d2"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val out = run("j54_ivfpq_ann").collect()
+    val ids = out.map(_.getLong(0)).toSet
+    // IVF recall is bounded by cell recall (nprobe=2 of 8 cells): the
+    // probe's own cluster must surface a useful share of the true top-10
+    assert((exact & ids).size >= 3,
+      s"IVF-PQ recall collapsed: exact=$exact got=$ids")
+    // re-ranked distances are exact, non-negative, non-decreasing
+    val ds = out.map(_.getLong(1))
+    assert(ds.forall(_ >= 0L) && ds.sameElements(ds.sorted))
+  }
+
   test("j53 plans as broadcast equi-joins; only the 1-row probe carrier is an NLJ") {
     val p = run("j53_pq_ann").queryExecution.sparkPlan.toString
     assert(!p.contains("CartesianProduct"), p)
