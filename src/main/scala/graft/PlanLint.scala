@@ -46,7 +46,10 @@ object PlanLint {
     // IVF-PQ: three bounded probe carriers (1-row probe × 8-row coarse
     // centroids, × nprobe cells, × 50-row shortlist); cell assignment,
     // code joins and LUT joins stay equi
-    "j54_ivfpq_ann")
+    "j54_ivfpq_ann",
+    // theta set algebra: the pairwise theta join runs on the |types|-row
+    // SKETCH relation (j45's allowance with exact set semantics)
+    "d24_theta_set_algebra")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

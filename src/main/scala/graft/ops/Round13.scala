@@ -354,6 +354,57 @@ object Round13 {
     // not vectors (j53's property). Exact re-rank of the 50-row
     // shortlist as in j53. The oracle unrolls BOTH trainings (coarse and
     // fine-over-residuals) from the shared generated blocks.
+    // d24 — theta-sketch SET ALGEBRA: the capability tier above the HLL
+    // family (d19/d22/k12): HLL only unions, so j45 got intersections
+    // from inclusion–exclusion; a theta sketch retains a hash sample, so
+    // A∩B and A∖B are first-class sketch operations (functions/
+    // Theta.scala — TypedImperativeAggregate over the same public
+    // Datasketches library Spark's hll_sketch_agg wraps). The audience
+    // overlap matrix: per-event-type distinct-user sketches built in ONE
+    // corpus pass (partial-agg map-side), then every pairwise
+    // intersection/difference/union — and the all-types union via
+    // theta_union_agg — computed on the |types|-row sketch relation,
+    // never the events (j45's scale shape with exact set semantics).
+    // Exact-regime graded: 512-value fingerprint domain ≪ 2^lgK=4096, so
+    // θ=1, every op is literal hash-set algebra, and the oracle's exact
+    // DISTINCT joins hash-match. Past the bound the same pipeline
+    // degrades to ±1.6%/√k estimates (spec-bounded, d7's grading).
+    Q("d24_theta_set_algebra",
+      (s, d) => {
+        graft.functions.Theta.register(s)
+        graft.Tables.events(s, d).createOrReplaceTempView("d24_events")
+        s.sql("""
+          WITH e AS (SELECT event_type, user_id % 512 AS fp FROM d24_events),
+          sk AS (SELECT event_type, theta_sketch_agg(fp) AS s
+                 FROM e GROUP BY event_type)
+          SELECT a.event_type AS ta, b.event_type AS tb,
+            theta_estimate(a.s) AS n_a,
+            theta_estimate(b.s) AS n_b,
+            theta_estimate(theta_intersect(a.s, b.s)) AS n_both,
+            theta_estimate(theta_a_not_b(a.s, b.s)) AS n_only_a,
+            theta_estimate(theta_union(a.s, b.s)) AS n_any,
+            (SELECT theta_estimate(theta_union_agg(s)) FROM sk) AS n_total
+          FROM sk a JOIN sk b ON a.event_type < b.event_type
+          ORDER BY ta, tb""")
+      },
+      Some("""WITH e AS (SELECT DISTINCT event_type, user_id % 512 AS fp
+            FROM events),
+        t AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY event_type),
+        inter AS (SELECT a.event_type AS ia, b.event_type AS ib,
+            COUNT(*) AS n_both
+          FROM e a JOIN e b ON a.fp = b.fp AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type),
+        tot AS (SELECT COUNT(DISTINCT fp) AS n FROM e)
+        SELECT x.event_type AS ta, y.event_type AS tb,
+          CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+          CAST(COALESCE(i.n_both, 0) AS BIGINT) AS n_both,
+          CAST(x.n - COALESCE(i.n_both, 0) AS BIGINT) AS n_only_a,
+          CAST(x.n + y.n - COALESCE(i.n_both, 0) AS BIGINT) AS n_any,
+          (SELECT CAST(n AS BIGINT) FROM tot) AS n_total
+        FROM t x JOIN t y ON x.event_type < y.event_type
+        LEFT JOIN inter i ON i.ia = x.event_type AND i.ib = y.event_type
+        ORDER BY ta, tb""")),
+
     Q("j54_ivfpq_ann",
       (s, d) => {
         val q = quantized(s, d).localCheckpoint()

@@ -84,6 +84,32 @@ class Round13Spec extends AnyFunSuite {
     assert(ds.forall(_ >= 0L) && ds.sameElements(ds.sorted))
   }
 
+  test("d24 theta sketches: exact-regime bytes are partition-invariant; sampled regime is bounded") {
+    graft.functions.Theta.register(spark)
+    import spark.implicits._
+    // exact regime (distinct ≪ 2^lgK): the ordered-compact sketch bytes
+    // must be IDENTICAL at any partitioning — insertion order and merge
+    // tree shape cannot matter, or the oracle hash would be luck
+    def sketchBytes(parts: Int): Array[Byte] =
+      (1L to 600L).toDF("x").repartition(parts)
+        .selectExpr("theta_sketch_agg(x) AS s").collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(sketchBytes(2), sketchBytes(7)))
+    // sampled regime (100k distinct over k=4096): estimate within ±5%,
+    // and set ops still track the true sizes (d7-style grading)
+    val big = (1L to 100000L).toDF("x")
+      .selectExpr("theta_sketch_agg(x) AS s")
+    val shifted = (50001L to 150000L).toDF("x")
+      .selectExpr("theta_sketch_agg(x) AS s")
+    val r = big.crossJoin(shifted.withColumnRenamed("s", "t"))
+      .selectExpr("theta_estimate(s) AS na",
+        "theta_estimate(theta_intersect(s, t)) AS nboth",
+        "theta_estimate(theta_union(s, t)) AS nany")
+      .collect().head
+    assert(math.abs(r.getLong(0) - 100000L) < 5000, r.toString)
+    assert(math.abs(r.getLong(1) - 50000L) < 5000, r.toString)  // true ∩ = 50k
+    assert(math.abs(r.getLong(2) - 150000L) < 7500, r.toString) // true ∪ = 150k
+  }
+
   test("j53 plans as broadcast equi-joins; only the 1-row probe carrier is an NLJ") {
     val p = run("j53_pq_ann").queryExecution.sparkPlan.toString
     assert(!p.contains("CartesianProduct"), p)
