@@ -118,6 +118,21 @@ object Extras {
                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
           FROM e GROUP BY day ORDER BY day""")),
 
+    // Stream-stream LEFT OUTER interval join: null-extended rows ("no
+    // follow-up click in 5 min") can only be emitted once the watermark
+    // closes the window — i8's inner join upgraded to the outer surface
+    // with watermark-timed null emission. Output == the batch LEFT JOIN.
+    Q("i21_stream_left_outer_join",
+      (s, d) => Streams.i21(s, d),
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events),
+        r AS (SELECT * FROM e WHERE event_type = 'click')
+        SELECT l.event_id AS a_id, r.event_id AS b_id, l.user_id AS user_id
+        FROM e l LEFT JOIN r ON l.user_id = r.user_id
+          AND r.ts_ms >= l.ts_ms AND r.ts_ms <= l.ts_ms + 300000
+          AND l.event_id != r.event_id
+        ORDER BY a_id, b_id NULLS FIRST""")),
+
     // Complete-mode streaming aggregation: the memory sink holds the FULL
     // current aggregate after every batch; after the last batch it equals
     // the batch groupBy (the oracle) — the third output mode next to

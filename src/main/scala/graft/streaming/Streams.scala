@@ -360,6 +360,65 @@ object Streams {
     s.table(qn).orderBy("a_id", "b_id")
   }
 
+  /** i21 — stream-stream LEFT OUTER interval join: i8's inner join answers
+    * "which events had a follow-up click"; the OUTER form answers the
+    * operationally harder "which events had NO follow-up click within 5
+    * minutes" — and in a stream that answer can only be emitted once the
+    * watermark proves the window is closed (an unmatched row is
+    * unmatched-so-far until event time passes a_t + 5 min on both sides).
+    * Spark holds the left row in state, emits the null-extended row at
+    * state eviction, and the watermarks bound that state exactly as in
+    * i8. The harness appends a far-future sentinel (user −1, matches
+    * nothing, filtered from the graded output) so the final windows
+    * provably close inside the test — production streams close them with
+    * ordinary traffic. Output == the batch LEFT JOIN (oracle; NULL
+    * ordering pinned on both engines). */
+  def i21(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val half = evs.length / 2
+    val ls = MemoryStream[Ev]; val rs = MemoryStream[Ev]
+    def side(m: MemoryStream[Ev], p: String) = m.toDF()
+      .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+        timestamp_millis(col("ts_ms")).as(s"${p}_t"),
+        col("event_type").as(s"${p}_type"))
+    val left = side(ls, "a").withWatermark("a_t", "10 minutes")
+    val right = side(rs, "b").where(col("b_type") === "click")
+      .withWatermark("b_t", "10 minutes")
+    val joined = left.join(right,
+        col("a_user") === col("b_user")
+          && col("b_t") >= col("a_t")
+          && col("b_t") <= col("a_t") + expr("INTERVAL 5 MINUTES")
+          && col("a_id") =!= col("b_id"),
+        "leftOuter")
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+    val qn = "i21_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(qn).option("checkpointLocation", tmp("i21ck")).start()
+    ls.addData(evs.take(half).toSeq); rs.addData(evs.take(half).toSeq)
+    q.processAllAvailable()
+    ls.addData(evs.drop(half).toSeq); rs.addData(evs.drop(half).toSeq)
+    q.processAllAvailable()
+    // close every open window: two sentinel batches (watermark advances at
+    // batch END, state evicts the batch after) far past max(ts) + interval.
+    // The sentinel must survive the right side's type filter — the
+    // watermark node sits ABOVE it, so a filtered-out sentinel would
+    // advance only the left watermark and the global (min) watermark
+    // would never close the last windows (measured: the tail 9 null rows
+    // stayed in state). It carries user −1, so it matches nothing real
+    // and is filtered from the graded output.
+    val far = evs.map(_.ts_ms).max + 3600 * 1000L
+    for (k <- 0 to 1) {
+      val sent = Ev(-1L - k, far + k * 60000L, -1L, "click", 0.0)
+      ls.addData(Seq(sent)); rs.addData(Seq(sent))
+      q.processAllAvailable()
+    }
+    q.stop()
+    s.table(qn).where(col("user_id") =!= -1L)
+      .orderBy(asc("a_id"), asc_nulls_first("b_id"))
+  }
+
   /** i9 — stream-static join: the event stream enriched against the static
     * customer dimension (broadcast — no stream state at all, the standard
     * streaming-enrichment pattern). Output == the batch join (oracle). */

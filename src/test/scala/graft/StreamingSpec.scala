@@ -137,4 +137,18 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "b", 3000L, None, true),
       (2L, "c", 2500L, None, true)), out.toSeq.toString)
   }
+
+  test("i21 left-outer stream-stream join emits watermark-closed null rows") {
+    val out = SparkEntry.queries("i21_stream_left_outer_join")(spark, TestSpark.sf)
+      .collect()
+    val unmatched = out.count(_.isNullAt(1))
+    val matched = out.length - unmatched
+    // the outer surface is genuinely exercised: both null-extended rows
+    // (no follow-up click in 5 min, emitted only at window close) and
+    // matched pairs exist; every event appears at least once
+    assert(unmatched > 0 && matched > 0, s"unmatched=$unmatched matched=$matched")
+    val events = Tables.events(spark, TestSpark.sf).count()
+    assert(out.map(_.getLong(0)).distinct.length == events,
+      "every left event must appear (matched or null-extended)")
+  }
 }
