@@ -369,6 +369,83 @@ object Round13 {
     // θ=1, every op is literal hash-set algebra, and the oracle's exact
     // DISTINCT joins hash-match. Past the bound the same pipeline
     // degrades to ±1.6%/√k estimates (spec-bounded, d7's grading).
+    // a32 — malformed-record handling at the CSV ingest edge: the mode
+    // surface every real file-drop pipeline exercises (PERMISSIVE with a
+    // corrupt-record capture column vs DROPMALFORMED; FAILFAST is pinned
+    // as the error path in Round13Spec). The fixture CSV derives from
+    // customer with two deterministic fault classes — every 7th row
+    // grows an EXTRA field (arity fault), every 11th carries non-numeric
+    // text in a numeric column (type fault) — so the oracle reproduces
+    // the clean/corrupt partition by ARITHMETIC, no CSV parser in the
+    // oracle at all. Amounts travel as integer cents: float text round
+    // trips are exactly the nondeterminism an ingest fixture must not
+    // have. At 100 TB this is one map-only pass per mode; the corrupt
+    // capture column is what routes bad rows to a quarantine sink
+    // instead of silently dropping them.
+    Q("a32_csv_malformed_modes",
+      (s, d) => {
+        val dir = Scratch.dir("a32")
+        val csv = s"$dir/in"
+        t(s, d, "customer")
+          .orderBy("c_custkey")
+          .select(concat(
+            col("c_custkey"), lit(","), col("c_name"), lit(","),
+            when(col("c_custkey") % 11 === 0, lit("oops"))
+              // string branch FIRST would coerce the other side to BIGINT
+              // under ANSI and throw on 'oops' — emit text explicitly
+              .otherwise(expr("cast(cast(round(c_acctbal * 100) as bigint) as string)")),
+            when(col("c_custkey") % 7 === 0, lit(",EXTRA")).otherwise(lit("")))
+            .as("value"))
+          .coalesce(1).write.mode("overwrite").text(csv)
+        // the corrupt-capture column belongs to PERMISSIVE ONLY: outside
+        // that mode it is read as a REGULAR 4th column, which makes the
+        // arity-fault rows (4 tokens) parse as legitimate — measured:
+        // DROPMALFORMED with the 4-column schema kept all 214 extra-field
+        // rows, silently reclassifying the fault
+        def read(mode: String, schema: String) = s.read
+          .schema(schema).option("mode", mode)
+          .option("columnNameOfCorruptRecord", "_corrupt").csv(csv)
+        // every data column is referenced on purpose: CSV COLUMN PRUNING
+        // narrows the parsed schema, and DROPMALFORMED validates arity
+        // against the PRUNED width — measured: an aggregate touching only
+        // `cents` silently KEPT all 214 extra-field rows. Touching
+        // id/name/cents forces the full-width parse, restoring the drop.
+        val perm = read("PERMISSIVE",
+          "id LONG, name STRING, cents LONG, _corrupt STRING").select(
+          lit("permissive").as("mode"),
+          count(lit(1)).as("n_rows"),
+          count(col("_corrupt")).as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, col("cents"))).as("clean_cents"),
+          sum(when(col("_corrupt").isNull, col("id"))).as("sum_id"),
+          count(col("name")).as("n_names"))
+        val drop = read("DROPMALFORMED", "id LONG, name STRING, cents LONG").select(
+          lit("dropmalformed").as("mode"),
+          count(lit(1)).as("n_rows"),
+          lit(0L).as("n_corrupt"),
+          sum(col("cents")).as("clean_cents"),
+          sum(col("id")).as("sum_id"),
+          count(col("name")).as("n_names"))
+        perm.unionAll(drop).orderBy("mode")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+            (c_custkey % 7 = 0 OR c_custkey % 11 = 0) AS bad
+          FROM customer),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+            CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT) AS n_bad,
+            CAST(SUM(cents) FILTER (WHERE NOT bad) AS BIGINT) AS clean_cents,
+            CAST(SUM(c_custkey) FILTER (WHERE NOT bad) AS BIGINT) AS sum_id
+          FROM c)
+        SELECT 'dropmalformed' AS mode, n_all - n_bad AS n_rows,
+          CAST(0 AS BIGINT) AS n_corrupt, clean_cents, sum_id,
+          n_all - n_bad AS n_names FROM agg
+        UNION ALL
+        -- PERMISSIVE still materializes the parsable fields of corrupt
+        -- rows (measured), so every name is non-null
+        SELECT 'permissive' AS mode, n_all AS n_rows, n_bad AS n_corrupt,
+          clean_cents, sum_id, n_all AS n_names FROM agg
+        ORDER BY mode""")),
+
     Q("d24_theta_set_algebra",
       (s, d) => {
         graft.functions.Theta.register(s)

@@ -84,6 +84,26 @@ class Round13Spec extends AnyFunSuite {
     assert(ds.forall(_ >= 0L) && ds.sameElements(ds.sorted))
   }
 
+  test("a32 FAILFAST propagates; CSV column pruning masks DROPMALFORMED (the recorded trap)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a32spec").toString
+    Seq("1,a,10", "2,b,20,EXTRA", "3,c,oops").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$dir/in")
+    def read(mode: String) = spark.read
+      .schema("id LONG, name STRING, cents LONG").option("mode", mode)
+      .csv(s"$dir/in")
+    // FAILFAST: the first faulty record aborts the read
+    val e = intercept[Exception](read("FAILFAST").collect())
+    assert(e.toString.toLowerCase.contains("malformed")
+      || Option(e.getCause).exists(_.toString.toLowerCase.contains("malformed")), e.toString)
+    // full-width DROPMALFORMED parse drops BOTH fault classes
+    assert(read("DROPMALFORMED").select("id", "name", "cents").collect().length == 1)
+    // the trap a32 engineers around: when pruning narrows the parsed
+    // schema to `cents`, the arity fault is outside the parsed width and
+    // the EXTRA row is silently KEPT (only the type fault still drops)
+    assert(read("DROPMALFORMED").select("cents").collect().length == 2)
+  }
+
   test("d24 theta sketches: exact-regime bytes are partition-invariant; sampled regime is bounded") {
     graft.functions.Theta.register(spark)
     import spark.implicits._
