@@ -49,7 +49,10 @@ object PlanLint {
     "j54_ivfpq_ann",
     // theta set algebra: the pairwise theta join runs on the |types|-row
     // SKETCH relation (j45's allowance with exact set semantics)
-    "d24_theta_set_algebra")
+    "d24_theta_set_algebra",
+    // MaxSim: the |Q|=5-row query-token carrier broadcasts (j41's
+    // term-set allowance); the corpus side streams map-only
+    "j55_maxsim_retrieval")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

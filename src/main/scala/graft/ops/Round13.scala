@@ -446,6 +446,66 @@ object Round13 {
           clean_cents, sum_id, n_all AS n_names FROM agg
         ORDER BY mode""")),
 
+    // j55 — LATE-INTERACTION retrieval scoring (ColBERT's MaxSim,
+    // Khattab & Zaharia 2020): the 4th production scorer next to lexical
+    // BM25 (j42), dense cosine (j3/j41) and rank fusion (j43). Instead of
+    // one vector per document, every TOKEN keeps an embedding and
+    // score(d) = Σ_{q∈query} max_{t∈doc} ⟨q, t⟩ — query terms match
+    // their best token each, which is why late interaction beats single-
+    // vector retrieval on multi-aspect queries. Engine shape: doc-token
+    // embeddings are a map-only projection (md5-derived 4-dim integer
+    // vectors standing in for the model — m4's stub contract), the query
+    // is the corpus's 5 most frequent tokens (one bounded aggregate),
+    // and MaxSim is groupBy-max then groupBy-sum over the (token ×
+    // query) pairs — the |Q|-row query carrier broadcasts, so the
+    // corpus-sized side streams map-only into the two aggregations.
+    // Integer dot products → hash-exact; DISTINCT doc tokens feed the
+    // max (duplicates cannot change a max — recorded micro-optimization).
+    Q("j55_maxsim_retrieval",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(expr(
+            "slice(filter(split(text, ' '), w -> length(w) > 0), 1, 32)")).as("tok"))
+          .distinct()
+        def emb(c: String, p: String) = expr(
+          s"transform(sequence(0, 3), i -> " +
+            s"cast(conv(substring(md5($c), i * 8 + 1, 4), 16, 10) as bigint) % 1000)")
+          .as(p)
+        val query = toks.groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("tok")).limit(5)
+          .select(col("tok").as("q"), emb("tok", "qe"))
+        val scored = toks.select(col("doc_id"), col("tok"), emb("tok", "te"))
+          .crossJoin(broadcast(query))
+          .select(col("doc_id"), col("q"), expr(
+            "aggregate(zip_with(qe, te, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+            .as("dot"))
+          .groupBy("doc_id", "q").agg(max("dot").as("best"))
+          .groupBy("doc_id").agg(sum("best").as("score"))
+        scored.orderBy(desc("score"), asc("doc_id")).limit(10)
+          .select(col("doc_id"), col("score"))
+      },
+      Some("""WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(list_slice(list_filter(
+              string_split(text, ' '), w -> strlen(w) > 0), 1, 32)) AS tok
+            FROM documents)),
+        q AS (SELECT tok AS q FROM (
+            SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 5)),
+        emb AS (SELECT tok, list_transform(range(0, 4), i ->
+            CAST('0x' || substr(md5(tok), i * 8 + 1, 4) AS BIGINT) % 1000) AS e
+          FROM (SELECT DISTINCT tok FROM tk)),
+        dots AS (SELECT tk.doc_id, q.q,
+            MAX(list_sum(list_transform(range(1, 5),
+              i -> qe.e[i] * te.e[i]))) AS best
+          FROM tk JOIN emb te ON tk.tok = te.tok
+            JOIN q ON true
+            JOIN emb qe ON q.q = qe.tok
+          GROUP BY tk.doc_id, q.q),
+        sc AS (SELECT doc_id, SUM(best) AS score FROM dots GROUP BY doc_id)
+        SELECT doc_id, CAST(score AS BIGINT) AS score
+        FROM sc ORDER BY score DESC, doc_id LIMIT 10""")),
+
     Q("d24_theta_set_algebra",
       (s, d) => {
         graft.functions.Theta.register(s)

@@ -130,6 +130,22 @@ class Round13Spec extends AnyFunSuite {
     assert(math.abs(r.getLong(2) - 150000L) < 7500, r.toString) // true ∪ = 150k
   }
 
+  test("session-4 training/sketch keys are shuffle-partition invariant") {
+    // the exactness claims (integer Lloyd rounds, theta exact regime,
+    // HLL coupon regime, integer MaxSim) all imply reduction-order
+    // freedom — pin it by re-running under different parallelism
+    val keys = Seq("j53_pq_ann", "j54_ivfpq_ann", "d24_theta_set_algebra",
+      "k12_presto_dialect_hll", "j55_maxsim_retrieval")
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try keys.foreach { k =>
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = run(k).collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = run(k).collect().map(_.toSeq).toSeq
+      assert(a == b, s"$k varies with shuffle partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("j53 plans as broadcast equi-joins; only the 1-row probe carrier is an NLJ") {
     val p = run("j53_pq_ann").queryExecution.sparkPlan.toString
     assert(!p.contains("CartesianProduct"), p)
