@@ -118,6 +118,19 @@ object Extras {
                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
           FROM e GROUP BY day ORDER BY day""")),
 
+    // transformWithState with LIST state: streaming per-user top-3
+    // purchase values, the ListState leg next to i10's ValueState —
+    // state is k doubles per key by construction (merge-then-truncate),
+    // final ranking flushed by event-time timers. == batch top-3.
+    Q("i22_stream_topk_state",
+      (s, d) => Streams.i22(s, d),
+      Some("""WITH p AS (SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY value DESC) AS rank
+          FROM events WHERE event_type = 'purchase')
+        SELECT user_id, CAST(rank AS INT) AS rank, value
+        FROM p WHERE rank <= 3 ORDER BY user_id, rank""")),
+
     // Stream-stream LEFT OUTER interval join: null-extended rows ("no
     // follow-up click in 5 min") can only be emitted once the watermark
     // closes the window — i8's inner join upgraded to the outer surface

@@ -933,6 +933,97 @@ object Streams {
       .orderBy("user_id", "valid_from", "event_type")
   }
 
+  /** i22's processor: per-user top-k purchase values in a ListState that
+    * the processor itself keeps bounded — state per key is k doubles by
+    * CONSTRUCTION (merge-then-truncate on every input), not O(events
+    * seen), which is the property that lets a top-k-per-entity stream run
+    * forever. One event-time timer per key (re-armed i10-style) emits the
+    * final ranking when the watermark passes `endTs`. */
+  class TopKProcessor(k: Int, endTs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, (Long, Int, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ListState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var top: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Double]("top",
+        Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[(Long, Int, Double)] = {
+      val vs = rows.map(_.value).toArray
+      if (vs.nonEmpty) {
+        val merged = (top.get().toSeq ++ vs).sortBy(-_).take(k)
+        top.put(merged.toArray)
+        getHandle.deleteTimer(endTs)
+        getHandle.registerTimer(endTs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Int, Double)] = {
+      val vals = top.get().toSeq // stored sorted desc
+      top.clear()
+      vals.iterator.zipWithIndex.map { case (v, i) => (user, i + 1, v) }
+    }
+  }
+
+  /** i22 — transformWithState with LIST state: streaming per-user top-3
+    * purchase values. i10 exercised the ValueState+timer surface; this is
+    * the ListState leg — the state shape leaderboards/top-k-per-entity
+    * pipelines keep — with the bound enforced IN the processor (k values
+    * per key, ever). The purchase filter sits UPSTREAM of groupByKey, so
+    * only purchasing users own state. Emission is timer-driven: the
+    * sentinel advances the watermark past `endTs` and every key flushes
+    * its final ranking; output == the batch per-user top-3 (oracle). */
+  def i22(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s, 2) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = collectEvents(s, d)
+      val endTs = evs.last.ts_ms + 24L * 3600 * 1000
+      val sentinel = Ev(-1L, endTs + 365L * 24 * 3600 * 1000, -1L, "purchase", 0.0)
+      val stream = MemoryStream[Ev]
+      val ranked = stream.toDS()
+        .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts_t", "10 minutes")
+        .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+        .map(t => Ev(t._1, t._2, t._3, t._4, t._5))
+        .filter(e => e.event_type == "purchase")
+        .groupByKey(_.user_id)
+        .transformWithState(new TopKProcessor(3, endTs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      val qn = "i22_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = ranked.toDF("user_id", "rank", "value")
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .option("checkpointLocation", tmp("i22ck")).start()
+      val half = evs.length / 2
+      stream.addData(evs.take(half).toSeq)
+      q.processAllAvailable()
+      stream.addData(evs.drop(half).toSeq)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel)) // watermark past endTs: timers fire
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).where(col("user_id") =!= -1L)
+        .orderBy("user_id", "rank")
+    } finally {
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
   /** i20 — streaming maintenance of a MERGEABLE-SKETCH table: d22's
     * per-hour HLL distinct-count pre-aggregate, produced and kept fresh
     * by a stream instead of a batch rebuild. Each rate-limited

@@ -241,6 +241,23 @@ class ApiSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(3) > 0L))
   }
 
+  test("dialect builtin shadows are STATEMENT-scoped: native SQL after readTdQuery keeps Spark semantics") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    // Presto text: split is LITERAL — '.' splits 'a.b.c'
+    val r = td.readTdQuery(
+      "SELECT split('a.b.c', '.') AS parts FROM region LIMIT 1", e)
+    assert(r.collect().head.getSeq[String](0) == Seq("a", "b", "c"))
+    // the SAME session right after: Spark's split is REGEX again — '.'
+    // matches every char (4 empty fields on 'abc'), '\\.' is the literal
+    // dot. Before the statement-scoping fix the Presto override leaked
+    // here and silently returned 1.
+    val n = spark.sql("SELECT size(split('abc', '.')) AS n")
+      .collect().head.getInt(0)
+    assert(n == 4, s"native regex split semantics not restored (got $n)")
+    assert(spark.sql("SELECT split('a.b.c', '\\\\.') AS p")
+      .collect().head.getSeq[String](0) == Seq("a", "b", "c"))
+  }
+
   test("-o binding, -O file dump, and --pivot reshape conveniences") {
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     // -o: run + bind + re-fetch
