@@ -118,6 +118,15 @@ object Extras {
                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
           FROM e GROUP BY day ORDER BY day""")),
 
+    // transformWithState with MAP state: per-user per-event-type
+    // counters — the sub-keyed profile shape — completing the typed-state
+    // trio (i10 ValueState, i22 ListState). == batch (user, type) counts.
+    Q("i23_stream_map_state",
+      (s, d) => Streams.i23(s, d),
+      Some("""SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type""")),
+
     // transformWithState with LIST state: streaming per-user top-3
     // purchase values, the ListState leg next to i10's ValueState —
     // state is k doubles per key by construction (merge-then-truncate),

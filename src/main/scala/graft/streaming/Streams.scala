@@ -971,6 +971,94 @@ object Streams {
     }
   }
 
+  /** i23's processor: per-user per-event-type counters in a MapState —
+    * the keyed-sub-map shape profile/feature stores keep (bounded by the
+    * TYPE alphabet, not the stream). Same timer-driven final flush as
+    * [[TopKProcessor]]. */
+  class TypeCountProcessor(endTs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, (Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, MapState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[(Long, String, Long)] = {
+      var any = false
+      rows.foreach { e =>
+        any = true
+        val cur = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+      }
+      if (any) { getHandle.deleteTimer(endTs); getHandle.registerTimer(endTs) }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, String, Long)] = {
+      val out = counts.iterator().map { p => (user, p._1, p._2) }.toArray
+      counts.clear()
+      out.sortBy(_._2).iterator
+    }
+  }
+
+  /** i23 — transformWithState with MAP state: streaming per-user
+    * per-event-type counters, completing the typed-state trio (i10
+    * ValueState, i22 ListState). The MapState is keyed by the bounded
+    * type alphabet inside each user's state row — the sub-keyed profile
+    * shape that would otherwise force a (user × type) key explosion one
+    * level up. Timer-driven flush; output == the batch (user, type)
+    * groupBy (oracle). */
+  def i23(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s, 2) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = collectEvents(s, d)
+      val endTs = evs.last.ts_ms + 24L * 3600 * 1000
+      val sentinel = Ev(-1L, endTs + 365L * 24 * 3600 * 1000, -1L, "sentinel", 0.0)
+      val stream = MemoryStream[Ev]
+      val counted = stream.toDS()
+        .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts_t", "10 minutes")
+        .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+        .map(t => Ev(t._1, t._2, t._3, t._4, t._5))
+        .groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor(endTs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      val qn = "i23_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = counted.toDF("user_id", "event_type", "n")
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .option("checkpointLocation", tmp("i23ck")).start()
+      val half = evs.length / 2
+      stream.addData(evs.take(half).toSeq)
+      q.processAllAvailable()
+      stream.addData(evs.drop(half).toSeq)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel))
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).where(col("user_id") =!= -1L)
+        .orderBy("user_id", "event_type")
+    } finally {
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
   /** i22 — transformWithState with LIST state: streaming per-user top-3
     * purchase values. i10 exercised the ValueState+timer surface; this is
     * the ListState leg — the state shape leaderboards/top-k-per-entity

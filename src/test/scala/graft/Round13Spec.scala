@@ -130,6 +130,24 @@ class Round13Spec extends AnyFunSuite {
     assert(math.abs(r.getLong(2) - 150000L) < 7500, r.toString) // true ∪ = 150k
   }
 
+  test("portable floor division matches Math.floorDiv on negative numerators") {
+    // the cross-engine contract Round13's Lloyd means rest on: Spark's
+    // `div` truncates toward zero, DuckDB's `//` floors — the adjusted-
+    // numerator device must FLOOR in both engines (the DuckDB side is
+    // pinned by the hash-matched j53/j54 oracles; this pins Spark's).
+    val rows = spark.range(500).selectExpr(
+        "(id * 2654435761) % 2000001 - 1000000 AS a",
+        "cast(id % 7 + 1 as bigint) AS n")
+      .selectExpr("a", "n",
+        "((a) - (((a) % (n)) + (n)) % (n)) div (n) AS fd")
+      .collect()
+    assert(rows.exists(_.getLong(0) < 0), "fuzz must cover negative numerators")
+    rows.foreach { r =>
+      assert(r.getLong(2) == Math.floorDiv(r.getLong(0), r.getLong(1)),
+        s"a=${r.getLong(0)} n=${r.getLong(1)} got=${r.getLong(2)}")
+    }
+  }
+
   test("session-4 training/sketch keys are shuffle-partition invariant") {
     // the exactness claims (integer Lloyd rounds, theta exact regime,
     // HLL coupon regime, integer MaxSim) all imply reduction-order
