@@ -409,11 +409,14 @@ object Streams {
     // stayed in state). It carries user −1, so it matches nothing real
     // and is filtered from the graded output.
     val far = evs.map(_.ts_ms).max + 3600 * 1000L
-    for (k <- 0 to 1) {
-      val sent = Ev(-1L - k, far + k * 60000L, -1L, "click", 0.0)
-      ls.addData(Seq(sent)); rs.addData(Seq(sent))
-      q.processAllAvailable()
-    }
+    val sent = Ev(-1L, far, -1L, "click", 0.0)
+    ls.addData(Seq(sent)); rs.addData(Seq(sent))
+    q.processAllAvailable()
+    // the watermark computed from the sentinel batch is applied in the
+    // NEXT micro-batch — an empty second pass flushes the evictions
+    // without paying another data batch
+    ls.addData(Seq.empty[Ev]); rs.addData(Seq.empty[Ev])
+    q.processAllAvailable()
     q.stop()
     s.table(qn).where(col("user_id") =!= -1L)
       .orderBy(asc("a_id"), asc_nulls_first("b_id"))
