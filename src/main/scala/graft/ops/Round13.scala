@@ -446,6 +446,40 @@ object Round13 {
           clean_cents, sum_id, n_all AS n_names FROM agg
         ORDER BY mode""")),
 
+    // d26 — frequent-items sketch rollup along the TIME axis: d21's
+    // approx_top_k upgraded to its STORED form via Spark 4's
+    // accumulate/combine/estimate trio — per-hour sketches are the kept
+    // pre-aggregate, the day's top items come from combining 24 sketch
+    // rows, never re-scanning events. This completes the rollup story
+    // across all three sketch families the engine keeps: HLL uniques
+    // (d22), theta set algebra (d24), and frequent items (here) — the
+    // dashboard triad a 100 TB event store serves from O(hours ×
+    // sketch-bytes) of state. Exact-regime graded like d21:
+    // maxItemsTracked 64 ≥ the 5-value type alphabet, so no eviction at
+    // any level, every merged count is exact, and the oracle is the
+    // plain (day, type) GROUP BY.
+    Q("d26_topk_time_rollup",
+      (s, d) => {
+        graft.Tables.events(s, d).createOrReplaceTempView("d26_events")
+        s.sql("""
+          WITH e AS (SELECT ts_ms div 86400000 AS day,
+                            ts_ms div 3600000 AS hour, event_type
+                     FROM d26_events),
+          hours AS (SELECT day, hour,
+                      approx_top_k_accumulate(event_type, 64) AS sk
+                    FROM e GROUP BY day, hour),
+          days AS (SELECT day, approx_top_k_combine(sk, 64) AS dsk
+                   FROM hours GROUP BY day)
+          SELECT day, tk.item AS event_type, CAST(tk.count AS BIGINT) AS n
+          FROM days
+          LATERAL VIEW explode(approx_top_k_estimate(dsk, 5)) t AS tk
+          ORDER BY day, event_type""")
+      },
+      Some("""SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+          event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day, event_type
+        ORDER BY day, event_type""")),
+
     // j55 — LATE-INTERACTION retrieval scoring (ColBERT's MaxSim,
     // Khattab & Zaharia 2020): the 4th production scorer next to lexical
     // BM25 (j42), dense cosine (j3/j41) and rank fusion (j43). Instead of

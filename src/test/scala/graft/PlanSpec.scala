@@ -304,6 +304,15 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 2, s"expected at most 2 events scans, got $scans:\n$p")
   }
 
+  test("d26 combines hour top-k sketches into days, never rescanning events") {
+    val p = plan("d26_topk_time_rollup")
+    assert(p.contains("approx_top_k_accumulate") || p.contains("ApproxTopKAccumulate"), p)
+    assert(p.contains("approx_top_k_combine") || p.contains("ApproxTopKCombine"), p)
+    // the day-level combine aggregates SKETCH rows — one events scan total
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 events scan, got $scans:\n$p")
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = SparkEntry.queries("d1_agg_groupby")(spark, TestSpark.sf)
     df.collect() // finalize the adaptive plan — codegen stages appear after execution
