@@ -354,6 +354,85 @@ object Round13 {
     // not vectors (j53's property). Exact re-rank of the 50-row
     // shortlist as in j53. The oracle unrolls BOTH trainings (coarse and
     // fine-over-residuals) from the shared generated blocks.
+    // a33 — malformed-record handling at the JSON ingest edge: a32's
+    // sibling with the JSON parser's DIFFERENT fault taxonomy, measured
+    // and graded. Where CSV arity is structural (extra/missing tokens =
+    // malformed), JSON is schema-on-read: a MISSING field is a clean
+    // null, an EXTRA field is cleanly ignored, and only (i) broken
+    // syntax and (ii) a type mismatch are faults — syntax nulls the
+    // whole row into the corrupt capture, a type fault keeps the
+    // already-parsed prefix fields AND captures (both measured here).
+    // Fixture derives from customer with four deterministic classes:
+    // %7 syntax-broken, %11 type fault, %5 missing cents (clean!),
+    // %3 extra field (clean!) — so the oracle reproduces every count by
+    // arithmetic, no JSON parser oracle-side.
+    Q("a33_json_malformed_modes",
+      (s, d) => {
+        val dir = Scratch.dir("a33")
+        val js = s"$dir/in"
+        t(s, d, "customer").orderBy("c_custkey")
+          .select(concat(
+            lit("{\"id\": "), col("c_custkey"),
+            lit(", \"name\": \""), col("c_name"), lit("\""),
+            when(col("c_custkey") % 7 === 0, lit(", \"cents\": }"))
+              .otherwise(concat(
+                when(col("c_custkey") % 11 === 0, lit(", \"cents\": \"oops\""))
+                  .when(col("c_custkey") % 5 === 0, lit(""))
+                  .otherwise(concat(lit(", \"cents\": "),
+                    expr("cast(cast(round(c_acctbal * 100) as bigint) as string)"))),
+                when(col("c_custkey") % 3 === 0, lit(", \"extra\": 1"))
+                  .otherwise(lit("")),
+                lit("}"))))
+            .as("value"))
+          .coalesce(1).write.mode("overwrite").text(js)
+        def read(mode: String, schema: String) = s.read
+          .schema(schema).option("mode", mode)
+          .option("columnNameOfCorruptRecord", "_corrupt").json(js)
+        val perm = read("PERMISSIVE",
+          "id LONG, name STRING, cents LONG, _corrupt STRING").select(
+          lit("permissive").as("mode"),
+          count(lit(1)).as("n_rows"),
+          count(col("_corrupt")).as("n_corrupt"),
+          count(col("cents")).as("n_cents"),
+          sum(col("cents")).as("sum_cents"),
+          count(col("name")).as("n_names"))
+        val drop = read("DROPMALFORMED", "id LONG, name STRING, cents LONG")
+          .select(
+            lit("dropmalformed").as("mode"),
+            count(lit(1)).as("n_rows"),
+            lit(0L).as("n_corrupt"),
+            count(col("cents")).as("n_cents"),
+            sum(col("cents")).as("sum_cents"),
+            count(col("name")).as("n_names"))
+        perm.unionAll(drop).orderBy("mode")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+            (c_custkey % 7 = 0) AS syn,
+            (c_custkey % 7 != 0 AND c_custkey % 11 = 0) AS typ,
+            (c_custkey % 7 != 0 AND c_custkey % 11 != 0
+              AND c_custkey % 5 = 0) AS mis
+          FROM customer),
+        agg AS (SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_all,
+            CAST(COUNT(*) FILTER (WHERE syn) AS BIGINT) AS n_syn,
+            CAST(COUNT(*) FILTER (WHERE typ) AS BIGINT) AS n_typ,
+            CAST(COUNT(*) FILTER (WHERE NOT syn AND NOT typ AND NOT mis)
+              AS BIGINT) AS n_cents,
+            CAST(SUM(cents) FILTER (WHERE NOT syn AND NOT typ AND NOT mis)
+              AS BIGINT) AS sum_cents
+          FROM c)
+        SELECT 'dropmalformed' AS mode, n_all - n_syn - n_typ AS n_rows,
+          CAST(0 AS BIGINT) AS n_corrupt, n_cents, sum_cents,
+          n_all - n_syn - n_typ AS n_names FROM agg
+        UNION ALL
+        -- syntax faults null every field (name included); type faults
+        -- keep the parsed prefix, so their names survive
+        SELECT 'permissive' AS mode, n_all AS n_rows,
+          n_syn + n_typ AS n_corrupt, n_cents, sum_cents,
+          n_all - n_syn AS n_names FROM agg
+        ORDER BY mode""")),
+
     // d24 — theta-sketch SET ALGEBRA: the capability tier above the HLL
     // family (d19/d22/k12): HLL only unions, so j45 got intersections
     // from inclusion–exclusion; a theta sketch retains a hash sample, so
