@@ -81,4 +81,25 @@ object Knobs {
     require(v >= 1 && v <= 4096, s"$GridBlocksKey must be in [1,4096], got $v")
     v
   }
+
+  val PqShortlistKey = "spark.graft.pq.shortlist"
+  val IvfNprobeKey   = "spark.graft.ivf.nprobe"
+
+  /** ADC shortlist size before the exact re-rank (j53/j54) — THE
+    * recall/cost dial of a PQ index. Default 50 is the oracle geometry;
+    * a shortlist ≥ the candidate count makes the re-rank output exactly
+    * the true top-k (KnobsSpec pins that limit). */
+  def pqShortlist(s: SparkSession): Int = {
+    val v = intConf(s, PqShortlistKey, 50)
+    require(v >= 10, s"$PqShortlistKey must be >= the emitted top-10, got $v")
+    v
+  }
+
+  /** Cells a probe visits in the IVF stage (j54). Default 2 of the 8
+    * cells; nprobe = the cell count degenerates to whole-corpus ADC. */
+  def ivfNprobe(s: SparkSession): Int = {
+    val v = intConf(s, IvfNprobeKey, 2)
+    require(v >= 1 && v <= 1024, s"$IvfNprobeKey must be in [1,1024], got $v")
+    v
+  }
 }

@@ -52,10 +52,14 @@ object Round13 {
   private val M = 16      // subspaces
   private val SubDim = 4  // dims per subspace (16 × 4 = the 64-dim fixture)
   private val K = 16      // centroids per subspace
-  private val Shortlist = 50
   private val Dim = M * SubDim
   private val CoarseK = 8 // IVF cells (j54)
-  private val Nprobe = 2  // cells a probe visits (j54)
+  // Shortlist/Nprobe are the ORACLE-DEFAULT values of the runtime knobs
+  // spark.graft.pq.shortlist / spark.graft.ivf.nprobe (Knobs) — the two
+  // recall/cost dials an operator retunes per corpus; KnobsSpec pins that
+  // at their limits both ANN keys emit exactly the true top-10
+  private val Shortlist = 50
+  private val Nprobe = 2
 
   /** Portable exact integer floor division: make the numerator exactly
     * divisible first, so Spark `div` (truncates) and DuckDB `//` (floors)
@@ -323,7 +327,7 @@ object Round13 {
         val shortlist = codes.where(col("vec_id") =!= 0)
           .join(broadcast(lut), Seq("m", "cid"))
           .groupBy("vec_id").agg(sum("pd").as("adc"))
-          .orderBy(asc("adc"), asc("vec_id")).limit(Shortlist)
+          .orderBy(asc("adc"), asc("vec_id")).limit(Knobs.pqShortlist(s))
         // exact re-rank: fetch the full quantized vectors for the 50
         // shortlisted ids only (broadcast join on the id) and emit the
         // true integer distances. The 1-row full-probe carrier is the
@@ -665,7 +669,7 @@ object Round13 {
         val probeQ = q.where(col("vec_id") === 0).select(col("qv").as("pqv"))
         val pcells = ccent.crossJoin(broadcast(probeQ)) // 8-row carrier
           .select(col("cid").as("pcell"), expr(sqDist("cv", "pqv")).as("cd"))
-          .orderBy(asc("cd"), asc("pcell")).limit(Nprobe).select("pcell")
+          .orderBy(asc("cd"), asc("pcell")).limit(Knobs.ivfNprobe(s)).select("pcell")
         // residual fine stage: PQ over qv − cell centroid
         val resid = q.join(cells, "vec_id")
           .join(broadcast(ccent.select(col("cid").as("cell"), col("cv").as("ccv"))),
@@ -691,7 +695,7 @@ object Round13 {
           .where(col("vec_id") =!= 0)
           .join(broadcast(lut), Seq("cell", "m", "cid"))
           .groupBy("vec_id").agg(sum("pd").as("adc"))
-          .orderBy(asc("adc"), asc("vec_id")).limit(Shortlist)
+          .orderBy(asc("adc"), asc("vec_id")).limit(Knobs.pqShortlist(s))
         val pvFull = q.where(col("vec_id") === 0).select(col("qv").as("pv"))
         q.join(broadcast(shortlist), "vec_id")
           .crossJoin(broadcast(pvFull))

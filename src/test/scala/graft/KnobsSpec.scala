@@ -74,6 +74,35 @@ class KnobsSpec extends AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("pq.shortlist / ivf.nprobe at their limits: ANN output IS the exact top-10") {
+    import org.apache.spark.sql.functions._
+    val q = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))")
+        .as("qv"))
+    val probe = q.where(col("vec_id") === 0).select(col("qv").as("pv"))
+    val exact = q.crossJoin(broadcast(probe)).where(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr(
+        "aggregate(zip_with(qv, pv, (p, q) -> (p - q) * (p - q)), 0L, (a, v) -> a + v)")
+        .as("d2"))
+      .orderBy(asc("d2"), asc("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    try {
+      // shortlist ≥ corpus and nprobe ≥ cells: the approximations are
+      // pure pre-filters, so the exact re-rank must recover the truth
+      spark.conf.set(graft.ops.Knobs.PqShortlistKey, "100000")
+      spark.conf.set(graft.ops.Knobs.IvfNprobeKey, "1024")
+      for (k <- Seq("j53_pq_ann", "j54_ivfpq_ann")) {
+        val out = SparkEntry.queries(k)(spark, TestSpark.sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(out == exact, s"$k at the knob limit diverges from exact")
+      }
+    } finally {
+      spark.conf.unset(graft.ops.Knobs.PqShortlistKey)
+      spark.conf.unset(graft.ops.Knobs.IvfNprobeKey)
+    }
+  }
+
   test("grid.blocks override re-tiles j12's block grid, output unchanged") {
     val default = SparkEntry.queries("j12_dedup_embed")(spark, TestSpark.sf)
       .collect().map(_.toSeq).toSet
