@@ -563,6 +563,58 @@ object Round13 {
         FROM events GROUP BY day, event_type
         ORDER BY day, event_type""")),
 
+    // d27 — EXACT distinct counting via bucketed BITMAPS (Spark 4's
+    // bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    // bitmap_count / bitmap_or_agg / bitmap_and_agg): the exact-and-
+    // mergeable leg of the cardinality tier — HLL (d7/d19/d22/k12) and
+    // theta (d24) trade exactness for fixed size; a bitmap keys each
+    // value to (bucket, bit) and stores ~4 KB per OCCUPIED 32k-value
+    // bucket, so for dense integer keys (user ids — exactly the TD
+    // audience-count workload) you get EXACT uniques that still merge:
+    // union = OR, intersection = AND, rollup = re-aggregate stored
+    // bitmap rows. No coupon-regime caveat anywhere — every number here
+    // is exact at ANY cardinality, which is why the oracle needs no
+    // fingerprint compression. The ALL row ORs the per-type bucket
+    // bitmaps; the click∩view row ANDs them per bucket (buckets missing
+    // a side drop via the HAVING pair guard — AND with an absent bitmap
+    // would wrongly pass the present side through).
+    Q("d27_bitmap_exact_distinct",
+      (s, d) => {
+        graft.Tables.events(s, d).createOrReplaceTempView("d27_events")
+        s.sql("""
+          WITH e AS (SELECT event_type, user_id AS v FROM d27_events),
+          bm AS (SELECT event_type, bitmap_bucket_number(v) AS bkt,
+                   bitmap_construct_agg(bitmap_bit_position(v)) AS b
+                 FROM e GROUP BY event_type, bitmap_bucket_number(v)),
+          per AS (SELECT event_type AS grp,
+                    CAST(SUM(bitmap_count(b)) AS BIGINT) AS uniq
+                  FROM bm GROUP BY event_type),
+          uni AS (SELECT bkt, bitmap_or_agg(b) AS b FROM bm GROUP BY bkt),
+          ix AS (SELECT bkt, bitmap_and_agg(b) AS b FROM bm
+                 WHERE event_type IN ('click', 'view')
+                 GROUP BY bkt HAVING COUNT(*) = 2)
+          SELECT grp, uniq FROM per
+          UNION ALL
+          SELECT 'ALL' AS grp, CAST(SUM(bitmap_count(b)) AS BIGINT) AS uniq
+          FROM uni
+          UNION ALL
+          SELECT 'click&view' AS grp,
+            CAST(COALESCE(SUM(bitmap_count(b)), 0) AS BIGINT) AS uniq
+          FROM ix
+          ORDER BY grp""")
+      },
+      Some("""WITH e AS (SELECT DISTINCT event_type, user_id AS v FROM events)
+        SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS uniq
+        FROM e GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL' AS grp, CAST(COUNT(DISTINCT v) AS BIGINT) AS uniq FROM e
+        UNION ALL
+        SELECT 'click&view' AS grp, CAST(COUNT(*) AS BIGINT) AS uniq FROM (
+          SELECT v FROM e WHERE event_type = 'click'
+          INTERSECT
+          SELECT v FROM e WHERE event_type = 'view')
+        ORDER BY grp""")),
+
     // j55 — LATE-INTERACTION retrieval scoring (ColBERT's MaxSim,
     // Khattab & Zaharia 2020): the 4th production scorer next to lexical
     // BM25 (j42), dense cosine (j3/j41) and rank fusion (j43). Instead of
