@@ -437,6 +437,73 @@ object Round13 {
           n_all - n_syn AS n_names FROM agg
         ORDER BY mode""")),
 
+    // c16 — NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): ordinary
+    // equality never matches NULL keys, so rows with unknown dimensions
+    // silently vanish from an inner join — the classic dim-join leak.
+    // The null-safe operator treats NULL as a joinable value (all
+    // null-keyed facts meet all null-keyed dim rows), and Spark still
+    // plans it as a HASH join (nulls form one hash group), not a
+    // nested loop — asserted below by PlanLint's smell scan. Synthetic
+    // nullable keys derive from customer/nation so the oracle (DuckDB's
+    // IS NOT DISTINCT FROM) reproduces the match set exactly.
+    Q("c16_join_nullsafe",
+      (s, d) => {
+        val c = t(s, d, "customer").select(col("c_custkey"),
+          when(col("c_nationkey") % 5 === 0, lit(null).cast("int"))
+            .otherwise(col("c_nationkey")).as("nk"))
+        val n = t(s, d, "nation").select(
+          when(col("n_nationkey") % 5 === 0, lit(null).cast("int"))
+            .otherwise(col("n_nationkey")).as("nk2"), col("n_name"))
+        c.join(n, col("nk") <=> col("nk2"))
+          .groupBy(coalesce(col("n_name"), lit("<null-key>")).as("n_name"))
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy("n_name")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+            CASE WHEN c_nationkey % 5 = 0 THEN NULL
+                 ELSE c_nationkey END AS nk FROM customer),
+        n AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                 ELSE n_nationkey END AS nk2, n_name FROM nation)
+        SELECT COALESCE(n.n_name, '<null-key>') AS n_name,
+          CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk2
+        GROUP BY COALESCE(n.n_name, '<null-key>')
+        ORDER BY n_name""")),
+
+    // b6 — the NOT IN null trap, pinned as an operator: under ANSI
+    // three-valued logic `x NOT IN (subquery)` is UNKNOWN for every x
+    // the moment the subquery yields a single NULL — the whole filter
+    // returns EMPTY, silently. NOT EXISTS does not null-compare and
+    // returns the true complement. Both engines implement the same ANSI
+    // semantics, so the oracle runs the same pair of queries — the key
+    // documents (and regression-pins) that this engine preserves the
+    // standard's behavior rather than the intuitive one, the #1 silent
+    // wrong-answer class in migrated warehouse SQL.
+    Q("b6_not_in_null_trap",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("b6_orders")
+        t(s, d, "customer").createOrReplaceTempView("b6_customer")
+        s.sql("""
+          WITH sub AS (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+                 ELSE c_custkey END AS k FROM b6_customer)
+          SELECT 'not_in' AS mode, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b6_orders WHERE o_custkey NOT IN (SELECT k FROM sub)
+          UNION ALL
+          SELECT 'not_exists' AS mode, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b6_orders o WHERE NOT EXISTS (
+            SELECT 1 FROM sub WHERE sub.k = o.o_custkey)
+          ORDER BY mode""")
+      },
+      Some("""WITH sub AS (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+            ELSE c_custkey END AS k FROM customer)
+        SELECT 'not_in' AS mode, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_custkey NOT IN (SELECT k FROM sub)
+        UNION ALL
+        SELECT 'not_exists' AS mode, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o WHERE NOT EXISTS (
+          SELECT 1 FROM sub WHERE sub.k = o.o_custkey)
+        ORDER BY mode""")),
+
     // d24 — theta-sketch SET ALGEBRA: the capability tier above the HLL
     // family (d19/d22/k12): HLL only unions, so j45 got intersections
     // from inclusion–exclusion; a theta sketch retains a hash sample, so
