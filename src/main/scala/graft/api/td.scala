@@ -195,7 +195,6 @@ object td {
       (implicit s: SparkSession): DataFrame = {
     s.sparkContext.setJobDescription(engine.headerTag)
     Td.register(s)
-    graft.functions.Presto.register(s) // Presto-dialect names resolve verbatim
     registerTables(engine)
     val interpolated = graft.functions.Presto.rewrite(interpolate(sql, params))
     // the reference prepends the header as a SQL comment so the submitted
@@ -203,14 +202,15 @@ object td {
     val tagged = engine.header.filter(_.nonEmpty)
       .map(h => s"-- ${h.replace('\n', ' ')}\n$interpolated")
       .getOrElse(interpolated)
-    // builtin shadows are statement-scoped (see Presto.sql): they resolve
-    // for THIS eagerly-analyzed text, then native resolution is restored
-    val df =
-      try {
-        if (distributedJoin)
-          s.sql(s"SELECT /*+ MERGE */ * FROM (${tagged.stripSuffix(";")})")
-        else s.sql(tagged)
-      } finally graft.functions.Presto.dropShadowing(s)
+    // builtin shadows are statement-scoped (Presto.statementScoped): the
+    // dialect resolves for THIS eagerly-analyzed text, then whatever the
+    // session resolved those names to BEFORE (native builtins, or a
+    // permanently-installed dialect via GraftExtensions) is restored
+    val df = graft.functions.Presto.statementScoped(s) {
+      if (distributedJoin)
+        s.sql(s"SELECT /*+ MERGE */ * FROM (${tagged.stripSuffix(";")})")
+      else s.sql(tagged)
+    }
     cacheJob(df)
     df
   }
@@ -352,10 +352,10 @@ object td {
   def issueJob(sql: String, engine: TdEngine)(implicit s: SparkSession): Long = {
     s.sparkContext.setJobDescription(engine.headerTag)
     Td.register(s)
-    graft.functions.Presto.register(s) // Presto-dialect names resolve verbatim
     registerTables(engine)
-    try cacheJob(s.sql(interpolate(sql, Map.empty)))
-    finally graft.functions.Presto.dropShadowing(s)
+    graft.functions.Presto.statementScoped(s) {
+      cacheJob(s.sql(interpolate(sql, Map.empty)))
+    }
   }
 
   /** `read_td_job(job_id)`: re-serve a completed result without recompute. */

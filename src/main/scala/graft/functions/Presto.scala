@@ -132,10 +132,9 @@ object Presto {
     * permanently resident opt in via GraftExtensions
     * (spark.sql.extensions), where the injection is explicit. */
   def sql(spark: SparkSession, text: String): org.apache.spark.sql.DataFrame =
-    try {
-      register(spark)
+    statementScoped(spark) {
       spark.sql(rewrite(text)) // analysis (and so resolution) is eager
-    } finally dropShadowing(spark)
+    }
 
   /** Dialect names that shadow a Spark builtin — computed against the
     * builtin registry, not hand-listed, so a Spark upgrade that adds a
@@ -146,20 +145,61 @@ object Presto {
       .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
   }
 
-  /** Restore native resolution for the builtin-shadowing names. A
-    * session's functionRegistry is a CLONE of the builtin registry, so
-    * `createOrReplaceTempFunction` on a builtin name overwrites the
-    * session's own builtin entry — dropping it would leave the name
-    * unresolvable; the restore must re-register the canonical builtin
-    * (info + builder) from `FunctionRegistry.builtin`. Additive names
-    * are left registered. */
-  def dropShadowing(spark: SparkSession): Unit = {
-    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
-    shadowing.foreach { n =>
-      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(n)
-      for (info <- builtin.lookupFunction(id);
-           b <- builtin.lookupFunctionBuilder(id))
-        spark.sessionState.functionRegistry.registerFunction(id, info, b)
+  /** Per-session statement-scope bookkeeping: re-entrancy depth plus the
+    * SNAPSHOT of whatever (info, builder) each shadowing name resolved to
+    * before the first enter. Restoring the snapshot — not the canonical
+    * Spark builtin — means a session that installed the dialect
+    * permanently (GraftExtensions / registerAll), or any user override of
+    * split/cardinality/…, gets ITS resolution back after a readTdQuery,
+    * instead of being silently reverted to Spark semantics. Keyed weakly
+    * so a closed session's scope is collectable. */
+  private final class Scope {
+    var depth = 0
+    var saved: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      Option[(ExpressionInfo, Seq[Expression] => Expression)])] = Nil
+  }
+  private val scopes =
+    new java.util.WeakHashMap[SparkSession, Scope]()
+  private def scopeOf(spark: SparkSession): Scope = scopes.synchronized {
+    var sc = scopes.get(spark)
+    if (sc == null) { sc = new Scope; scopes.put(spark, sc) }
+    sc
+  }
+
+  /** Run `body` with the Presto dialect resolving on `spark`, restoring the
+    * session's PRIOR resolution of the shadowing names afterwards. The
+    * per-session scope is a refcounted critical section: concurrent Presto
+    * statements on one session nest (shadows are only removed when the LAST
+    * one exits — no mid-analysis rug-pull), and the snapshot taken by the
+    * outermost enter is what exit restores. A concurrent NATIVE query on
+    * the same session still sees Presto semantics while a statement is in
+    * flight — dialect resolution is session-global in Spark; single-thread
+    * a session or use separate `SparkSession.newSession()`s to avoid it. */
+  def statementScoped[T](spark: SparkSession)(body: => T): T = {
+    val scope = scopeOf(spark)
+    scope.synchronized {
+      if (scope.depth == 0) {
+        val reg = spark.sessionState.functionRegistry
+        scope.saved = shadowing.map { n =>
+          val id = org.apache.spark.sql.catalyst.FunctionIdentifier(n)
+          id -> (for (info <- reg.lookupFunction(id);
+                      b <- reg.lookupFunctionBuilder(id)) yield (info, b))
+        }
+        register(spark)
+      }
+      scope.depth += 1
+    }
+    try body
+    finally scope.synchronized {
+      scope.depth -= 1
+      if (scope.depth == 0) {
+        val reg = spark.sessionState.functionRegistry
+        scope.saved.foreach {
+          case (id, Some((info, b))) => reg.registerFunction(id, info, b)
+          case (id, None) => reg.dropFunction(id)
+        }
+        scope.saved = Nil
+      }
     }
   }
 
@@ -238,21 +278,31 @@ object Presto {
 
     // approx_percentile — Presto's WEIGHTED 3-arg shape (x, w, percentage)
     // vs Spark's (col, percentage, accuracy): disambiguated by the 3rd
-    // argument (a fraction in (0, 1] is a Presto percentage — Spark's
-    // accuracy there is a positive integer > 1, so the shapes cannot
-    // collide on valid inputs). The weighted form maps to Spark's EXACT
+    // argument — a NON-INTEGRAL fraction literal in (0, 1] is a Presto
+    // percentage. Spark's accuracy is a positive INTEGER, and integer
+    // literals parse with an integral type, so Spark's minimum legal
+    // accuracy `approx_percentile(x, p, 1)` (integral 1) keeps its Spark
+    // reading rather than mis-dispatching to the weighted form; a Presto
+    // percentage of exactly 1 is written `1.0` (decimal-typed) and still
+    // dispatches weighted. The weighted form maps to Spark's EXACT
     // Percentile(x, p, w) — d23's device: shipping (value, weight) pairs
     // into the exact weighted quantile is deterministic cross-engine,
     // and serving the exact quantile satisfies (strictly tightens) the
     // approx contract. Everything else — (x, p), (x, p, accuracy), array
     // percentages — delegates verbatim to the Spark builtin.
     fn("approx_percentile") { exprs =>
-      def fracLit(e: Expression): Boolean = (e.foldable, e.eval()) match {
-        case (true, d: org.apache.spark.sql.types.Decimal) =>
-          d.toDouble > 0 && d.toDouble <= 1
-        case (true, n: Number) => n.doubleValue() > 0 && n.doubleValue() <= 1
-        case _ => false
-      }
+      def fracLit(e: Expression): Boolean = e.resolved && (e.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => false
+        case _ => (e.foldable, e.eval()) match {
+          case (true, d: org.apache.spark.sql.types.Decimal) =>
+            d.toDouble > 0 && d.toDouble <= 1
+          case (true, n: Number) => n.doubleValue() > 0 && n.doubleValue() <= 1
+          case _ => false
+        }
+      })
       exprs match {
         case Seq(x, w, p) if fracLit(p) =>
           new org.apache.spark.sql.catalyst.expressions.aggregate

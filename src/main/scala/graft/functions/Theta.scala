@@ -4,7 +4,7 @@ import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -49,11 +49,14 @@ object Theta {
       lgK: Int = 12,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Union] {
+    extends TypedImperativeAggregate[Union] with ImplicitCastInputTypes {
 
     override def children: Seq[Expression] = Seq(child)
     override def nullable: Boolean = false
     override def dataType: DataType = BinaryType
+    // a STRING/array child fails at ANALYSIS (with an implicit widening
+    // cast for narrower integrals), not as a runtime ClassCastException
+    override def inputTypes: Seq[DataType] = Seq(LongType)
 
     override def createAggregationBuffer(): Union =
       SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
@@ -92,11 +95,14 @@ object Theta {
       lgK: Int = 12,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Union] {
+    extends TypedImperativeAggregate[Union] with ExpectsInputTypes {
 
     override def children: Seq[Expression] = Seq(child)
     override def nullable: Boolean = false
     override def dataType: DataType = BinaryType
+    // only stored sketch bytes union soundly — STRICT binary (no implicit
+    // string→binary cast: arbitrary bytes are not a sketch)
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
     override def createAggregationBuffer(): Union =
       SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
@@ -128,7 +134,8 @@ object Theta {
 
   /** theta_estimate(sk) → BIGINT. Exact integer in the exact regime. */
   case class ThetaEstimate(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       math.round(wrap(v.asInstanceOf[Array[Byte]]).getEstimate)
@@ -139,7 +146,8 @@ object Theta {
 
   /** Pairwise set operation on two sketch values. */
   case class ThetaSetOp(left: Expression, right: Expression, op: String)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
     override def dataType: DataType = BinaryType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val sa = wrap(a.asInstanceOf[Array[Byte]])
@@ -160,9 +168,14 @@ object Theta {
   }
 
   private def lgkOf(e: Expression): Int = {
-    val v = e.eval(null)
-    require(v != null, "lgK must be a literal")
-    val k = v.asInstanceOf[Number].intValue()
+    require(e.foldable, s"lgK must be a constant integer literal, got: ${e.sql}")
+    val k = e.eval(null) match {
+      case null => throw new IllegalArgumentException("lgK must not be NULL")
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"lgK must be a numeric literal, got: $other")
+    }
     require(k >= 4 && k <= 26, s"lgK must be in [4, 26], got $k")
     k
   }

@@ -116,14 +116,28 @@ object Aggregates {
       },
       Some(Aggregates.groupingSetsSql)),
 
-    // approx_distinct — TD's signature HLL agg; estimates are
-    // implementation-specific so correctness is bounded in scalatest (±5%
-    // vs d2), not hash-matched (SURVEY.md §3.D d7).
+    // approx_distinct — TD's signature HLL agg. Graded in the EXACT
+    // regime (the d19/d21/d24/k12 device, upgrading SURVEY §3.D d7's
+    // original scalatest-only `n` tag): the sketched domain is
+    // o_custkey % 512 — ≤ 512 distinct values at ANY SF, far below the
+    // lgK=14 Datasketches HLL's coupon capacity, so the sketch never
+    // promotes to dense registers, its estimate IS the exact coupon
+    // count, and the row hash-checks against COUNT(DISTINCT). The
+    // ESTIMATING regime (full o_custkey domain through HLL++
+    // approx_count_distinct, the d7 surface a user actually calls) stays
+    // scalatest-bounded ±5% vs exact in LlmOpsSpec — estimates are
+    // implementation-specific, so a cross-engine hash can never gate it.
     Q("d7_agg_approx_distinct",
-      (s, d) => t(s, d, "orders").groupBy("o_orderstatus")
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
-        .orderBy("o_orderstatus"),
-      None),
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("graft_d7_orders")
+        s.sql("""SELECT o_orderstatus,
+            CAST(hll_sketch_estimate(hll_sketch_agg(o_custkey % 512, 14)) AS BIGINT)
+              AS approx_cust
+          FROM graft_d7_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus,
+          CAST(COUNT(DISTINCT o_custkey % 512) AS BIGINT) AS approx_cust
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // Exact percentile (interpolating, = DuckDB quantile_cont; SURVEY §8.5).
     Q("d8_agg_percentile",

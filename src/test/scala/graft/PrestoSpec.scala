@@ -398,5 +398,66 @@ class PrestoSpec extends AnyFunSuite {
         approx_percentile(x, 0.5, 10000) AS b FROM
         (SELECT explode(sequence(1, 101)) AS x)""")
     assert(s.getInt(0) == 51 && s.getInt(1) == 51)
+    // Spark's minimum legal accuracy is the INTEGRAL literal 1 — it must
+    // keep the Spark (col, percentage, accuracy) reading, not mis-dispatch
+    // to weighted Percentile(x, 1, 0.5); Presto's percentage 1.0 (decimal
+    // literal, non-integral TYPE) still selects the weighted form.
+    val t = one("""SELECT approx_percentile(x, 0.5, 1) AS a,
+        approx_percentile(x, w, 1.0) AS b FROM
+        (SELECT * FROM VALUES (1, 1), (2, 1), (10, 8) AS t(x, w))""")
+    assert(t.getInt(0) >= 1 && t.getInt(0) <= 10) // Spark sketch, accuracy 1
+    assert(t.getDouble(1) == 10.0)                // weighted max = 10
+  }
+
+  test("statement scope restores PRIOR resolution — incl. a permanent dialect") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // fresh child session so the permanent install doesn't leak into other
+    // tests (they share TestSpark.spark's registry)
+    val s = spark.newSession()
+    // 1) native session: a Presto statement must restore Spark's regex
+    //    split afterwards
+    Presto.sql(s, "SELECT split('a.b', '.') AS p")
+    assert(s.sql("SELECT size(split('a.b', '.')) AS n") // regex '.' → 4 empties
+      .collect().head.getInt(0) == 4)
+    // 2) permanently-installed dialect (registerAll): a readTdQuery-style
+    //    statement scope must NOT clobber the installed shadows back to
+    //    Spark builtins (the round-13 ADVICE regression)
+    GraftExtensions.registerAll(s)
+    Presto.sql(s, "SELECT 1 AS x")
+    assert(s.sql("SELECT size(split('a.b', '.')) AS n") // literal '.' → 2 parts
+      .collect().head.getInt(0) == 2)
+    // 3) and a user's own override of a shadowing name survives too
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cardinality",
+      { exprs => org.apache.spark.sql.catalyst.expressions.Literal(42L) },
+      "scala_udf")
+    Presto.sql(s, "SELECT cardinality(array(1,2,3)) AS c")
+    assert(s.sql("SELECT cardinality(array(1)) AS c")
+      .collect().head.getLong(0) == 42L)
+    assert(s.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("cardinality")))
+  }
+
+  test("theta sketch args are type-checked at analysis, lgK validated") {
+    graft.functions.Theta.register(spark)
+    // STRING child → clean analysis error, not a runtime ClassCastException
+    val e = intercept[Exception](
+      spark.sql("SELECT theta_estimate('junk')").collect())
+    assert(!e.isInstanceOf[ClassCastException])
+    // theta_union_agg consumes stored sketch BYTES only — a string column
+    // is rejected at analysis (no implicit string→binary reinterpretation)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT theta_union_agg(cast(x AS string)) FROM VALUES (1) AS t(x)")
+        .collect())
+    assert(!e2.isInstanceOf[ClassCastException])
+    // theta_sketch_agg over non-long input rides the normal numeric
+    // implicit-cast path (like sum): ints widen, strings coerce or null
+    assert(spark.sql(
+      "SELECT theta_estimate(theta_sketch_agg(x)) FROM VALUES (1), (2) AS t(x)")
+      .collect().head.getLong(0) == 2L)
+    // non-literal lgK rejected with a clear message
+    val e3 = intercept[Exception](
+      spark.sql("SELECT theta_sketch_agg(x, x) FROM VALUES (1) AS t(x)").collect())
+    assert(e3.getMessage.contains("lgK"))
   }
 }
