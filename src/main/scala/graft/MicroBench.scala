@@ -16,6 +16,13 @@ object MicroBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // variant testing: SPARK_GRAFT_CONF="k=v;k=v" applies session confs
+    // before any measurement (e.g. the stream partition / provider knobs)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // caches are released between iterations so every number is a COLD,
     // independent measurement — same regime as Bench (intra-query persists
     // still count toward their own query's time)

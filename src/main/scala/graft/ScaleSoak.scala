@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off scale soak of the dedup/ANN tier (VERDICT r13 item 4): the
+  * Σdf²/banding/prefix-filter claims are SkewSpec-demonstrated at 4k
+  * docs; this main re-measures them head-to-head at 10× (40k docs, 20k
+  * embeddings — 10× the SkewSpec fixture / sf0.1 embeddings) under two
+  * knob settings each, so the crossover points the scaladocs assert are
+  * MEASURED, not argued. Results land in BASELINE.md.
+  *
+  * Fixture (deterministic, no RNG, SkewSpec's generator scaled 10×):
+  * every third doc opens with the same 7-token boilerplate header
+  * (shingle df ≈ 13,333 — 52× the 256 postings cap, the quadratic-blowup
+  * regime), bodies are 6 five-token phrases from a 40,009-phrase pool
+  * (body shingle df ≈ 12 — unchanged from SkewSpec, so the skew RATIO
+  * grows with the corpus exactly as it does in production). Two planted
+  * exact-dup pairs are the expected j2-family output. Embeddings are
+  * murmur3-derived uniform vectors (label = vec_id % 16).
+  */
+object ScaleSoak {
+  private val BOILER = "terms of service apply to all content"
+  private val NDocs = 40000L
+  private val NVecs = 20000L
+  private val Pool = 40009L // ~10x SkewSpec's 4001-phrase pool
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val d = graft.ops.Scratch.dir("scalesoak")
+    // documents: generated distributed (range → columns), not driver-side
+    def phraseCol(slot: Int) = {
+      // slot-phrase mixing as SkewSpec: phrase((id*(13+17j) + 311j) % Pool)
+      val p = pmod(col("src") * (13 + 17 * slot) + 311 * slot, lit(Pool))
+      concat_ws(" ", (0 until 5).map(k => format_string(s"p%dw$k", p)): _*)
+    }
+    spark.range(NDocs).toDF("doc_id")
+      .withColumn("src", when(col("doc_id") === 101L, 100L)
+        .when(col("doc_id") === 201L, 200L).otherwise(col("doc_id")))
+      .withColumn("body", concat_ws(" ", (0 until 6).map(phraseCol): _*))
+      .withColumn("text", when(pmod(col("src"), lit(3)) === 0,
+        concat(lit(s"$BOILER "), col("body"))).otherwise(col("body")))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("scalesoak").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(8)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    spark.range(NVecs).toDF("vec_id")
+      .select(col("vec_id"),
+        expr("transform(sequence(0, 63), i -> " +
+          "cast((pmod(hash(vec_id, i), 1000) - 500) / 500.0 as float))").as("embedding"),
+        pmod(col("vec_id"), lit(16)).cast("int").as("label"))
+      .coalesce(8)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    def time(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    def run(key: String, confs: Map[String, String]): Unit = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val (sec, rows) = time(SparkEntry.queries(key)(spark, d).count())
+        val tag = if (confs.isEmpty) "defaults"
+          else confs.map { case (k, v) => s"${k.split('.').last}=$v" }.mkString(",")
+        println(f"""SOAK {"key":"$key","conf":"$tag","sec":$sec%.2f,"rows":$rows}""")
+      } finally {
+        confs.keys.foreach(spark.conf.unset)
+        release()
+      }
+    }
+
+    // candidate-mass diagnostics (the quantity the plans bound)
+    def mass(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") >= 2)
+        .agg(coalesce(sum(expr("df * (df - 1) / 2")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+    val fullMass = mass(graft.ops.LlmOps.shinglesWithCount(spark, d)); release()
+    val prefMass = mass(graft.ops.LlmOps.prefixIndex(spark, d, 0.5)); release()
+    println(s"""SOAK {"diag":"join_mass","full":$fullMass,"prefix":$prefMass}""")
+
+    // near-dup family: default knobs vs a loosened df cap / coarser bands
+    Seq("j2_dedup_near", "j2b_dedup_minhash", "j2c_dedup_prefix").foreach { k =>
+      run(k, Map.empty)
+    }
+    run("j2_dedup_near", Map(graft.ops.Knobs.PairMaxDfKey -> "1024"))
+    run("j2b_dedup_minhash", Map(graft.ops.Knobs.MinhashBandSizeKey -> "8"))
+    run("j2c_dedup_prefix", Map.empty) // repeat: order-independence check
+
+    // ANN family: brute vs LSH-bucketed vs PQ vs IVF-PQ, two dials each
+    Seq("j3_sim_topk", "j3b_sim_lsh", "j53_pq_ann", "j54_ivfpq_ann").foreach { k =>
+      run(k, Map.empty)
+    }
+    run("j3b_sim_lsh", Map(graft.ops.Knobs.LshPlanesKey -> "8"))
+    run("j53_pq_ann", Map(graft.ops.Knobs.PqShortlistKey -> "200"))
+    run("j54_ivfpq_ann", Map(graft.ops.Knobs.IvfNprobeKey -> "4"))
+
+    spark.stop()
+  }
+}

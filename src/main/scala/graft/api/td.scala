@@ -194,19 +194,33 @@ object td {
       params: Map[String, Any] = Map.empty)
       (implicit s: SparkSession): DataFrame = {
     s.sparkContext.setJobDescription(engine.headerTag)
-    Td.register(s)
     registerTables(engine)
-    val interpolated = graft.functions.Presto.rewrite(interpolate(sql, params))
+    // DIALECT DISPATCH on the engine type, exactly as the reference's URL
+    // chose the TD backend. `presto:` text gets the Presto shims + dialect
+    // (split = literal delimiter, regexp_extract group 0, …); `hive:` text
+    // is verbatim HiveQL — Spark SQL is Hive-derived, so applying the
+    // Presto shadows there would silently flip split/regexp_extract
+    // semantics (graft.functions.Hive scaladoc). Both routes resolve the
+    // TD UDF tier (TD_TIME_RANGE, …), presto residently, hive
+    // statement-scoped.
+    val isHive = engine.engineType == "hive"
+    if (!isHive) Td.register(s)
+    val interpolated0 = interpolate(sql, params)
+    val interpolated =
+      if (isHive) interpolated0 else graft.functions.Presto.rewrite(interpolated0)
     // the reference prepends the header as a SQL comment so the submitted
     // query text itself carries provenance; a leading comment parses fine
     val tagged = engine.header.filter(_.nonEmpty)
       .map(h => s"-- ${h.replace('\n', ' ')}\n$interpolated")
       .getOrElse(interpolated)
-    // builtin shadows are statement-scoped (Presto.statementScoped): the
-    // dialect resolves for THIS eagerly-analyzed text, then whatever the
-    // session resolved those names to BEFORE (native builtins, or a
+    // builtin shadows are statement-scoped (DialectScope): the dialect
+    // resolves for THIS eagerly-analyzed text, then whatever the session
+    // resolved those names to BEFORE (native builtins, or a
     // permanently-installed dialect via GraftExtensions) is restored
-    val df = graft.functions.Presto.statementScoped(s) {
+    def scoped[T](body: => T): T =
+      if (isHive) graft.functions.Hive.statementScoped(s)(body)
+      else graft.functions.Presto.statementScoped(s)(body)
+    val df = scoped {
       if (distributedJoin)
         s.sql(s"SELECT /*+ MERGE */ * FROM (${tagged.stripSuffix(";")})")
       else s.sql(tagged)

@@ -127,44 +127,28 @@ object Presto {
     * session — and it closes a real cross-contamination bug: a temp
     * override of `split` (literal delimiter) leaking into a later native
     * query that wrote `split(ip, '\\.')` (regex) silently changes its
-    * result. Purely ADDITIVE names (strpos, to_iso8601, …) stay
-    * registered; they shadow nothing. Sessions that want the dialect
-    * permanently resident opt in via GraftExtensions
-    * (spark.sql.extensions), where the injection is explicit. */
+    * result. ADDITIVE names (strpos, to_iso8601, …) are statement-scoped
+    * too: they shadow no builtin, but a user's OWN temp function under
+    * one of those names is prior state this scope must hand back, not
+    * clobber. Sessions that want the dialect permanently resident opt in
+    * via GraftExtensions (spark.sql.extensions), where the injection is
+    * explicit (and then the snapshot captures — and restores — the
+    * dialect itself, so residency survives the scope). */
   def sql(spark: SparkSession, text: String): org.apache.spark.sql.DataFrame =
     statementScoped(spark) {
       spark.sql(rewrite(text)) // analysis (and so resolution) is eager
     }
 
-  /** Dialect names that shadow a Spark builtin — computed against the
-    * builtin registry, not hand-listed, so a Spark upgrade that adds a
-    * colliding builtin (the `contains` story) moves the name into the
-    * statement-scoped set automatically. */
-  private lazy val shadowing: Seq[String] = builders.map(_._1).filter { n =>
-    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
-      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
-  }
-
-  /** Per-session statement-scope bookkeeping: re-entrancy depth plus the
-    * SNAPSHOT of whatever (info, builder) each shadowing name resolved to
-    * before the first enter. Restoring the snapshot — not the canonical
-    * Spark builtin — means a session that installed the dialect
-    * permanently (GraftExtensions / registerAll), or any user override of
-    * split/cardinality/…, gets ITS resolution back after a readTdQuery,
-    * instead of being silently reverted to Spark semantics. Keyed weakly
-    * so a closed session's scope is collectable. */
-  private final class Scope {
-    var depth = 0
-    var saved: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
-      Option[(ExpressionInfo, Seq[Expression] => Expression)])] = Nil
-  }
-  private val scopes =
-    new java.util.WeakHashMap[SparkSession, Scope]()
-  private def scopeOf(spark: SparkSession): Scope = scopes.synchronized {
-    var sc = scopes.get(spark)
-    if (sc == null) { sc = new Scope; scopes.put(spark, sc) }
-    sc
-  }
+  /** Per-session statement-scope bookkeeping lives in [[DialectScope]]
+    * (shared with the Hive/TD dialect): re-entrancy depth plus a SNAPSHOT
+    * of whatever (info, builder) each dialect name resolved to before the
+    * first enter. Restoring the snapshot — not the canonical Spark
+    * builtin — means a session that installed the dialect permanently
+    * (GraftExtensions / registerAll), or any user override of
+    * split/cardinality/strpos/…, gets ITS resolution back after a
+    * readTdQuery, instead of being silently reverted to Spark semantics. */
+  private lazy val dialectScope =
+    new DialectScope(() => builders.map(_._1), register)
 
   /** Run `body` with the Presto dialect resolving on `spark`, restoring the
     * session's PRIOR resolution of the shadowing names afterwards. The
@@ -175,33 +159,8 @@ object Presto {
     * the same session still sees Presto semantics while a statement is in
     * flight — dialect resolution is session-global in Spark; single-thread
     * a session or use separate `SparkSession.newSession()`s to avoid it. */
-  def statementScoped[T](spark: SparkSession)(body: => T): T = {
-    val scope = scopeOf(spark)
-    scope.synchronized {
-      if (scope.depth == 0) {
-        val reg = spark.sessionState.functionRegistry
-        scope.saved = shadowing.map { n =>
-          val id = org.apache.spark.sql.catalyst.FunctionIdentifier(n)
-          id -> (for (info <- reg.lookupFunction(id);
-                      b <- reg.lookupFunctionBuilder(id)) yield (info, b))
-        }
-        register(spark)
-      }
-      scope.depth += 1
-    }
-    try body
-    finally scope.synchronized {
-      scope.depth -= 1
-      if (scope.depth == 0) {
-        val reg = spark.sessionState.functionRegistry
-        scope.saved.foreach {
-          case (id, Some((info, b))) => reg.registerFunction(id, info, b)
-          case (id, None) => reg.dropFunction(id)
-        }
-        scope.saved = Nil
-      }
-    }
-  }
+  def statementScoped[T](spark: SparkSession)(body: => T): T =
+    dialectScope.scoped(spark)(body)
 
   /** The whole dialect as session-free (name → parse-time builder)
     * pairs: ONE definition serves both registration routes — runtime
@@ -308,10 +267,24 @@ object Presto {
           new org.apache.spark.sql.catalyst.expressions.aggregate
             .Percentile(x, p, w).toAggregateExpression()
         case other =>
-          org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
-            .lookupFunctionBuilder(
+          val delegate = org.apache.spark.sql.catalyst.analysis
+            .FunctionRegistry.builtin.lookupFunctionBuilder(
               org.apache.spark.sql.catalyst.FunctionIdentifier("approx_percentile"))
-            .get(other)
+            .get
+          try delegate(other)
+          catch {
+            // A 3-arg call that failed the fracLit dispatch AND the Spark
+            // builtin's (col, percentage, accuracy) shape is almost always
+            // a Presto weighted call whose percentage didn't read as a
+            // fraction literal — say so, instead of the builtin's
+            // accuracy-type error alone.
+            case e: Exception if other.size == 3 =>
+              throw new IllegalArgumentException(
+                "approx_percentile: 3-arg form is Spark (col, percentage, " +
+                "accuracy[int]) or Presto weighted (x, w, percentage) with " +
+                "percentage a non-integral literal in (0, 1] — e.g. write " +
+                "0.5, not an expression. Underlying: " + e.getMessage, e)
+          }
       }
     }
 

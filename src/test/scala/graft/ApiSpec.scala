@@ -242,6 +242,18 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("dialect builtin shadows are STATEMENT-scoped: native SQL after readTdQuery keeps Spark semantics") {
+    // HERMETIC session: the scope restores whatever the session resolved
+    // BEFORE the statement — on a session where some earlier suite ran
+    // GraftExtensions.registerAll (ExtensionsSpec does, on the shared
+    // one), that prior state is legitimately the resident dialect, and
+    // this test's "native semantics after" assertion would depend on
+    // suite order. A fresh newSession pins the clean-session contract;
+    // PrestoSpec pins the resident/override-restore contracts.
+    // (named `spark` so the local implicit SHADOWS the suite-level one —
+    // two implicit SparkSessions in scope would be ambiguous)
+    implicit val spark: org.apache.spark.sql.SparkSession =
+      ApiSpec.this.spark.newSession()
+    val s = spark
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     // Presto text: split is LITERAL — '.' splits 'a.b.c'
     val r = td.readTdQuery(
@@ -251,10 +263,10 @@ class ApiSpec extends AnyFunSuite {
     // matches every char (4 empty fields on 'abc'), '\\.' is the literal
     // dot. Before the statement-scoping fix the Presto override leaked
     // here and silently returned 1.
-    val n = spark.sql("SELECT size(split('abc', '.')) AS n")
+    val n = s.sql("SELECT size(split('abc', '.')) AS n")
       .collect().head.getInt(0)
     assert(n == 4, s"native regex split semantics not restored (got $n)")
-    assert(spark.sql("SELECT split('a.b.c', '\\\\.') AS p")
+    assert(s.sql("SELECT split('a.b.c', '\\\\.') AS p")
       .collect().head.getSeq[String](0) == Seq("a", "b", "c"))
   }
 

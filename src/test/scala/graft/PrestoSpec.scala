@@ -438,6 +438,27 @@ class PrestoSpec extends AnyFunSuite {
       .functionExists(FunctionIdentifier("cardinality")))
   }
 
+  test("statement scope restores a user's override of an ADDITIVE dialect name") {
+    // ADDITIVE names (no builtin collision) are statement-scoped too: a
+    // user's own temp function under one of them is prior state the scope
+    // must hand back (round-14 ADVICE — previously only the shadowing
+    // subset was snapshotted, so this override was clobbered for good).
+    val s = spark.newSession()
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strpos",
+      { _ => org.apache.spark.sql.catalyst.expressions.Literal(-1) },
+      "scala_udf")
+    val r = Presto.sql(s, "SELECT strpos('hello', 'll') AS x").collect().head
+    assert(r.getInt(0) == 3) // Presto semantics inside the statement
+    assert(s.sql("SELECT strpos('a', 'b') AS x").collect().head.getInt(0) == -1)
+    // with NO prior registration the additive name is dropped on exit —
+    // the dialect belongs to Presto-submitted text, not the session
+    val s2 = spark.newSession()
+    Presto.sql(s2, "SELECT to_iso8601(DATE '2024-01-01') AS x").collect()
+    intercept[Exception](
+      s2.sql("SELECT to_iso8601(DATE '2024-01-01') AS x").collect())
+  }
+
   test("theta sketch args are type-checked at analysis, lgK validated") {
     graft.functions.Theta.register(spark)
     // STRING child → clean analysis error, not a runtime ClassCastException
