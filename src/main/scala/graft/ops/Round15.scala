@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -58,5 +59,91 @@ object Round15 {
         FROM events e,
              unnest(range(1, len(string_split(e.event_type, 'c')) + 1)) i(i)
         WHERE e.ts >= TIMESTAMP '2024-01-05' AND e.ts < TIMESTAMP '2024-01-08'
-        ORDER BY event_id, pos""")))
+        ORDER BY event_id, pos""")),
+
+    // j56 — EXACT SUBSTRING dedup (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better"): remove every k-token
+    // span that occurs elsewhere in the corpus, keeping the canonical
+    // FIRST occurrence (min (doc_id, position) per k-gram) — the missing
+    // granularity between whole-doc dedup (j1), paragraph dedup (j37)
+    // and approximate near-dup (j2 family). k = 8 tokens.
+    //
+    // Shape: (1) every k-gram occurrence as (doc_id, pos, xxhash64) —
+    // the hash computed INSIDE the array transform, so only 8-byte longs
+    // ride the explode and the shuffle (the j2 device; 2^-64 collision
+    // convention, oracle-hash-proven); (2) one window over the gram key
+    // assigns row_number (canonical = rn 1) and occurrence count;
+    // (3) non-canonical occurrences of repeated grams expand to their k
+    // covered positions — explode factor k on DUPLICATED mass only, not
+    // the corpus; (4) an anti-join drops covered tokens and a per-doc
+    // regroup rebuilds the surviving text in order. Two shuffles total
+    // (gram window, doc regroup) — both on keys a 1000-executor cluster
+    // partitions cleanly; nothing is corpus-pairwise.
+    //
+    // Semantics note vs the paper: the paper dedups over one giant
+    // concatenated token stream with a suffix array; the relational
+    // form here is per-document spans with a global first-occurrence
+    // keep rule — the same guarantee (no k-gram appears twice in the
+    // kept corpus) without the suffix-array machinery, and each step is
+    // a plain shuffle/window Catalyst already knows how to scale.
+    Q("j56_substring_dedup",
+      (s, d) => {
+        val k = 8
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val grams = tk.where(size(col("toks")) >= k)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(1, size(toks) - $k + 1), " +
+              s"i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+            col("col").as("g"))
+        val wg = Window.partitionBy("g")
+        val occ = grams
+          .withColumn("rn", row_number().over(wg.orderBy("doc_id", "p")))
+          .withColumn("cnt", count(lit(1)).over(wg))
+        val covered = occ.where(col("cnt") >= 2 && col("rn") > 1)
+          .select(col("doc_id"),
+            explode(expr(s"sequence(p, p + $k - 1)")).as("p"))
+          .distinct()
+        val toks = tk.select(col("doc_id"), posexplode(col("toks")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+            col("col").as("tok"))
+        val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+          .groupBy("doc_id")
+          .agg(expr("array_join(transform(sort_array(collect_list(struct(p, tok))), " +
+              "x -> x.tok), ' ')").as("kept_text"),
+            count(lit(1)).as("kept_tokens"))
+        tk.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+              .as("dup_tokens"),
+            coalesce(col("kept_text"), lit("")).as("kept_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+        g AS (SELECT doc_id, i.i AS p,
+                array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS g
+              FROM tk, unnest(range(1, len(toks) - 6)) i(i)
+              WHERE len(toks) >= 8),
+        o AS (SELECT doc_id, p,
+                row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+                count(*) OVER (PARTITION BY g) AS cnt
+              FROM g),
+        cov AS (SELECT DISTINCT doc_id, p + j.j AS cp
+              FROM o, unnest(range(0, 8)) j(j) WHERE cnt >= 2 AND rn > 1),
+        tok AS (SELECT doc_id, i.i AS p, toks[i.i] AS tok
+              FROM tk, unnest(range(1, len(toks) + 1)) i(i)),
+        kept AS (SELECT t.doc_id,
+                   array_to_string(list(t.tok ORDER BY t.p), ' ') AS kept_text,
+                   count(*) AS kept_tokens
+                 FROM tok t LEFT JOIN cov c
+                   ON t.doc_id = c.doc_id AND t.p = c.cp
+                 WHERE c.cp IS NULL GROUP BY t.doc_id)
+        SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+          CAST(len(b.toks) - coalesce(k.kept_tokens, 0) AS BIGINT) AS dup_tokens,
+          coalesce(k.kept_text, '') AS kept_text
+        FROM tk b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        ORDER BY b.doc_id""")))
 }
