@@ -387,4 +387,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hll_union_agg") || p.contains("HllUnionAgg"), p)
     assert(p.contains("hll_sketch_agg") || p.contains("HllSketchAgg"), p)
   }
+
+  test("k13 hive text pushes the TD_TIME_RANGE bounds to the events scan") {
+    // the dialect layer must stay pushdown-transparent through the Hive
+    // route too: TdTimeRange expands to plain comparisons BEFORE
+    // analysis, so the time filter reaches PushedFilters on the raw scan
+    val p = plan("k13_hive_dialect")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(ts") || p.contains("IsNotNull(ts")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j56 shuffles hashes only: no string gram ever enters an exchange") {
+    // the j2 device carried over: xxhash64 runs inside the transform, so
+    // the gram window's exchange partitions 8-byte longs — a regression
+    // that grouped the gram STRINGS would shuffle ~50-char keys (6x the
+    // bytes) and show a string-typed hashpartitioning column here
+    val df = SparkEntry.queries("j56_substring_dedup")(spark, TestSpark.sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!"hashpartitioning\\(g#\\d+[^L]".r.findFirstIn(p).exists(_.nonEmpty) ||
+      "hashpartitioning\\(g#\\d+L".r.findFirstIn(p).nonEmpty,
+      s"gram exchange must partition LONG hashes:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
