@@ -177,4 +177,23 @@ class KnobsSpec extends AnyFunSuite {
     assert(default == forced, "heavy-path output must equal array-path output")
     assert(default.nonEmpty)
   }
+
+  test("stream.shufflePartitions re-partitions the state stores, output unchanged") {
+    // the r15 floor-probe knob: streaming state partitioning is a physical
+    // choice an operator retunes with state size — results must not move
+    val default = SparkEntry.queries("i12_stream_complete_mode")(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val retuned = withConf(
+        graft.streaming.Streams.StreamShufflePartitionsKey -> "2") {
+      SparkEntry.queries("i12_stream_complete_mode")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(default == retuned, "state partitioning is a pure physical choice")
+    assert(default.nonEmpty)
+    intercept[IllegalArgumentException] {
+      withConf(graft.streaming.Streams.StreamShufflePartitionsKey -> "0") {
+        SparkEntry.queries("i12_stream_complete_mode")(spark, TestSpark.sf)
+      }
+    }
+  }
 }
