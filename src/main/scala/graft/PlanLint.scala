@@ -52,7 +52,10 @@ object PlanLint {
     "d24_theta_set_algebra",
     // MaxSim: the |Q|=5-row query-token carrier broadcasts (j41's
     // term-set allowance); the corpus side streams map-only
-    "j55_maxsim_retrieval")
+    "j55_maxsim_retrieval",
+    // filtered ANN: the 1-row probe broadcast (j3's pattern); the label
+    // predicate is pushed to the scan ahead of it
+    "j57_filtered_ann")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

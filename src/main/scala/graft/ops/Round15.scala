@@ -145,5 +145,74 @@ object Round15 {
           CAST(len(b.toks) - coalesce(k.kept_tokens, 0) AS BIGINT) AS dup_tokens,
           coalesce(k.kept_text, '') AS kept_text
         FROM tk b LEFT JOIN kept k ON b.doc_id = k.doc_id
-        ORDER BY b.doc_id""")))
+        ORDER BY b.doc_id""")),
+
+    // a34 — VARIANT-typed semi-structured access (Spark 4 native): the
+    // props JSON parsed ONCE into a VARIANT value, then typed paths
+    // extracted with variant_get / try_variant_get — the engine-native
+    // successor to per-path get_json_object string re-parsing (a10/h5:
+    // each path re-tokenizes the JSON; a VARIANT parses once into a
+    // binary-encoded tree and each extraction is a tree walk). The round
+    // trip through to_json(struct(...)) → parse_json exercises nested
+    // objects, arrays with index paths, and a missing-path
+    // try_variant_get (NULL, not an error). Map-only — every extraction
+    // is codegen'd; the graded claim is that VARIANT extraction equals
+    // the typed source columns it was built from.
+    Q("a34_variant_props",
+      (s, d) => {
+        val ev = events(s, d).where(col("event_id") < 2000)
+        ev.select(col("event_id"),
+            expr("parse_json(props)").as("pv"),
+            expr("""parse_json(to_json(named_struct(
+              't', event_type, 'u', user_id,
+              'vs', array(value, value * 2))))""").as("v"))
+          .select(col("event_id"),
+            expr("variant_get(pv, '$.k', 'bigint')").as("k"),
+            expr("variant_get(v, '$.t', 'string')").as("t"),
+            expr("variant_get(v, '$.u', 'bigint')").as("u"),
+            expr("variant_get(v, '$.vs[1]', 'double')").as("v1"),
+            expr("try_variant_get(v, '$.nope', 'string')").as("miss"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          event_type AS t, user_id AS u, value * 2 AS v1,
+          CAST(NULL AS VARCHAR) AS miss
+        FROM events WHERE event_id < 2000 ORDER BY event_id""")),
+
+    // j57 — FILTERED vector search: top-5 cosine neighbors of probe
+    // vec 0 among vectors with label = 3 only — the production ANN shape
+    // (metadata predicate + similarity) that pure-ANN indexes get wrong.
+    // Strategy here is PRE-filter: push the label predicate to the scan,
+    // exact-rank the survivors with the codegen'd CosineSimilarity, and
+    // take the global top-5 via TakeOrderedAndProject (k rows per
+    // partition, no full sort). POST-filtering an ANN shortlist instead
+    // under-recalls whenever the predicate is selective (a shortlist of
+    // 50 with an ~8%-selective label keeps ~4 expected survivors — fewer
+    // than k); at 100 TB the choice flips only when the predicate is
+    // near-vacuous, and then j3b/j53's bucketed shortlists compose in
+    // front of the same exact re-rank. Scan-parallel, no shuffle before
+    // the top-k.
+    Q("j57_filtered_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val probe = emb.where(col("vec_id") === 0)
+          .select(col("embedding").as("e0"))
+        emb.where(col("label") === 3 && col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), col("label"),
+            round(graft.expressions.CosineSimilarity(s, col("embedding"), col("e0")), 6)
+              .as("cos"))
+          .orderBy(desc("cos"), asc("vec_id")).limit(5)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, generate_subscripts(embedding,1) AS dd,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        p AS (SELECT dd, v FROM e WHERE vec_id = 0),
+        dots AS (SELECT e.vec_id, ANY_VALUE(e.label) AS label,
+            SUM(e.v*p.v) AS dot, sqrt(SUM(e.v*e.v)) AS n1
+          FROM e JOIN p USING (dd)
+          WHERE e.vec_id != 0 AND e.label = 3 GROUP BY e.vec_id),
+        pn AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p)
+        SELECT vec_id, label, ROUND(dot/(n1*(SELECT n0 FROM pn)),6) AS cos
+        FROM dots ORDER BY cos DESC, vec_id LIMIT 5""")))
 }

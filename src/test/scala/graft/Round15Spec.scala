@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the round-15 keys whose corpus-statistical paths
+  * are oracle-hash-checked: a34 VARIANT extraction (strict vs try, type
+  * casting, missing paths), j57 filtered-ANN invariants. */
+class Round15Spec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+
+  test("a34: variant_get strict/try semantics and typed casting") {
+    val r = spark.sql("""SELECT
+        variant_get(parse_json('{"a": {"b": [1, 2.5, "x"]}}'), '$.a.b[1]', 'double') AS d,
+        variant_get(parse_json('{"n": 42}'), '$.n', 'string') AS cast_str,
+        try_variant_get(parse_json('{"n": 42}'), '$.missing', 'bigint') AS miss,
+        try_variant_get(parse_json('{"n": "abc"}'), '$.n', 'bigint') AS badcast
+      """).collect().head
+    assert(r.getDouble(0) == 2.5)       // nested array index path
+    assert(r.getString(1) == "42")      // numeric → string cast succeeds
+    assert(r.isNullAt(2))               // missing path → NULL under try
+    assert(r.isNullAt(3))               // uncastable → NULL under try
+    // strict variant_get on an uncastable value is an analysis/runtime
+    // ERROR, not a silent null — the try_ form is the lenient one
+    intercept[Exception] {
+      spark.sql("""SELECT variant_get(parse_json('{"n": "abc"}'), '$.n', 'bigint')""")
+        .collect()
+    }
+  }
+
+  test("j57: filtered top-5 is the label-restricted exact ranking") {
+    val rows = SparkEntry.queries("j57_filtered_ann")(spark, TestSpark.sf).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getInt(1) == 3), "every survivor carries the filter label")
+    val cos = rows.map(_.getDouble(2)).toSeq
+    assert(cos == cos.sorted.reverse, "ranked by similarity desc")
+    // cross-check against the unfiltered exact ranking: the filtered
+    // top-5 must equal (full ranking restricted to label 3).take(5) —
+    // the under-recall a post-filtered ANN shortlist would show here
+    val emb = graft.Tables.t(spark, TestSpark.sf, "embeddings")
+    val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("e0"))
+    val full = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(graft.expressions.CosineSimilarity(spark, col("embedding"), col("e0")), 6)
+          .as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .collect()
+    val expect = full.filter(_.getInt(1) == 3).take(5)
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq == expect)
+  }
+}
