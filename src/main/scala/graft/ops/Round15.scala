@@ -214,5 +214,89 @@ object Round15 {
           WHERE e.vec_id != 0 AND e.label = 3 GROUP BY e.vec_id),
         pn AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p)
         SELECT vec_id, label, ROUND(dot/(n1*(SELECT n0 FROM pn)),6) AS cos
-        FROM dots ORDER BY cos DESC, vec_id LIMIT 5""")))
+        FROM dots ORDER BY cos DESC, vec_id LIMIT 5""")),
+
+    // k14 — TD-Hive dialect, structural tier: the HiveQL idioms beyond
+    // k13's scalar surface — DISTRIBUTE BY / SORT BY (parse + resolve;
+    // the within-partition ordering is physical, so determinism comes
+    // from the outer ORDER BY), named_struct with dot access,
+    // str_to_map, map['key'] subscripting, and LATERAL VIEW OUTER
+    // posexplode_outer (the null-preserving generate: singleton groups
+    // keep their row with NULL pos/v — 184 of 238 groups at sf0.01, so
+    // the OUTER path carries real mass). Verbatim text through
+    // Hive.sql; one aggregation shuffle + the output sort.
+    Q("k14_hive_dialect_struct",
+      (s, d) => {
+        events(s, d).createOrReplaceTempView("k14_events")
+        graft.functions.Hive.sql(s, """
+          SELECT q.user_id, q.et, q.n, q.meta.first_id AS first_id,
+                 q.kv['a'] AS kv_a,
+                 CAST(t.pos AS BIGINT) AS pos, t.v
+          FROM (
+            SELECT user_id, event_type AS et, COUNT(*) AS n,
+                   named_struct('first_id', MIN(event_id)) AS meta,
+                   str_to_map(CONCAT('a:', COUNT(*)), ',', ':') AS kv,
+                   CASE WHEN COUNT(*) >= 2
+                        THEN array(COUNT(*), MIN(event_id)) END AS arr
+            FROM k14_events
+            WHERE event_id < 300
+            GROUP BY user_id, event_type
+            DISTRIBUTE BY user_id SORT BY user_id, et
+          ) q
+          LATERAL VIEW OUTER posexplode_outer(q.arr) t AS pos, v
+          ORDER BY q.user_id, q.et, pos""")
+      },
+      Some("""WITH g AS (SELECT user_id, event_type AS et,
+              COUNT(*) AS n, MIN(event_id) AS mid
+            FROM events WHERE event_id < 300 GROUP BY 1, 2),
+        a AS (SELECT *, CASE WHEN n >= 2
+                THEN [CAST(n AS BIGINT), mid] END AS arr FROM g)
+        SELECT user_id, et, n, mid AS first_id, CAST(n AS VARCHAR) AS kv_a,
+          CASE WHEN arr IS NULL THEN NULL ELSE i.i - 1 END AS pos,
+          CASE WHEN arr IS NULL THEN NULL ELSE arr[i.i] END AS v
+        FROM a, unnest(coalesce(list_transform(range(1, len(arr) + 1), x -> x),
+                                [NULL])) i(i)
+        ORDER BY user_id, et, pos NULLS FIRST""")),
+
+    // h35 — ANSI error-safe arithmetic (the try_* family): Spark 4 runs
+    // ANSI mode by DEFAULT, so divide-by-zero, numeric overflow, bad
+    // casts and invalid array/map subscripts that silently produced
+    // NULL/garbage under legacy mode now THROW — and the sanctioned
+    // per-expression opt-out is try_divide / try_add / try_cast /
+    // try_element_at, which yield NULL exactly where the strict form
+    // errors. A 100 TB job dies hours in on ONE malformed row without
+    // these; the oracle encodes the same null-on-error semantics with
+    // explicit CASE guards. Map-only, fully codegen'd. (Measured trap:
+    // try_element_at suppresses OUT-OF-BOUNDS but NOT index 0 —
+    // INVALID_INDEX_OF_ZERO throws through the try_ form, so the graded
+    // index is shifted to the 1-based domain.)
+    Q("h35_try_arith",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("h35_lineitem")
+        s.sql("""
+          SELECT l_orderkey, l_linenumber,
+            ROUND(try_divide(l_quantity, l_orderkey % 3), 6) AS td,
+            try_add(9223372036854775807, l_orderkey % 2) AS ta,
+            try_multiply(4611686018427387904, l_orderkey % 3) AS tm,
+            try_cast(CASE WHEN l_orderkey % 2 = 0 THEN '12' ELSE 'x' END AS INT) AS tc,
+            try_element_at(array(10, 20, 30), CAST(l_orderkey % 5 AS INT) + 1) AS te,
+            try_element_at(map('a', 1), CASE WHEN l_orderkey % 2 = 0
+                                             THEN 'a' ELSE 'b' END) AS tk
+          FROM h35_lineitem WHERE l_orderkey < 200
+          ORDER BY l_orderkey, l_linenumber, td""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          CASE WHEN l_orderkey % 3 = 0 THEN NULL
+               ELSE ROUND(l_quantity / (l_orderkey % 3), 6) END AS td,
+          CASE WHEN l_orderkey % 2 = 1 THEN NULL
+               ELSE 9223372036854775807 END AS ta,
+          CASE WHEN l_orderkey % 3 = 2 THEN NULL
+               WHEN l_orderkey % 3 = 0 THEN 0
+               ELSE 4611686018427387904 END AS tm,
+          CASE WHEN l_orderkey % 2 = 0 THEN 12 END AS tc,
+          CASE WHEN l_orderkey % 5 <= 2
+               THEN ([10, 20, 30])[CAST(l_orderkey % 5 AS INT) + 1] END AS te,
+          CASE WHEN l_orderkey % 2 = 0 THEN 1 END AS tk
+        FROM lineitem WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber, td""")))
 }

@@ -28,6 +28,37 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("h35: try_* yields NULL exactly where the strict ANSI form throws") {
+    // Spark 4 default is ANSI mode: the strict forms must ERROR on the
+    // same inputs the try_ forms null out — if ansi were silently off,
+    // these intercepts fail and the h35 key would be grading nothing
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    def one(q: String) = spark.sql(s"SELECT $q AS x").collect().head
+    assert(one("try_divide(1.0, 0)").isNullAt(0))
+    intercept[Exception](one("1.0 / 0"))
+    assert(one("try_add(9223372036854775807, 1)").isNullAt(0))
+    intercept[Exception](one("9223372036854775807 + 1"))
+    assert(one("try_cast('x' AS INT)").isNullAt(0))
+    intercept[Exception](one("CAST('x' AS INT)"))
+    assert(one("try_element_at(array(1), 2)").isNullAt(0))
+    intercept[Exception](one("element_at(array(1), 2)"))
+    // the measured trap pinned: index 0 throws THROUGH try_element_at
+    intercept[Exception](one("try_element_at(array(1), 0)"))
+  }
+
+  test("k14: LATERAL VIEW OUTER keeps singleton groups with NULL pos/v") {
+    val rows = SparkEntry.queries("k14_hive_dialect_struct")(spark, TestSpark.sf)
+      .collect()
+    val singletons = rows.filter(_.getLong(2) == 1L) // n == 1 → arr NULL
+    assert(singletons.nonEmpty, "fixture must exercise the OUTER path")
+    assert(singletons.forall(r => r.isNullAt(5) && r.isNullAt(6)),
+      "OUTER must preserve the row with NULL pos/v")
+    val exploded = rows.filter(_.getLong(2) >= 2L)
+    assert(exploded.nonEmpty)
+    assert(exploded.forall(r => !r.isNullAt(5)),
+      "non-singleton groups explode their 2-element array")
+  }
+
   test("j57: filtered top-5 is the label-restricted exact ranking") {
     val rows = SparkEntry.queries("j57_filtered_ann")(spark, TestSpark.sf).collect()
     assert(rows.length == 5)
