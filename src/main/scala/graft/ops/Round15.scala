@@ -298,5 +298,73 @@ object Round15 {
                THEN ([10, 20, 30])[CAST(l_orderkey % 5 AS INT) + 1] END AS te,
           CASE WHEN l_orderkey % 2 = 0 THEN 1 END AS tk
         FROM lineitem WHERE l_orderkey < 200
-        ORDER BY l_orderkey, l_linenumber, td""")))
+        ORDER BY l_orderkey, l_linenumber, td""")),
+
+    // g6 — RECURSIVE CTE (Spark 4 native WITH RECURSIVE): the iterative
+    // relational surface Presto/Hive users reach for hierarchies and
+    // transitive closure, previously only expressible here as a driver
+    // loop (CC.cluster) or a recursive oracle (j14's DuckDB side).
+    // Graded as an ancestor walk over the deterministic binary tree
+    // parent(k) = k DIV 2: each customer expands to its root path, then
+    // per-customer depth / path-sum / node-count aggregate. Each
+    // recursion step is one self-referencing UNION ALL round — the same
+    // per-round shuffle shape as the CC loop, but planned by the engine
+    // (no driver iteration, no manual localCheckpoint) with the fixpoint
+    // detected from an empty step result. Depth here is ⌊log2 500⌋ = 8
+    // rounds; at 100 TB the row set per round is bounded by the live
+    // frontier, exactly like the distributed CC fallback.
+    Q("g6_recursive_cte",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("g6_customer")
+        s.sql("""
+          WITH RECURSIVE anc(ck, ak, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM g6_customer WHERE c_custkey < 500
+            UNION ALL
+            SELECT ck, ak DIV 2, depth + 1 FROM anc WHERE ak > 1
+          )
+          SELECT ck AS c_custkey, CAST(MAX(depth) AS BIGINT) AS depth,
+                 CAST(SUM(ak) AS BIGINT) AS path_sum,
+                 COUNT(*) AS n_nodes
+          FROM anc GROUP BY ck ORDER BY c_custkey""")
+      },
+      Some("""WITH RECURSIVE anc(ck, ak, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 500
+          UNION ALL
+          SELECT ck, ak // 2, depth + 1 FROM anc WHERE ak > 1
+        )
+        SELECT ck AS c_custkey, CAST(MAX(depth) AS BIGINT) AS depth,
+               CAST(SUM(ak) AS BIGINT) AS path_sum,
+               COUNT(*) AS n_nodes
+        FROM anc GROUP BY ck ORDER BY c_custkey""")),
+
+    // c17 — correlated LATERAL subquery join (Spark 4 native LATERAL):
+    // the per-row dependent subquery Presto/Hive users write for
+    // "top-N related rows per outer row" without a window. Catalyst
+    // DECORRELATES the ORDER BY … LIMIT 2 lateral into a join +
+    // per-partition ranking — there is no per-outer-row re-execution in
+    // the physical plan, so the shape scales exactly like e7's
+    // row_number idiom while keeping the user's Presto-style text
+    // verbatim. Customers with no orders are dropped (inner lateral);
+    // the e7 window form stays the engine-native spelling — this key
+    // pins that the LATERAL spelling resolves, decorrelates, and agrees.
+    Q("c17_join_lateral",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("c17_customer")
+        t(s, d, "orders").createOrReplaceTempView("c17_orders")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM c17_customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM c17_orders o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          WHERE c.c_custkey < 300
+          ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 300
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")))
 }

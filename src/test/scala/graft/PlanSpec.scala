@@ -398,6 +398,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c17 LATERAL decorrelates to WindowGroupLimit, never per-row re-execution") {
+    val p = plan("c17_join_lateral")
+    // the ORDER BY … LIMIT 2 lateral must plan as the partial top-k
+    // window (k rows per partition pre-shuffle), with the outer filter
+    // derived onto the orders side — not a correlated loop or cartesian
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("o_custkey") && "Filter.*o_custkey.* < 300".r.findFirstIn(p).nonEmpty,
+      s"outer predicate must derive onto the lateral side:\n$p")
+  }
+
   test("j56 shuffles hashes only: no string gram ever enters an exchange") {
     // the j2 device carried over: xxhash64 runs inside the transform, so
     // the gram window's exchange partitions 8-byte longs — a regression
