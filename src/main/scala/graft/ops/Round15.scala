@@ -366,5 +366,65 @@ object Round15 {
                  WHERE o.o_custkey = c.c_custkey
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         WHERE c.c_custkey < 300
-        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")))
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")),
+
+    // d28 — ANSI LISTAGG (Spark 4 native, aliased string_agg): ordered
+    // string aggregation with the WITHIN GROUP (ORDER BY …) clause — the
+    // standard spelling of what d11 builds via sort_array + array_join.
+    // The explicit order makes it deterministic and hash-checkable; the
+    // aggregation is a plain two-phase hash agg (partial concat buffers
+    // merge associatively under the final sort).
+    Q("d28_listagg",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("d28_customer")
+        s.sql("""
+          SELECT c_mktsegment,
+                 listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS names,
+                 COUNT(*) AS n
+          FROM d28_customer WHERE c_custkey < 100
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment,
+          string_agg(c_name, '|' ORDER BY c_name) AS names,
+          COUNT(*) AS n
+        FROM customer WHERE c_custkey < 100
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // h36 — the Spark regexp introspection family + luhn_check:
+    // regexp_count / regexp_instr / regexp_substr (positions and counts,
+    // not just extraction — h1/b3 cover match/extract/replace) and the
+    // checksum predicate. Map-only, codegen'd. Oracle devices:
+    // regexp_count = len(regexp_extract_all); regexp_substr =
+    // NULLIF(regexp_extract, '') (DuckDB returns '' on no-match where
+    // Spark returns NULL); regexp_instr = instr(s, first_match) — sound
+    // for CONTEXT-FREE patterns (no anchors/lookaround): if the matched
+    // text occurred earlier as a substring, the regex engine would have
+    // matched there instead, so the first literal occurrence IS the
+    // match position; luhn_check is re-derived arithmetically
+    // (digit-doubling checksum) over a deterministic 10-digit string.
+    Q("h36_regexp_family",
+      (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("h36_part")
+        s.sql("""
+          SELECT p_partkey,
+                 CAST(regexp_count(p_name, '[aeiou]') AS BIGINT) AS vowels,
+                 CAST(regexp_instr(p_name, 'e[a-z]') AS BIGINT) AS e_pos,
+                 regexp_substr(p_name, '[a-z]{6,}') AS long_word,
+                 luhn_check(lpad(CAST(p_partkey AS STRING), 10, '1')) AS luhn_ok
+          FROM h36_part ORDER BY p_partkey""")
+      },
+      Some("""SELECT p_partkey,
+          CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS vowels,
+          CAST(CASE WHEN regexp_extract(p_name, 'e[a-z]') = '' THEN 0
+               ELSE instr(p_name, regexp_extract(p_name, 'e[a-z]')) END AS BIGINT)
+            AS e_pos,
+          NULLIF(regexp_extract(p_name, '[a-z]{6,}'), '') AS long_word,
+          list_sum(list_transform(range(1, 11), i ->
+             CASE WHEN (10 - i) % 2 = 1 THEN
+               CASE WHEN 2 * CAST(lpad(CAST(p_partkey AS VARCHAR), 10, '1')[i] AS INT) > 9
+                    THEN 2 * CAST(lpad(CAST(p_partkey AS VARCHAR), 10, '1')[i] AS INT) - 9
+                    ELSE 2 * CAST(lpad(CAST(p_partkey AS VARCHAR), 10, '1')[i] AS INT) END
+             ELSE CAST(lpad(CAST(p_partkey AS VARCHAR), 10, '1')[i] AS INT) END))
+            % 10 = 0 AS luhn_ok
+        FROM part ORDER BY p_partkey""")))
 }
