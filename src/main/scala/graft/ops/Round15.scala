@@ -426,5 +426,83 @@ object Round15 {
                     ELSE 2 * CAST(lpad(CAST(p_partkey AS VARCHAR), 10, '1')[i] AS INT) END
              ELSE CAST(lpad(CAST(p_partkey AS VARCHAR), 10, '1')[i] AS INT) END))
             % 10 = 0 AS luhn_ok
-        FROM part ORDER BY p_partkey""")))
+        FROM part ORDER BY p_partkey""")),
+
+    // m9 — the VIDEO leg of the container-decode story (m2b/m8 images,
+    // m6 audio): a spec-layout RIFF/AVI container (avih MainAVIHeader:
+    // µs/frame, total frames, stream count, width, height — all
+    // little-endian) built per doc, then decoded by the same LE byte
+    // arithmetic as m6. Derived columns re-express what a video pipeline
+    // actually keys on: fps back-derived from µs/frame, duration from
+    // frames × µs/frame. `head_hex` pins the ENCODING bytes cross-engine
+    // (the oracle reconstructs the first 16 header bytes independently),
+    // so a matched encode/decode endianness bug cannot cancel out.
+    // Map-only codegen'd substring+conv — content bytes never shuffle.
+    Q("m9_decode_avi",
+      (s, d) => {
+        def le(v: String, n: Int): String =
+          (0 until n).map(k => s"lpad(hex(shiftright($v, ${8 * k}) & 255), 2, '0')")
+            .mkString("concat(", ", ", ")")
+        val fixture = t(s, d, "documents").selectExpr("doc_id", "text",
+            "case cast(doc_id % 3 as int) when 0 then 24L when 1 then 25L else 30L end as fps0",
+            "10L + doc_id % 240 as frames",
+            "160L * (1 + doc_id % 8) as w", "120L * (1 + doc_id % 6) as h",
+            "1L + doc_id % 2 as streams",
+            "cast(length(text) as long) as dsize")
+          .selectExpr("doc_id", "text", "frames", "w", "h", "streams", "dsize",
+            "1000000L div fps0 as usec")
+          .selectExpr("doc_id",
+            ("unhex(concat('52494646', " + le("92L + dsize", 4) +
+              ", '41564920', '4C495354', '44000000', '6864726C', '61766968', " +
+              "'38000000', " + le("usec", 4) + ", '00000000', '00000000', " +
+              "'10000000', " + le("frames", 4) + ", '00000000', " +
+              le("streams", 4) + ", '00000000', " + le("w", 4) + ", " +
+              le("h", 4) + ", '00000000000000000000000000000000', " +
+              "'4C495354', " + le("4L + dsize", 4) + ", '6D6F7669'))") + " as header",
+            "cast(text as binary) as body")
+          .select(col("doc_id"), concat(col("header"), col("body")).as("payload"))
+        def leInt(start: Int, len: Int) = expr(
+          s"cast(conv(concat(" +
+            (0 until len).reverse
+              .map(k => s"hex(substring(payload, ${start + k}, 1))")
+              .mkString(", ") +
+            s"), 16, 10) as bigint)")
+        val isAvi = hex(substring(col("payload"), 1, 4)) === "52494646" &&
+          hex(substring(col("payload"), 9, 4)) === "41564920"
+        fixture.select(col("doc_id"),
+            when(isAvi, "avi").otherwise("unknown").as("fmt"),
+            when(isAvi, leInt(65, 4)).as("width"),
+            when(isAvi, leInt(69, 4)).as("height"),
+            when(isAvi, leInt(33, 4)).as("usec_per_frame"),
+            when(isAvi, leInt(49, 4)).as("total_frames"),
+            when(isAvi, leInt(57, 4)).as("streams"),
+            upper(hex(substring(col("payload"), 1, 16))).as("head_hex"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .withColumn("fps", expr("1000000L div usec_per_frame"))
+          .withColumn("dur_ms", expr("total_frames * usec_per_frame div 1000"))
+          .drop("usec_per_frame")
+          .orderBy("doc_id")
+      },
+      Some("""WITH x AS (SELECT doc_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END AS fps0,
+            10 + doc_id % 240 AS frames,
+            160 * (1 + doc_id % 8) AS w, 120 * (1 + doc_id % 6) AS h,
+            1 + doc_id % 2 AS streams,
+            CAST(strlen(text) AS BIGINT) AS dsize
+          FROM documents),
+        y AS (SELECT *, 1000000 // fps0 AS usec FROM x)
+        SELECT doc_id, 'avi' AS fmt,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(frames AS BIGINT) AS total_frames,
+          CAST(streams AS BIGINT) AS streams,
+          upper('52494646'
+            || substr(lpad(to_hex(92 + dsize), 8, '0'), 7, 2)
+            || substr(lpad(to_hex(92 + dsize), 8, '0'), 5, 2)
+            || substr(lpad(to_hex(92 + dsize), 8, '0'), 3, 2)
+            || substr(lpad(to_hex(92 + dsize), 8, '0'), 1, 2)
+            || '41564920' || '4C495354') AS head_hex,
+          CAST(100 + dsize AS BIGINT) AS n_bytes,
+          CAST(1000000 // usec AS BIGINT) AS fps,
+          CAST(frames * usec // 1000 AS BIGINT) AS dur_ms
+        FROM y ORDER BY doc_id""")))
 }
