@@ -504,5 +504,55 @@ object Round15 {
           CAST(100 + dsize AS BIGINT) AS n_bytes,
           CAST(1000000 // usec AS BIGINT) AS fps,
           CAST(frames * usec // 1000 AS BIGINT) AS dur_ms
-        FROM y ORDER BY doc_id""")))
+        FROM y ORDER BY doc_id""")),
+
+    // j58 — robust outlier gating (median/MAD): the numeric data-quality
+    // gate next to j9's ratio heuristics — per-source document-length
+    // outliers by ROBUST z-score 0.6745·(x − median)/MAD, the estimator
+    // that survives the contamination it is hunting (mean/stddev z-scores
+    // move with the outliers themselves; median/MAD have a 50% breakdown
+    // point — Iglewicz & Hoaglin's modified z-score). Two grouped exact
+    // percentiles (the d8 percentile↔quantile_cont device) + one
+    // broadcastable per-source stats join; at 100 TB the percentiles are
+    // per-GROUP aggregations over a shuffle on source, and the flagged
+    // tail is the only output. NULLIF guards the zero-MAD degenerate
+    // (constant-length source).
+    Q("j58_outlier_mad",
+      (s, d) => {
+        t(s, d, "documents").createOrReplaceTempView("j58_documents")
+        s.sql("""
+          WITH st AS (SELECT source, percentile(n_chars, 0.5) AS med
+                      FROM j58_documents GROUP BY source),
+          ad AS (SELECT d.source, percentile(abs(d.n_chars - st.med), 0.5) AS mad
+                 FROM j58_documents d JOIN st ON d.source = st.source
+                 GROUP BY d.source),
+          sc AS (SELECT doc_id, d.source, n_chars,
+                   round(0.6745 * (n_chars - st.med) / nullif(ad.mad, 0.0), 6) AS rz
+                 FROM j58_documents d JOIN st ON d.source = st.source
+                                      JOIN ad ON d.source = ad.source)
+          SELECT doc_id, source, n_chars, rz FROM sc WHERE abs(rz) > 2.0
+          ORDER BY doc_id""")
+      },
+      Some("""WITH st AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+              FROM documents GROUP BY source),
+        ad AS (SELECT d.source, quantile_cont(abs(d.n_chars - st.med), 0.5) AS mad
+               FROM documents d JOIN st ON d.source = st.source
+               GROUP BY d.source),
+        sc AS (SELECT doc_id, d.source, n_chars,
+                 round(0.6745 * (n_chars - st.med) / nullif(ad.mad, 0.0), 6) AS rz
+               FROM documents d JOIN st ON d.source = st.source
+                                JOIN ad ON d.source = ad.source)
+        SELECT doc_id, source, n_chars, rz FROM sc WHERE abs(rz) > 2.0
+        ORDER BY doc_id""")),
+
+    // i24 — streaming semi-structured ingest via VARIANT (a34's parse
+    // device on the micro-batch path): raw JSON lines stream in with no
+    // declared wire schema, each batch parses once into VARIANT and
+    // extracts typed paths, complete-mode aggregation maintains the
+    // per-type rollup. Schema-on-read — the landing-zone shape.
+    Q("i24_stream_variant",
+      (s, d) => graft.streaming.Streams.i24(s, d),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_v
+        FROM events GROUP BY event_type ORDER BY event_type""")))
 }

@@ -623,6 +623,38 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** i24 — streaming SEMI-STRUCTURED ingest through VARIANT: raw JSON
+    * lines stream in from files (the landing-zone shape — no schema
+    * declared on the wire), each micro-batch parses them ONCE into a
+    * VARIANT value and extracts typed paths (a34's device, streaming),
+    * and a complete-mode aggregation maintains per-type counts/sums.
+    * The point vs i14 (schema-on-write parquet): schema-on-READ — the
+    * producer never coordinated a schema, new fields would land without
+    * a pipeline change, and the parse is a stateless per-row projection
+    * the micro-batch engine treats like any other map. Rate-limited
+    * AvailableNow drain, checkpointed; == the batch aggregation. */
+  def i24(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    val src = tmp("i24src"); val ck = tmp("i24ck")
+    events(s, d)
+      .select(to_json(struct(col("event_id"), col("event_type"),
+        col("value"), col("user_id"))).as("value"))
+      .repartition(6).write.mode("overwrite").text(src)
+    val qn = "i24_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = s.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", "2").text(src)
+      .select(expr("parse_json(value)").as("v"))
+      .select(expr("variant_get(v, '$.event_type', 'string')").as("event_type"),
+        expr("variant_get(v, '$.value', 'double')").as("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), mSum(col("value")).as("sum_v"))
+      .writeStream.outputMode("complete").format("memory").queryName(qn)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn).orderBy("event_type")
+  }
+
   /** Per-version (version, table row count) of the last i16 run —
     * observable for the spec's atomic-prefix asserts. Counting re-reads
     * every version through its manifest (O(versions) table scans), so it
