@@ -554,5 +554,16 @@ object Round15 {
       (s, d) => graft.streaming.Streams.i24(s, d),
       Some("""SELECT event_type, COUNT(*) AS n,
         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_v
-        FROM events GROUP BY event_type ORDER BY event_type""")))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // i25 — state-BOUNDED streaming dedup (dropDuplicatesWithinWatermark):
+    // i5's dropDuplicates holds every key forever — the operator that
+    // eventually OOMs an endless stream; the WithinWatermark form evicts
+    // a key once the watermark passes it, trading eternal dedup for
+    // bounded state (the right default where duplicates cluster near
+    // their original: retries, at-least-once sources). Duplicates inside
+    // the window collapse — same oracle as i5.
+    Q("i25_stream_dedup_bounded",
+      (s, d) => graft.streaming.Streams.i25(s, d),
+      Some("SELECT event_id, user_id FROM events ORDER BY event_id")))
 }

@@ -132,6 +132,43 @@ object Streams {
     s.table(qn).orderBy("event_id")
   }
 
+  /** i25 — STATE-BOUNDED dedup: `dropDuplicatesWithinWatermark` keeps a
+    * key's state only until the watermark passes its event time + delay,
+    * then evicts it — where i5's plain `dropDuplicates` holds every key
+    * seen FOREVER (unbounded state: on an endless 100 TB/day stream that
+    * is the operator that eventually OOMs, and Spark added the
+    * WithinWatermark form for exactly this). The fixture re-sends every
+    * event within the 1-hour delay window, so the dedup still collapses
+    * each duplicate pair (== the i5 oracle) while the state store
+    * provably tracks only the live window: re-sends arrive in the batch
+    * AFTER the original (MemoryStream batches preserve order), inside
+    * the bound. The contract difference — a re-send LATER than the
+    * delay would be re-emitted rather than deduped — is the documented
+    * trade: bounded state buys eventual re-admission, the right default
+    * at scale where duplicates cluster near their original (retries,
+    * at-least-once sources). */
+  def i25(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val stream = MemoryStream[Ev]
+    val deduped = stream.toDF()
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"))
+    val qn = "i25_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("i25ck")).start()
+    stream.addData(evs.toSeq)
+    q.processAllAvailable()
+    stream.addData(evs.toSeq) // the duplicate pass: inside the window
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).orderBy("event_id")
+  }
+
   /** i13 — `dropDuplicatesWithinWatermark`: the BOUNDED-STATE form of i5.
     * Plain streaming dropDuplicates holds every key seen forever — at
     * 100 TB/day of events the dedup state itself becomes the bottleneck.
