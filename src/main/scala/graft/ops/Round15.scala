@@ -565,5 +565,51 @@ object Round15 {
     // the window collapse — same oracle as i5.
     Q("i25_stream_dedup_bounded",
       (s, d) => graft.streaming.Streams.i25(s, d),
-      Some("SELECT event_id, user_id FROM events ORDER BY event_id")))
+      Some("SELECT event_id, user_id FROM events ORDER BY event_id")),
+
+    // k15 — SQL-DEFINED functions (Spark 4 native CREATE FUNCTION …
+    // RETURN): the declarative UDF tier next to k1's Scala UDF and the
+    // Catalyst-expression keys — a scalar SQL UDF (pricing margin) and a
+    // SQL TABLE function consumed through a correlated LATERAL. Both are
+    // parse-time SUBSTITUTION into the plan (the body inlines; the
+    // lateral UDTF decorrelates like c17), so unlike an opaque Scala UDF
+    // they stay inside whole-stage codegen and push down — the first
+    // UDF mechanism with zero scale tax, and the one a SQL-only user can
+    // deploy without shipping a jar. Oracle inlines the same logic
+    // (DuckDB macros exist but the graded claim is Spark's resolution).
+    Q("k15_sql_udf",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("k15_lineitem")
+        // §8.4 exact-decimal device INSIDE the UDF body: each product is
+        // one DECIMAL(18,4) multiply rounded back to scale 4 (chaining
+        // two raw decimal multiplies would overflow precision; raw
+        // doubles round-trip differently across engines at the .xxx5
+        // boundary — measured: 86684.105 vs 86684.1049)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION k15_margin(
+            price DECIMAL(18,4), disc DECIMAL(18,4), tax DECIMAL(18,4))
+          RETURNS DOUBLE
+          RETURN CAST(ROUND(CAST(ROUND(price * (1 - disc), 4) AS DECIMAL(18,4))
+                            * (1 + tax), 4) AS DOUBLE)""")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION k15_buckets(n INT)
+          RETURNS TABLE (b INT)
+          RETURN SELECT explode(sequence(1, n)) AS b""")
+        s.sql("""
+          SELECT l.l_orderkey, l.l_linenumber,
+                 k15_margin(CAST(l.l_extendedprice AS DECIMAL(18,4)),
+                            CAST(l.l_discount AS DECIMAL(18,4)),
+                            CAST(l.l_tax AS DECIMAL(18,4))) AS net,
+                 CAST(t.b AS BIGINT) AS b
+          FROM k15_lineitem l,
+               LATERAL k15_buckets(CAST(l.l_linenumber AS INT)) t
+          WHERE l.l_orderkey < 100
+          ORDER BY l_orderkey, l_linenumber, net, b""")
+      },
+      Some("""SELECT l.l_orderkey, l.l_linenumber,
+          CAST(ROUND(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4))
+               * (1 + CAST(l.l_tax AS DECIMAL(18,4))), 4) AS DOUBLE) AS net,
+          CAST(i.i AS BIGINT) AS b
+        FROM lineitem l, unnest(range(1, l.l_linenumber + 1)) i(i)
+        WHERE l.l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber, net, b""")))
 }

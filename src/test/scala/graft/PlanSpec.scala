@@ -409,6 +409,17 @@ class PlanSpec extends AnyFunSuite {
       s"outer predicate must derive onto the lateral side:\n$p")
   }
 
+  test("k15 SQL UDFs inline into the plan: no UDF node, UDTF becomes Generate") {
+    // CREATE FUNCTION ... RETURN is parse-time substitution — the scalar
+    // body lands verbatim in the Project (codegen'd, pushdown-transparent)
+    // and the table function is a plain Generate; an opaque-UDF regression
+    // would show a ScalaUDF/eval node and break both properties
+    val p = plan("k15_sql_udf")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("Generate explode(sequence"), p)
+    assert(p.contains("LessThan(l_orderkey,100)"), p)
+  }
+
   test("j56 shuffles hashes only: no string gram ever enters an exchange") {
     // the j2 device carried over: xxhash64 runs inside the transform, so
     // the gram window's exchange partitions 8-byte longs — a regression
