@@ -300,7 +300,7 @@ object Round15 {
         FROM lineitem WHERE l_orderkey < 200
         ORDER BY l_orderkey, l_linenumber, td""")),
 
-    // g6 — RECURSIVE CTE (Spark 4 native WITH RECURSIVE): the iterative
+    // g7 — RECURSIVE CTE (Spark 4 native WITH RECURSIVE): the iterative
     // relational surface Presto/Hive users reach for hierarchies and
     // transitive closure, previously only expressible here as a driver
     // loop (CC.cluster) or a recursive oracle (j14's DuckDB side).
@@ -313,12 +313,12 @@ object Round15 {
     // detected from an empty step result. Depth here is ⌊log2 500⌋ = 8
     // rounds; at 100 TB the row set per round is bounded by the live
     // frontier, exactly like the distributed CC fallback.
-    Q("g6_recursive_cte",
+    Q("g7_recursive_cte",
       (s, d) => {
-        t(s, d, "customer").createOrReplaceTempView("g6_customer")
+        t(s, d, "customer").createOrReplaceTempView("g7_customer")
         s.sql("""
           WITH RECURSIVE anc(ck, ak, depth) AS (
-            SELECT c_custkey, c_custkey, 0 FROM g6_customer WHERE c_custkey < 500
+            SELECT c_custkey, c_custkey, 0 FROM g7_customer WHERE c_custkey < 500
             UNION ALL
             SELECT ck, ak DIV 2, depth + 1 FROM anc WHERE ak > 1
           )
