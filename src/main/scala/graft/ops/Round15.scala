@@ -611,5 +611,120 @@ object Round15 {
           CAST(i.i AS BIGINT) AS b
         FROM lineitem l, unnest(range(1, l.l_linenumber + 1)) i(i)
         WHERE l.l_orderkey < 100
-        ORDER BY l_orderkey, l_linenumber, net, b""")))
+        ORDER BY l_orderkey, l_linenumber, net, b""")),
+
+    // i26 — stream-stream FULL OUTER interval join, completing the
+    // stream-join mode matrix (i8 inner, i21 left outer): both unmatched
+    // sides emit null-extended rows at watermark-timed eviction — events
+    // with no follow-up click AND clicks with no preceding event in their
+    // window (the attribution orphan a left join cannot surface).
+    // Same state bounds as i21; output == the batch FULL JOIN.
+    Q("i26_stream_full_outer_join",
+      (s, d) => graft.streaming.Streams.i26(s, d),
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type FROM events),
+        r AS (SELECT * FROM e WHERE event_type = 'click')
+        SELECT l.event_id AS a_id, r.event_id AS b_id,
+               COALESCE(l.user_id, r.user_id) AS user_id
+        FROM e l FULL JOIN r ON l.user_id = r.user_id
+          AND r.ts_ms >= l.ts_ms AND r.ts_ms <= l.ts_ms + 300000
+          AND l.event_id != r.event_id
+        ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""")),
+
+    // c18 — BINNED range join (the public range-join binning technique;
+    // per-key SMJ twin = c12b, sweep exec = c12, all three hash-match one
+    // oracle). c12b's plan is an equi-join on user with the time ranges
+    // as a POST-JOIN filter: its cost is Σ_user n_u·m_u — quadratic in
+    // any hot key, and at 100 TB one bot user melts the matching
+    // partition. Binning splits time into interval-length buckets and
+    // equi-joins on (user, bin), so a pair meets only if it shares a
+    // bucket: per-group cost collapses from (all of a user's history)²
+    // to (events of that user within ±6 h)², the explode factor is
+    // bounded by ⌈len/W⌉+1 = 2 rows per side, and each pair is emitted
+    // EXACTLY once — the join keeps only the bucket holding
+    // max(a_start, b_start), so no distinct-dedup shuffle is needed.
+    Q("c18_join_range_binned",
+      (s, d) => {
+        val W = 21600000L // bin width == interval length ⇒ ≤2 bins/row
+        val l = events(s, d).select(col("event_id"), col("user_id"),
+            col("ts_ms").as("l_s"), (col("ts_ms") + W).as("l_e"))
+          .withColumn("bin", explode(expr(
+            s"sequence(CAST(floor(l_s / ${W}D) AS BIGINT), " +
+              s"CAST(floor((l_e - 1) / ${W}D) AS BIGINT))")))
+        val r = events(s, d).select(col("event_id").as("b_event_id"),
+            col("user_id").as("b_user"), col("ts_ms").as("r_s"),
+            (col("ts_ms") + W).as("r_e"))
+          .withColumn("b_bin", explode(expr(
+            s"sequence(CAST(floor(r_s / ${W}D) AS BIGINT), " +
+              s"CAST(floor((r_e - 1) / ${W}D) AS BIGINT))")))
+        l.join(r, col("user_id") === col("b_user")
+            && col("bin") === col("b_bin")
+            && col("r_s") < col("l_e") && col("r_e") > col("l_s")
+            && col("event_id") < col("b_event_id")
+            // emit once: only in the bucket where the later interval starts
+            && col("bin") === floor(greatest(col("l_s"), col("r_s")) / W)
+              .cast("long"))
+          .select(col("event_id").as("a_id"), col("b_event_id").as("b_id"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(Joins.intervalOracle)),
+
+    // j60 — tf-WEIGHTED shingle Jaccard near-dup (weighted Jaccard:
+    // Σ min(c_A,c_B) / Σ max(c_A,c_B) over 3-gram counts WITH
+    // multiplicity). j2's set Jaccard treats a shingle seen 40× and once
+    // as equal members, so templated/boilerplate-repetitive pairs score
+    // identically to genuinely distinct-content pairs; the weighted form
+    // is what repetition-aware dedup (and ICWS weighted-MinHash sketches
+    // at sketch scale) actually estimate. Same inverted-index shape and
+    // Σdf² bound as j2 — postings join on the 8-byte shingle hash
+    // carrying each side's count, Σmin folds in the pair groupBy, and
+    // Σmax = totA + totB − Σmin needs only the map-only per-doc totals
+    // (size(toks)−2; no second corpus pass). Integer Σmin/totals make the
+    // 6-decimal score the h4 cross-engine-stable device.
+    Q("j60_dedup_weighted",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks)-2), " +
+              "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
+          .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        val tot = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"), (size(col("toks")) - 2).cast("long").as("tot"))
+        val pairs = tf.select(col("doc_id").as("d1"), col("sh"), col("c").as("c1"))
+          .join(tf.select(col("doc_id").as("d2"), col("sh"), col("c").as("c2")),
+            Seq("sh"))
+          .where(col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(sum(least(col("c1"), col("c2"))).as("w_inter"))
+        pairs
+          .join(tot.select(col("doc_id").as("d1"), col("tot").as("t1")), "d1")
+          .join(tot.select(col("doc_id").as("d2"), col("tot").as("t2")), "d2")
+          .select(col("d1"), col("d2"),
+            round(col("w_inter").cast("double")
+              / (col("t1") + col("t2") - col("w_inter")).cast("double"), 6)
+              .as("wjac"))
+          .where(col("wjac") >= 0.5)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        tf AS (SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, sh),
+        tot AS (SELECT doc_id, len(toks) - 2 AS tot FROM tk),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+            SUM(LEAST(a.c, b.c)) AS w_inter
+          FROM tf a JOIN tf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d1, d2,
+          ROUND(CAST(w_inter AS DOUBLE)
+                / CAST(t1.tot + t2.tot - w_inter AS DOUBLE), 6) AS wjac
+        FROM p JOIN tot t1 ON d1 = t1.doc_id JOIN tot t2 ON d2 = t2.doc_id
+        WHERE CAST(w_inter AS DOUBLE)
+              / CAST(t1.tot + t2.tot - w_inter AS DOUBLE) >= 0.5
+        ORDER BY d1, d2""")))
 }

@@ -471,6 +471,59 @@ object Streams {
       .orderBy(asc("a_id"), asc_nulls_first("b_id"))
   }
 
+  /** i26 — stream-stream FULL OUTER interval join, completing the
+    * stream-join mode matrix (i8 inner, i21 left outer): BOTH unmatched
+    * sides emit at watermark-timed state eviction — events with no
+    * follow-up click AND clicks with no preceding event in their 5-minute
+    * window (the click-attribution orphan). State bookkeeping is the i21
+    * shape on both sides; the sentinel closes both stores because it
+    * survives the right side's type filter (it is a click) and carries
+    * user −1 so its own null-extended emissions are filtered from the
+    * graded output. Output == the batch FULL JOIN (oracle; NULL ordering
+    * pinned on both engines). */
+  def i26(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val half = evs.length / 2
+    val ls = MemoryStream[Ev]; val rs = MemoryStream[Ev]
+    def side(m: MemoryStream[Ev], p: String) = m.toDF()
+      .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+        timestamp_millis(col("ts_ms")).as(s"${p}_t"),
+        col("event_type").as(s"${p}_type"))
+    val left = side(ls, "a").withWatermark("a_t", "10 minutes")
+    val right = side(rs, "b").where(col("b_type") === "click")
+      .withWatermark("b_t", "10 minutes")
+    val joined = left.join(right,
+        col("a_user") === col("b_user")
+          && col("b_t") >= col("a_t")
+          && col("b_t") <= col("a_t") + expr("INTERVAL 5 MINUTES")
+          && col("a_id") =!= col("b_id"),
+        "fullOuter")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("a_user"), col("b_user")).as("user_id"))
+    val qn = "i26_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(qn).option("checkpointLocation", tmp("i26ck")).start()
+    ls.addData(evs.take(half).toSeq); rs.addData(evs.take(half).toSeq)
+    q.processAllAvailable()
+    ls.addData(evs.drop(half).toSeq); rs.addData(evs.drop(half).toSeq)
+    q.processAllAvailable()
+    // the i21 sentinel protocol: one far-future click on both sides
+    // advances the global watermark past every real window, then an empty
+    // pass applies it (eviction lands in the batch AFTER the one that
+    // computed the new watermark)
+    val far = evs.map(_.ts_ms).max + 3600 * 1000L
+    val sent = Ev(-1L, far, -1L, "click", 0.0)
+    ls.addData(Seq(sent)); rs.addData(Seq(sent))
+    q.processAllAvailable()
+    ls.addData(Seq.empty[Ev]); rs.addData(Seq.empty[Ev])
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).where(col("user_id") =!= -1L)
+      .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
+  }
+
   /** i9 — stream-static join: the event stream enriched against the static
     * customer dimension (broadcast — no stream state at all, the standard
     * streaming-enrichment pattern). Output == the batch join (oracle). */
