@@ -217,16 +217,20 @@ object Bench {
     // prev → the in-run sample was phase noise; readj ≈ now ≫ prev → a
     // real code-level regression. Bounded: worst-12 movers by |log ratio|
     // and a 120 s wall budget, so a sick machine can't double the bench.
+    // The budget is enforced as ELAPSED WALL TIME around the loop (not a
+    // sum of successful per-query seconds): a flaked run's wall-clock and
+    // a single slow query's overshoot both count, so on a sick machine the
+    // stated bound actually bounds the bench.
     val adjBudgetSec = 120.0
-    var adjSpent = 0.0
+    val adjStart = System.nanoTime()
+    def adjSpent: Double = (System.nanoTime() - adjStart) / 1e9
     val adjudicated = movers.take(12).flatMap { case (k, _) =>
       if (adjSpent > adjBudgetSec) None
       else {
         val runs = (1 to 3).flatMap { _ =>
           if (adjSpent > adjBudgetSec) None
-          else try {
-            val t = timeOne(k); adjSpent += t; Some(t)
-          } catch { case e: Throwable =>
+          else try Some(timeOne(k))
+          catch { case e: Throwable =>
             System.err.println(s"[bench] $k adjudication flaked: ${e.getMessage}")
             None
           }

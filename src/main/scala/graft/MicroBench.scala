@@ -18,11 +18,15 @@ object MicroBench {
     spark.sparkContext.setLogLevel("ERROR")
     // variant testing: SPARK_GRAFT_CONF="k=v;k=v" applies session confs
     // before any measurement (e.g. the stream partition / provider knobs)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    // malformed entries ('=v', empty segments) are skipped with a note,
+    // not thrown — a typo'd env var must not abort the whole bench
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ if kv.trim.isEmpty => ()
+        case _ => System.err.println(s"[microbench] skipping malformed conf entry: '$kv'")
+      }
+    })
     // caches are released between iterations so every number is a COLD,
     // independent measurement — same regime as Bench (intra-query persists
     // still count toward their own query's time)

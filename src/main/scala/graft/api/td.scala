@@ -193,6 +193,23 @@ object td {
   def readTdQuery(sql: String, engine: TdEngine, distributedJoin: Boolean = false,
       params: Map[String, Any] = Map.empty)
       (implicit s: SparkSession): DataFrame = {
+    val df = runQuery(sql, engine, distributedJoin, params)
+    cacheJob(df)
+    df
+  }
+
+  /** The shared submit path behind readTdQuery / issueJob / readTdQueryBound:
+    * dialect dispatch on the engine type, header tagging, table
+    * registration, interpolation — everything except result caching, so
+    * every entry point gets IDENTICAL engine-type semantics (issueJob
+    * previously ran hive: text through the Presto scope — the exact
+    * cross-dialect contamination readTdQuery prevents). `bindArgs`
+    * carries engine-side named-parameter bindings (k16): `:name` markers
+    * resolved by Spark's parameterized `sql(text, args)`, disjoint from
+    * the client-side `{name}` interpolation of `params`. */
+  private def runQuery(sql: String, engine: TdEngine, distributedJoin: Boolean,
+      params: Map[String, Any], bindArgs: Map[String, Any] = Map.empty)
+      (implicit s: SparkSession): DataFrame = {
     s.sparkContext.setJobDescription(engine.headerTag)
     registerTables(engine)
     // DIALECT DISPATCH on the engine type, exactly as the reference's URL
@@ -220,11 +237,29 @@ object td {
     def scoped[T](body: => T): T =
       if (isHive) graft.functions.Hive.statementScoped(s)(body)
       else graft.functions.Presto.statementScoped(s)(body)
-    val df = scoped {
+    def submit(text: String): DataFrame =
+      if (bindArgs.isEmpty) s.sql(text) else s.sql(text, bindArgs)
+    scoped {
       if (distributedJoin)
-        s.sql(s"SELECT /*+ MERGE */ * FROM (${tagged.stripSuffix(";")})")
-      else s.sql(tagged)
+        submit(s"SELECT /*+ MERGE */ * FROM (${tagged.stripSuffix(";")})")
+      else submit(tagged)
     }
+  }
+
+  /** k16 — ENGINE-SIDE parameterized execution (reference
+    * `read_td_query(params=)`, SURVEY §8.2, re-expressed as Spark 4
+    * native named parameter markers): `:name` placeholders are resolved
+    * by the PARSER into literal expressions — the value never transits
+    * query text, so an injection-shaped string stays one inert literal
+    * (`dryRun`/`params` interpolation remains the explicit text-splicing
+    * choice, quoted-and-escaped). The bound plan is byte-identical to
+    * the literal plan after parameter substitution, so every pushdown /
+    * pruning property of the literal spelling holds — ApiSpec pins both
+    * claims. */
+  def readTdQueryBound(sql: String, engine: TdEngine, args: Map[String, Any],
+      distributedJoin: Boolean = false)
+      (implicit s: SparkSession): DataFrame = {
+    val df = runQuery(sql, engine, distributedJoin, Map.empty, bindArgs = args)
     cacheJob(df)
     df
   }
@@ -363,14 +398,8 @@ object td {
   /** Issue a query and get its job id back (poll-free `QueryEngine.execute`).
     * The id is taken from THIS query's cache entry, not a racy re-read of
     * the shared counter. */
-  def issueJob(sql: String, engine: TdEngine)(implicit s: SparkSession): Long = {
-    s.sparkContext.setJobDescription(engine.headerTag)
-    Td.register(s)
-    registerTables(engine)
-    graft.functions.Presto.statementScoped(s) {
-      cacheJob(s.sql(interpolate(sql, Map.empty)))
-    }
-  }
+  def issueJob(sql: String, engine: TdEngine)(implicit s: SparkSession): Long =
+    cacheJob(runQuery(sql, engine, distributedJoin = false, Map.empty))
 
   /** `read_td_job(job_id)`: re-serve a completed result without recompute. */
   def readTdJob(jobId: Long): DataFrame = {

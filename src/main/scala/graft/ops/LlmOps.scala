@@ -276,6 +276,54 @@ object LlmOps {
       .join(n.toDF("d2", "n2"), "d2")
   }
 
+  /** 3-gram term-frequency postings over `documents` — (doc_id, sh, c)
+    * with c = the gram's count WITH multiplicity in that doc. j60's
+    * weighted base relation: same 8-byte xxhash64 shingle key as
+    * [[shingles]], but grouped with counts instead of array_distinct. */
+  private[graft] def docShingleTf(s: SparkSession, d: String): DataFrame =
+    docsTok(s, d).where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-2), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+
+  /** WEIGHTED pair core (j60): `tfDf` is (doc_id, sh, c) tf postings;
+    * returns (d1, d2, w_inter) with w_inter = Σ_sh min(c1, c2) — the
+    * weighted-Jaccard numerator. Same capped light/heavy split as
+    * [[pairStats]], with counts riding the postings through
+    * `capped_collect_pairs` (parallel ds/cs arrays + exact df): complete
+    * groups expand all C(df,2) pairs in place with min(c_i, c_j) computed
+    * inside the lambda; heavy shingles (df > cap) re-derive full postings
+    * from the base relation on the (rare, broadcastable) hot keys and
+    * pair via equi-join so one boilerplate gram spreads across partitions
+    * instead of one row. The r15 soak measured the uncapped alternative
+    * at 446.2M candidate pairs / 205.6 s under 10× boilerplate skew vs
+    * 1.5M pairs for the capped shapes — this core is what makes the
+    * weighted measure survive that regime. */
+  private[graft] def weightedPairSums(tfDf: DataFrame, maxDf: Int): DataFrame = {
+    graft.functions.CappedPairList.register(tfDf.sparkSession)
+    val posts = tfDf.groupBy("sh")
+      .agg(expr(s"capped_collect_pairs(doc_id, c, $maxDf)").as("p"))
+      .select(col("sh"), col("p.ds").as("ds"), col("p.cs").as("cs"),
+        col("p.df").as("df"))
+      .where(col("df") >= 2)
+    val light = posts.where(col("df") <= maxDf)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ds)-2), i -> " +
+          "transform(sequence(i+1, size(ds)-1), j -> " +
+          "named_struct('d1', least(ds[i], ds[j]), " +
+          "'d2', greatest(ds[i], ds[j]), " +
+          "'w', least(cs[i], cs[j])))))")).as("p"))
+      .select(col("p.d1"), col("p.d2"), col("p.w"))
+    val heavyKeys = posts.where(col("df") > maxDf).select("sh")
+    val heavyPost = tfDf.join(heavyKeys, Seq("sh")).select("sh", "doc_id", "c")
+    val heavy = heavyPost.toDF("sh", "d1", "c1")
+      .join(heavyPost.toDF("sh2", "d2", "c2"),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), least(col("c1"), col("c2")).as("w"))
+    light.union(heavy).groupBy("d1", "d2").agg(sum("w").as("w_inter"))
+  }
+
   /** Random-hyperplane LSH signature per embedding — shared by j3b and
     * j39's kNN graph: (vec_id, embedding, bucket) with bucket = the
     * `planes` sign bits of md5-derived hyperplanes (w(p,dim) =

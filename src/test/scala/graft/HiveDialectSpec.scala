@@ -15,9 +15,11 @@ class HiveDialectSpec extends AnyFunSuite {
     // regex split semantics (the Presto-shim-must-NOT-apply pin):
     // split(s, '.') field count is len+1 under Hive/Spark regex split
     val r = rows.head
-    val eventType = spark.sql(
-      s"SELECT event_type FROM k13_events WHERE event_id = ${r.getLong(0)}")
-      .collect().head.getString(0)
+    // read the base table directly — k13 registers its view under a
+    // per-invocation unique name and drops it on exit (no session leak)
+    val eventType = Tables.events(spark, TestSpark.sf)
+      .where(org.apache.spark.sql.functions.col("event_id") === r.getLong(0))
+      .select("event_type").collect().head.getString(0)
     assert(r.getAs[Long]("regex_split_n") == eventType.length + 1,
       "hive text received Presto literal-split semantics")
     // LATERAL VIEW posexplode positions are dense from 0 per event

@@ -51,6 +51,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byArray.nonEmpty)
   }
 
+  test("capped_collect_pairs keeps aligned (id, weight) prefixes and exact df") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CappedPairList.register(spark)
+    import spark.implicits._
+    // group 'a': 3 pairs (under cap 5 — complete, weights aligned to ids);
+    // 'b': 8 pairs (over — exact df, capped sample still id↔weight aligned)
+    val df = ((1L to 3L).map(v => ("a", v, v * 10)) ++
+        (10L to 17L).map(v => ("b", v, v * 10)))
+      .toDF("k", "v", "w").repartition(4) // force multi-partition merges
+    val got = df.groupBy("k").agg(expr("capped_collect_pairs(v, w, 5)").as("c"))
+      .select(col("k"), col("c.ds").as("ds"), col("c.cs").as("cs"),
+        col("c.df").as("df"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1), r.getSeq[Long](2), r.getLong(3)))).toMap
+    val (aDs, aCs, aDf) = got("a")
+    assert(aDf == 3L && aDs.toSet == (1L to 3L).toSet)
+    assert(aDs.zip(aCs).forall { case (d, c) => c == d * 10 }) // alignment
+    val (bDs, bCs, bDf) = got("b")
+    assert(bDf == 8L)                       // df is exact past the cap
+    assert(bDs.size == 5 && bDs.toSet.subsetOf((10L to 17L).toSet))
+    assert(bDs.zip(bCs).forall { case (d, c) => c == d * 10 }) // alignment survives merge
+  }
+
+  test("weighted pair core: heavy-df join path matches the in-array path (j60)") {
+    val tf = graft.ops.LlmOps.docShingleTf(spark, TestSpark.sf)
+    def sums(maxDf: Int) =
+      graft.ops.LlmOps.weightedPairSums(tf, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byArray = sums(1024) // every fixture shingle under the cap
+    val byJoin = sums(2)     // nearly all forced down the heavy equi-join
+    assert(byArray == byJoin,
+      s"only-array: ${byArray -- byJoin}; only-join: ${byJoin -- byArray}")
+    assert(byArray.nonEmpty)
+  }
+
   test("LSH ANN (j3b) candidates carry exact cosine values (subset of j3 space)") {
     val lsh = run("j3b_sim_lsh").collect()
     assert(lsh.nonEmpty)
