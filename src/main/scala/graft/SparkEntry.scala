@@ -17,7 +17,8 @@ object SparkEntry {
     Scans.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
       Windows.all ++ SetOps.all ++ Scalars.all ++ StreamingBatch.all ++
       LlmOps.all ++ Extras.all ++ Round2.all ++ Round5.all ++ Round5b.all ++
-      Round6.all ++ Round8.all ++ Round9.all ++ Round13.all ++ Round15.all
+      Round6.all ++ Round8.all ++ Round9.all ++ Round13.all ++ Round15.all ++
+      Round16.all
 
   /** Flagship query (TPC-H Q1 pricing summary) on sf0.001; driver
     * smoke-checks rows > 0. */

@@ -51,6 +51,36 @@ object Round15 {
     try body(names) finally names.values.foreach(s.catalog.dropTempView(_))
   }
 
+  /** j56's shared core: (tokenized docs, covered duplicate positions).
+    * `tk` is (doc_id, toks); `covered` is the DISTINCT (doc_id, p) set of
+    * 1-based token positions lying inside any non-canonical occurrence of
+    * a repeated k-gram (canonical = min (doc_id, p) per gram). Only
+    * 8-byte xxhash64 grams ride the explode and the window shuffle; the
+    * covered explode is ×k on DUPLICATED mass only. Round16's j56b
+    * derives its spans-only output from the same core, so the two keys
+    * cannot drift. */
+  private[ops] def substringCoverage(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tk = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = tk.where(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - $k + 1), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("g"))
+    val wg = Window.partitionBy("g")
+    val occ = grams
+      .withColumn("rn", row_number().over(wg.orderBy("doc_id", "p")))
+      .withColumn("cnt", count(lit(1)).over(wg))
+    val covered = occ.where(col("cnt") >= 2 && col("rn") > 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p, p + $k - 1)")).as("p"))
+      .distinct()
+    (tk, covered)
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("k13_hive_dialect",
@@ -108,22 +138,7 @@ object Round15 {
     Q("j56_substring_dedup",
       (s, d) => {
         val k = 8
-        val tk = t(s, d, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val grams = tk.where(size(col("toks")) >= k)
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(1, size(toks) - $k + 1), " +
-              s"i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))")))
-          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-            col("col").as("g"))
-        val wg = Window.partitionBy("g")
-        val occ = grams
-          .withColumn("rn", row_number().over(wg.orderBy("doc_id", "p")))
-          .withColumn("cnt", count(lit(1)).over(wg))
-        val covered = occ.where(col("cnt") >= 2 && col("rn") > 1)
-          .select(col("doc_id"),
-            explode(expr(s"sequence(p, p + $k - 1)")).as("p"))
-          .distinct()
+        val (tk, covered) = substringCoverage(s, d, k)
         val toks = tk.select(col("doc_id"), posexplode(col("toks")))
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
             col("col").as("tok"))

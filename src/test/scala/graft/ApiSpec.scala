@@ -304,6 +304,29 @@ class ApiSpec extends AnyFunSuite {
       Map("known" -> 1)) == "get_json_object(p,'$.k') AND 1")
   }
 
+  test("readTdQueryBound: bound plan == literal plan; injection-shaped strings stay inert") {
+    val e = td.createEngine("presto:sf0.001", "/root/testdata")
+    val text = "SELECT c_custkey, c_name FROM customer " +
+      "WHERE c_mktsegment = :seg AND c_custkey < :k ORDER BY c_custkey"
+    val bound = td.readTdQueryBound(text, e,
+      Map("seg" -> "BUILDING", "k" -> 100))
+    val literal = td.readTdQuery("SELECT c_custkey, c_name FROM customer " +
+      "WHERE c_mktsegment = 'BUILDING' AND c_custkey < 100 ORDER BY c_custkey", e)
+    // the marker resolves in the parser to the SAME literal expression, so
+    // the optimized plans are indistinguishable — every pushdown property
+    // of the literal spelling holds for the binding
+    assert(bound.queryExecution.optimizedPlan.canonicalized ==
+      literal.queryExecution.optimizedPlan.canonicalized)
+    assert(bound.collect().sameElements(literal.collect()))
+    // a bound value never transits query text: the classic injection
+    // string is ONE inert literal (no customer has it as a segment), where
+    // naive text splicing would have widened the predicate to everything
+    val inj = td.readTdQueryBound(
+      "SELECT count(*) AS n FROM customer WHERE c_mktsegment = :seg", e,
+      Map("seg" -> "BUILDING' OR '1'='1"))
+    assert(inj.head().getLong(0) == 0L)
+  }
+
   test("readTd alias and parseDates conversion") {
     val e = td.createEngine("presto:sf0.001", "/root/testdata")
     assert(td.readTd("SELECT 1 AS x", e).head().getInt(0) == 1)

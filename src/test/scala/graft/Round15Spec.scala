@@ -59,6 +59,59 @@ class Round15Spec extends AnyFunSuite {
       "non-singleton groups explode their 2-element array")
   }
 
+  test("g7: non-terminating recursion ERRORS at the level limit (no hang), limit is a knob") {
+    // the runaway guard behind the graded ancestor walk: a recursive CTE
+    // whose step never empties must surface the engine's recursion-level
+    // error — bounded failure, not an unbounded loop of shuffle rounds
+    val limitKey = "spark.sql.cteRecursionLevelLimit"
+    val prior = spark.conf.getOption(limitKey)
+    try {
+      spark.conf.set(limitKey, "20")
+      val e = intercept[Throwable] {
+        spark.sql("""WITH RECURSIVE r(n) AS (
+            SELECT 1 UNION ALL SELECT n + 1 FROM r)
+          SELECT count(*) AS c FROM r""").collect()
+      }
+      val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .toUpperCase
+      assert(msg.contains("RECURSION"), s"expected a recursion-limit error, got: $e")
+      // ... and a limit ABOVE the fixpoint depth changes nothing: the
+      // graded walk terminates from its own empty-frontier condition
+      spark.conf.set(limitKey, "50")
+      val depth = ops.Round15.all.find(_.key == "g7_recursive_cte").get
+        .fn(spark, TestSpark.sf)
+        .agg(org.apache.spark.sql.functions.max("depth")).head().getLong(0)
+      val maxCk = Tables.t(spark, TestSpark.sf, "customer")
+        .where(org.apache.spark.sql.functions.col("c_custkey") < 500)
+        .agg(org.apache.spark.sql.functions.max("c_custkey")).head().getLong(0)
+      // ⌊log2 maxCk⌋ rounds to fixpoint — terminates well inside the rail
+      assert(depth == (63 - java.lang.Long.numberOfLeadingZeros(maxCk)).toLong)
+    } finally prior match {
+      case Some(v) => spark.conf.set(limitKey, v)
+      case None    => spark.conf.unset(limitKey)
+    }
+  }
+
+  test("g7: the recursion step reads ONLY the filtered previous frontier (row-bounded)") {
+    // plan-shape rail: the step branch must be Filter(ak > 1) over
+    // UnionLoopRef — each round's input is the live frontier, not the
+    // accumulated closure and not a re-scan of the base relation
+    val df = ops.Round15.all.find(_.key == "g7_recursive_cte").get
+      .fn(spark, TestSpark.sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoopRef"), s"recursive plan lost its loop ref:\n$plan")
+    val lines = plan.linesIterator.toSeq
+    val refIdx = lines.indexWhere(_.contains("UnionLoopRef"))
+    val guarded = lines.slice(math.max(0, refIdx - 3), refIdx)
+      .exists(l => l.contains("Filter") && l.contains("> 1"))
+    assert(guarded, s"no frontier filter directly above UnionLoopRef:\n$plan")
+    // the step must NOT rescan the parquet base relation — one scan total
+    // (the anchor); the loop ref is the only step input
+    assert(lines.count(_.contains("Relation")) +
+      lines.count(_.contains("FileScan")) <= 1,
+      s"recursion step re-scans the base relation:\n$plan")
+  }
+
   test("j57: filtered top-5 is the label-restricted exact ranking") {
     val rows = SparkEntry.queries("j57_filtered_ann")(spark, TestSpark.sf).collect()
     assert(rows.length == 5)

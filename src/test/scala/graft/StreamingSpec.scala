@@ -85,6 +85,50 @@ class StreamingSpec extends AnyFunSuite {
       s"replay must not duplicate: first=$first second=$second")
   }
 
+  test("i24 device: JSONL file-source VARIANT ingest absorbs schema drift across files") {
+    // the landing-zone story behind i24, pinned on raw files this spec
+    // writes itself: two GENERATIONS of line shape in one directory —
+    // gen-2 reorders keys and adds a nested field no schema declared.
+    // VARIANT parse-once absorbs both; the typed extraction is stable.
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("i24j_src").toString
+    val ck = Files.createTempDirectory("i24j_ck").toString
+    Files.writeString(java.nio.file.Paths.get(src, "gen1.jsonl"),
+      """{"event_type":"view","value":1.5}
+        |{"event_type":"click","value":2.0}
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(src, "gen2.jsonl"),
+      """{"value":3.25,"event_type":"view","extra":{"ab":true}}
+        |{"extra":{"ab":false},"event_type":"click","value":0.5,"added_later":7}
+        |""".stripMargin)
+    val qn = "i24j_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", "1").text(src)
+      .select(expr("parse_json(value)").as("v"))
+      .select(expr("variant_get(v, '$.event_type', 'string')").as("event_type"),
+        expr("variant_get(v, '$.value', 'double')").as("value"),
+        expr("try_variant_get(v, '$.extra.ab', 'boolean')").as("ab"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"),
+        count(col("ab")).as("n_ab"))
+      .writeStream.outputMode("complete").format("memory").queryName(qn)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val rows = spark.table(qn).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(rows("view") == ((2L, 4.75, 1L)), s"got $rows")
+      assert(rows("click") == ((2L, 2.5, 1L)), s"got $rows")
+      // maxFilesPerTrigger=1 over 2 files ⇒ the aggregation really was
+      // maintained across micro-batches, not one batch in disguise
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        s"expected >=2 data micro-batches, got ${q.recentProgress.length}")
+    } finally q.stop()
+  }
+
   test("i14 restart replays committed rate-limited batches as no-ops") {
     def mk(t: String) = java.nio.file.Files.createTempDirectory(t).toString
     val (src, out, ck) = (mk("i14r_src"), mk("i14r_out"), mk("i14r_ck"))
