@@ -26,6 +26,14 @@ object ScaleSoak {
   private val Pool = 40009L // ~10x SkewSpec's 4001-phrase pool
 
   def main(args: Array[String]): Unit = {
+    // optional section filter: any of neardup | ann | j60 | sub | ev
+    // (no args = all sections) — re-measuring one family must not cost a
+    // full 10-minute sweep
+    val sections: Set[String] =
+      if (args.isEmpty) Set("neardup", "ann", "j60", "sub", "ev")
+      else args.toSet
+    def section(name: String)(body: => Unit): Unit =
+      if (sections.contains(name)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,20 +101,97 @@ object ScaleSoak {
     println(s"""SOAK {"diag":"join_mass","full":$fullMass,"prefix":$prefMass}""")
 
     // near-dup family: default knobs vs a loosened df cap / coarser bands
-    Seq("j2_dedup_near", "j2b_dedup_minhash", "j2c_dedup_prefix").foreach { k =>
-      run(k, Map.empty)
+    section("neardup") {
+      Seq("j2_dedup_near", "j2b_dedup_minhash", "j2c_dedup_prefix").foreach { k =>
+        run(k, Map.empty)
+      }
+      run("j2_dedup_near", Map(graft.ops.Knobs.PairMaxDfKey -> "1024"))
+      run("j2b_dedup_minhash", Map(graft.ops.Knobs.MinhashBandSizeKey -> "8"))
+      run("j2c_dedup_prefix", Map.empty) // repeat: order-independence check
     }
-    run("j2_dedup_near", Map(graft.ops.Knobs.PairMaxDfKey -> "1024"))
-    run("j2b_dedup_minhash", Map(graft.ops.Knobs.MinhashBandSizeKey -> "8"))
-    run("j2c_dedup_prefix", Map.empty) // repeat: order-independence check
 
     // ANN family: brute vs LSH-bucketed vs PQ vs IVF-PQ, two dials each
-    Seq("j3_sim_topk", "j3b_sim_lsh", "j53_pq_ann", "j54_ivfpq_ann").foreach { k =>
-      run(k, Map.empty)
+    section("ann") {
+      Seq("j3_sim_topk", "j3b_sim_lsh", "j53_pq_ann", "j54_ivfpq_ann").foreach { k =>
+        run(k, Map.empty)
+      }
+      run("j3b_sim_lsh", Map(graft.ops.Knobs.LshPlanesKey -> "8"))
+      run("j53_pq_ann", Map(graft.ops.Knobs.PqShortlistKey -> "200"))
+      run("j54_ivfpq_ann", Map(graft.ops.Knobs.IvfNprobeKey -> "4"))
     }
-    run("j3b_sim_lsh", Map(graft.ops.Knobs.LshPlanesKey -> "8"))
-    run("j53_pq_ann", Map(graft.ops.Knobs.PqShortlistKey -> "200"))
-    run("j54_ivfpq_ann", Map(graft.ops.Knobs.IvfNprobeKey -> "4"))
+
+    // j60 weighted Jaccard on the SAME skewed corpus (r16): the r15 soak
+    // measured the uncapped tf⋈tf shape at 446.2M candidate pairs /
+    // 205.6 s here; routed through the capped weighted pair core it must
+    // land in the same class as j2/j2c (the five boilerplate 3-grams sit
+    // at df≈13,333 — 52× the cap — so the heavy-key branch carries them).
+    section("j60") {
+      run("j60_dedup_weighted", Map.empty)
+      run("j60_dedup_weighted", Map(graft.ops.Knobs.PairMaxDfKey -> "1024"))
+      // the lossless weighted-prefix sibling must land in j2c's class —
+      // the boilerplate types sort last in the canonical order and never
+      // enter the candidate join
+      run("j60b_dedup_weighted_prefix", Map.empty)
+    }
+
+    // j56/j56b substring dedup under LONG-boilerplate skew (r16): the
+    // 7-token header above never yields a fully-internal 8-gram, so a
+    // separate corpus plants a 40-token boilerplate paragraph in every
+    // 5th doc — 33 hot grams at df = 8,000 each. j56's cost model is
+    // LINEAR in duplicated mass (hot-gram window partitions of 8k rows,
+    // covered explode ×k on the duplicated spans only — nothing
+    // pairwise); the soak proves the no-quadratic claim and measures
+    // what j56b's spans-only output saves by never regrouping the
+    // corpus text.
+    def runAt(key: String, dir: String, tag: String): Unit = {
+      try {
+        val (sec, rows) = time(SparkEntry.queries(key)(spark, dir).count())
+        println(f"""SOAK {"key":"$key","conf":"$tag","sec":$sec%.2f,"rows":$rows}""")
+      } finally release()
+    }
+    section("sub") {
+    val dSub = graft.ops.Scratch.dir("scalesoak_sub")
+    val boiler40 = (0 until 40).map(i => s"bp$i").mkString(" ")
+    spark.range(NDocs).toDF("doc_id")
+      .withColumn("src", when(col("doc_id") === 101L, 100L)
+        .when(col("doc_id") === 201L, 200L).otherwise(col("doc_id")))
+      .withColumn("body", concat_ws(" ", (0 until 6).map(phraseCol): _*))
+      .withColumn("text", when(pmod(col("src"), lit(5)) === 0,
+        concat(lit(s"$boiler40 "), col("body"))).otherwise(col("body")))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("scalesoak").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(8)
+      .write.mode("overwrite").parquet(s"$dSub/documents.parquet")
+    runAt("j56_substring_dedup", dSub, "sub40")
+    runAt("j56b_substring_spans", dSub, "sub40")
+    }
+
+    // c18 binned range join vs its c12b SMJ twin on a HOT-USER events
+    // fixture (r16): one bot user owns 60k events uniform over a year;
+    // c12b's equi-join-on-user + post-filter shape materializes all
+    // 60k²/2 = 1.8G same-key pairs of that user in ONE sort-merge group
+    // (one task — parallelism can't help a single key), while c18 meets
+    // pairs only inside shared 6-hour buckets (≈41 events per bucket,
+    // ~2.5M comparisons total, spread across partitions) — the measured
+    // kill of the hot-key quadratic the binned join exists for. 10k
+    // background users × 10 events keep the non-skewed mass honest.
+    // Output is identical (both hash-match the interval oracle at bench
+    // SF, and both emit the same row count here).
+    section("ev") {
+    val dEv = graft.ops.Scratch.dir("scalesoak_ev")
+    val yearMs = 365L * 86400 * 1000
+    spark.range(160000L).toDF("event_id")
+      .select(col("event_id"),
+        when(col("event_id") < 60000L, 0L)
+          .otherwise(expr("1 + (event_id - 60000) div 10")).as("user_id"),
+        // bot: uniform hash-spray over the year; background: same spray
+        expr(s"timestamp_millis(1704067200000 + pmod(hash(event_id), ${yearMs}))")
+          .as("ts"))
+      .coalesce(8)
+      .write.mode("overwrite").parquet(s"$dEv/events.parquet")
+    runAt("c18_join_range_binned", dEv, "hotuser60k")
+    runAt("c12b_join_interval_smj", dEv, "hotuser60k")
+    }
 
     spark.stop()
   }

@@ -40,18 +40,20 @@ object Aggregates {
       ORDER BY l_returnflag, l_linestatus"""
 
   // NOTE: declared before `all` — object vals initialize in order.
-  val filterAggSql: String =
-    """SELECT o_orderpriority,
+  // shared between the Spark side (unique view name) and the oracle
+  // (DuckDB's bare `orders` view) — same TEXT, parameterized table
+  def filterAggSql(tbl: String = "orders"): String =
+    s"""SELECT o_orderpriority,
       COUNT(*) AS n,
       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
         FILTER (WHERE o_totalprice > 300000), 4) AS DOUBLE) AS big_total
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      FROM $tbl GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
-  val groupingSetsSql: String =
-    """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+  def groupingSetsSql(tbl: String = "lineitem"): String =
+    s"""SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_qty
-      FROM lineitem
+      FROM $tbl
       GROUP BY GROUPING SETS ((l_returnflag),(l_returnflag,l_linestatus),())
       ORDER BY rf, ls"""
 
@@ -110,11 +112,10 @@ object Aggregates {
 
     // Explicit GROUPING SETS — same SQL text runs in both engines.
     Q("d6_agg_grouping_sets",
-      (s, d) => {
-        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
-        s.sql(Aggregates.groupingSetsSql)
+      (s, d) => Views.unique(s, "lineitem" -> t(s, d, "lineitem")) { v =>
+        s.sql(Aggregates.groupingSetsSql(v("lineitem")))
       },
-      Some(Aggregates.groupingSetsSql)),
+      Some(Aggregates.groupingSetsSql())),
 
     // approx_distinct — TD's signature HLL agg. Graded in the EXACT
     // regime (the d19/d21/d24/k12 device, upgrading SURVEY §3.D d7's
@@ -199,11 +200,10 @@ object Aggregates {
 
     // FILTER-clause (conditional) aggregation — same ANSI text both engines.
     Q("d13_agg_filter",
-      (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("orders")
-        s.sql(Aggregates.filterAggSql)
+      (s, d) => Views.unique(s, "orders" -> t(s, d, "orders")) { v =>
+        s.sql(Aggregates.filterAggSql(v("orders")))
       },
-      Some(Aggregates.filterAggSql)),
+      Some(Aggregates.filterAggSql())),
 
     // array_agg → deterministic sorted list, emitted as a joined string.
     Q("d11_agg_collect",

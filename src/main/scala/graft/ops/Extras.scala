@@ -211,11 +211,10 @@ object Extras {
     // approximate regime (vocab > capacity) stays under scalatest
     // containment bounds in LlmOpsSpec.
     Q("k4_heavy_hitters",
-      (s, d) => {
+      (s, d) => Views.unique(s, "documents" -> t(s, d, "documents")) { v =>
         graft.functions.HeavyHitters.register(s)
-        t(s, d, "documents").createOrReplaceTempView("documents")
-        s.sql("""SELECT lang, inline(heavy_hitters(term, 5)) FROM
-          (SELECT lang, explode(split(text, ' ')) AS term FROM documents)
+        s.sql(s"""SELECT lang, inline(heavy_hitters(term, 5)) FROM
+          (SELECT lang, explode(split(text, ' ')) AS term FROM ${v("documents")})
           GROUP BY lang ORDER BY lang, cnt DESC, term""")
       },
       Some("""WITH tc AS (SELECT lang, term, COUNT(*) AS cnt

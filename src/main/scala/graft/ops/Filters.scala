@@ -61,12 +61,11 @@ object Filters {
     // Correlated scalar subquery → Catalyst decorrelates to a left outer
     // join (what Presto did server-side for the reference's passthrough).
     Q("b5_scalar_subquery",
-      (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("orders")
-        t(s, d, "customer").createOrReplaceTempView("customer")
-        s.sql("""SELECT o_orderkey,
-          (SELECT c_name FROM customer WHERE c_custkey = o_custkey) AS cust_name
-          FROM orders ORDER BY o_orderkey""")
+      (s, d) => Views.unique(s, "orders" -> t(s, d, "orders"),
+          "customer" -> t(s, d, "customer")) { v =>
+        s.sql(s"""SELECT o_orderkey,
+          (SELECT c_name FROM ${v("customer")} WHERE c_custkey = o_custkey) AS cust_name
+          FROM ${v("orders")} ORDER BY o_orderkey""")
       },
       Some("""SELECT o_orderkey,
         (SELECT c_name FROM customer WHERE c_custkey = o_custkey) AS cust_name
@@ -75,11 +74,10 @@ object Filters {
     // IN (subquery): Catalyst RewritePredicateSubquery → left-semi join; at
     // scale the semi side stays small → broadcast-able.
     Q("b4_filter_in_subquery",
-      (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("orders")
-        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
-        s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-          WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+      (s, d) => Views.unique(s, "orders" -> t(s, d, "orders"),
+          "lineitem" -> t(s, d, "lineitem")) { v =>
+        s.sql(s"""SELECT l_orderkey, l_linenumber, l_quantity FROM ${v("lineitem")}
+          WHERE l_orderkey IN (SELECT o_orderkey FROM ${v("orders")} WHERE o_totalprice > 450000)
           ORDER BY l_orderkey, l_linenumber, l_quantity""")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -480,17 +480,16 @@ object Round13 {
     // standard's behavior rather than the intuitive one, the #1 silent
     // wrong-answer class in migrated warehouse SQL.
     Q("b6_not_in_null_trap",
-      (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("b6_orders")
-        t(s, d, "customer").createOrReplaceTempView("b6_customer")
-        s.sql("""
+      (s, d) => Views.unique(s, "b6_orders" -> t(s, d, "orders"),
+          "b6_customer" -> t(s, d, "customer")) { v =>
+        s.sql(s"""
           WITH sub AS (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
-                 ELSE c_custkey END AS k FROM b6_customer)
+                 ELSE c_custkey END AS k FROM ${v("b6_customer")})
           SELECT 'not_in' AS mode, CAST(COUNT(*) AS BIGINT) AS n
-          FROM b6_orders WHERE o_custkey NOT IN (SELECT k FROM sub)
+          FROM ${v("b6_orders")} WHERE o_custkey NOT IN (SELECT k FROM sub)
           UNION ALL
           SELECT 'not_exists' AS mode, CAST(COUNT(*) AS BIGINT) AS n
-          FROM b6_orders o WHERE NOT EXISTS (
+          FROM ${v("b6_orders")} o WHERE NOT EXISTS (
             SELECT 1 FROM sub WHERE sub.k = o.o_custkey)
           ORDER BY mode""")
       },
@@ -609,12 +608,11 @@ object Round13 {
     // any level, every merged count is exact, and the oracle is the
     // plain (day, type) GROUP BY.
     Q("d26_topk_time_rollup",
-      (s, d) => {
-        graft.Tables.events(s, d).createOrReplaceTempView("d26_events")
-        s.sql("""
+      (s, d) => Views.unique(s, "d26_events" -> graft.Tables.events(s, d)) { v =>
+        s.sql(s"""
           WITH e AS (SELECT ts_ms div 86400000 AS day,
                             ts_ms div 3600000 AS hour, event_type
-                     FROM d26_events),
+                     FROM ${v("d26_events")}),
           hours AS (SELECT day, hour,
                       approx_top_k_accumulate(event_type, 64) AS sk
                     FROM e GROUP BY day, hour),
@@ -646,10 +644,9 @@ object Round13 {
     // a side drop via the HAVING pair guard — AND with an absent bitmap
     // would wrongly pass the present side through).
     Q("d27_bitmap_exact_distinct",
-      (s, d) => {
-        graft.Tables.events(s, d).createOrReplaceTempView("d27_events")
-        s.sql("""
-          WITH e AS (SELECT event_type, user_id AS v FROM d27_events),
+      (s, d) => Views.unique(s, "d27_events" -> graft.Tables.events(s, d)) { v =>
+        s.sql(s"""
+          WITH e AS (SELECT event_type, user_id AS v FROM ${v("d27_events")}),
           bm AS (SELECT event_type, bitmap_bucket_number(v) AS bkt,
                    bitmap_construct_agg(bitmap_bit_position(v)) AS b
                  FROM e GROUP BY event_type, bitmap_bucket_number(v)),
@@ -743,11 +740,10 @@ object Round13 {
         FROM sc ORDER BY score DESC, doc_id LIMIT 10""")),
 
     Q("d24_theta_set_algebra",
-      (s, d) => {
+      (s, d) => Views.unique(s, "d24_events" -> graft.Tables.events(s, d)) { v =>
         graft.functions.Theta.register(s)
-        graft.Tables.events(s, d).createOrReplaceTempView("d24_events")
-        s.sql("""
-          WITH e AS (SELECT event_type, user_id % 512 AS fp FROM d24_events),
+        s.sql(s"""
+          WITH e AS (SELECT event_type, user_id % 512 AS fp FROM ${v("d24_events")}),
           sk AS (SELECT event_type, theta_sketch_agg(fp) AS s
                  FROM e GROUP BY event_type)
           SELECT a.event_type AS ta, b.event_type AS tb,

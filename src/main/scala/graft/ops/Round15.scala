@@ -31,25 +31,12 @@ import graft.Tables._
   */
 object Round15 {
 
-  /** Per-invocation UNIQUE temp-view names for the SQL-text keys: a fixed
-    * view name is shared-session state, and two concurrent invocations of
-    * the same key at different SF dirs (the Verify dual-SF regime) race
-    * between `createOrReplaceTempView` and `sql` — the same hazard the r15
-    * diff removed from d7, fixed here the way Streams fixes its
-    * queryNames (UUID suffix). Views are dropped right after `body`
-    * returns: `s.sql` analysis is EAGER, so the returned DataFrame has
-    * already resolved the views into its plan and nothing leaks. */
+  /** See [[Views.unique]] — per-invocation unique temp-view names for the
+    * SQL-text keys (the r15 ADVICE race fix, shared repo-wide in r16). */
   private def withUniqueViews(s: org.apache.spark.sql.SparkSession,
       views: (String, org.apache.spark.sql.DataFrame)*)(
       body: Map[String, String] => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val names = views.map { case (base, df) =>
-      val n = base + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      df.createOrReplaceTempView(n)
-      base -> n
-    }.toMap
-    try body(names) finally names.values.foreach(s.catalog.dropTempView(_))
-  }
+      : org.apache.spark.sql.DataFrame = Views.unique(s, views: _*)(body)
 
   /** j56's shared core: (tokenized docs, covered duplicate positions).
     * `tk` is (doc_id, toks); `covered` is the DISTINCT (doc_id, p) set of
@@ -739,7 +726,13 @@ object Round15 {
           .select(col("d1"), col("d2"), round(col("wjac_raw"), 6).as("wjac"))
           .orderBy("d1", "d2")
       },
-      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+      Some(j60Oracle)))
+
+  /** Exact weighted-Jaccard oracle, shared by j60 (capped pair core) and
+    * j60b (weighted prefix filter) — both are EXACT paths, so one SQL
+    * grades both. */
+  lazy val j60Oracle: String =
+    """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
             WHERE len(string_split(text,' ')) >= 3),
         sh AS (SELECT doc_id,
             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
@@ -756,5 +749,5 @@ object Round15 {
         FROM p JOIN tot t1 ON d1 = t1.doc_id JOIN tot t2 ON d2 = t2.doc_id
         WHERE CAST(w_inter AS DOUBLE)
               / CAST(t1.tot + t2.tot - w_inter AS DOUBLE) >= 0.5
-        ORDER BY d1, d2""")))
+        ORDER BY d1, d2"""
 }

@@ -30,6 +30,41 @@ import graft.Tables._
   */
 object Round16 {
 
+  /** j60b's weighted prefix index. `tf` is (doc_id, sh, c) term-frequency
+    * postings, `tot` is (doc_id, tot) total weights; returns the
+    * (doc_id, sh, tot) rows a qualifying pair's canonically-smallest
+    * shared type can come from.
+    *
+    * LOSSLESSNESS (the PPJoin prefix principle over multisets): give
+    * types the global canonical order (df asc, sh asc) and let
+    * cum_before(d, x) = Σ weights of d's types strictly before x. For
+    * J_w ≥ τ, any partner has total ≥ τ·t(d) (J_w ≤ min/max of totals),
+    * so the required overlap Σmin ≥ τ/(1+τ)·(t(d) + τ·t(d)) = τ·t(d).
+    * Let x be the pair's canonically-smallest shared type: all shared
+    * mass on d's side sits at x or after, so Σmin ≤ t(d) −
+    * cum_before(d, x); combining, cum_before(d, x) ≤ t(d) − ⌈τ·t(d)⌉ —
+    * i.e. x is in d's weighted prefix, ON BOTH SIDES (same x: the order
+    * is global). Types past the bound can never be the smallest shared
+    * type and are dropped with zero recall loss. df=1 types count toward
+    * cum_before but can never be shared — dropped at emission. The
+    * per-doc window runs over that doc's own postings, never the corpus;
+    * hot (boilerplate) types have maximal df, sort LAST, and thus never
+    * enter the index — the Σdf² heavy-key mass vanishes from the
+    * candidate join instead of being enumerated. */
+  private[graft] def weightedPrefix(tf: org.apache.spark.sql.DataFrame,
+      tot: org.apache.spark.sql.DataFrame, tau: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val typeDf = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "sh")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tf.join(typeDf, "sh")
+      .join(tot, "doc_id")
+      .withColumn("cum_before", coalesce(sum("c").over(w), lit(0L)))
+      .where(col("cum_before") <= col("tot") - ceil(col("tot") * tau)
+        && col("df") >= 2)
+      .select(col("doc_id"), col("sh"), col("tot"))
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("k16_param_query",
@@ -53,6 +88,151 @@ object Round16 {
         WHERE o_orderdate >= '1995-06-01' AND o_orderstatus = 'F'
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
+
+    // j60b — weighted Jaccard via WEIGHTED PREFIX FILTERING (the PPJoin
+    // principle of j2c generalized to multisets): j60's capped pair core
+    // is memory-safe under a hot shingle but still pays the Σdf² heavy-key
+    // pair mass (that is j2's adjudicated exact-path state — 205 s at the
+    // r15 soak's skew). This sibling is the stated 100 TB path: give
+    // shingle TYPES the global canonical order (df asc, hash asc) and for
+    // τ = 0.5 a qualifying pair's canonically-SMALLEST shared type must
+    // lie in BOTH docs' weighted prefixes — every type whose preceding
+    // cumulative weight exceeds t(d) − ⌈τ·t(d)⌉ can be dropped from the
+    // index with zero loss (proof in scaladoc of the helper below). The
+    // boilerplate shingles are the most FREQUENT, so they sort LAST and
+    // never enter a prefix: the candidate join runs over rare types only
+    // and the hot-key quadratic vanishes — exactly j2c's collapse,
+    // LOSSLESS (unlike an ICWS sketch, recall is provably 1.0, so the
+    // oracle is j60's own exact SQL). Candidates verify by an exact Σmin
+    // join restricted to candidate pairs.
+    Q("j60b_dedup_weighted_prefix",
+      (s, d) => {
+        val tau = 0.5
+        val tf = LlmOps.docShingleTf(s, d)
+        val tot = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"), (size(col("toks")) - 2).cast("long").as("tot"))
+        val prefix = weightedPrefix(tf, tot, tau)
+        val cand = prefix.select(col("doc_id").as("d1"), col("sh"), col("tot").as("t1"))
+          .join(prefix.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+            col("tot").as("t2")), col("sh") === col("sh2") && col("d1") < col("d2"))
+          .select("d1", "d2", "t1", "t2").distinct()
+          .localCheckpoint() // j2c's device: compute the prefix join ONCE
+        // exact verify on candidates only: Σmin over the pair's shared
+        // types via two joins of the (candidate-restricted) tf relation
+        val wInter = cand.select("d1", "d2")
+          .join(tf.toDF("d1", "sh", "c1"), "d1")
+          .join(tf.toDF("dd2", "sh2", "c2"),
+            col("d2") === col("dd2") && col("sh") === col("sh2"))
+          .groupBy("d1", "d2").agg(sum(least(col("c1"), col("c2"))).as("w_inter"))
+        cand.join(wInter, Seq("d1", "d2"))
+          .withColumn("wjac_raw", col("w_inter").cast("double")
+            / (col("t1") + col("t2") - col("w_inter")).cast("double"))
+          .where(col("wjac_raw") >= tau)
+          .select(col("d1"), col("d2"), round(col("wjac_raw"), 6).as("wjac"))
+          .orderBy("d1", "d2")
+      },
+      Some(Round15.j60Oracle)),
+
+    // h37 — COLLATION-aware string semantics (Spark 4 native COLLATE):
+    // case-insensitive equality, containment and DISTINCT under the
+    // UTF8_LCASE collation — the engine-level answer to the lower()-
+    // wrapping every Presto/Hive migration sprinkles over joins and
+    // GROUP BYs. The fixture mixes case deterministically (even keys
+    // upper, odd lower); the graded claims: DISTINCT under the collation
+    // collapses case variants (nd_ci vs nd_cs), collated equality and
+    // contains() match across case, and a collated GROUP BY partitions
+    // exactly like lower() (emitted through min(lower(seg)) so the
+    // representative is deterministic). Collation compares inside
+    // codegen'd comparators — no expression-tree lower() wrapping, and
+    // at 100 TB the scan output stays byte-identical (no derived column
+    // to shuffle).
+    Q("h37_collation",
+      (s, d) => {
+        val mixed = t(s, d, "customer").select(col("c_custkey"),
+          when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+            .otherwise(lower(col("c_mktsegment"))).as("seg"),
+          when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+            .otherwise(col("c_name")).as("nm"))
+        val perSeg = mixed
+          .groupBy(expr("collate(seg, 'UTF8_LCASE')").as("k"))
+          .agg(min(lower(col("seg"))).as("seg_l"),
+            count(lit(1)).as("n"),
+            sum(when(col("seg") === upper(col("seg")), 1L).otherwise(0L))
+              .as("n_upper"))
+          .select(col("seg_l"), col("n"), col("n_upper"))
+        val totals = mixed.agg(
+            countDistinct(expr("collate(seg, 'UTF8_LCASE')")).as("n"),
+            countDistinct(col("seg")).as("n_upper"))
+          .select(lit("__totals__").as("seg_l"), col("n"), col("n_upper"))
+        // collated equality and contains are case-insensitive: the
+        // pattern's own case must not matter (upper-case pattern here,
+        // lower-case oracle)
+        val preds = mixed.agg(
+            sum(when(expr("collate(seg, 'UTF8_LCASE')") === lit("BUILDING"), 1L)
+              .otherwise(0L)).as("n"),
+            sum(when(expr("contains(collate(nm, 'UTF8_LCASE'), 'CUSTOMER#0000001')"),
+              1L).otherwise(0L)).as("n_upper"))
+          .select(lit("__predicates__").as("seg_l"), col("n"), col("n_upper"))
+        perSeg.unionAll(totals).unionAll(preds).orderBy("seg_l")
+      },
+      Some("""WITH mixed AS (SELECT c_custkey,
+            CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                 ELSE lower(c_mktsegment) END AS seg,
+            CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS nm
+          FROM customer)
+        SELECT lower(seg) AS seg_l, COUNT(*) AS n,
+               SUM(CASE WHEN seg = upper(seg) THEN 1 ELSE 0 END) AS n_upper
+        FROM mixed GROUP BY lower(seg)
+        UNION ALL
+        SELECT '__totals__', COUNT(DISTINCT lower(seg)), COUNT(DISTINCT seg)
+        FROM mixed
+        UNION ALL
+        SELECT '__predicates__',
+               SUM(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN contains(lower(nm), 'customer#0000001')
+                   THEN 1 ELSE 0 END)
+        FROM mixed
+        ORDER BY seg_l""")),
+
+    // j61 — UNIGRAM-LM quality scoring (the statistical leg of the text-
+    // quality tier next to j9's ratio heuristics and j58's length
+    // outliers): fit a unigram language model on the corpus itself
+    // (p(term) = count/total over the whole documents table), then score
+    // every document by its mean token negative-log-likelihood — the
+    // cheap proxy for "perplexity under an in-domain LM" that data
+    // pipelines use to rank crawl text before a real LM sees it (high
+    // score = rare-token-heavy = off-distribution or noise). Two
+    // shuffles: the vocabulary aggregation and the per-doc regroup; the
+    // vocab relation is the only thing joined back (term-keyed — at
+    // 100 TB it shuffles once and is orders smaller than the corpus).
+    // ln over integer-ratio inputs + round-6 is the h4 cross-engine
+    // device.
+    Q("j61_unigram_lm_score",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+        // corpus token total stays IN-PLAN (1-row broadcast), no driver
+        // action — the vocab and total both derive from one tok subtree
+        val total = tok.agg(count(lit(1)).cast("double").as("total"))
+        tok.join(vocab, "term")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            round(avg(-log(col("cnt") / col("total"))), 6).as("nll"))
+          .orderBy(desc("nll"), asc("doc_id")).limit(25)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+        vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok)
+        SELECT t.doc_id, COUNT(*) AS n_tok,
+               ROUND(AVG(-ln(v.cnt / (SELECT total FROM tot))), 6) AS nll
+        FROM tok t JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id
+        ORDER BY nll DESC, doc_id LIMIT 25""")),
 
     Q("j56b_substring_spans",
       (s, d) => {

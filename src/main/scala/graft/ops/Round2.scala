@@ -346,12 +346,11 @@ object Round2 {
     // this is the plain spark.udf.register path every user extension takes
     // first.) Counting vowels keeps the oracle trivially expressible.
     Q("k1_udf_scalar",
-      (s, d) => {
+      (s, d) => Views.unique(s, "k1_customer" -> t(s, d, "customer")) { v =>
         s.udf.register("vowel_count",
           (name: String) => name.toLowerCase.count("aeiou".contains(_)).toLong)
-        t(s, d, "customer").createOrReplaceTempView("k1_customer")
-        s.sql("""SELECT c_custkey, vowel_count(c_name) AS n_vowels
-          FROM k1_customer ORDER BY c_custkey""")
+        s.sql(s"""SELECT c_custkey, vowel_count(c_name) AS n_vowels
+          FROM ${v("k1_customer")} ORDER BY c_custkey""")
       },
       Some("""SELECT c_custkey,
         CAST(length(lower(c_name)) -
@@ -362,12 +361,11 @@ object Round2 {
     // LATERAL VIEW over graft.expressions.CharNGrams — multi-column rows
     // generated from a scalar with no intermediate array.
     Q("k3_udtf_ngrams",
-      (s, d) => {
+      (s, d) => Views.unique(s,
+          "k3_docs" -> t(s, d, "documents").where(col("doc_id") < 50)) { v =>
         graft.expressions.CharNGrams.register(s)
-        t(s, d, "documents").where(col("doc_id") < 50)
-          .createOrReplaceTempView("k3_docs")
-        s.sql("""SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram
-          FROM k3_docs LATERAL VIEW char_ngrams(text, 3) t AS pos, gram
+        s.sql(s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram
+          FROM ${v("k3_docs")} LATERAL VIEW char_ngrams(text, 3) t AS pos, gram
           ORDER BY doc_id, pos""")
       },
       Some("""SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, substr(text, i.i, 3) AS gram

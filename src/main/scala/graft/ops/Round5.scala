@@ -438,20 +438,19 @@ object Round5 {
     // territory; Round5Spec pins the full-key sketch's error bound).
     // exact_nd rides along so the reconciliation is visible in-row.
     Q("d19_hll_partial_merge",
-      (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("graft_d19_orders")
-        s.sql("""
+      (s, d) => Views.unique(s, "graft_d19_orders" -> t(s, d, "orders")) { v =>
+        s.sql(s"""
           WITH parts AS (
             SELECT o_orderpriority, hll_sketch_agg(o_custkey % 512, 14) AS sk,
                    COUNT(DISTINCT o_custkey % 512) AS exact_nd
-            FROM graft_d19_orders GROUP BY o_orderpriority)
+            FROM ${v("graft_d19_orders")} GROUP BY o_orderpriority)
           SELECT o_orderpriority,
                  CAST(hll_sketch_estimate(sk) AS BIGINT) AS est_nd, exact_nd
           FROM parts
           UNION ALL
           SELECT 'ALL',
                  CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT),
-                 (SELECT COUNT(DISTINCT o_custkey % 512) FROM graft_d19_orders)
+                 (SELECT COUNT(DISTINCT o_custkey % 512) FROM ${v("graft_d19_orders")})
           FROM parts
           ORDER BY o_orderpriority""")
       },

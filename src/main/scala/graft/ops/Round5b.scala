@@ -416,12 +416,11 @@ object Round5b {
     // quantization oracle-exact). The approximate regime is k4's
     // scalatest-bounded territory.
     Q("d21_approx_top_k",
-      (s, d) => {
-        t(s, d, "part").createOrReplaceTempView("graft_d21_part")
-        s.sql("""
+      (s, d) => Views.unique(s, "graft_d21_part" -> t(s, d, "part")) { v =>
+        s.sql(s"""
           SELECT tk.item AS p_brand, CAST(tk.count AS BIGINT) AS n FROM (
             SELECT explode(approx_top_k(p_brand, 25, 64)) AS tk
-            FROM graft_d21_part)
+            FROM ${v("graft_d21_part")})
           ORDER BY n DESC, p_brand""")
       },
       Some("""SELECT p_brand, COUNT(*) AS n FROM part

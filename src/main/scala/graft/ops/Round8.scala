@@ -419,13 +419,12 @@ object Round8 {
     // exact DISTINCTs; exact_users rides along for in-row
     // reconciliation.
     Q("d22_hll_time_rollup",
-      (s, d) => {
-        events(s, d).createOrReplaceTempView("graft_d22_events")
-        s.sql("""
+      (s, d) => Views.unique(s, "graft_d22_events" -> events(s, d)) { v =>
+        s.sql(s"""
           WITH e AS (
             SELECT ts_ms div 3600000 AS hour, ts_ms div 86400000 AS day,
                    user_id
-            FROM graft_d22_events),
+            FROM ${v("graft_d22_events")}),
           hours AS (
             SELECT day, hour, hll_sketch_agg(user_id, 14) AS sk
             FROM e GROUP BY day, hour),
@@ -464,13 +463,12 @@ object Round8 {
     // every estimate — including the union's — is exact and the DuckDB
     // oracle recomputes the same numbers with exact DISTINCTs.
     Q("j45_corpus_overlap",
-      (s, d) => {
-        t(s, d, "documents").createOrReplaceTempView("graft_j45_docs")
-        s.sql("""
+      (s, d) => Views.unique(s, "graft_j45_docs" -> t(s, d, "documents")) { v =>
+        s.sql(s"""
           WITH fp AS (
             SELECT source,
                    CAST(conv(substring(md5(text),1,4),16,10) AS BIGINT) % 512 AS fp
-            FROM graft_j45_docs),
+            FROM ${v("graft_j45_docs")}),
           sk AS (
             SELECT source, hll_sketch_agg(fp, 14) AS sk,
                    COUNT(DISTINCT fp) AS nd

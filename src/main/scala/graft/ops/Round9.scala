@@ -671,9 +671,8 @@ object Round9 {
         ORDER BY v_inc, v_idx""")),
 
     Q("k6_presto_dialect_agg",
-      (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("k6_orders")
-        graft.functions.Presto.sql(s, """
+      (s, d) => Views.unique(s, "k6_orders" -> t(s, d, "orders")) { v =>
+        graft.functions.Presto.sql(s, s"""
           SELECT o_orderpriority,
                  CAST(approx_distinct(o_custkey % 8) AS BIGINT) AS nd_bucket,
                  arbitrary(upper(o_orderpriority)) AS pri_upper,
@@ -682,7 +681,7 @@ object Round9 {
                  CAST(day_of_week(MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS dow_max,
                  CAST(week(MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS week_max,
                  MIN(CAST(strpos(o_orderpriority, '-') AS BIGINT)) AS dash_pos
-          FROM k6_orders
+          FROM ${v("k6_orders")}
           GROUP BY o_orderpriority
           ORDER BY o_orderpriority""")
       },
@@ -704,7 +703,7 @@ object Round9 {
     // the alias layer is what's being proven, not java.net.URI.
     Q("k8_presto_dialect_url",
       (s, d) => {
-        events(s, d).where(col("event_id") < 200)
+        val k8src = events(s, d).where(col("event_id") < 200)
           .selectExpr("event_id", "event_type", "value",
             "concat('https://h', cast(user_id % 5 as string), '.example.com/p/',"
               + " event_type, '?k=', cast(get_json_object(props, '$.k') as string),"
@@ -712,8 +711,8 @@ object Round9 {
               + " as url",
             "concat('t=', event_type, ',u=', cast(user_id as string)) as kvs",
             "cast(user_id as bigint) as user_id")
-          .createOrReplaceTempView("k8_events")
-        graft.functions.Presto.sql(s, """
+        Views.unique(s, "k8_events" -> k8src) { v =>
+        graft.functions.Presto.sql(s, s"""
           SELECT event_id,
                  url_extract_protocol(url) AS proto,
                  url_extract_host(url) AS host,
@@ -735,8 +734,9 @@ object Round9 {
                  is_nan(nan()) AS nan_t,
                  is_finite(value) AS fin,
                  is_infinite(value / infinity()) AS inf_f
-          FROM k8_events
+          FROM ${v("k8_events")}
           ORDER BY event_id""")
+        }
       },
       Some("""SELECT event_id,
                'https' AS proto,
@@ -772,17 +772,16 @@ object Round9 {
     // lists are sorted then joined to one string, so every cell is a
     // scalar and both engines sort/hash identically.
     Q("k9_presto_dialect_map",
-      (s, d) => {
-        events(s, d).where(col("event_id") < 60)
-          .selectExpr("event_id", "event_type", "value", "user_id % 4 as grp")
-          .createOrReplaceTempView("k9_events")
-        graft.functions.Presto.sql(s, """
+      (s, d) => Views.unique(s, "k9_events" -> events(s, d)
+          .where(col("event_id") < 60)
+          .selectExpr("event_id", "event_type", "value", "user_id % 4 as grp")) { v =>
+        graft.functions.Presto.sql(s, s"""
           WITH agg AS (
             SELECT grp,
                    map_entries(map_agg(event_id, value)) AS kv,
                    map_entries(multimap_agg(event_type, event_id)) AS mm,
                    map_entries(histogram(event_type)) AS hist
-            FROM k9_events GROUP BY grp)
+            FROM ${v("k9_events")} GROUP BY grp)
           SELECT grp, 'kv' AS kind, CAST(e.key AS STRING) AS k,
                  e.value AS v_num, '' AS v_str
           FROM agg LATERAL VIEW explode(kv) x AS e
@@ -813,11 +812,10 @@ object Round9 {
         ORDER BY grp, kind, k""")),
 
     Q("k7_presto_dialect_row",
-      (s, d) => {
-        events(s, d).createOrReplaceTempView("k7_events")
-        graft.functions.Presto.sql(s, """
+      (s, d) => Views.unique(s, "k7_events" -> events(s, d)) { v =>
+        graft.functions.Presto.sql(s, s"""
           SELECT event_id,
-                 CAST(json_extract_scalar(props, '$.k') AS BIGINT) AS k,
+                 CAST(json_extract_scalar(props, '$$.k') AS BIGINT) AS k,
                  CAST(strpos(event_type, 'c') AS BIGINT) AS c_pos,
                  CAST(to_unixtime(date_parse('2024-03-15 06:30:00',
                                              '%Y-%m-%d %H:%i:%s')) AS BIGINT) AS anchor_sec,
@@ -825,7 +823,7 @@ object Round9 {
                  date_format(from_unixtime(1700000000), '%Y/%m/%d %H:%i') AS rt_fmt,
                  lower(to_hex(event_id)) AS id_hex,
                  CAST(bitwise_and(event_id, 255) AS BIGINT) AS id_low_byte
-          FROM k7_events
+          FROM ${v("k7_events")}
           WHERE event_id < 200
           ORDER BY event_id""")
       },
@@ -845,9 +843,8 @@ object Round9 {
     // (year_of_week + its yow alias), current_timezone. Map-only
     // projection — every alias expands to codegen'd natives.
     Q("k10_presto_dialect_time",
-      (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("k10_orders")
-        graft.functions.Presto.sql(s, """
+      (s, d) => Views.unique(s, "k10_orders" -> t(s, d, "orders")) { v =>
+        graft.functions.Presto.sql(s, s"""
           SELECT o_orderkey,
                  to_iso8601(CAST(o_orderdate AS DATE)) AS d_iso,
                  to_iso8601(o_orderdate) AS ts_iso,
@@ -858,7 +855,7 @@ object Round9 {
                  CAST(year_of_week(o_orderdate) AS BIGINT) AS iso_year,
                  CAST(yow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_year2,
                  current_timezone() AS tz
-          FROM k10_orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")
+          FROM ${v("k10_orders")} WHERE o_orderkey < 300 ORDER BY o_orderkey""")
       },
       Some("""SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
@@ -879,9 +876,8 @@ object Round9 {
     // scalar subquery (one native aggregate). Flattened to scalar
     // columns per §8.4 (arrays re-joined to strings).
     Q("k11_presto_dialect_strarr",
-      (s, d) => {
-        t(s, d, "part").createOrReplaceTempView("k11_part")
-        graft.functions.Presto.sql(s, """
+      (s, d) => Views.unique(s, "k11_part" -> t(s, d, "part")) { v =>
+        graft.functions.Presto.sql(s, s"""
           SELECT p_partkey,
                  array_join(split(replace(p_name, ' ', '.'), '.'), '|') AS words,
                  regexp_extract(p_name, '[a-z]+') AS first_word,
@@ -905,8 +901,8 @@ object Round9 {
                  normalize(concat(substr(p_name, 1, 1), 'é')) AS nfc,
                  format('%s|%04d', p_type, p_partkey % 97) AS tag,
                  (SELECT round(geometric_mean(p_retailprice), 4)
-                  FROM k11_part) AS gm_price
-          FROM k11_part ORDER BY p_partkey""")
+                  FROM ${v("k11_part")}) AS gm_price
+          FROM ${v("k11_part")} ORDER BY p_partkey""")
       },
       Some("""SELECT p_partkey,
                array_to_string(string_split(replace(p_name, ' ', '.'), '.'), '|') AS words,
@@ -1135,10 +1131,9 @@ object Round9 {
     // exact DISTINCTs; the default-e and explicit-e paths are both
     // exercised.
     Q("k12_presto_dialect_hll",
-      (s, d) => {
-        graft.Tables.events(s, d).createOrReplaceTempView("k12_events")
-        graft.functions.Presto.sql(s, """
-          WITH e AS (SELECT event_type, user_id % 512 AS fp FROM k12_events),
+      (s, d) => Views.unique(s, "k12_events" -> graft.Tables.events(s, d)) { v =>
+        graft.functions.Presto.sql(s, s"""
+          WITH e AS (SELECT event_type, user_id % 512 AS fp FROM ${v("k12_events")}),
           sk AS (SELECT event_type AS grp,
                         approx_set(fp) AS s,
                         approx_set(fp, 0.008125) AS s14,

@@ -74,10 +74,9 @@ object Scalars {
     // TD_TIME_RANGE through the SQL registration path — parse-time expansion
     // to plain comparisons (pushdown-visible), never a UDF black box.
     Q("h3_td_time_range",
-      (s, d) => {
+      (s, d) => Views.unique(s, "lineitem" -> t(s, d, "lineitem")) { v =>
         Td.register(s)
-        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
-        s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        s.sql(s"""SELECT l_orderkey, l_linenumber, l_quantity FROM ${v("lineitem")}
           WHERE td_time_range(l_shipdate, '1997-01-01', '1997-03-01')
           ORDER BY l_orderkey, l_linenumber, l_quantity""")
       },
@@ -200,13 +199,11 @@ object Scalars {
     // parquet row-group min/max on the time column directly. h3 covers the
     // TIMESTAMP-column dispatch arm; this covers TD's own layout.
     Q("h21_td_time_range_epoch",
-      (s, d) => {
-        Td.register(s)
-        events(s, d)
+      (s, d) => Views.unique(s, "events_epoch" -> events(s, d)
           .select(col("event_id"), expr("ts_ms div 1000").as("time"),
-            col("event_type"))
-          .createOrReplaceTempView("events_epoch")
-        s.sql("""SELECT event_id, time, event_type FROM events_epoch
+            col("event_type"))) { v =>
+        Td.register(s)
+        s.sql(s"""SELECT event_id, time, event_type FROM ${v("events_epoch")}
           WHERE td_time_range(time, '2024-01-08', '2024-01-15')
           ORDER BY event_id""")
       },
@@ -256,18 +253,17 @@ object Scalars {
     // with the target zone pre-set on the TimeZoneAwareExpression, so no
     // UDF and no session-zone dependence.
     Q("h23_td_time_format",
-      (s, d) => {
-        Td.register(s)
-        events(s, d).where(col("event_id") < 2000)
+      (s, d) => Views.unique(s, "events_epoch_fmt" -> events(s, d)
+          .where(col("event_id") < 2000)
           .select(col("event_id"), expr("ts_ms div 1000").as("time"),
-            col("event_type"))
-          .createOrReplaceTempView("events_epoch_fmt")
-        s.sql("""SELECT event_id,
+            col("event_type"))) { v =>
+        Td.register(s)
+        s.sql(s"""SELECT event_id,
             td_time_format(time, 'yyyy-MM-dd HH:mm:ss', 'Asia/Tokyo') AS tf,
             td_time_parse(td_time_format(time, 'yyyy-MM-dd HH:mm:ss', 'Asia/Tokyo'), 'Asia/Tokyo') AS rt,
             td_time_parse(td_time_format(time, 'yyyy-MM-dd HH:mm:ss')) AS rt_utc,
             td_url_decode(concat('a%20b%2F', event_type)) AS dec
-          FROM events_epoch_fmt ORDER BY event_id""")
+          FROM ${v("events_epoch_fmt")} ORDER BY event_id""")
       },
       Some("""SELECT event_id,
           strftime(make_timestamp((epoch_ms(ts) // 1000 + 32400) * 1000000), '%Y-%m-%d %H:%M:%S') AS tf,
@@ -281,15 +277,14 @@ object Scalars {
     // zone's wall clock (Tokyo: fixed +09:00, so the oracle is an exact
     // epoch-shift algebra).
     Q("h24_td_time_arith",
-      (s, d) => {
+      (s, d) => Views.unique(s, "events_epoch_arith" -> events(s, d)
+          .select(col("event_id"), expr("ts_ms div 1000").as("time"))) { v =>
         Td.register(s)
-        events(s, d).select(col("event_id"), expr("ts_ms div 1000").as("time"))
-          .createOrReplaceTempView("events_epoch_arith")
-        s.sql("""SELECT event_id, time,
+        s.sql(s"""SELECT event_id, time,
             td_time_add(time, '-1d2h') AS back,
             td_date_trunc('day', time, 'Asia/Tokyo') AS day_jst,
             td_date_trunc('month', time) AS mon_utc
-          FROM events_epoch_arith ORDER BY event_id""")
+          FROM ${v("events_epoch_arith")} ORDER BY event_id""")
       },
       Some("""SELECT event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS time,
           CAST(epoch_ms(ts) // 1000 - 93600 AS BIGINT) AS back,
@@ -307,12 +302,11 @@ object Scalars {
     // 14:00; previous Tokyo day = [2024-01-09 00:00, 2024-01-10 00:00) JST
     // = [1704726000, 1704812400).
     Q("h25_td_interval",
-      (s, d) => {
+      (s, d) => Views.unique(s, "events_epoch_iv" -> events(s, d)
+          .select(col("event_id"), expr("ts_ms div 1000").as("time"))) { v =>
         Td.register(s)
         s.conf.set("spark.graft.scheduled_time", "2024-01-10 05:00:00")
-        events(s, d).select(col("event_id"), expr("ts_ms div 1000").as("time"))
-          .createOrReplaceTempView("events_epoch_iv")
-        s.sql("""SELECT event_id, time FROM events_epoch_iv
+        s.sql(s"""SELECT event_id, time FROM ${v("events_epoch_iv")}
           WHERE td_interval(time, '-1d', 'Asia/Tokyo')
           ORDER BY event_id""")
       },
@@ -326,15 +320,14 @@ object Scalars {
     // multi-key form orders by a composite scalar on both sides (ties on
     // o_orderdate broken by o_orderkey — §8.4.4 determinism).
     Q("h26_td_first_last",
-      (s, d) => {
+      (s, d) => Views.unique(s, "orders_tfl" -> t(s, d, "orders")) { v =>
         Td.register(s)
-        t(s, d, "orders").createOrReplaceTempView("orders_tfl")
-        s.sql("""SELECT o_orderpriority,
+        s.sql(s"""SELECT o_orderpriority,
             td_first(o_orderstatus, o_orderkey) AS first_status,
             td_last(o_orderstatus, o_orderkey) AS last_status,
             td_last(o_totalprice, unix_millis(cast(o_orderdate AS timestamp)) * 1000000 + o_orderkey) AS last_price,
             td_md5(o_orderpriority) AS pri_md5
-          FROM orders_tfl GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+          FROM ${v("orders_tfl")} GROUP BY o_orderpriority ORDER BY o_orderpriority""")
       },
       Some("""SELECT o_orderpriority,
           arg_min(o_orderstatus, o_orderkey) AS first_status,
@@ -352,16 +345,14 @@ object Scalars {
     // replay them: DuckDB derives session starts via the classic
     // lag→flag→cumsum→min-over-session chain and hashes the same string.
     Q("h27_td_sessionize_window",
-      (s, d) => {
-        Td.register(s)
-        events(s, d)
+      (s, d) => Views.unique(s, "events_epoch_sess" -> events(s, d)
           .select(col("event_id"), col("user_id"),
-            expr("ts_ms div 1000").as("time"))
-          .createOrReplaceTempView("events_epoch_sess")
-        s.sql("""SELECT event_id, user_id, time,
+            expr("ts_ms div 1000").as("time"))) { v =>
+        Td.register(s)
+        s.sql(s"""SELECT event_id, user_id, time,
             td_sessionize_window(time, 1800, user_id)
               OVER (PARTITION BY user_id ORDER BY time, event_id) AS session_id
-          FROM events_epoch_sess ORDER BY event_id""")
+          FROM ${v("events_epoch_sess")} ORDER BY event_id""")
       },
       Some("""WITH e AS (SELECT event_id, user_id,
             CAST(epoch_ms(ts) // 1000 AS BIGINT) AS time FROM events),
@@ -386,13 +377,12 @@ object Scalars {
     // exploding the map (map columns don't hash stably across engines;
     // the map SHAPE itself is pinned in TdSqlSpec).
     Q("h28_td_approx_most_frequent",
-      (s, d) => {
+      (s, d) => Views.unique(s, "documents_amf" -> t(s, d, "documents")) { v =>
         Td.register(s)
-        t(s, d, "documents").createOrReplaceTempView("documents_amf")
-        s.sql("""SELECT lang, term, cnt FROM (
+        s.sql(s"""SELECT lang, term, cnt FROM (
             SELECT lang, td_approx_most_frequent(5, term, 100) AS m
             FROM (SELECT lang, explode(split(text, ' ')) AS term
-              FROM documents_amf)
+              FROM ${v("documents_amf")})
             GROUP BY lang)
           LATERAL VIEW explode(m) AS term, cnt
           ORDER BY lang, cnt DESC, term""")
@@ -413,20 +403,18 @@ object Scalars {
     // the fields from the synthesis rule rather than re-parsing, so it
     // checks the parser against the ground truth the UAs were built FROM.
     Q("h29_td_parse_agent",
-      (s, d) => {
-        Td.register(s)
-        t(s, d, "customer")
+      (s, d) => Views.unique(s, "customer_ua" -> t(s, d, "customer")
           .withColumn("ua", concat(lit("Mozilla/5.0 ("),
             when(col("c_custkey") % 3 === 0, "X11; Linux x86_64")
               .when(col("c_custkey") % 3 === 1, "Macintosh; Intel Mac OS X 10_15_7")
               .otherwise("Windows NT 10.0; Win64; x64"),
             lit(") AppleWebKit/537.36 Chrome/"),
-            (lit(90) + col("c_custkey") % 30), lit(".0.0.0 Safari/537.36")))
-          .createOrReplaceTempView("customer_ua")
-        s.sql("""SELECT c_custkey,
+            (lit(90) + col("c_custkey") % 30), lit(".0.0.0 Safari/537.36")))) { v =>
+        Td.register(s)
+        s.sql(s"""SELECT c_custkey,
             m['browser'] AS browser, m['browser_version'] AS bv,
             m['os'] AS os, m['os_version'] AS osv, m['category'] AS cat
-          FROM (SELECT c_custkey, td_parse_agent(ua) AS m FROM customer_ua)
+          FROM (SELECT c_custkey, td_parse_agent(ua) AS m FROM ${v("customer_ua")})
           ORDER BY c_custkey""")
       },
       Some("""SELECT c_custkey,
