@@ -35,6 +35,13 @@ object PlanLint {
     "j39c_knn_twotable", "j39d_knn_topk_native", "j40_semantic_clusters",
     // BM25: the 1-row (N, avgdl) statistics carrier broadcasts
     "j42_bm25",
+    // unigram LM: the 1-row corpus-token-total carrier broadcasts (j42's
+    // stats-carrier pattern; the vocab join itself is the equi-join)
+    "j61_unigram_lm_score",
+    // ICWS: the K-row (16) slot table broadcasts over the tf relation
+    // (bounded by the signature length, never data volume); candidate
+    // generation is the banded equi-join
+    "j60c_dedup_weighted_icws",
     // RRF: BM25's stats carrier + the 1-row probe-embedding broadcast
     "j43_rrf_fusion",
     // corpus overlap: the pairwise theta join runs on the |sources|-row

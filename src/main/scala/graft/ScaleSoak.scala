@@ -132,6 +132,9 @@ object ScaleSoak {
       // the boilerplate types sort last in the canonical order and never
       // enter the candidate join
       run("j60b_dedup_weighted_prefix", Map.empty)
+      // the ICWS sketch sibling: signature cost linear in corpus mass,
+      // banded equi-join candidates, exact re-score — j2b's class
+      run("j60c_dedup_weighted_icws", Map.empty)
     }
 
     // j56/j56b substring dedup under LONG-boilerplate skew (r16): the

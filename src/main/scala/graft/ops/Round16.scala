@@ -65,6 +65,29 @@ object Round16 {
       .select(col("doc_id"), col("sh"), col("tot"))
   }
 
+  /** j60c's ICWS sampler: per (doc, slot) the argmin-a (type, t) sample
+    * over the doc's weighted types — (doc_id, slot, smp) with
+    * P[smp_A(slot) = smp_B(slot)] = J_w(A, B) (Ioffe 2010). Uniforms are
+    * xxhash64-derived from (type, slot) only, so they are CONSISTENT
+    * across documents — the property the estimator rests on. Shared with
+    * Round16Spec's estimator pin so the spec tests THIS computation. */
+  private[graft] def icwsSlots(tf: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    def uni(i: Int) =
+      (shiftrightunsigned(xxhash64(col("sh"), col("slot"), lit(i)), 11)
+        .cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val slots = tf.sparkSession.range(k).toDF("slot")
+    tf.crossJoin(broadcast(slots))
+      .withColumn("r", -(log(uni(1)) + log(uni(2))))
+      .withColumn("cg", -(log(uni(3)) + log(uni(4))))
+      .withColumn("beta", uni(5))
+      .withColumn("tq", floor(log(col("c")) / col("r") + col("beta")))
+      .withColumn("a", col("cg")
+        / exp(col("r") * (col("tq") - col("beta")) + col("r")))
+      .groupBy("doc_id", "slot")
+      .agg(min_by(struct(col("sh"), col("tq")), col("a")).as("smp"))
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("k16_param_query",
@@ -127,6 +150,63 @@ object Round16 {
             col("d2") === col("dd2") && col("sh") === col("sh2"))
           .groupBy("d1", "d2").agg(sum(least(col("c1"), col("c2"))).as("w_inter"))
         cand.join(wInter, Seq("d1", "d2"))
+          .withColumn("wjac_raw", col("w_inter").cast("double")
+            / (col("t1") + col("t2") - col("w_inter")).cast("double"))
+          .where(col("wjac_raw") >= tau)
+          .select(col("d1"), col("d2"), round(col("wjac_raw"), 6).as("wjac"))
+          .orderBy("d1", "d2")
+      },
+      Some(Round15.j60Oracle)),
+
+    // j60c — ICWS weighted MinHash (Ioffe 2010, "Improved Consistent
+    // Weighted Sampling"): the SKETCH leg of the weighted-dedup tier,
+    // completing the j60 family the way j2b completes j2 — j60 capped
+    // exact (Σdf²-bound under skew), j60b lossless prefix filter, j60c
+    // constant-size signatures for the regime where even the prefix join
+    // is too much (cross-corpus dedup against a standing index). Per
+    // (doc, type, slot): r, c ~ Gamma(2,1) = −ln(u·u'), β ~ U(0,1), all
+    // from xxhash64-derived uniforms keyed by (type, slot) — CONSISTENT
+    // across docs, the property the estimator needs; t = ⌊ln(w)/r + β⌋,
+    // a = c/(y·e^r) with y = e^{r(t−β)}; the slot's sample is the
+    // argmin-a (type, t) pair and P[slot matches] = J_w exactly.
+    // 8 bands × 2 slots: candidate pairs agree on a full band
+    // (equi-join on the banded signature — j2b's shape), then an EXACT
+    // Σmin re-score applies the threshold, so output equals j60/j60b
+    // (fixture pairs all sit at wjac ≥ 0.9 → per-pair recall
+    // 1−(1−0.81)⁸ ≈ 1−2e-6; the same exact-rescore convention as j2b).
+    // Sketch cost is LINEAR in corpus mass (map-only math + one
+    // (doc, slot) argmin shuffle); no pair-mass term anywhere before
+    // the banded equi-join.
+    Q("j60c_dedup_weighted_icws",
+      (s, d) => {
+        val K = 16; val bandSize = 2
+        val tau = 0.5
+        val tf = LlmOps.docShingleTf(s, d)
+        val tot = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"), (size(col("toks")) - 2).cast("long").as("tot"))
+        // band the K slots: 2 consecutive slots per band, the band key
+        // is one xxhash64 over the band's (type, t) samples
+        val sig = icwsSlots(tf, K)
+          .groupBy(col("doc_id"), (col("slot") / bandSize).cast("int").as("band"))
+          .agg(xxhash64(sort_array(collect_list(
+            struct(col("slot"), col("smp")))).cast("string")).as("bkey"))
+        val cand = sig.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+          .join(sig.select(col("doc_id").as("d2"), col("band").as("b2"),
+            col("bkey").as("k2")),
+            col("band") === col("b2") && col("bkey") === col("k2")
+              && col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+          .localCheckpoint()
+        val wInter = cand
+          .join(tf.toDF("d1", "sh", "c1"), "d1")
+          .join(tf.toDF("dd2", "sh2", "c2"),
+            col("d2") === col("dd2") && col("sh") === col("sh2"))
+          .groupBy("d1", "d2").agg(sum(least(col("c1"), col("c2"))).as("w_inter"))
+        cand.join(wInter, Seq("d1", "d2"))
+          .join(tot.select(col("doc_id").as("d1"), col("tot").as("t1")), "d1")
+          .join(tot.select(col("doc_id").as("d2"), col("tot").as("t2")), "d2")
           .withColumn("wjac_raw", col("w_inter").cast("double")
             / (col("t1") + col("t2") - col("w_inter")).cast("double"))
           .where(col("wjac_raw") >= tau)

@@ -262,6 +262,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weighted pair core and weighted prefix filter match brute-force weighted Jaccard") {
+    import spark.implicits._
+    // random MULTISET corpora: small type universe, counts 1..4 — heavy
+    // type sharing exercises the capped light/heavy split (cap 3 forces
+    // the heavy branch) and the weighted prefix's cum_before bound
+    val gBag = Gen.listOfN(10, Gen.zip(Gen.choose(0L, 19L), Gen.choose(1L, 4L)))
+      .map(_.groupMapReduce(_._1)(_._2)(_ + _))
+    (0 until 3).foreach { round =>
+      val bags = samples(gBag, 22).zipWithIndex
+        .map { case (b, i) => (i.toLong, b) }.filter(_._2.nonEmpty)
+      val tfDf = bags.flatMap { case (i, b) => b.map { case (sh, c) => (i, sh, c) } }
+        .toDF("doc_id", "sh", "c")
+      val totDf = bags.map { case (i, b) => (i, b.values.sum) }.toDF("doc_id", "tot")
+      def wj(a: Map[Long, Long], b: Map[Long, Long]): (Long, Long) = {
+        val inter = (a.keySet & b.keySet).toSeq.map(k => math.min(a(k), b(k))).sum
+        (inter, a.values.sum + b.values.sum - inter)
+      }
+      val expect = (for {
+        (i, bi) <- bags; (j, bj) <- bags if i < j
+        (inter, uni) = wj(bi, bj) if inter.toDouble / uni >= 0.5
+      } yield (i, j, inter)).toSet
+      // capped pair core, both physical paths
+      Seq(256, 3).foreach { cap =>
+        val got = graft.ops.LlmOps.weightedPairSums(tfDf, cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // weightedPairSums emits ALL sharing pairs; apply the threshold
+        val tot = bags.toMap
+        val gotThr = got.filter { case (i, j, inter) =>
+          inter.toDouble / (tot(i).values.sum + tot(j).values.sum - inter) >= 0.5
+        }
+        assert(gotThr == expect, s"round $round cap $cap: " +
+          s"extra=${gotThr -- expect} missing=${expect -- gotThr}")
+      }
+      // weighted prefix: every qualifying pair keeps a shared prefix type
+      val prefix = graft.ops.Round16.weightedPrefix(tfDf, totDf, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      expect.foreach { case (i, j, _) =>
+        val shared = bags.toMap.apply(i).keySet & bags.toMap.apply(j).keySet
+        assert(shared.exists(sh => prefix((i, sh)) && prefix((j, sh))),
+          s"round $round: qualifying pair ($i,$j) lost its prefix witness")
+      }
+    }
+  }
+
   test("prefix-filtered near-dup (j2c) equals the full inverted-index join (j2)") {
     import spark.implicits._
     // synthetic corpora with planted near-dups: base texts plus variants

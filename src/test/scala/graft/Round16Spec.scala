@@ -54,6 +54,41 @@ class Round16Spec extends AnyFunSuite {
       s"qualifying pair lost its prefix witness: $prefix")
   }
 
+  test("j60c ICWS sketch recovers the exact weighted near-dup pairs (j60)") {
+    val exact = run("j60_dedup_weighted").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val icws = run("j60c_dedup_weighted_icws").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // fixture pairs all sit at wjac ≥ 0.9 → 8×2 banding recall ≈ 1−2e-6;
+    // the exact re-score kills false positives, so equality is the bar
+    assert(exact == icws,
+      s"only-exact: ${exact -- icws}; only-icws: ${icws -- exact}")
+    assert(icws.nonEmpty)
+  }
+
+  test("ICWS slot-match rate estimates weighted Jaccard (the Ioffe property)") {
+    // two hand-built bags with known J_w = Σmin/Σmax: run the j60c slot
+    // computation standalone over K=256 slots and check the agreement
+    // rate lands near J_w (binomial 3σ). Pinning the ESTIMATOR (not just
+    // the end-to-end key, whose exact re-score would mask a broken
+    // sketch that still finds candidates).
+    import spark.implicits._
+    val K = 256
+    val tf = (Seq((1L, 10L, 4L), (1L, 11L, 2L), (1L, 12L, 2L)) ++
+      Seq((2L, 10L, 2L), (2L, 11L, 2L), (2L, 13L, 4L)))
+      .toDF("doc_id", "sh", "c")
+    // J_w = (min(4,2)+min(2,2)+0+0) / (max over union: 4+2+2+4) = 4/12
+    val jw = 4.0 / 12.0
+    val sig = ops.Round16.icwsSlots(tf, K)
+    val bySlot = sig.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getStruct(2)).toMap
+    val matches = (0L until K).count(k => bySlot((1L, k)) == bySlot((2L, k)))
+    val rate = matches.toDouble / K
+    val sigma = math.sqrt(jw * (1 - jw) / K)
+    assert(math.abs(rate - jw) <= 3 * sigma + 1e-9,
+      f"ICWS match rate $rate%.3f vs J_w $jw%.3f (3σ = ${3 * sigma}%.3f)")
+  }
+
   test("j56b stats agree with j56's full-text output (dup_tokens, n_tokens)") {
     val full = run("j56_substring_dedup").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
