@@ -158,6 +158,126 @@ object Round16 {
       },
       Some(Round15.j60Oracle)),
 
+    // a35 — NESTED-STRUCT projection pruning + filter pushdown: the
+    // fixtures ship flat, so the key writes the struct layout a real
+    // event lake uses (meta: struct<user_id, event_type>, then reads it
+    // back projecting ONE nested field under a filter on ANOTHER. The
+    // 100 TB claims (Round16Spec pins both on the plan): the parquet
+    // ReadSchema carries only the selected leaves (nested schema
+    // pruning — the meta struct's unused field never leaves the column
+    // chunks) and the nested-field predicate lands in PushedFilters
+    // (Spark pushes dotted paths since 3.0). The oracle reads the flat
+    // source — equality proves the struct round trip loses nothing.
+    Q("a35_nested_struct_prune",
+      (s, d) => {
+        val out = Scratch.dir("a35")
+        events(s, d).select(col("event_id"),
+            struct(col("user_id"), col("event_type")).as("meta"),
+            struct(col("value"), col("props")).as("payload"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .where(col("meta.user_id") < 40)
+          .select(col("event_id"), col("meta.event_type").as("event_type"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type FROM events
+        WHERE user_id < 40 ORDER BY event_id""")),
+
+    // a36 — VARIANT THROUGH PARQUET: a34 proves in-memory VARIANT
+    // extraction; this key proves the STORAGE leg — semi-structured
+    // values written as a parquet VARIANT column (Spark 4's physical
+    // variant encoding: binary value + metadata dictionary) and read
+    // back with typed-path extraction. The landing-zone promise
+    // (parse JSON once at ingest, store the parsed tree, every
+    // downstream query extracts without re-tokenizing) only holds if
+    // the parsed form survives the round trip — the oracle re-derives
+    // the same columns from the ORIGINAL JSON strings, so encode/decode
+    // bugs cannot cancel.
+    Q("a36_variant_parquet",
+      (s, d) => {
+        val out = Scratch.dir("a36")
+        events(s, d).where(col("event_id") < 2000)
+          .select(col("event_id"), expr("parse_json(props)").as("pv"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .select(col("event_id"),
+            expr("variant_get(pv, '$.k', 'bigint')").as("k"),
+            expr("try_variant_get(pv, '$.nope', 'string')").as("miss"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          CAST(NULL AS VARCHAR) AS miss
+        FROM events WHERE event_id < 2000 ORDER BY event_id""")),
+
+    // e13 — RANGE-frame window with a time INTERVAL (RANGE BETWEEN
+    // INTERVAL 7 DAYS PRECEDING): e4's moving window counts ROWS; the
+    // interval frame bounds by VALUE distance on the ordering column —
+    // the trailing-7-day revenue every dashboard wants, correct under
+    // irregular event spacing where a row frame is semantically wrong
+    // (7 rows ≠ 7 days). Same single-shuffle window shape as e4; frame
+    // evaluation is a sliding aggregate over the sorted run.
+    Q("e13_win_range_interval",
+      (s, d) => {
+        val o = t(s, d, "orders").where(col("o_custkey") < 200)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("od"),
+            col("o_totalprice").cast(graft.Tables.Money).as("p"))
+        // the Scala Window API takes only LONG range bounds — an interval
+        // frame is spelled in SQL (expr), same plan either way
+        o.select(col("o_orderkey"), col("o_custkey"),
+            col("od").cast("string").as("od"),
+            expr("""CAST(ROUND(SUM(p) OVER (PARTITION BY o_custkey ORDER BY od
+              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 4)
+              AS DOUBLE)""").as("sum_7d"),
+            expr("""COUNT(*) OVER (PARTITION BY o_custkey ORDER BY od
+              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""")
+              .as("n_7d"))
+          .orderBy("o_custkey", "od", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 4)
+            AS DOUBLE) AS sum_7d,
+          COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS n_7d
+        FROM orders WHERE o_custkey < 200
+        ORDER BY o_custkey, od, o_orderkey""")),
+
+    // c19 — NULL-SAFE equality join (<=>): NULL keys match each other
+    // instead of silently dropping — the ANSI IS NOT DISTINCT FROM
+    // surface (Presto users write it; pandas merge keeps NaN==NaN rows
+    // out, so migrations trip on BOTH conventions). Spark plans <=> as
+    // a HASHED equi-join key (EqualNullSafe is a valid hash key — no
+    // nested-loop penalty); the oracle spells the same predicate.
+    // Null keys derive deterministically (every 7th custkey).
+    Q("c19_join_null_safe",
+      (s, d) => {
+        val o = t(s, d, "orders").where(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"),
+            when(col("o_custkey") % 7 === 0, lit(null)).otherwise(col("o_custkey"))
+              .as("k"))
+        val c = t(s, d, "customer").where(col("c_custkey") < 200)
+          .select(
+            when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_custkey"))
+              .as("ck"),
+            col("c_name"))
+        o.join(c, col("k") <=> col("ck"))
+          .select(col("o_orderkey"), col("k"), col("c_name"))
+          .orderBy("o_orderkey", "c_name")
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+            CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+          FROM orders WHERE o_orderkey < 2000),
+        c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE c_custkey END AS ck, c_name
+          FROM customer WHERE c_custkey < 200)
+        SELECT o.o_orderkey, o.k, c.c_name
+        FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.ck
+        ORDER BY o_orderkey, c_name""")),
+
     // j60c — ICWS weighted MinHash (Ioffe 2010, "Improved Consistent
     // Weighted Sampling"): the SKETCH leg of the weighted-dedup tier,
     // completing the j60 family the way j2b completes j2 — j60 capped

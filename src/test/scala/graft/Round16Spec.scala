@@ -105,6 +105,29 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("a35: nested-struct schema pruning and nested-field pushdown reach the scan") {
+    val df = run("a35_nested_struct_prune")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    // ReadSchema carries only the selected nested leaf — the struct's
+    // other field and the whole payload struct never leave the footer
+    assert(scan.contains("meta") && scan.contains("event_type"),
+      s"nested leaf missing from scan: $scan")
+    assert(!scan.contains("payload"), s"unused struct not pruned: $scan")
+    // the nested-field predicate reaches PushedFilters
+    assert(scan.contains("PushedFilters") && scan.contains("meta.user_id"),
+      s"nested filter not pushed: $scan")
+  }
+
+  test("c19: null-safe equality plans as a HASHED join key (no nested loop)") {
+    val plan = run("c19_join_null_safe").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"null-safe join fell back to a non-hashed strategy:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hashed/merge join:\n$plan")
+  }
+
   test("k16 bound query prunes and pushes down like the literal form") {
     val df = run("k16_param_query")
     val plan = df.queryExecution.executedPlan.toString
