@@ -278,6 +278,127 @@ object Round16 {
         FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.ck
         ORDER BY o_orderkey, c_name""")),
 
+    // e14 — FORWARD FILL (pandas ffill): last non-null value over the
+    // running per-key frame via `last(v, ignoreNulls).over(unbounded
+    // preceding → current)` — the gap-fill every sensor/event dashboard
+    // does client-side in pandas, expressed as one windowed aggregate
+    // (single shuffle on the key, sliding evaluation over the sorted
+    // run — no self-join, no driver loop). Nulls planted
+    // deterministically; rows before a key's first non-null stay null
+    // (exactly pandas ffill).
+    Q("e14_win_ffill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d).where(col("event_id") < 3000)
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value"))
+              .as("v"))
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            round(col("v"), 6).as("v"),
+            round(last(col("v"), ignoreNulls = true).over(w), 6).as("v_ffill"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+            CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+          FROM events WHERE event_id < 3000)
+        SELECT event_id, user_id, ts_ms, ROUND(v, 6) AS v,
+          ROUND(last_value(v IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ffill
+        FROM e ORDER BY event_id""")),
+
+    // d29 — GROUPING / GROUPING_ID introspection: d4/d5/d6 grade the
+    // rollup/cube/sets VALUES; this grades the metadata — which columns
+    // are aggregated away in each output row (grouping(col) bit,
+    // grouping_id() bitmask). The COALESCE-with-sentinel idiom those
+    // keys use is ambiguous when real data contains the sentinel;
+    // grouping() is the unambiguous spelling, and it constant-folds into
+    // the Expand node's per-projection literals — zero runtime cost.
+    Q("d29_grouping_id",
+      (s, d) => Views.unique(s, "d29_lineitem" -> t(s, d, "lineitem")) { v =>
+        s.sql(s"""
+          SELECT COALESCE(l_returnflag, '-') AS rf,
+                 COALESCE(l_linestatus, '-') AS ls,
+                 CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                 CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                 CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                 COUNT(*) AS n
+          FROM ${v("d29_lineitem")}
+          GROUP BY CUBE(l_returnflag, l_linestatus)
+          ORDER BY gid, rf, ls""")
+      },
+      Some("""SELECT COALESCE(l_returnflag, '-') AS rf,
+          COALESCE(l_linestatus, '-') AS ls,
+          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+          CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, rf, ls""")),
+
+    // m10 — PNG header decode: the BIG-endian leg of the container
+    // triple (m2b/m8 GIF/BMP and m6 WAV and m9 AVI are all
+    // little-endian). Spec-layout PNG per doc — 8-byte signature,
+    // IHDR chunk (length, type, width/height as BE u32, bit depth,
+    // color type, compression/filter/interlace) — then decoded by
+    // direct hex→int conversion (big-endian IS the hex byte order; the
+    // LE keys' byte-reversal device is exactly what must NOT happen
+    // here, and a matched encode/decode endianness bug is pinned by
+    // head_hex, which the oracle reconstructs independently). CRC is a
+    // fixed sentinel (decode does not validate it; a real writer's CRC
+    // needs zlib on both engines). Map-only codegen'd byte arithmetic;
+    // content bytes never shuffle.
+    Q("m10_decode_png",
+      (s, d) => {
+        def be(v: String, n: Int): String = s"lpad(hex($v), ${2 * n}, '0')"
+        val fixture = t(s, d, "documents").selectExpr("doc_id", "text",
+            "16L * (1 + doc_id % 120) as w", "16L * (1 + doc_id % 68) as h",
+            "case cast(doc_id % 3 as int) when 0 then 8L when 1 then 8L else 16L end as depth",
+            "case cast(doc_id % 2 as int) when 0 then 2L else 6L end as ctype")
+          .selectExpr("doc_id",
+            ("unhex(concat('89504E470D0A1A0A', '0000000D', '49484452', " +
+              be("w", 4) + ", " + be("h", 4) + ", " + be("depth", 1) + ", " +
+              be("ctype", 1) + ", '000000', 'DEADBEEF'))") + " as header",
+            "cast(text as binary) as body")
+          .select(col("doc_id"), concat(col("header"), col("body")).as("payload"))
+        def beInt(start: Int, len: Int) = expr(
+          s"cast(conv(hex(substring(payload, $start, $len)), 16, 10) as bigint)")
+        val isPng = hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A"
+        fixture.select(col("doc_id"),
+            when(isPng, "png").otherwise("unknown").as("fmt"),
+            when(isPng, beInt(17, 4)).as("width"),
+            when(isPng, beInt(21, 4)).as("height"),
+            when(isPng, beInt(25, 1)).as("bit_depth"),
+            when(isPng, beInt(26, 1)).as("color_type"),
+            upper(hex(substring(col("payload"), 1, 24))).as("head_hex"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .withColumn("channels", expr(
+            "case color_type when 2 then 3L when 6 then 4L else 1L end"))
+          .withColumn("px_bytes", expr(
+            "width * height * channels * bit_depth div 8"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH x AS (SELECT doc_id,
+            16 * (1 + doc_id % 120) AS w, 16 * (1 + doc_id % 68) AS h,
+            CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 16 ELSE 8 END AS depth,
+            CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 2 ELSE 6 END AS ctype,
+            CAST(strlen(text) AS BIGINT) AS dsize
+          FROM documents)
+        SELECT doc_id, 'png' AS fmt,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST(depth AS BIGINT) AS bit_depth, CAST(ctype AS BIGINT) AS color_type,
+          upper('89504E470D0A1A0A' || '0000000D' || '49484452'
+            || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')) AS head_hex,
+          CAST(33 + dsize AS BIGINT) AS n_bytes,
+          CAST(CASE ctype WHEN 2 THEN 3 WHEN 6 THEN 4 ELSE 1 END AS BIGINT)
+            AS channels,
+          CAST(w * h * (CASE ctype WHEN 2 THEN 3 WHEN 6 THEN 4 ELSE 1 END)
+               * depth // 8 AS BIGINT) AS px_bytes
+        FROM x ORDER BY doc_id""")),
+
     // j60c — ICWS weighted MinHash (Ioffe 2010, "Improved Consistent
     // Weighted Sampling"): the SKETCH leg of the weighted-dedup tier,
     // completing the j60 family the way j2b completes j2 — j60 capped
