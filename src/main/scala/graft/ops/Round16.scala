@@ -399,6 +399,107 @@ object Round16 {
                * depth // 8 AS BIGINT) AS px_bytes
         FROM x ORDER BY doc_id""")),
 
+    // k18 — SQL PIPE syntax (Spark 4 native `|>`): the linear query
+    // spelling (FROM … |> WHERE … |> AGGREGATE … |> ORDER BY) that
+    // reads like the DataFrame chain it desugars into. Pure parser
+    // surface — the piped text must plan and grade EXACTLY like the
+    // nested-SELECT spelling the oracle uses; a user migrating
+    // imperative pandas chains gets the same engine underneath.
+    Q("k18_sql_pipe",
+      (s, d) => Views.unique(s, "k18_orders" -> t(s, d, "orders")) { v =>
+        s.sql(s"""
+          FROM ${v("k18_orders")}
+          |> WHERE o_orderstatus = 'F'
+          |> EXTEND CAST(o_totalprice AS DECIMAL(18,4)) AS p
+          |> AGGREGATE COUNT(*) AS n,
+               CAST(ROUND(SUM(p), 4) AS DOUBLE) AS sum_price
+             GROUP BY o_orderpriority
+          |> ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+            AS sum_price
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // h41 — LATERAL COLUMN ALIAS: a select-list expression referencing a
+    // PRIOR alias in the same select list (Spark 3.4+ native; DuckDB
+    // supports the same) — kills the nested-subquery boilerplate every
+    // derived-metric chain otherwise needs. Resolution is purely
+    // analyzer-side: the plan inlines the chain into one Project.
+    Q("h41_lateral_alias",
+      (s, d) => Views.unique(s, "h41_lineitem" -> t(s, d, "lineitem")) { v =>
+        s.sql(s"""
+          SELECT l_orderkey, l_linenumber,
+                 CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4))), 4)
+                   AS DECIMAL(18,4)) AS disc_price,
+                 CAST(ROUND(disc_price * (1 + CAST(l_tax AS DECIMAL(18,4))), 4)
+                   AS DOUBLE) AS charged,
+                 CAST(charged >= 50000.0 AS BOOLEAN) AS is_big
+          FROM ${v("h41_lineitem")} WHERE l_orderkey < 200
+          ORDER BY l_orderkey, l_linenumber, charged""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (1 - CAST(l_discount AS DECIMAL(18,4))), 4)
+            AS DECIMAL(18,4)) AS disc_price,
+          CAST(ROUND(disc_price * (1 + CAST(l_tax AS DECIMAL(18,4))), 4)
+            AS DOUBLE) AS charged,
+          charged >= 50000.0 AS is_big
+        FROM lineitem WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber, charged""")),
+
+    // g8 — UNION BY NAME with missing-column tolerance: positional
+    // UNION (g1) silently mismatches when two extracts list columns in
+    // different order — the classic schema-drift wrong-answer.
+    // unionByName aligns on NAMES, and allowMissingColumns null-fills
+    // the gap (the a17 mergeSchema story at the operator level). The
+    // oracle spells the alignment explicitly.
+    Q("g8_union_by_name",
+      (s, d) => {
+        val a = t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val b = t(s, d, "nation").where(col("n_nationkey") < 10)
+          .select(col("n_name"), col("n_nationkey")) // reordered + missing
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy("n_nationkey", "n_regionkey", "n_name")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) FROM nation
+        WHERE n_nationkey < 10
+        ORDER BY n_nationkey, n_regionkey NULLS FIRST, n_name""")),
+
+    // k19 — SQL SESSION VARIABLES (Spark 4 native DECLARE / SET VAR):
+    // the engine-side notebook variable — declared once, computed FROM a
+    // query (SET VAR ... = (SELECT ...)), then referenced in later
+    // statements like a constant; references fold to literals at
+    // analysis, so the consuming query's plan is the literal plan
+    // (pushdown intact). Variable names are per-invocation unique, the
+    // same shared-session-state discipline as the temp views, and
+    // dropped after use.
+    Q("k19_session_vars",
+      (s, d) => Views.unique(s, "k19_orders" -> t(s, d, "orders")) { v =>
+        val vn = "k19_cut_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        s.sql(s"DECLARE VARIABLE $vn DOUBLE DEFAULT 0.0")
+        try {
+          s.sql(s"""SET VAR $vn = (SELECT CAST(percentile(o_totalprice, 0.99)
+            AS DOUBLE) FROM ${v("k19_orders")})""")
+          s.sql(s"""SELECT o_orderkey,
+              CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 4) AS DOUBLE)
+                AS price
+            FROM ${v("k19_orders")} WHERE o_totalprice > $vn
+            ORDER BY o_orderkey""")
+        } finally s.sql(s"DROP TEMPORARY VARIABLE IF EXISTS $vn")
+      },
+      Some("""SELECT o_orderkey,
+          CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 4) AS DOUBLE) AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT quantile_cont(o_totalprice, 0.99)
+                              FROM orders)
+        ORDER BY o_orderkey""")),
+
     // j60c — ICWS weighted MinHash (Ioffe 2010, "Improved Consistent
     // Weighted Sampling"): the SKETCH leg of the weighted-dedup tier,
     // completing the j60 family the way j2b completes j2 — j60 capped
