@@ -1,0 +1,439 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-16 batch 2.
+  *
+  * p-tier — COMPOSITE ANALYTIC PIPELINES: whole TPC-H-shaped queries run
+  * as one declarative plan, graded hash-exact against DuckDB running the
+  * same SQL. The reference ships arbitrary analytic SQL to hosted
+  * Presto/Hive (`pandas_td/td.py :: read_td_query` — SURVEY §0-caveated
+  * anchor), so parity is not just per-operator: a user's real queries
+  * compose joins + aggregation + top-k, and the OPTIMIZER must get the
+  * composition right. Each p-key pins the at-scale plan properties in
+  * Round16bSpec: every filter pushed to its scan, constant-size dims
+  * broadcast, no cartesian anywhere, top-k as TakeOrderedAndProject
+  * (never a global sort). c15 already covers the Q3 shape; these add the
+  * shapes Q3 lacks — a 6-table star with a cross-side equi-condition
+  * (p1/Q5), a quarter-scoped returned-item report (p2/Q10), a
+  * HAVING-subquery semi-reduction (p3/Q18), and a dual-alias dimension
+  * (p4/Q7, nation joined twice under different roles).
+  *
+  * Revenue sums use the repo's decimal device (Tables.dec: each term
+  * rounds to DECIMAL(18,4), the sum is exact decimal arithmetic) so the
+  * aggregate is reduction-order-free — hash-stable at any partition
+  * count, the property every graded float aggregate here rides on.
+  */
+object Round16b {
+
+  private def revenue = round(sum(dec(col("l_extendedprice")) *
+    (lit(1) - dec(col("l_discount")))), 4).cast("double").as("revenue")
+
+  private val revenueSql =
+    """CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+         (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)"""
+
+  def all: Seq[Q] = Seq(
+
+    // p1 — TPC-H Q5 (local supplier volume): the 6-table star. The
+    // interesting constraint is c_nationkey = s_nationkey — an
+    // equi-condition BETWEEN the two fact-side dimensions, not against a
+    // filter. Region/nation are constant-size (5/25 rows at every SF) —
+    // broadcast unconditionally; supplier is left to AQE (it broadcasts
+    // here and at most real SFs, but hard-forcing it would be wrong at
+    // 100 TB where supplier is 10M rows of hot struct). The fact chain
+    // lineitem⋈orders shuffles once on the shared orderkey; the final
+    // groupBy("n_name") is 25 groups — partial aggregation collapses it
+    // map-side, the exchange carries ≤ partitions·25 rows.
+    Q("p1_tpch_q5",
+      (s, d) => {
+        val asia = t(s, d, "region").where(col("r_name") === "ASIA")
+          .select("r_regionkey")
+        val nat = t(s, d, "nation")
+          .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = t(s, d, "supplier")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val ord = t(s, d, "orders")
+          .where(col("o_orderdate") >= tsLit("1997-01-01") &&
+            col("o_orderdate") < tsLit("1998-01-01"))
+          .select("o_orderkey", "o_custkey")
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(revenue)
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      Some(s"""SELECT n_name, $revenueSql AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // p2 — TPC-H Q10 (returned-item reporting): quarter-scoped orders ⋈
+    // returnflag-filtered lineitem ⋈ customer ⋈ broadcast nation, grouped
+    // by the customer tuple, top-20 by lost revenue. Both selective
+    // filters (o_orderdate quarter bound, l_returnflag = 'R') push to
+    // their parquet scans — at 100 TB the quarter bound IS the partition
+    // prune. Top-20 via TakeOrderedAndProject.
+    Q("p2_tpch_q10",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .where(col("o_orderdate") >= tsLit("1997-01-01") &&
+            col("o_orderdate") < tsLit("1997-04-01"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(revenue)
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, $revenueSql AS revenue,
+          ROUND(c_acctbal, 2) AS c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // p3 — TPC-H Q18 (large-volume customer): the HAVING-subquery
+    // reduction — qualifying orderkeys (sum qty > 300) come out of a
+    // lineitem pre-aggregation that then SEMI-reduces the same fact
+    // table. The pre-agg and the re-join shuffle on the same l_orderkey,
+    // so the exchange is reused; the qualifying set is tiny (top ~0.5% of
+    // orders) and the follow-on joins run on the reduced stream. This is
+    // the shape where a naive engine rescans lineitem per subquery — one
+    // declarative plan here.
+    Q("p3_tpch_q18",
+      (s, d) => {
+        val big = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(round(sum(dec(col("l_quantity"))), 4).cast("double")
+            .as("sum_qty"))
+          .where(col("sum_qty") > 300.0)
+        big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            dateStr(col("o_orderdate")).as("o_orderdate"),
+            round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+          SELECT l_orderkey,
+            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE)
+              AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum_qty > 300.0)
+        SELECT c_custkey, c_name, o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // p4 — TPC-H Q7 (volume shipping): nation joined TWICE under
+    // different roles (supplier's nation vs customer's nation) — the
+    // dual-alias dimension shape. Both copies broadcast (25 rows); the
+    // disjunctive nation-pair predicate evaluates on the broadcast
+    // output, never materializing the 625-pair cross space. Fact chain:
+    // lineitem⋈orders⋈customer⋈supplier on their natural keys, grouped
+    // by (supp_nation, cust_nation, year).
+    Q("p4_tpch_q7",
+      (s, d) => {
+        val n1 = t(s, d, "nation")
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = t(s, d, "nation")
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        val li = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= tsLit("1997-01-01") &&
+            col("l_shipdate") < tsLit("1999-01-01"))
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate")
+        li.join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .where((col("supp_nation") === "NATION_20" &&
+              col("cust_nation") === "NATION_11") ||
+            (col("supp_nation") === "NATION_11" &&
+              col("cust_nation") === "NATION_20"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(revenue)
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INT) AS l_year, $revenueSql AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+          AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+            OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // d30 — GROUP BY ALL (Spark 3.4+/DuckDB shared surface): grouping
+    // keys inferred as every non-aggregate select item. Resolution-time
+    // sugar — the analyzed plan IS the explicit-list plan (same Aggregate
+    // node, same partial/final split), graded hash-equal against the
+    // explicit spelling.
+    Q("d30_group_by_all",
+      (s, d) => Views.unique(s, "d30_orders" -> t(s, d, "orders")) { v =>
+        s.sql(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
+              AS sum_price
+          FROM ${v("d30_orders")}
+          GROUP BY ALL
+          ORDER BY o_orderpriority, o_orderstatus""")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
+            AS sum_price
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY o_orderpriority, o_orderstatus""")),
+
+    // d31 — deterministic MODE aggregate: mode(col, deterministic=true)
+    // returns the LOWEST value among the most-frequent ties (Spark 4's
+    // documented tie-break; Round16bSpec pins it on a planted exact-tie
+    // fixture so a semantics change cannot slip through). The oracle
+    // derives the same answer from first principles — count per value,
+    // rank by (count DESC, value ASC) — so the native aggregate is
+    // checked against the definition, not against itself. One-pass
+    // partial/final aggregation; the map-side state is the per-group
+    // value histogram, bounded by attribute cardinality (low here by
+    // construction — high-cardinality mode belongs to the d21/k4
+    // heavy-hitter sketches).
+    Q("d31_mode",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("mode(o_orderstatus, true)").as("status_mode"),
+          expr("mode(o_orderkey % 7, true)").as("bucket_mode"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH c1 AS (SELECT o_orderpriority p, o_orderstatus v, COUNT(*) n
+              FROM orders GROUP BY 1, 2),
+        r1 AS (SELECT p, v,
+                row_number() OVER (PARTITION BY p ORDER BY n DESC, v ASC) rn
+              FROM c1),
+        c2 AS (SELECT o_orderpriority p, o_orderkey % 7 v, COUNT(*) n
+              FROM orders GROUP BY 1, 2),
+        r2 AS (SELECT p, v,
+                row_number() OVER (PARTITION BY p ORDER BY n DESC, v ASC) rn
+              FROM c2)
+        SELECT r1.p AS o_orderpriority, r1.v AS status_mode,
+          r2.v AS bucket_mode
+        FROM r1 JOIN r2 ON r1.p = r2.p
+        WHERE r1.rn = 1 AND r2.rn = 1 ORDER BY 1""")),
+
+    // f3 — ORDER BY ALL: sort by every output column left-to-right
+    // (Spark 4/DuckDB shared sugar). Resolves to the explicit sort at
+    // analysis; graded against the explicit spelling.
+    Q("f3_order_by_all",
+      (s, d) => Views.unique(s, "f3_orders" -> t(s, d, "orders")) { v =>
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM ${v("f3_orders")} GROUP BY 1, 2 ORDER BY ALL""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2, 3""")),
+
+    // k17 — IDENTIFIER() clause: the table name arrives as a BOUND
+    // PARAMETER, not spliced text — the SQL-injection-safe spelling of
+    // the reference's table-name templating (`read_td_table(table, ...)`
+    // builds query text from a table-name argument; `pandas_td/td.py ::
+    // read_td_table`, SURVEY §0-caveated anchor). IDENTIFIER(:tbl)
+    // resolves at analysis to the same relation as the literal name —
+    // same scan, same pushdown (Round16bSpec pins plan equality) — and a
+    // malicious "name" cannot escape into syntax: it either names a
+    // relation or fails resolution.
+    Q("k17_identifier",
+      (s, d) => Views.unique(s, "k17_orders" -> t(s, d, "orders")) { v =>
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
+              AS sum_price
+          FROM IDENTIFIER(:tbl) WHERE o_totalprice >= :floor
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+          Map("tbl" -> v("k17_orders"), "floor" -> 500.0))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
+            AS sum_price
+        FROM orders WHERE o_totalprice >= 500.0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // k20 — EXECUTE IMMEDIATE: SQL text held in a string executes with
+    // USING-bound parameters — the engine-side analog of the notebook
+    // pattern where query text is assembled in one place and run in
+    // another (the reference's magics hold text in cell variables;
+    // `pandas_td/ipython.py`, SURVEY §0-caveated anchor). The binding
+    // semantics are k16's: values resolve as literals in the parser,
+    // never transit the text.
+    Q("k20_execute_immediate",
+      (s, d) => Views.unique(s, "k20_lineitem" -> t(s, d, "lineitem")) { v =>
+        s.sql(s"""EXECUTE IMMEDIATE
+          'SELECT l_returnflag, COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE)
+               AS sum_qty
+           FROM ${v("k20_lineitem")} WHERE l_quantity < :cap
+           GROUP BY l_returnflag ORDER BY l_returnflag'
+          USING 30.0 AS cap""")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE)
+            AS sum_qty
+        FROM lineitem WHERE l_quantity < 30.0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // a37 — the _metadata hidden column: every parquet row can name the
+    // FILE it came from (file_path/file_name/file_size/modification
+    // time) — the provenance column incremental pipelines (a22's
+    // manifest diff) and debugging lean on. Graded end to end: orders is
+    // rewritten partitioned by o_orderstatus, read back with _metadata,
+    // and every row's file_path is checked to carry its OWN partition
+    // value — n_path_match == n proves per-row file attribution, and the
+    // oracle recomputes both counts from the original table. Map-only
+    // over the scan; _metadata is populated by the reader, costs no
+    // shuffle, and never leaves the executor unless projected.
+    Q("a37_file_metadata",
+      (s, d) => {
+        val out = Scratch.dir("a37")
+        t(s, d, "orders").repartition(1)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        s.read.parquet(out)
+          .select(col("o_orderstatus"),
+            regexp_extract(col("_metadata.file_path"),
+              "o_orderstatus=([^/]+)/", 1).as("dir_status"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("dir_status") === col("o_orderstatus"), 1L)
+              .otherwise(0L)).as("n_path_match"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n, COUNT(*) AS n_path_match
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // j62 — URL-canonicalization dedup: the web-crawl dedup step that
+    // runs BEFORE any content hashing (CCNet/C4-class pipelines dedup
+    // fetched pages by canonical URL first — it's free compared to text
+    // shingling). Canonical form: lowercase scheme+host, strip a leading
+    // "www.", strip the default :443 port, drop the fragment, strip a
+    // trailing slash, and SORT the query parameters (the order-varying
+    // tracking-param case). All pure per-row string/array ops — split,
+    // sort_array, concat_ws — codegen'd, no UDF; the only shuffle is the
+    // final canonical-key groupBy, which carries (canon, doc_id) pairs,
+    // never page content. The fixture derives URLs deterministically
+    // from doc_id so the same canonical page appears under www/port/
+    // fragment/param-order spellings; the oracle recomputes the entire
+    // canonicalization independently in DuckDB.
+    Q("j62_dedup_url",
+      (s, d) => {
+        val urls = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            lit("HTTPS://"),
+            when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+            upper(col("source")), lit(".Example.COM"),
+            when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+            lit("/Path/"), (col("doc_id") % 20).cast("string"),
+            when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("?b="), (col("doc_id") % 2).cast("string"),
+                lit("&a="), (col("doc_id") % 3).cast("string")))
+              .otherwise(concat(lit("?a="), (col("doc_id") % 3).cast("string"),
+                lit("&b="), (col("doc_id") % 2).cast("string"))),
+            when(col("doc_id") % 6 === 0, lit("#Frag")).otherwise(lit("")))
+            .as("url"))
+        urls
+          .withColumn("base", split_part(col("url"), lit("#"), lit(1)))
+          .withColumn("query", split_part(col("base"), lit("?"), lit(2)))
+          .withColumn("pre", split_part(col("base"), lit("?"), lit(1)))
+          .withColumn("scheme",
+            lower(split_part(col("pre"), lit("://"), lit(1))))
+          .withColumn("rest", split_part(col("pre"), lit("://"), lit(2)))
+          .withColumn("host_raw", split_part(col("rest"), lit("/"), lit(1)))
+          .withColumn("path0",
+            col("rest").substr(length(col("host_raw")) + 1, lit(1 << 20)))
+          .withColumn("host",
+            regexp_replace(regexp_replace(lower(col("host_raw")),
+              "^www\\.", ""), ":443$", ""))
+          .withColumn("path",
+            when(regexp_replace(col("path0"), "/$", "") === "", lit("/"))
+              .otherwise(regexp_replace(col("path0"), "/$", "")))
+          .withColumn("qsort",
+            when(col("query") === "", lit(""))
+              .otherwise(concat(lit("?"), concat_ws("&",
+                sort_array(split(col("query"), "&"))))))
+          .select(col("doc_id"),
+            concat(col("scheme"), lit("://"), col("host"), col("path"),
+              col("qsort")).as("canon"))
+          .groupBy("canon")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+          .orderBy("canon")
+      },
+      Some("""WITH urls AS (
+          SELECT doc_id,
+            'HTTPS://' ||
+            CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+            upper(source) || '.Example.COM' ||
+            CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+            '/Path/' || CAST(doc_id % 20 AS VARCHAR) ||
+            CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+              THEN '?b=' || CAST(doc_id % 2 AS VARCHAR)
+                || '&a=' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE '?a=' || CAST(doc_id % 3 AS VARCHAR)
+                || '&b=' || CAST(doc_id % 2 AS VARCHAR) END ||
+            CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END AS url
+          FROM documents),
+        parts AS (
+          SELECT doc_id,
+            split_part(url, '#', 1) AS base,
+            split_part(split_part(url, '#', 1), '?', 2) AS query,
+            split_part(split_part(url, '#', 1), '?', 1) AS pre
+          FROM urls),
+        hp AS (
+          SELECT doc_id, query,
+            lower(split_part(pre, '://', 1)) AS scheme,
+            split_part(split_part(pre, '://', 2), '/', 1) AS host_raw,
+            substring(split_part(pre, '://', 2),
+              length(split_part(split_part(pre, '://', 2), '/', 1)) + 1)
+              AS path0
+          FROM parts),
+        canon AS (
+          SELECT doc_id,
+            scheme || '://' ||
+            regexp_replace(regexp_replace(lower(host_raw),
+              '^www\.', ''), ':443$', '') ||
+            CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+              ELSE regexp_replace(path0, '/$', '') END ||
+            CASE WHEN query = '' THEN ''
+              ELSE '?' || array_to_string(
+                list_sort(string_split(query, '&')), '&') END AS canon
+          FROM hp)
+        SELECT canon, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM canon GROUP BY canon ORDER BY canon""")))
+}
