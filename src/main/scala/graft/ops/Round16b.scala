@@ -199,6 +199,136 @@ object Round16b {
             OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // p5 — TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs join — three (brand, size-range, quantity-range)
+    // disjuncts sharing one p_partkey = l_partkey equi-key. The planner
+    // must keep the HASHED equi-join and evaluate the disjunction as a
+    // residual filter (spec-pinned: no nested loop), and Catalyst's
+    // CNF-extraction pulls the common l_quantity <= 30 bound out of the
+    // OR for scan pushdown. One-row decimal-exact output.
+    Q("p5_tpch_q19",
+      (s, d) => {
+        val pt = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+        t(s, d, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(pt, col("l_partkey") === col("p_partkey"))
+          .where((col("p_brand") === "Brand#11" &&
+              col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#12" &&
+              col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#13" &&
+              col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+          .agg(revenue)
+      },
+      Some(s"""SELECT $revenueSql AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // p6 — TPC-H Q14 (promotion effect): the conditional-share
+    // aggregate — promo revenue over total revenue for one ship-month,
+    // both sums decimal-exact, the ratio taken once at the end (never a
+    // per-row division). The month bound pushes to the lineitem scan;
+    // part joins on the key only.
+    Q("p6_tpch_q14",
+      (s, d) => {
+        val pt = t(s, d, "part").select("p_partkey", "p_type")
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") >= tsLit("1997-03-01") &&
+            col("l_shipdate") < tsLit("1997-04-01"))
+          .select("l_partkey", "l_extendedprice", "l_discount")
+          .join(pt, col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
+            sum(dec(col("l_extendedprice")) *
+              (lit(1) - dec(col("l_discount")))).as("total"))
+          .select(round(lit(100.0) * col("promo").cast("double") /
+            col("total").cast("double"), 4).as("promo_share"))
+      },
+      Some("""WITH s AS (
+          SELECT
+            SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (1 - CAST(l_discount AS DECIMAL(18,4)))
+              ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+              (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+        SELECT ROUND(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE),
+          4) AS promo_share FROM s""")),
+
+    // p7 — TPC-H Q8 (national market share): one nation's share of a
+    // region's import revenue per order-year — TWO conditional sums over
+    // a 7-relation join, share computed once per group. The supplier
+    // nation drives the numerator (conditional), the CUSTOMER nation
+    // membership in the region drives the population — nation again
+    // under two roles, both broadcast.
+    Q("p7_tpch_q8",
+      (s, d) => {
+        val asia = t(s, d, "region").where(col("r_name") === "ASIA")
+          .select("r_regionkey")
+        val custNat = t(s, d, "nation")
+          .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val supNat = t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+        val ord = t(s, d, "orders")
+          .where(col("o_orderdate") >= tsLit("1997-01-01") &&
+            col("o_orderdate") < tsLit("1999-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("sn_name") === "NATION_20",
+              dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .otherwise(lit(0).cast("decimal(18,4)"))).as("nat"),
+            sum(dec(col("l_extendedprice")) *
+              (lit(1) - dec(col("l_discount")))).as("tot"))
+          .select(col("o_year"),
+            round(col("nat").cast("double") / col("tot").cast("double"), 6)
+              .as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""WITH base AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+            CAST(l_extendedprice AS DECIMAL(18,4)) *
+              (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+            n2.n_name AS sn_name
+          FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+        SELECT o_year,
+          ROUND(CAST(SUM(CASE WHEN sn_name = 'NATION_20' THEN rev
+              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+        FROM base GROUP BY o_year ORDER BY o_year""")),
+
     // d30 — GROUP BY ALL (Spark 3.4+/DuckDB shared surface): grouping
     // keys inferred as every non-aggregate select item. Resolution-time
     // sugar — the analyzed plan IS the explicit-list plan (same Aggregate

@@ -39,6 +39,23 @@ class Round16bSpec extends AnyFunSuite {
     assert(plan("p2_tpch_q10").contains("EqualTo(l_returnflag,R)"))
   }
 
+  test("p5/Q19: disjunctive predicates keep the HASHED equi-join") {
+    val p = plan("p5_tpch_q19")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the OR-of-ANDs must stay a residual filter on the equi-join")
+    assert(p.contains("HashJoin"), "p_partkey = l_partkey must hash-join")
+  }
+
+  test("p7/Q8: conditional market-share sums run in ONE aggregation pass") {
+    // two sums (conditional numerator, total) over the same grouped
+    // relation — a single Aggregate, not a self-join of two aggregates
+    val p = plan("p7_tpch_q8")
+    assert(!p.contains("CartesianProduct"))
+    val facts = "Scan parquet".r.findAllIn(p).size
+    assert(facts <= 7, s"each relation scanned once, got $facts scans")
+  }
+
   test("p4/Q7: nation under two roles = two broadcast joins of the same dim") {
     val p = plan("p4_tpch_q7")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
