@@ -467,6 +467,152 @@ object Round16b {
       Some("""SELECT o_orderstatus, COUNT(*) AS n, COUNT(*) AS n_path_match
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // k21 — in-flight query observability (Observation API): QA metrics
+    // collected DURING a query's one pass — row count, exact decimal
+    // total, key bounds — surfaced without a second scan. At 100 TB the
+    // difference between .observe() and a separate validation query is a
+    // whole extra table read; this is the engine-native analog of the
+    // reference's job-status polling surface (`pandas_td/td.py ::
+    // ResultProxy` progress reporting, SURVEY §0-caveated anchor). The
+    // observed plan runs to a noop sink (full pipeline executes, nothing
+    // lands on the driver); the oracle recomputes the same metrics from
+    // the table, so the observation must agree with ground truth.
+    Q("k21_observe",
+      (s, d) => {
+        import s.implicits._
+        val obs = new org.apache.spark.sql.Observation()
+        t(s, d, "orders")
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            round(sum(dec(col("o_totalprice"))), 4).cast("double")
+              .as("sum_price"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("sum_price").asInstanceOf[Double],
+          m("min_key").asInstanceOf[Long],
+          m("max_key").asInstanceOf[Long]))
+          .toDF("n_rows", "sum_price", "min_key", "max_key")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
+            AS sum_price,
+          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM orders""")),
+
+    // c20 — AQE runtime skew-join split: the RUNTIME half of the skew
+    // story (c14 is the plan-level salting fix for the cases AQE can't
+    // reach). Same planted 75%-hot-key fact as c14; the join runs in a
+    // CHILD SESSION (s.newSession(): own conf, shared context — so the
+    // knobs never leak into the shared session the dual-SF Verify regime
+    // runs in) with broadcast disabled (forcing the shuffle join AQE
+    // rewrites) and the skew thresholds scaled to bench SF — at
+    // production scale the defaults (256 MB / 5× median) fire on real
+    // skew unaided. Two fixture properties the probe session proved
+    // LOAD-BEARING (both are the at-scale reality, which is why the
+    // naive fixture missed them): (1) the hot rows carry an
+    // incompressible digest payload — MapStatus records COMPRESSED
+    // partition bytes, and a hot key whose rows are constant-valued
+    // lz4-compresses below the skew factor (4.3 KB vs 3.0 KB median
+    // here; real fact rows don't compress 7:1); (2) the fact passes
+    // through an 8-mapper repartition first — AQE splits a skewed
+    // partition at MAPPER boundaries, so a single-mapper hot key is
+    // unsplittable (that regime belongs to c14's salting). Round16bSpec
+    // pins the skew split in the adaptive final plan; the RESULT is
+    // identical with or without the split — that invariance (graded by
+    // the unsalted oracle) is the point: AQE re-plans, never re-defines,
+    // the query.
+    Q("c20_join_aqe_skew",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s2.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "8KB")
+        s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        val fact = t(s2, d, "lineitem").repartition(8)
+          .withColumn("jk",
+            when(col("l_orderkey") % 4 =!= 0, lit(42L))
+              .otherwise(col("l_orderkey")))
+          .withColumn("payload", md5(concat_ws(":",
+            col("l_orderkey"), col("l_linenumber"))))
+        val dim = t(s2, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        fact.join(dim, col("jk") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum(dec(col("l_quantity"))), 4).cast("double").as("sum_qty"),
+            max("payload").as("max_digest"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH fact AS (SELECT
+            CASE WHEN l_orderkey % 4 <> 0 THEN 42 ELSE l_orderkey END AS jk,
+            l_quantity,
+            md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+              CAST(l_linenumber AS VARCHAR)) AS payload
+          FROM lineitem)
+        SELECT o_orderpriority, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),4) AS DOUBLE)
+            AS sum_qty,
+          MAX(payload) AS max_digest
+        FROM fact JOIN orders ON jk = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // m11 — JPEG header decode: the VARIABLE-OFFSET leg of the container
+    // family. PNG/GIF/BMP/WAV/AVI (m6-m10) all read fields at fixed
+    // offsets; JPEG's SOF0 frame header floats behind a variable-length
+    // APP0 segment, so the decoder must SCAN for the 0xFFC0 marker. The
+    // scan is instr() over the payload's hex image — still map-only
+    // codegen'd string ops, no UDF; content bytes are ASCII (never 0xFF)
+    // so the marker cannot false-positive mid-body, which is exactly the
+    // well-formedness real JPEG scanners get from entropy-coded-segment
+    // byte stuffing. Dimensions are big-endian (m10's direct hex→int
+    // device); sof_off proves the scan landed where the synthesis rule
+    // says the segment starts; head_hex pins the ENCODE bytes so a
+    // matched encode/decode bug cannot cancel (the oracle rebuilds all
+    // of it from the rule).
+    Q("m11_decode_jpeg",
+      (s, d) => {
+        val fixture = t(s, d, "documents").selectExpr("doc_id", "text",
+            "16L + doc_id % 1024 AS w0", "16L + (doc_id * 7) % 1024 AS h0",
+            "16L + doc_id % 32 AS app0len")
+          .selectExpr("doc_id",
+            """unhex(concat(
+                 'FFD8', 'FFE0', lpad(hex(app0len), 4, '0'),
+                 repeat('00', cast(app0len AS INT) - 2),
+                 'FFC0', '000B', '08',
+                 lpad(hex(h0), 4, '0'), lpad(hex(w0), 4, '0'),
+                 '01', '011100')) AS header""",
+            "cast(text AS binary) AS bodyb")
+          .select(col("doc_id"),
+            concat(col("header"), col("bodyb"), expr("unhex('FFD9')"))
+              .as("payload"))
+        fixture
+          .withColumn("hx", hex(col("payload")))
+          .withColumn("p", instr(col("hx"), "FFC0"))
+          .select(col("doc_id"),
+            expr("cast(conv(substring(hx, p + 14, 4), 16, 10) AS BIGINT)")
+              .as("width"),
+            expr("cast(conv(substring(hx, p + 10, 4), 16, 10) AS BIGINT)")
+              .as("height"),
+            expr("cast((p + 1) / 2 AS BIGINT)").as("sof_off"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            substring(col("hx"), 1, 24).as("head_hex"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+          CAST(16 + (doc_id * 7) % 1024 AS BIGINT) AS height,
+          CAST(5 + (16 + doc_id % 32) AS BIGINT) AS sof_off,
+          CAST(19 + (16 + doc_id % 32) + strlen(text) AS BIGINT) AS n_bytes,
+          upper('ffd8ffe0' || printf('%04x', 16 + doc_id % 32)
+            || '000000000000') AS head_hex
+        FROM documents ORDER BY doc_id""")),
+
     // j62 — URL-canonicalization dedup: the web-crawl dedup step that
     // runs BEFORE any content hashing (CCNet/C4-class pipelines dedup
     // fetched pages by canonical URL first — it's free compared to text

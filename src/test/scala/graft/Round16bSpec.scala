@@ -105,6 +105,41 @@ class Round16bSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView(v)
   }
 
+  test("c20: AQE actually splits the planted hot key (skewed read in the final plan)") {
+    // run the key's own join through its child session and read the
+    // adaptive FINAL plan after execution — the skew split is a runtime
+    // decision, invisible before the shuffle stats exist. Spark 4 prints
+    // the split as an `AQEShuffleRead ... skewed` (or "coalesced and
+    // skewed") read under the join.
+    val q = df("c20_join_aqe_skew")
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("skew"),
+      s"AQE skew split did not fire; plan:\n${p.take(2000)}")
+  }
+
+  test("c20: the skew knobs live in the child session only") {
+    // the shared session must keep its defaults — the key may not leak
+    // conf into the session Verify runs every other key in
+    assert(spark.conf.get(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "256MB") == "256MB")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+  }
+
+  test("m11: the SOF scan lands on a byte-aligned marker at the rule's offset") {
+    val rows = df("m11_decode_jpeg").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val doc = r.getLong(0)
+      val app0len = 16 + doc % 32
+      assert(r.getLong(3) == 5 + app0len,
+        s"doc $doc: sof_off ${r.getLong(3)} != ${5 + app0len}")
+      assert(r.getLong(1) == 16 + doc % 1024)
+      assert(r.getLong(2) == 16 + (doc * 7) % 1024)
+    }
+  }
+
   test("j62: spelling variants collapse to one canonical URL; distinct pages stay distinct") {
     import spark.implicits._
     // reuse the key's canonicalization by running it end to end on the
