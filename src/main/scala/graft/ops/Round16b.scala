@@ -711,5 +711,94 @@ object Round16b {
                 list_sort(string_split(query, '&')), '&') END AS canon
           FROM hp)
         SELECT canon, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-        FROM canon GROUP BY canon ORDER BY canon""")))
+        FROM canon GROUP BY canon ORDER BY canon""")),
+
+    // k22 — SQL SCRIPTING (Spark 4 compound statements): a BEGIN…END
+    // block with DECLARE + a scalar-subquery SET feeding a second
+    // statement — the multi-statement job shape TD users run as one
+    // submission (the reference submits whole query scripts to hosted
+    // engines; `pandas_td/td.py :: QueryEngine.execute`, SURVEY
+    // §0-caveated anchor). The script computes an exact interpolated
+    // median ONCE into a variable, then the main statement filters on
+    // it — two statements, one submission, no client round trip between
+    // them. Runs in a child session (scripting is behind a feature flag;
+    // the flag never touches the shared Verify session). The block's
+    // value is its last statement's result.
+    Q("k22_sql_script",
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.scripting.enabled", "true")
+        val v = "k22_orders_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        t(s2, d, "orders").createOrReplaceTempView(v)
+        try s2.sql(s"""
+          BEGIN
+            DECLARE thr DOUBLE;
+            SET thr = (SELECT percentile(o_totalprice, 0.5) FROM $v);
+            SELECT o_orderstatus, COUNT(*) AS n_above,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4)
+                AS DOUBLE) AS sum_above
+            FROM $v WHERE o_totalprice > thr
+            GROUP BY o_orderstatus ORDER BY o_orderstatus;
+          END""")
+        finally s2.catalog.dropTempView(v)
+      },
+      Some("""WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS thr
+          FROM orders)
+        SELECT o_orderstatus, COUNT(*) AS n_above,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
+            AS sum_above
+        FROM orders, m WHERE o_totalprice > thr
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // j63 — SoftDeDup: REWEIGHT duplicates instead of deleting them
+    // (the soft-dedup idea: a near-dup cluster of size k contributes
+    // total sampling mass 1, weight 1/k per member, so common text is
+    // down-weighted smoothly and nothing is irrecoverably dropped —
+    // the alternative j14/j23 offer as hard deletion). Same shared pair
+    // core + hybrid connected components as j14/j44 (pairs are
+    // LSH-prunable at 100 TB, CC is the bounded-probe hybrid); the
+    // weighting itself is one broadcast-size cluster-count join — a
+    // map-only projection over the corpus. Weights sum exactly to the
+    // number of clusters (spec-pinned); the oracle recomputes clusters
+    // via the RECURSIVE CTE, so even the transitive closure behind the
+    // weights hash-checks.
+    Q("j63_softdedup_weights",
+      (s, d) => {
+        val pairs = LlmOps.jaccardPairs(LlmOps.shingles(s, d),
+          LlmOps.shingleCounts(s, d), Knobs.pairMaxDf(s)).select("d1", "d2")
+        val labeled = CC.cluster(s, pairs)
+        val docs = t(s, d, "documents").select(col("doc_id"))
+          .join(labeled, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val sizes = docs.groupBy("cluster").agg(count(lit(1)).as("csize"))
+        docs.join(sizes, "cluster")
+          .select(col("doc_id"), col("cluster"), col("csize"),
+            round(lit(1.0) / col("csize"), 6).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
+          FROM documents WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id
+            JOIN n n2 ON d2 = n2.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE)
+            >= 0.5),
+        und AS (SELECT d1 AS a, d2 AS b FROM e UNION ALL SELECT d2, d1 FROM e),
+        reach(a, b) AS (SELECT a, b FROM und
+          UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+          FROM reach GROUP BY a),
+        f AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN lab l USING (doc_id)),
+        sz AS (SELECT cluster, COUNT(*) AS csize FROM f GROUP BY cluster)
+        SELECT doc_id, cluster, csize, ROUND(1.0 / csize, 6) AS weight
+        FROM f JOIN sz USING (cluster) ORDER BY doc_id""")))
 }

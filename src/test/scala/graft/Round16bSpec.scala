@@ -140,6 +140,23 @@ class Round16bSpec extends AnyFunSuite {
     }
   }
 
+  test("j63: soft-dedup weights sum to the number of clusters (total mass 1 per cluster)") {
+    val rows = df("j63_softdedup_weights").collect()
+    val nClusters = rows.map(_.getLong(1)).distinct.length
+    val wsum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - nClusters) < 1e-3,
+      s"weight mass $wsum != clusters $nClusters")
+    // duplicates are down-weighted, not dropped: every doc keeps a row
+    assert(rows.length == spark.read
+      .parquet(s"${TestSpark.sf}/documents.parquet").count())
+    assert(rows.exists(_.getDouble(3) < 1.0), "no cluster was down-weighted")
+  }
+
+  test("k22: the script's child session keeps scripting out of the shared session") {
+    df("k22_sql_script").collect()
+    assert(spark.conf.get("spark.sql.scripting.enabled", "false") == "false")
+  }
+
   test("j62: spelling variants collapse to one canonical URL; distinct pages stay distinct") {
     import spark.implicits._
     // reuse the key's canonicalization by running it end to end on the
