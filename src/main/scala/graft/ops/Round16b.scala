@@ -800,5 +800,51 @@ object Round16b {
           FROM documents d LEFT JOIN lab l USING (doc_id)),
         sz AS (SELECT cluster, COUNT(*) AS csize FROM f GROUP BY cluster)
         SELECT doc_id, cluster, csize, ROUND(1.0 / csize, 6) AS weight
-        FROM f JOIN sz USING (cluster) ORDER BY doc_id""")))
+        FROM f JOIN sz USING (cluster) ORDER BY doc_id""")),
+
+    // j64 — cross-source duplication matrix: WHO copies WHOM. j45's HLL
+    // matrix measures content-hash overlap between sources as a sketch
+    // estimate; this is its exact near-dup complement — every verified
+    // near-dup pair (the shared j2 pair core, LSH-prunable at 100 TB)
+    // attributed to its (source, source) cell, pair order normalized by
+    // least/greatest. The mixture-design diagnostic that tells you a
+    // crawl snapshot is recycling another source's text before you
+    // weight them independently in j30/j38. Sources join AFTER the pair
+    // core (two broadcast-size dimension joins on doc_id), so the pair
+    // machinery is unchanged and the matrix is |sources|² tiny.
+    Q("j64_source_dup_matrix",
+      (s, d) => {
+        val pairs = LlmOps.jaccardPairs(LlmOps.shingles(s, d),
+          LlmOps.shingleCounts(s, d), Knobs.pairMaxDf(s)).select("d1", "d2")
+        val src = t(s, d, "documents").select("doc_id", "source")
+        pairs
+          .join(src.select(col("doc_id").as("d1"), col("source").as("s1")),
+            "d1")
+          .join(src.select(col("doc_id").as("d2"), col("source").as("s2")),
+            "d2")
+          .select(least(col("s1"), col("s2")).as("src_a"),
+            greatest(col("s1"), col("s2")).as("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks
+          FROM documents WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        e AS (SELECT d1, d2 FROM p JOIN n n1 ON d1 = n1.doc_id
+            JOIN n n2 ON d2 = n2.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE)
+            >= 0.5)
+        SELECT LEAST(x1.source, x2.source) AS src_a,
+          GREATEST(x1.source, x2.source) AS src_b,
+          COUNT(*) AS n_pairs
+        FROM e JOIN documents x1 ON e.d1 = x1.doc_id
+          JOIN documents x2 ON e.d2 = x2.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2""")))
 }
