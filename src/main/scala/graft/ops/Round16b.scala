@@ -802,6 +802,55 @@ object Round16b {
         SELECT doc_id, cluster, csize, ROUND(1.0 / csize, 6) AS weight
         FROM f JOIN sz USING (cluster) ORDER BY doc_id""")),
 
+    // d33 — ANSI inverse-distribution syntax: percentile_cont /
+    // percentile_disc WITHIN GROUP (ORDER BY …) — the standard spelling
+    // of d8/d18's function-call percentiles (TD/Presto notebooks use
+    // approx_percentile; migrated ANSI SQL uses WITHIN GROUP). Same
+    // single-pass grouped aggregate underneath; disc returns an actual
+    // data value (smallest with cumulative distribution ≥ p), cont
+    // interpolates — both graded against DuckDB's quantile_disc/cont.
+    Q("d33_percentile_within_group",
+      (s, d) => Views.unique(s, "d33_lineitem" -> t(s, d, "lineitem")) { v =>
+        s.sql(s"""SELECT l_returnflag,
+            round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6)
+              AS p50_qty,
+            percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+              AS p50d_qty,
+            round(percentile_cont(0.9) WITHIN GROUP
+              (ORDER BY l_extendedprice), 6) AS p90_price
+          FROM ${v("d33_lineitem")}
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+          quantile_disc(l_quantity, 0.5) AS p50d_qty,
+          round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // h42 — VARIANT introspection: the functions around a34/a36's
+    // variant_get storage story — schema_of_variant (what shape did the
+    // landing zone actually receive), typed re-get with coercion
+    // (int-valued field read as string), and try_variant_get's
+    // missing-path null instead of error. The oracle re-derives every
+    // column from the original JSON text, so the variant layer is
+    // checked against the raw bytes it encoded.
+    Q("h42_variant_introspect",
+      (s, d) => events(s, d).where(col("event_id") < 300)
+        .select(col("event_id"),
+          expr("parse_json(props)").as("pv"))
+        .select(col("event_id"),
+          expr("schema_of_variant(pv)").as("sch"),
+          expr("variant_get(pv, '$.k', 'int')").as("k_int"),
+          expr("variant_get(pv, '$.k', 'string')").as("k_str"),
+          expr("try_variant_get(pv, '$.nope', 'int')").as("miss"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+          'OBJECT<k: BIGINT>' AS sch,
+          CAST(props->>'$.k' AS INT) AS k_int,
+          CAST(props->>'$.k' AS VARCHAR) AS k_str,
+          CAST(NULL AS INT) AS miss
+        FROM events WHERE event_id < 300 ORDER BY event_id""")),
+
     // j64 — cross-source duplication matrix: WHO copies WHOM. j45's HLL
     // matrix measures content-hash overlap between sources as a sketch
     // estimate; this is its exact near-dup complement — every verified
