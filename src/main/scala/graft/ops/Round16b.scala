@@ -802,6 +802,41 @@ object Round16b {
         SELECT doc_id, cluster, csize, ROUND(1.0 / csize, 6) AS weight
         FROM f JOIN sz USING (cluster) ORDER BY doc_id""")),
 
+    // a38 — DYNAMIC partition overwrite: the idempotent backfill
+    // primitive. A corrected batch re-materializes ONLY the partitions
+    // it contains (o_orderstatus=F here, with doubled prices as the
+    // visible correction); static overwrite semantics would DELETE every
+    // other partition, so the oracle — the full table with only F
+    // changed — fails loudly if the mode is wrong. Per-WRITE
+    // option("partitionOverwriteMode", "dynamic"), never a session conf
+    // (the dual-SF Verify regime shares the session). Round16bSpec pins
+    // the untouched partitions' FILES survive by identity, not just by
+    // value. At 100 TB this is how nightly re-runs stay O(corrected
+    // partitions), not O(table).
+    Q("a38_dynamic_overwrite",
+      (s, d) => {
+        val out = Scratch.dir("a38")
+        val ord = t(s, d, "orders")
+        ord.repartition(1).write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(out)
+        ord.where(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .repartition(1).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("o_orderstatus").parquet(out)
+        t(s, d, "orders").sparkSession.read.parquet(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum(dec(col("o_totalprice"))), 4).cast("double")
+              .as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+              THEN o_totalprice * 2 ELSE o_totalprice END
+            AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // d33 — ANSI inverse-distribution syntax: percentile_cont /
     // percentile_disc WITHIN GROUP (ORDER BY …) — the standard spelling
     // of d8/d18's function-call percentiles (TD/Presto notebooks use

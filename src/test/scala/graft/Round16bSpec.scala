@@ -140,6 +140,27 @@ class Round16bSpec extends AnyFunSuite {
     }
   }
 
+  test("a38: dynamic overwrite leaves untouched partitions' files intact by identity") {
+    import spark.implicits._
+    val out = ops.Scratch.dir("a38spec")
+    Seq((1, "A"), (2, "B"), (3, "B")).toDF("id", "part")
+      .repartition(1).write.mode("overwrite").partitionBy("part").parquet(out)
+    def filesIn(p: String) = new java.io.File(s"$out/part=$p")
+      .listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val bBefore = filesIn("B")
+    Seq((10, "A")).toDF("id", "part")
+      .repartition(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(out)
+    assert(filesIn("B") == bBefore,
+      "dynamic overwrite must not touch partitions absent from the batch")
+    val back = spark.read.parquet(out).select("id").collect()
+      .map(_.getInt(0)).sorted
+    assert(back.toSeq == Seq(2, 3, 10),
+      s"A replaced, B intact expected; got ${back.toSeq}")
+  }
+
   test("j63: soft-dedup weights sum to the number of clusters (total mass 1 per cluster)") {
     val rows = df("j63_softdedup_weights").collect()
     val nClusters = rows.map(_.getLong(1)).distinct.length
