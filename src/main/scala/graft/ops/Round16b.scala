@@ -30,6 +30,37 @@ object Round16b {
   private def revenue = round(sum(dec(col("l_extendedprice")) *
     (lit(1) - dec(col("l_discount")))), 4).cast("double").as("revenue")
 
+  /** j62's canonicalization as a reusable column pipeline (PropertySpec
+    * fuzzes it against a driver-side reference): lowercase scheme+host,
+    * strip leading "www." and default ":443", drop the fragment, strip a
+    * trailing slash (bare host → "/"), sort query params. Input df needs
+    * a `url` column; adds `canon`. All codegen'd string/array built-ins. */
+  private[graft] def canonicalizeUrl(urls: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    urls
+      .withColumn("base", split_part(col("url"), lit("#"), lit(1)))
+      .withColumn("query", split_part(col("base"), lit("?"), lit(2)))
+      .withColumn("pre", split_part(col("base"), lit("?"), lit(1)))
+      .withColumn("scheme",
+        lower(split_part(col("pre"), lit("://"), lit(1))))
+      .withColumn("rest", split_part(col("pre"), lit("://"), lit(2)))
+      .withColumn("host_raw", split_part(col("rest"), lit("/"), lit(1)))
+      .withColumn("path0",
+        col("rest").substr(length(col("host_raw")) + 1, lit(1 << 20)))
+      .withColumn("host",
+        regexp_replace(regexp_replace(lower(col("host_raw")),
+          "^www\\.", ""), ":443$", ""))
+      .withColumn("path",
+        when(regexp_replace(col("path0"), "/$", "") === "", lit("/"))
+          .otherwise(regexp_replace(col("path0"), "/$", "")))
+      .withColumn("qsort",
+        when(col("query") === "", lit(""))
+          .otherwise(concat(lit("?"), concat_ws("&",
+            sort_array(split(col("query"), "&"))))))
+      .withColumn("canon",
+        concat(col("scheme"), lit("://"), col("host"), col("path"),
+          col("qsort")))
+
   private val revenueSql =
     """CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
          (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)"""
@@ -643,29 +674,8 @@ object Round16b {
                 lit("&b="), (col("doc_id") % 2).cast("string"))),
             when(col("doc_id") % 6 === 0, lit("#Frag")).otherwise(lit("")))
             .as("url"))
-        urls
-          .withColumn("base", split_part(col("url"), lit("#"), lit(1)))
-          .withColumn("query", split_part(col("base"), lit("?"), lit(2)))
-          .withColumn("pre", split_part(col("base"), lit("?"), lit(1)))
-          .withColumn("scheme",
-            lower(split_part(col("pre"), lit("://"), lit(1))))
-          .withColumn("rest", split_part(col("pre"), lit("://"), lit(2)))
-          .withColumn("host_raw", split_part(col("rest"), lit("/"), lit(1)))
-          .withColumn("path0",
-            col("rest").substr(length(col("host_raw")) + 1, lit(1 << 20)))
-          .withColumn("host",
-            regexp_replace(regexp_replace(lower(col("host_raw")),
-              "^www\\.", ""), ":443$", ""))
-          .withColumn("path",
-            when(regexp_replace(col("path0"), "/$", "") === "", lit("/"))
-              .otherwise(regexp_replace(col("path0"), "/$", "")))
-          .withColumn("qsort",
-            when(col("query") === "", lit(""))
-              .otherwise(concat(lit("?"), concat_ws("&",
-                sort_array(split(col("query"), "&"))))))
-          .select(col("doc_id"),
-            concat(col("scheme"), lit("://"), col("host"), col("path"),
-              col("qsort")).as("canon"))
+        canonicalizeUrl(urls)
+          .select(col("doc_id"), col("canon"))
           .groupBy("canon")
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
           .orderBy("canon")

@@ -569,4 +569,65 @@ class PropertySpec extends AnyFunSuite {
       assert(classes(got) == classes(ref), s"case $i disagreed")
     }
   }
+
+  test("j62 URL canonicalization agrees with a driver-side reference on random URLs") {
+    import spark.implicits._
+    // driver-side mirror of Round16b.canonicalizeUrl's exact contract
+    def refCanon(url: String): String = {
+      val base = url.takeWhile(_ != '#')
+      val (pre, query) = base.indexOf('?') match {
+        case -1 => (base, "")
+        case i  => (base.take(i), base.drop(i + 1))
+      }
+      val Array(schemeRaw, rest) = pre.split("://", 2)
+      val slash = rest.indexOf('/')
+      val hostRaw = if (slash == -1) rest else rest.take(slash)
+      val path0 = if (slash == -1) "" else rest.drop(slash)
+      val host = hostRaw.toLowerCase
+        .replaceFirst("^www\\.", "").replaceFirst(":443$", "")
+      val p1 = path0.replaceFirst("/$", "")
+      val path = if (p1.isEmpty) "/" else p1
+      val qsort =
+        if (query.isEmpty) ""
+        else "?" + query.split('&').sorted.mkString("&")
+      s"${schemeRaw.toLowerCase}://$host$path$qsort"
+    }
+    val seg = Gen.oneOf("a", "B", "x9", "download", "Path")
+    val gUrl = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "hTTps")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.com", "sub.Site.ORG", "data.io")
+      port <- Gen.oneOf("", ":443", ":8080")
+      nseg <- Gen.choose(0, 3)
+      segs <- Gen.listOfN(nseg, seg)
+      trail <- Gen.oneOf("", "/")
+      nq <- Gen.choose(0, 3)
+      qs <- Gen.listOfN(nq, Gen.zip(Gen.oneOf("a", "b", "Zz"),
+        Gen.choose(0, 9)))
+      frag <- Gen.oneOf("", "#Top", "#s2")
+    } yield {
+      val path = if (segs.isEmpty) trail
+        else segs.mkString("/", "/", "") + trail
+      val q = if (qs.isEmpty) ""
+        else "?" + qs.map { case (k, v) => s"$k=$v" }.mkString("&")
+      s"$scheme://$www$host$port$path$q$frag"
+    }
+    val urls = samples(gUrl, 300).distinct
+    val got = ops.Round16b.canonicalizeUrl(
+        urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+          .toDF("doc_id", "url"))
+      .select("url", "canon").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    urls.foreach { u =>
+      assert(got(u) == refCanon(u), s"url $u: ${got(u)} != ${refCanon(u)}")
+    }
+    // the collapse property on a planted quartet: four spellings, one page
+    val variants = Seq(
+      "HTTPS://WWW.Example.com:443/Download/?b=2&a=1#x",
+      "https://example.COM/Download?a=1&b=2",
+      "https://www.example.com/Download/?a=1&b=2#y",
+      "HTTPS://example.com:443/Download?b=2&a=1")
+    val canons = variants.map(refCanon).distinct
+    assert(canons == Seq("https://example.com/Download?a=1&b=2"), canons)
+  }
 }
