@@ -896,6 +896,81 @@ object Round16b {
           CAST(NULL AS INT) AS miss
         FROM events WHERE event_id < 300 ORDER BY event_id""")),
 
+    // j65 — FUZZY benchmark decontamination: j25's exact 4-gram gate
+    // catches verbatim leakage; paraphrased/partially-edited leakage
+    // needs the near-dup machinery pointed ACROSS corpora — train docs
+    // (doc_id % 17 != 0) LSH-banded against the benchmark partition
+    // (doc_id % 17 == 0), candidates from the band equi-join (never a
+    // train × bench cross product), then EXACT shingle-Jaccard ≥ 0.5
+    // verification on candidates only — the flag-before-training audit
+    // (GPT-3/Llama-class training runs dedup eval sets exactly this
+    // way). At 100 TB the bench side is tiny: its band index broadcasts,
+    // and the train side streams through map-side probes (i15 is this
+    // key's streaming sibling). The oracle recomputes signatures, band
+    // agreement, AND the exact verification in DuckDB — the whole
+    // cascade hash-checks, including LSH misses (a true pair no band
+    // catches is absent from BOTH sides by construction).
+    Q("j65_decontam_fuzzy",
+      (s, d) => {
+        val bands = LlmOps.minhashBands(LlmOps.minhashSigs(s, d))
+        val cand = bands.where(col("doc_id") % 17 =!= 0)
+          .toDF("d1", "band", "bh")
+          .join(bands.where(col("doc_id") % 17 === 0)
+            .toDF("d2", "band2", "bh2"),
+            col("band") === col("band2") && col("bh") === col("bh2"))
+          .select("d1", "d2").distinct()
+        val sh = LlmOps.shingles(s, d)
+        val n = LlmOps.shingleCounts(s, d)
+        cand
+          .join(sh.toDF("d1", "sh"), "d1")
+          .join(sh.toDF("d2", "sh"), Seq("d2", "sh"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+          .join(n.toDF("d1", "n1"), "d1")
+          .join(n.toDF("d2", "n2"), "d2")
+          .withColumn("jac", col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")).cast("double"))
+          .where(col("jac") >= 0.5)
+          .select(col("d1").as("train_id"), col("d2").as("bench_id"),
+            round(col("jac"), 6).as("jac"))
+          .orderBy("train_id", "bench_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks
+            FROM documents WHERE len(string_split(text,' ')) >= 3),
+        shs AS (SELECT DISTINCT doc_id,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+          FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+        shn AS (SELECT doc_id, COUNT(*) AS n FROM shs GROUP BY doc_id),
+        sh AS (SELECT doc_id,
+            CAST('0x' || substr(md5(sh),1,15) AS BIGINT) % 2147483647 AS h
+          FROM shs),
+        seeds AS (SELECT unnest(range(0, 32)) AS i,
+          unnest([114060684, 143607338, 658016613, 1920833001, 1625018798, 2115868157, 1839658157, 1370607936, 1314768563, 1516846533, 899342927, 1761721496, 1792449689, 2056989732, 1252576877, 638180912, 516347111, 86660098, 1034123048, 390694563, 1490082987, 1456092804, 997229159, 1263980514, 768208874, 373428981, 381249820, 1284903395, 434862591, 97658014, 635475302, 570517315]) AS a,
+          unnest([1522425843, 334529765, 1689677233, 1003823822, 1509779900, 1177694471, 385288776, 1001072043, 1286760556, 1140912466, 1555416272, 1474034036, 137111194, 1024637812, 1326353219, 494970825, 731651806, 1540310342, 993191396, 888645945, 1275083898, 325350617, 1359272703, 771243134, 711658336, 269452704, 606543124, 1932692492, 242146161, 1168033289, 31958265, 1568728816]) AS b),
+        mh AS (SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+          FROM sh, seeds GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh
+          GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+            a.sig AS s1, b.sig AS s2
+          FROM sig a JOIN sig b
+            ON a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0),
+        cand AS (SELECT d1, d2 FROM pairs WHERE EXISTS (
+          SELECT 1 FROM unnest(range(0, 8)) r(b)
+          WHERE list_slice(s1, r.b*4+1, r.b*4+4)
+            = list_slice(s2, r.b*4+1, r.b*4+4))),
+        pint AS (SELECT c.d1, c.d2, COUNT(*) AS inter
+          FROM cand c JOIN shs x ON x.doc_id = c.d1
+            JOIN shs y ON y.doc_id = c.d2 AND y.sh = x.sh
+          GROUP BY c.d1, c.d2)
+        SELECT p.d1 AS train_id, p.d2 AS bench_id,
+          ROUND(CAST(inter AS DOUBLE)
+            / CAST(n1.n + n2.n - inter AS DOUBLE), 6) AS jac
+        FROM pint p JOIN shn n1 ON p.d1 = n1.doc_id
+          JOIN shn n2 ON p.d2 = n2.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE)
+          >= 0.5
+        ORDER BY 1, 2""")),
+
     // j64 — cross-source duplication matrix: WHO copies WHOM. j45's HLL
     // matrix measures content-hash overlap between sources as a sketch
     // estimate; this is its exact near-dup complement — every verified
