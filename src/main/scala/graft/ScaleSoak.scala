@@ -30,7 +30,7 @@ object ScaleSoak {
     // (no args = all sections) — re-measuring one family must not cost a
     // full 10-minute sweep
     val sections: Set[String] =
-      if (args.isEmpty) Set("neardup", "ann", "j60", "sub", "ev")
+      if (args.isEmpty) Set("neardup", "ann", "j60", "sub", "ev", "decontam")
       else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
@@ -180,6 +180,28 @@ object ScaleSoak {
     // background users × 10 events keep the non-skewed mass honest.
     // Output is identical (both hash-match the interval oracle at bench
     // SF, and both emit the same row count here).
+    // cross-corpus decontam: j65's banded candidate path vs the
+    // inverted-index brute twin (shared-shingle train×bench join, the
+    // Σdf²-bounded shape boilerplate melts) — same split, same exact
+    // verify, same output pairs
+    section("decontam") {
+      run("j65_decontam_fuzzy", Map.empty)
+      val (sec, rows) = time {
+        val sh = graft.ops.LlmOps.shingles(spark, d)
+        val n = graft.ops.LlmOps.shingleCounts(spark, d)
+        sh.where(col("doc_id") % 17 =!= 0).toDF("d1", "sh")
+          .join(sh.where(col("doc_id") % 17 === 0).toDF("d2", "sh"), "sh")
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+          .join(n.toDF("d1", "n1"), "d1")
+          .join(n.toDF("d2", "n2"), "d2")
+          .where(col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")).cast("double") >= 0.5)
+          .count()
+      }
+      println(f"""SOAK {"key":"brute_cross_decontam","conf":"sharedshingle","sec":$sec%.2f,"rows":$rows}""")
+      release()
+    }
+
     section("ev") {
     val dEv = graft.ops.Scratch.dir("scalesoak_ev")
     val yearMs = 365L * 86400 * 1000
