@@ -872,6 +872,40 @@ object Round16b {
           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // d34 — the NATIVE ANSI regr_* aggregate family (regr_count/avgx/
+    // avgy/slope/intercept/r2): d16 proved the math with hand-built
+    // exact decimal moments; this key grades Spark's built-in streaming
+    // co-moment aggregates against DuckDB's same-named natives. Inputs
+    // are integer-valued doubles (quantity, whole-dollar price) so every
+    // raw moment stays under 2^53 — the co-moment recurrences then agree
+    // cross-engine to ~1e-12 and round(…,6) is stable (the d16 lesson:
+    // with full-precision prices the naive double moments drift at the
+    // 4th decimal). Single-pass partial/final aggregation, zero extra
+    // shuffle over the d1 shape.
+    Q("d34_regr_native",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").as("x"),
+          round(col("l_extendedprice"), 0).as("y"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("regr_count(y, x)").as("n"),
+          round(expr("regr_avgx(y, x)"), 6).as("avgx"),
+          round(expr("regr_avgy(y, x)"), 6).as("avgy"),
+          round(expr("regr_slope(y, x)"), 6).as("slope"),
+          round(expr("regr_intercept(y, x)"), 6).as("icept"),
+          round(expr("regr_r2(y, x)"), 6).as("r2"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          regr_count(y, x) AS n,
+          round(regr_avgx(y, x), 6) AS avgx,
+          round(regr_avgy(y, x), 6) AS avgy,
+          round(regr_slope(y, x), 6) AS slope,
+          round(regr_intercept(y, x), 6) AS icept,
+          round(regr_r2(y, x), 6) AS r2
+        FROM (SELECT l_returnflag, l_quantity AS x,
+            round(l_extendedprice, 0) AS y FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // h42 — VARIANT introspection: the functions around a34/a36's
     // variant_get storage story — schema_of_variant (what shape did the
     // landing zone actually receive), typed re-get with coercion
