@@ -847,6 +847,70 @@ object Round16b {
             AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_price
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // a39 — SQL direct-file querying: `FROM parquet.` + a backquoted
+    // path — ad-hoc inspection of a landing-zone file with NO
+    // registration step (the notebook "peek at what arrived" move;
+    // the reference's equivalent is read_td_table on an unregistered
+    // name). Same scan node, same pushdown as the registered form —
+    // the filter lands in PushedFilters identically.
+    Q("a39_sql_direct_file",
+      (s, d) => s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n
+        FROM parquet.`$d/orders.parquet`
+        WHERE o_totalprice >= 1000.0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        WHERE o_totalprice >= 1000.0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // c21 — join STRATEGY HINTS: the same logical join forced down all
+    // three physical strategies — BROADCAST, MERGE (sort-merge),
+    // SHUFFLE_HASH — with the results proven identical (one oracle; the
+    // key unions the three results and DISTINCTs to a single copy, so
+    // any divergence breaks the hash). The hint surface is how users
+    // override the planner when statistics lie at 100 TB (a dim that
+    // looks big but filters small, a fact small enough to hash).
+    // Round16bSpec pins each hint actually produced its strategy.
+    Q("c21_join_hints",
+      (s, d) => Views.unique(s,
+        "c21_orders" -> t(s, d, "orders"),
+        "c21_customer" -> t(s, d, "customer")) { v =>
+        def q(hint: String) = s.sql(s"""SELECT /*+ $hint(c) */
+            c.c_mktsegment, COUNT(*) AS n,
+            CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))),4)
+              AS DOUBLE) AS sum_price
+          FROM ${v("c21_orders")} o
+          JOIN ${v("c21_customer")} c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment""")
+        q("BROADCAST").unionAll(q("MERGE")).unionAll(q("SHUFFLE_HASH"))
+          .distinct()
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
+            AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // f4 — LIMIT/OFFSET pagination: page 3 of a fully-ordered result
+    // (OFFSET 20 LIMIT 10 over a total order — the tie-broken ORDER BY
+    // is what makes pagination deterministic; an unordered OFFSET is a
+    // different answer every run). Spark plans the combination as a
+    // single global-limit node on top of the sort — at scale prefer
+    // keyset pagination (WHERE key > last_seen), which a3/a20 cover;
+    // this key is the ANSI surface.
+    Q("f4_limit_offset",
+      (s, d) => Views.unique(s, "f4_orders" -> t(s, d, "orders")) { v =>
+        s.sql(s"""SELECT o_orderkey, o_orderstatus,
+            round(o_totalprice, 2) AS o_totalprice
+          FROM ${v("f4_orders")}
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 10 OFFSET 20""")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20""")),
+
     // d33 — ANSI inverse-distribution syntax: percentile_cont /
     // percentile_disc WITHIN GROUP (ORDER BY …) — the standard spelling
     // of d8/d18's function-call percentiles (TD/Presto notebooks use

@@ -140,6 +140,31 @@ class Round16bSpec extends AnyFunSuite {
     }
   }
 
+  test("c21: each strategy hint forces its physical join") {
+    import spark.implicits._
+    val l = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val r = Seq((1L, 10), (2L, 20)).toDF("k2", "w")
+    val lv = "c21s_l_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val rv = "c21s_r_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    l.createOrReplaceTempView(lv); r.createOrReplaceTempView(rv)
+    try {
+      def plan(hint: String) = spark.sql(
+        s"SELECT /*+ $hint(b) */ * FROM $lv a JOIN $rv b ON a.k = b.k2")
+        .queryExecution.executedPlan.toString
+      assert(plan("BROADCAST").contains("BroadcastHashJoin"))
+      assert(plan("MERGE").contains("SortMergeJoin"))
+      assert(plan("SHUFFLE_HASH").contains("ShuffledHashJoin"))
+    } finally {
+      spark.catalog.dropTempView(lv); spark.catalog.dropTempView(rv)
+    }
+  }
+
+  test("a39: direct-file SQL gets the same pushdown as the registered form") {
+    val p = df("a39_sql_direct_file").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_totalprice,1000.0)"), p.take(1500))
+  }
+
   test("a38: dynamic overwrite leaves untouched partitions' files intact by identity") {
     import spark.implicits._
     val out = ops.Scratch.dir("a38spec")
