@@ -1069,6 +1069,103 @@ object Round16b {
           >= 0.5
         ORDER BY 1, 2""")),
 
+    // b7 — correlated EXISTS subquery: the third spelling of
+    // semi-reduction next to b4's IN and c6's explicit semi join. The
+    // planner must DECORRELATE (rewrite to one LeftSemi hash join), not
+    // re-execute the subquery per outer row — spec-pinned. Customers
+    // with at least one high-value order, counted by segment.
+    Q("b7_exists_subquery",
+      (s, d) => Views.unique(s,
+        "b7_customer" -> t(s, d, "customer"),
+        "b7_orders" -> t(s, d, "orders")) { v =>
+        s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n_cust
+          FROM ${v("b7_customer")} c
+          WHERE EXISTS (SELECT 1 FROM ${v("b7_orders")} o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 3000.0)
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_cust
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 3000.0)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // j66 — Jelinek-Mercer interpolated LM scoring: the smoothing step
+    // between j17 (raw bigram likelihood — zero-prob on unseen pairs)
+    // and j61 (unigram backstop): score = λ·P_bi(w₂|w₁) + (1−λ)·P_uni(w₂),
+    // λ = 0.7 — the classical interpolation real LM-based quality
+    // filters (CCNet's wikipedia-LM gate) rest on. Both component
+    // probabilities ride j17's decimal device (c2/c1 and cu/T as
+    // DECIMAL(25,12); per-doc sums exact, order-free); the λ-combination
+    // happens ONCE per doc in double after the exact sums, so the whole
+    // score is hash-stable at any partition count. Corpus passes: one
+    // for bigrams, one for unigrams — both Zipf-collapsed before any
+    // join, the 100 TB shape.
+    Q("j66_interpolated_lm",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val bg = toks.where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks)-1), " +
+              "i -> struct(toks[i-1] as w1, toks[i] as w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+          .where(col("w1").isNotNull && col("w2").isNotNull)
+        val dg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+        val c2 = dg.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
+        val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+        val pBi = c2.join(c1, "w1")
+          .select(col("w1"), col("w2"),
+            (col("c2").cast("double") / col("c1").cast("double"))
+              .cast("decimal(25,12)").as("pb"))
+        val uni = toks
+          .select(explode(col("toks")).as("w2"))
+          .groupBy("w2").agg(count(lit(1)).as("cu"))
+        val total = uni.agg(sum("cu").as("tot"))
+        val pUni = uni.crossJoin(broadcast(total))
+          .select(col("w2"),
+            (col("cu").cast("double") / col("tot").cast("double"))
+              .cast("decimal(25,12)").as("pu"))
+        dg.join(pBi, Seq("w1", "w2"))
+          .join(pUni, "w2")
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n_bigrams"),
+            sum(col("cnt").cast("decimal(12,0)") * col("pb")).as("sb"),
+            sum(col("cnt").cast("decimal(12,0)") * col("pu")).as("su"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round((lit(0.7) * col("sb").cast("double") +
+                lit(0.3) * col("su").cast("double")) /
+              col("n_bigrams").cast("double"), 6).as("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+        bg AS (SELECT doc_id, toks[i.i] AS w1, toks[i.i+1] AS w2
+          FROM tk, unnest(range(1, len(toks))) i(i)
+          WHERE len(toks) >= 2),
+        dg AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt
+          FROM bg GROUP BY 1, 2, 3),
+        c2 AS (SELECT w1, w2, SUM(cnt) AS c2 FROM dg GROUP BY 1, 2),
+        c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        pb AS (SELECT c2.w1, c2.w2,
+            CAST(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS DECIMAL(25,12))
+              AS pb
+          FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+        uni AS (SELECT unnest(toks) AS w2, 1 AS one FROM tk),
+        cu AS (SELECT w2, COUNT(*) AS cu FROM uni GROUP BY 1),
+        tot AS (SELECT SUM(cu) AS tot FROM cu),
+        pu AS (SELECT w2,
+            CAST(CAST(cu AS DOUBLE) / CAST(tot AS DOUBLE) AS DECIMAL(25,12))
+              AS pu
+          FROM cu, tot)
+        SELECT dg.doc_id, SUM(cnt) AS n_bigrams,
+          ROUND((0.7 * CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * pb) AS DOUBLE)
+            + 0.3 * CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * pu) AS DOUBLE))
+            / CAST(SUM(cnt) AS DOUBLE), 6) AS score
+        FROM dg JOIN pb ON dg.w1 = pb.w1 AND dg.w2 = pb.w2
+          JOIN pu ON dg.w2 = pu.w2
+        GROUP BY dg.doc_id ORDER BY dg.doc_id""")),
+
     // j64 — cross-source duplication matrix: WHO copies WHOM. j45's HLL
     // matrix measures content-hash overlap between sources as a sketch
     // estimate; this is its exact near-dup complement — every verified

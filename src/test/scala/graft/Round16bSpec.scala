@@ -140,6 +140,13 @@ class Round16bSpec extends AnyFunSuite {
     }
   }
 
+  test("b7: EXISTS decorrelates to one semi join, no per-row re-execution") {
+    val p = plan("b7_exists_subquery")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("c21: each strategy hint forces its physical join") {
     import spark.implicits._
     val l = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
