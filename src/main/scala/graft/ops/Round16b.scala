@@ -644,6 +644,72 @@ object Round16b {
             || '000000000000') AS head_hex
         FROM documents ORDER BY doc_id""")),
 
+    // m12 — sequential MULTI-ENTRY container decode: the archive-walk
+    // leg of the byte-decode family. m6-m10 read fixed offsets; m11
+    // scans for one marker; m12 walks a variable-count entry TABLE
+    // (magic, count, then per entry: name_len, name, body_len BE, body)
+    // where every entry's offset depends on ALL previous lengths — the
+    // TAR/TLV shape. The walk is one aggregate() fold over
+    // sequence(1, count) carrying (position, entries-so-far) — a pure
+    // per-row higher-order expression: no UDF, no explode-join, content
+    // bytes never shuffle; the only post-decode op is the entry
+    // posexplode. The oracle recomputes every entry from the synthesis
+    // rule (never from bytes), so parse and build cannot share a bug.
+    Q("m12_decode_archive",
+      (s, d) => {
+        val fixture = t(s, d, "documents").selectExpr("doc_id",
+            "cast(1 + doc_id % 3 AS INT) AS cnt")
+          .selectExpr("doc_id", "cnt",
+            """concat('41523031', lpad(hex(cnt), 2, '0'),
+               aggregate(transform(sequence(1, cnt), i -> concat(
+                 lpad(hex(length(concat(repeat('n', i), '_',
+                   cast(doc_id % 10 AS STRING)))), 2, '0'),
+                 hex(concat(repeat('n', i), '_',
+                   cast(doc_id % 10 AS STRING))),
+                 lpad(hex(10 + (doc_id * i) % 50), 4, '0'),
+                 hex(substring(repeat(md5(concat(cast(doc_id AS STRING),
+                   ':', cast(i AS STRING))), 2),
+                   1, cast(10 + (doc_id * i) % 50 AS INT))))),
+                 '', (a, x) -> concat(a, x))) AS hx""")
+        fixture
+          .selectExpr("doc_id",
+            """aggregate(sequence(1, cnt),
+                struct(11 AS p,
+                  cast(array() AS
+                    array<struct<name:string,blen:int,bh:string>>) AS es),
+                (acc, i) -> struct(
+                  cast(acc.p + 6
+                    + cast(conv(substr(hx, acc.p, 2), 16, 10) AS INT) * 2
+                    + cast(conv(substr(hx, acc.p + 2
+                        + cast(conv(substr(hx, acc.p, 2), 16, 10) AS INT) * 2,
+                        4), 16, 10) AS INT) * 2 AS INT) AS p,
+                  concat(acc.es, array(struct(
+                    cast(unhex(substr(hx, acc.p + 2,
+                      cast(conv(substr(hx, acc.p, 2), 16, 10) AS INT) * 2))
+                      AS STRING) AS name,
+                    cast(conv(substr(hx, acc.p + 2
+                      + cast(conv(substr(hx, acc.p, 2), 16, 10) AS INT) * 2,
+                      4), 16, 10) AS INT) AS blen,
+                    substr(hx, acc.p + 6
+                      + cast(conv(substr(hx, acc.p, 2), 16, 10) AS INT) * 2,
+                      16) AS bh))) AS es),
+                acc -> acc.es) AS es""")
+          .selectExpr("doc_id", "posexplode(es) AS (i0, e)")
+          .selectExpr("doc_id", "cast(i0 + 1 AS INT) AS idx",
+            "e.name AS name", "cast(e.blen AS BIGINT) AS blen",
+            "e.bh AS head_hex")
+          .orderBy("doc_id", "idx")
+      },
+      Some("""SELECT doc_id, CAST(i.i AS INT) AS idx,
+          repeat('n', i.i) || '_' || CAST(doc_id % 10 AS VARCHAR) AS name,
+          CAST(10 + (doc_id * i.i) % 50 AS BIGINT) AS blen,
+          upper(hex(substring(
+            substring(repeat(md5(CAST(doc_id AS VARCHAR) || ':'
+              || CAST(i.i AS VARCHAR)), 2),
+              1, CAST(10 + (doc_id * i.i) % 50 AS INT)), 1, 8))) AS head_hex
+        FROM documents, unnest(range(1, CAST(1 + doc_id % 3 AS INT) + 1)) i(i)
+        ORDER BY doc_id, idx""")),
+
     // j62 — URL-canonicalization dedup: the web-crawl dedup step that
     // runs BEFORE any content hashing (CCNet/C4-class pipelines dedup
     // fetched pages by canonical URL first — it's free compared to text
