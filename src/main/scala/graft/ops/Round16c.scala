@@ -1,0 +1,320 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-16 batch 3 — the remaining TPC-H composite shapes expressible
+  * over the fixture schema (no partsupp, no commit/receipt date pair, no
+  * comment/phone columns — each key notes its substitution and keeps the
+  * ORIGINAL query's plan-shape challenge intact). As with p1-p7 these
+  * grade the OPTIMIZER's composition (reference surface:
+  * `pandas_td/td.py :: read_td_query` arbitrary analytic SQL — SURVEY
+  * §0-caveated anchor): correlated scalar aggregates must decorrelate to
+  * one join, EXISTS/NOT-EXISTS pairs to semi/anti joins over a shared
+  * exchange, self-referenced aggregates to a reused subplan — never a
+  * per-row rescan.
+  *
+  * All money/quantity aggregates ride the Tables.dec decimal device so
+  * every graded sum is reduction-order-free (hash-stable at any
+  * partition count); double division/multiplication appears only AFTER
+  * exact aggregation, where IEEE 754 makes it engine-identical.
+  */
+object Round16c {
+
+  private val decSumDbl = (c: String) =>
+    s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+
+  def all: Seq[Q] = Seq(
+
+    // p8 — TPC-H Q17 (small-quantity-order revenue): the CORRELATED
+    // SCALAR AGGREGATE shape — each lineitem compares against
+    // 0.2·avg(l_quantity) of ITS OWN part. Substitution: the
+    // p_container predicate becomes p_size (fixture has no container).
+    // The at-scale story: the subquery must decorrelate to ONE grouped
+    // aggregate joined back, and the part filter must reduce lineitem
+    // BEFORE that aggregate — the per-part average over a brand-filtered
+    // join equals the average over all of lineitem for those parts
+    // (the correlation key is p_partkey), so both the avg input and the
+    // probe side shrink to ~0.3% of the fact table before any shuffle.
+    // A naive engine rescans lineitem per outer row; this is one
+    // broadcast of ~20 part keys + one small groupBy + one join.
+    // Threshold arithmetic: exact decimal sum → double ÷ count × 0.2 —
+    // identical IEEE ops in both engines, so the strict < is stable.
+    Q("p8_tpch_q17",
+      (s, d) => {
+        val pt = t(s, d, "part")
+          .where(col("p_brand") === "Brand#13" && col("p_size") <= 10)
+          .select("p_partkey")
+        val li = t(s, d, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+        val avgq = li.groupBy(col("l_partkey").as("ap"))
+          .agg((sum(dec(col("l_quantity"))).cast("double") /
+            count(lit(1)) * 0.2).as("qlim"))
+        li.join(avgq, col("l_partkey") === col("ap"))
+          .where(col("l_quantity") < col("qlim"))
+          .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2)
+            .as("avg_yearly"))
+      },
+      Some(s"""WITH pt AS (SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#13' AND p_size <= 10),
+          li AS (SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN pt ON l_partkey = p_partkey),
+          aq AS (SELECT l_partkey AS ap,
+              ${decSumDbl("l_quantity")} / COUNT(*) * 0.2 AS qlim
+            FROM li GROUP BY l_partkey)
+        SELECT ROUND(${decSumDbl("l_extendedprice")} / 7.0, 2) AS avg_yearly
+        FROM li JOIN aq ON l_partkey = ap WHERE l_quantity < qlim""")),
+
+    // p9 — TPC-H Q22 (global sales opportunity): customers above the
+    // GLOBAL average positive balance (scalar subquery → 1-row
+    // broadcast, never a per-row re-aggregation) who have NO orders
+    // (NOT EXISTS → left anti join on the shuffled custkey).
+    // Substitutions: the phone-country-code set becomes a c_nationkey
+    // set, and "no orders" (every fixture customer has orders) becomes
+    // "dormant — no orders since 2001-01-01", which keeps the anti join
+    // AND pushes a date filter to the orders scan first. At 100 TB the
+    // anti join is the only fact-sized exchange; the threshold is one
+    // broadcast row reused across all partitions.
+    Q("p9_tpch_q22",
+      (s, d) => {
+        val cs = t(s, d, "customer")
+          .where(col("c_nationkey").isin(1, 4, 9, 13, 20))
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val thr = cs.where(col("c_acctbal") > 0.0)
+          .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("thr"))
+        cs.join(t(s, d, "orders")
+            .where(col("o_orderdate") >= tsLit("2001-01-01"))
+            .select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .crossJoin(broadcast(thr))
+          .where(col("c_acctbal") > col("thr"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            round(sum(dec(col("c_acctbal"))), 2).cast("double")
+              .as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""WITH cs AS (SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer WHERE c_nationkey IN (1, 4, 9, 13, 20)),
+          thr AS (SELECT ${decSumDbl("c_acctbal")} / COUNT(*) AS thr
+            FROM cs WHERE c_acctbal > 0)
+        SELECT c_nationkey, COUNT(*) AS numcust,
+          CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+            AS totacctbal
+        FROM cs, thr
+        WHERE c_acctbal > thr
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // p10 — TPC-H Q21 (suppliers who kept orders waiting): the
+    // EXISTS + NOT-EXISTS pair over the SAME fact table, correlated on
+    // the outer row's orderkey AND inequality on its suppkey.
+    // Substitution: "late" (l_receiptdate > l_commitdate, columns the
+    // fixture lacks) becomes l_returnflag = 'R' — the double-correlation
+    // shape is untouched: a supplier counts only when ANOTHER supplier
+    // shares the order (semi) and NO OTHER supplier also flagged it
+    // (anti). Both probes decorrelate to joins keyed on l_orderkey, so
+    // the plan is three hash joins over one key — the exchange is
+    // reusable — plus a broadcastable supplier dim; a naive engine runs
+    // two correlated rescans per outer row. Top-100 via
+    // TakeOrderedAndProject (pinned in Round16cSpec).
+    Q("p10_tpch_q21",
+      (s, d) => {
+        val l1 = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_suppkey")
+        val ordF = t(s, d, "orders").where(col("o_orderstatus") === "F")
+          .select("o_orderkey")
+        val l2 = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val l3 = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        l1.join(ordF, col("l_orderkey") === col("o_orderkey"))
+          .join(l2, col("l_orderkey") === col("o2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("o3") &&
+            col("l_suppkey") =!= col("s3"), "left_anti")
+          .join(t(s, d, "supplier").select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+          JOIN orders ON l1.l_orderkey = o_orderkey
+          JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
+
+    // p11 — TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT)
+    // grouped by three part attributes, suppliers excluded by a NOT-IN
+    // subquery. Substitutions: partsupp (absent) is the distinct
+    // (l_partkey, l_suppkey) projection of lineitem — the same relation
+    // TPC-H derives it from — and the "complaints" comment regex becomes
+    // s_acctbal < 0. Shape: the NOT IN must become an anti join against
+    // a broadcastable bad-supplier set (NOT a per-row scan), the
+    // distinct-pair reduction runs BEFORE the part join so the join
+    // carries pairs not lineitems, and countDistinct rides the same
+    // (brand,type,size)-keyed exchange via partial aggregation.
+    Q("p11_tpch_q16",
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+        val bad = t(s, d, "supplier").where(col("s_acctbal") < 0.0)
+          .select(col("s_suppkey").as("bad_supp"))
+        val pt = t(s, d, "part")
+          .where(col("p_brand") =!= "Brand#13" &&
+            !col("p_type").like("MEDIUM%") &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        ps.join(pt, col("l_partkey") === col("p_partkey"))
+          .join(broadcast(bad), col("l_suppkey") === col("bad_supp"),
+            "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+            asc("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+          COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+          JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // p12 — TPC-H Q15 (top supplier): a revenue view referenced TWICE —
+    // once as the relation, once inside the scalar max — the
+    // self-referenced-aggregate shape. The quarter-bounded revenue
+    // groupBy runs ONCE (the two references share the subplan; at scale
+    // you'd localCheckpoint a genuinely expensive view, here Spark's
+    // ReuseExchange covers it), its 1-row max broadcasts, and the
+    // equality filter runs on the already-aggregated ~|suppliers| rows.
+    // Revenue is the exact-decimal device, so the max-equality compares
+    // bit-identical doubles in both engines.
+    Q("p12_tpch_q15",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= tsLit("1997-04-01") &&
+            col("l_shipdate") < tsLit("1997-07-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))), 4).cast("double")
+            .as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .where(col("total_revenue") === col("mx"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+              (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
+              AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-04-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // p13 — TPC-H Q13 (customer distribution): the ZERO-PRESERVING
+    // two-level aggregation — customers with no qualifying orders must
+    // appear in the c_count=0 bucket, so the join is LEFT OUTER and the
+    // first count counts the JOIN-SIDE key (null-skipping), never
+    // COUNT(*). Substitution: the comment NOT-LIKE filter becomes
+    // "finished urgent orders" (priority 1-URGENT AND status F) —
+    // selective enough that the c_count=0 bucket is non-empty at every
+    // SF, which is the property this key exists to grade (Round16cSpec
+    // pins it). Scale shape: first groupBy shuffles
+    // on c_custkey (same key as the join — one exchange serves both),
+    // second groupBy input is |customers| rows collapsing to ~tens of
+    // distinct counts map-side.
+    Q("p13_tpch_q13",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .where(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderstatus") === "F")
+          .select("o_custkey")
+        t(s, d, "customer").select("c_custkey")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_custkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_custkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+          GROUP BY c_custkey) cc
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // p14 — TPC-H Q9 (product type profit): profit per lineitem rolled
+    // up by the SUPPLIER'S nation and order year — the shape where the
+    // grouping keys come from three different tables and none of them is
+    // the join key. Substitution: ps_supplycost (partsupp absent)
+    // becomes p_retailprice — profit = extprice·(1−disc) −
+    // retailprice·qty, all-decimal so the sum stays order-free.
+    // Scale shape: the p_name filter prunes part BEFORE its join
+    // (selective, broadcastable), nation broadcasts unconditionally,
+    // and the only fact-sized exchanges are lineitem⋈orders on
+    // orderkey and the final (n_name, year) groupBy, which partial
+    // aggregation collapses map-side to ~25·|years| groups.
+    Q("p14_tpch_q9",
+      (s, d) => {
+        val pt = t(s, d, "part").where(col("p_name").contains("red"))
+          .select("p_partkey", "p_retailprice")
+        val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount")
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"),
+            year(col("o_orderdate")).cast("int").as("o_year"))
+          .agg(round(sum(dec(col("l_extendedprice")) *
+              (lit(1) - dec(col("l_discount"))) -
+              dec(col("p_retailprice")) * dec(col("l_quantity"))), 4)
+            .cast("double").as("sum_profit"))
+          .orderBy(asc("n_name"), desc("o_year"))
+      },
+      Some("""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+            (1 - CAST(l_discount AS DECIMAL(18,4))) -
+            CAST(p_retailprice AS DECIMAL(18,4)) *
+            CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)
+            AS sum_profit
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"""))
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 batch-3 pins: the p8-p14 composite pipelines' at-scale plan
+  * properties. The decisive ones are the DECORRELATIONS — p8's correlated
+  * scalar aggregate, p9/p10's (NOT) EXISTS, p11's NOT IN — must all plan
+  * as joins (aggregate-join / semi / anti), never as per-row rescans, and
+  * the only intentional nested-loop is p9/p12's 1-row scalar broadcast. */
+class Round16cSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+
+  private def df(key: String) = SparkEntry.queries(key)(spark, TestSpark.sf)
+  private def plan(key: String): String =
+    df(key).queryExecution.executedPlan.toString
+
+  test("p8/Q17: correlated avg decorrelates to one aggregate + join; part filter broadcast-prunes lineitem") {
+    val p = plan("p8_tpch_q17")
+    assert(!p.contains("CartesianProduct"))
+    // the ~20-key part filter reaches lineitem as a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), "part keys must broadcast")
+    // exactly one grouped aggregate feeds the threshold join — the
+    // fact table is scanned at most twice (probe + avg input), never
+    // per-row: HashAggregate pairs (partial+final) for avg and the
+    // final 1-row sum
+    val li = "Scan parquet".r.findAllIn(p).size
+    assert(li <= 4, s"expected <=4 scans (2 lineitem + 2 part), got $li")
+  }
+
+  test("p9/Q22: NOT EXISTS plans as an anti join, threshold as a 1-row broadcast") {
+    val p = plan("p9_tpch_q22")
+    assert(p.contains("LeftAnti"), "dormancy probe must be an anti join")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the dormancy date bound must reach the orders scan")
+    // the scalar threshold is the one intentional nested-loop: 1 row
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("p10/Q21: EXISTS and NOT EXISTS both decorrelate to joins on l_orderkey") {
+    val p = plan("p10_tpch_q21")
+    assert(p.contains("LeftSemi"), "EXISTS must be a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must be an anti join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the suppkey inequality must ride the orderkey equi-join as a residual")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    // the returnflag filter reaches both lineitem probe scans
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("p11/Q16: NOT IN is a broadcast anti join; distinct-pair reduction precedes the part join") {
+    val p = plan("p11_tpch_q16")
+    assert(p.contains("LeftAnti"), "bad-supplier exclusion must anti-join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters") && p.contains("p_brand"),
+      "part attribute filters must reach the part scan")
+  }
+
+  test("p12/Q15: the revenue view's max is a 1-row broadcast over the aggregated relation") {
+    val p = plan("p12_tpch_q15")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "quarter bound must reach the lineitem scan")
+  }
+
+  test("p13/Q13: left join preserves zero-order customers") {
+    val p = plan("p13_tpch_q13")
+    assert(p.contains("LeftOuter"), "must keep customers with no orders")
+    val out = df("p13_tpch_q13").collect()
+    assert(out.exists(_.getLong(0) == 0L),
+      "the c_count=0 bucket must exist (zero-preservation)")
+  }
+
+  test("p14/Q9: selective part filter broadcasts; no cartesian in the 5-table chain") {
+    val p = plan("p14_tpch_q9")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("StringContains(p_name,red)") ||
+      p.contains("p_name"), "p_name filter must reach the part scan")
+  }
+}
