@@ -315,6 +315,158 @@ object Round16c {
           JOIN nation ON s_nationkey = n_nationkey
           JOIN orders ON l_orderkey = o_orderkey
         WHERE p_name LIKE '%red%'
-        GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"""))
+        GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""")),
+
+    // d35 — LISTAGG ... WITHIN GROUP (ORDER BY …): the ordered
+    // string-concatenation aggregate (ANSI 2016; Spark 4.0+ native
+    // ListAgg, DuckDB string_agg with ORDER BY). The WITHIN-GROUP order
+    // makes the result deterministic — an unordered listagg is
+    // partition-order-dependent and could never hash-match. Scale shape:
+    // a single grouped aggregate; the per-group payload is the concern
+    // at 100 TB (a hot group concatenates its whole membership — same
+    // discipline as d11 collect: bound the group or don't ship the op).
+    Q("d35_listagg",
+      (s, d) => Views.unique(s, "d35_sup" -> t(s, d, "supplier")) { v =>
+        s.sql(s"""SELECT s_nationkey,
+            listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS names,
+            COUNT(*) AS n
+          FROM ${v("d35_sup")}
+          GROUP BY s_nationkey ORDER BY s_nationkey""")
+      },
+      Some("""SELECT s_nationkey,
+          string_agg(s_name, ',' ORDER BY s_name) AS names,
+          COUNT(*) AS n
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // b8 — quantified LIKE (LIKE ALL / LIKE ANY): Spark's multi-pattern
+    // predicate surface. Planning property: both quantifiers fold to a
+    // conjunction/disjunction of ordinary LIKEs (LikeAll/LikeAny
+    // expressions), so they stay codegen'd row-level predicates that
+    // push to the scan — never a join against a pattern table. The
+    // oracle spells the expansion explicitly (DuckDB lacks the sugar),
+    // so the key grades the desugaring itself.
+    Q("b8_like_quantified",
+      (s, d) => Views.unique(s, "b8_part" -> t(s, d, "part")) { v =>
+        s.sql(s"""SELECT p_partkey, p_name, p_type
+          FROM ${v("b8_part")}
+          WHERE p_name LIKE ALL ('%e%', '%d%')
+            AND p_type LIKE ANY ('ECONOMY%', 'PROMO%')
+          ORDER BY p_partkey""")
+      },
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        WHERE p_name LIKE '%e%' AND p_name LIKE '%d%'
+          AND (p_type LIKE 'ECONOMY%' OR p_type LIKE 'PROMO%')
+        ORDER BY p_partkey""")),
+
+    // j67 — Gopher-style top n-gram MASS fraction: the repetition signal
+    // j29 does not cover — not "what fraction of grams are duplicated"
+    // but "how much of the document the single heaviest n-gram covers"
+    // (Rae et al.'s top-n-gram character fraction, the filter that
+    // catches pages dominated by one repeated phrase). Mass = max over
+    // grams of count·length(gram); fraction = mass / length(text).
+    // The max-of-integer-mass formulation needs NO tie-break (ties have
+    // equal mass by definition) — that's what makes it hash-gradeable
+    // where "the most common gram" is not (count ties across different
+    // gram lengths would be ambiguous). Shape: one explode → one
+    // (doc, n, gram) count → one (doc, n) max, all partial-aggregated;
+    // the gram shuffle is the standard corpus-sized exchange every
+    // n-gram op here pays. 2- and 3-grams ride one explode (struct'd)
+    // and one gram exchange; the per-n maxes fold as conditional
+    // aggregates in a single doc-keyed pass (Round16cSpec pins the
+    // single-Generate shape).
+    Q("j67_top_ngram_mass",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            split(col("text"), " ").as("toks"))
+        val grams = docs.select(col("doc_id"), explode(expr(
+          """concat(
+               transform(sequence(0, size(toks)-2), i -> struct(2 AS n,
+                 concat_ws(' ', toks[i], toks[i+1]) AS gram)),
+               transform(sequence(0, size(toks)-3), i -> struct(3 AS n,
+                 concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram)))"""))
+          .as("g"))
+          .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        // both n-masses fold in ONE conditional aggregation — splitting
+        // by n and self-joining would re-explode the corpus per n
+        val mass = grams.groupBy("doc_id", "n", "gram")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            max(when(col("n") === 2, col("c") * length(col("gram"))))
+              .as("m2"),
+            max(when(col("n") === 3, col("c") * length(col("gram"))))
+              .as("m3"))
+        docs.select(col("doc_id"), length(col("text")).as("chars"))
+          .join(mass, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            round(coalesce(col("m2").cast("double") / col("chars"), lit(0.0)),
+              6).as("top2_frac"),
+            round(coalesce(col("m3").cast("double") / col("chars"), lit(0.0)),
+              6).as("top3_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, text,
+            string_split(text, ' ') AS tk FROM documents),
+          g AS (
+            SELECT doc_id, 2 AS n, tk[i] || ' ' || tk[i+1] AS gram
+            FROM toks, unnest(range(1, len(tk))) t(i)
+            UNION ALL
+            SELECT doc_id, 3, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+            FROM toks, unnest(range(1, len(tk) - 1)) t(i)),
+          mass AS (SELECT doc_id, n, MAX(c * length(gram)) AS m
+            FROM (SELECT doc_id, n, gram, COUNT(*) AS c FROM g
+                  GROUP BY doc_id, n, gram) cg
+            GROUP BY doc_id, n)
+        SELECT d.doc_id,
+          ROUND(COALESCE(CAST(m2.m AS DOUBLE) / length(d.text), 0.0), 6)
+            AS top2_frac,
+          ROUND(COALESCE(CAST(m3.m AS DOUBLE) / length(d.text), 0.0), 6)
+            AS top3_frac
+        FROM documents d
+          LEFT JOIN mass m2 ON d.doc_id = m2.doc_id AND m2.n = 2
+          LEFT JOIN mass m3 ON d.doc_id = m3.doc_id AND m3.n = 3
+        ORDER BY d.doc_id""")),
+
+    // a40 — landing-zone ingest with recursiveFileLookup +
+    // pathGlobFilter: the raw-dump read pattern — data arrives as
+    // arbitrarily nested date directories with sidecar files (manifests,
+    // notes, checksums) interleaved, and the reader must take every
+    // *.parquet at any depth and NOTHING else, without a partition
+    // scheme. Unlike a14's partitioned layout the directory names carry
+    // no columns; unlike a22's manifest the selection is structural.
+    // The glob is applied at file-listing time — a 100 TB landing zone
+    // lists once, the decoys never reach an executor.
+    Q("a40_glob_ingest",
+      (s, d) => {
+        val out = Scratch.dir("a40")
+        val ord = t(s, d, "orders")
+        ord.where(col("o_orderkey") % 2 === 0).write.mode("overwrite")
+          .parquet(s"$out/2021/01/batch_a")
+        ord.where(col("o_orderkey") % 2 === 1).write.mode("overwrite")
+          .parquet(s"$out/2021/02/deep/batch_b")
+        // sidecar decoys the glob must skip (and one the reader must
+        // not even consider: a non-matching extension at the top level)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/2021/01/notes.json"),
+          """{"note":"sidecar"}""".getBytes("UTF-8"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/manifest.csv"),
+          "file,rows\n".getBytes("UTF-8"))
+        s.read
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(out)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("o_totalprice"),
+            dateStr(col("o_orderdate")).as("o_orderdate"),
+            col("o_orderpriority"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+          ROUND(o_totalprice, 2) AS o_totalprice,
+          strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          o_orderpriority
+        FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -73,6 +73,29 @@ class Round16cSpec extends AnyFunSuite {
       "the c_count=0 bucket must exist (zero-preservation)")
   }
 
+  test("b8: LIKE ALL/ANY desugar to pushed Contains/StartsWith filters") {
+    val p = plan("b8_like_quantified")
+    assert(p.contains("StringContains(p_name,e)") &&
+      p.contains("StringContains(p_name,d)"),
+      "LIKE ALL conjuncts must reach PushedFilters")
+    assert(p.contains("Or(StringStartsWith(p_typ"),
+      "LIKE ANY disjunction must reach PushedFilters")
+  }
+
+  test("d35: listagg aggregates in two phases (partial + final)") {
+    val p = plan("d35_listagg")
+    assert(p.contains("partial_listagg"),
+      "listagg must partial-aggregate map-side")
+  }
+
+  test("j67: one Generate, one gram exchange — per-n maxes fold conditionally") {
+    val p = plan("j67_top_ngram_mass")
+    val gens = "Generate explode".r.findAllIn(p).size
+    assert(gens == 1, s"2- and 3-grams must ride ONE explode, got $gens")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"documents scanned at most twice, got $scans")
+  }
+
   test("p14/Q9: selective part filter broadcasts; no cartesian in the 5-table chain") {
     val p = plan("p14_tpch_q9")
     assert(!p.contains("CartesianProduct") &&
