@@ -38,6 +38,13 @@ object PlanLint {
     // unigram LM: the 1-row corpus-token-total carrier broadcasts (j42's
     // stats-carrier pattern; the vocab join itself is the equi-join)
     "j61_unigram_lm_score",
+    // interpolated LM: the same 1-row corpus-total carrier as j61 (the
+    // vocab and bigram-context joins stay equi-joins)
+    "j66_interpolated_lm",
+    // Q22: the 1-row global-average-balance scalar broadcasts over the
+    // anti-joined customers (the dormancy probe itself is the anti join,
+    // pinned in Round16cSpec)
+    "p9_tpch_q22",
     // ICWS: the K-row (16) slot table broadcasts over the tf relation
     // (bounded by the signature length, never data volume); candidate
     // generation is the banded equi-join
