@@ -41,6 +41,9 @@ object PlanLint {
     // interpolated LM: the same 1-row corpus-total carrier as j61 (the
     // vocab and bigram-context joins stay equi-joins)
     "j66_interpolated_lm",
+    // perplexity buckets: j61's 1-row total carrier; the tercile
+    // threshold relation (|languages| rows) joins back as an equi-join
+    "j68_perplexity_buckets",
     // Q22: the 1-row global-average-balance scalar broadcasts over the
     // anti-joined customers (the dormancy probe itself is the anti join,
     // pinned in Round16cSpec)

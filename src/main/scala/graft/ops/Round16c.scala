@@ -467,6 +467,63 @@ object Round16c {
           ROUND(o_totalprice, 2) AS o_totalprice,
           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
           o_orderpriority
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // j68 — CCNet-style perplexity BUCKETING: the step after LM scoring
+    // (j61/j66 produce the score; CCNet splits each language's corpus
+    // into head/middle/tail at the 1/3 and 2/3 perplexity quantiles and
+    // trains preferentially on the head). Composition: the j61 unigram
+    // NLL over every doc → per-LANGUAGE tercile thresholds → bucket
+    // label per doc. The thresholds relation is |languages| rows — it
+    // broadcasts back over the scored corpus, so bucketing adds no
+    // corpus-sized exchange beyond the scoring itself. Exact percentile
+    // keeps the key hash-gradeable (both engines linear-interpolate on
+    // identical round-6 doubles); at 100 TB you'd swap in
+    // approx_percentile for the threshold pass (the d8→d18 trade,
+    // same 2-line change), buckets unchanged except at the margin.
+    Q("j68_perplexity_buckets",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = tok.agg(count(lit(1)).cast("double").as("total"))
+        val scored = tok.join(vocab, "term")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(round(avg(-log(col("cnt") / col("total"))), 6).as("nll"))
+          .join(t(s, d, "documents").select("doc_id", "lang"), Seq("doc_id"))
+        // round-6 thresholds: the two engines' linear interpolation can
+        // differ in the last ulp exactly when a tercile lands ON a data
+        // point (scores are themselves round-6, so rounding restores
+        // bit-equality without moving any boundary materially)
+        val thr = scored.groupBy(col("lang").as("tl"))
+          .agg(round(expr("percentile(nll, 1.0/3)"), 6).as("t1"),
+            round(expr("percentile(nll, 2.0/3)"), 6).as("t2"))
+        scored.join(broadcast(thr), col("lang") === col("tl"))
+          .select(col("doc_id"), col("lang"), col("nll"),
+            when(col("nll") <= col("t1"), "head")
+              .when(col("nll") <= col("t2"), "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+              unnest(string_split(text, ' ')) AS term FROM documents),
+          vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+          tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+          scored AS (SELECT t.doc_id,
+              ROUND(AVG(-ln(v.cnt / (SELECT total FROM tot))), 6) AS nll
+            FROM tok t JOIN vocab v ON t.term = v.term GROUP BY t.doc_id),
+          sl AS (SELECT s.doc_id, d.lang, s.nll
+            FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+          thr AS (SELECT lang AS tl,
+              ROUND(quantile_cont(nll, 1.0/3), 6) AS t1,
+              ROUND(quantile_cont(nll, 2.0/3), 6) AS t2
+            FROM sl GROUP BY lang)
+        SELECT doc_id, lang, nll,
+          CASE WHEN nll <= t1 THEN 'head'
+               WHEN nll <= t2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM sl JOIN thr ON lang = tl
+        ORDER BY doc_id"""))
   )
 }
