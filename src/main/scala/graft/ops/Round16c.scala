@@ -524,6 +524,109 @@ object Round16c {
                WHEN nll <= t2 THEN 'middle'
                ELSE 'tail' END AS bucket
         FROM sl JOIN thr ON lang = tl
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // j70 — dedup IMPACT report: the cluster-size histogram + token-
+    // savings table every dedup paper and every production dedup run
+    // publishes (how many clusters of each size, how many docs/tokens
+    // does canonical-only retention remove). Composition over the SAME
+    // pair core + hybrid connected components j14/j23/j44 ride —
+    // singleton docs (no near-dup edge) join in as size-1 clusters via
+    // a left join + coalesce(cluster, doc_id). Everything after the
+    // clustering is two tiny groupBys (clusters, then sizes); the oracle
+    // recomputes the transitive closure with a RECURSIVE CTE so even the
+    // histogram is hash-checked end to end.
+    Q("j70_dedup_report",
+      (s, d) => {
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        val cl = CC.cluster(s,
+          LlmOps.nearDupPairsForTest(s, d, Knobs.pairMaxDf(s))
+            .select("d1", "d2"))
+        val assigned = toks
+          .join(cl.withColumnRenamed("doc_id", "cd"),
+            col("doc_id") === col("cd"), "left")
+          .select(col("doc_id"), col("ntok"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        val perCluster = assigned.groupBy("cluster")
+          .agg(count(lit(1)).as("sz"), sum(col("ntok")).as("tok"),
+            min(struct(col("doc_id"), col("ntok"))).as("canon"))
+        perCluster.groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz") - 1).as("removed_docs"),
+            sum(col("tok") - col("canon.ntok")).as("removed_tokens"))
+          .orderBy("cluster_size")
+      },
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
+            FROM documents WHERE len(string_split(text,' ')) >= 3),
+          sh AS (SELECT DISTINCT doc_id,
+              toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+            FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+          n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+          e AS (SELECT d1, d2 FROM p
+            JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+            WHERE CAST(inter AS DOUBLE)
+              / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5),
+          und AS (SELECT d1 AS a, d2 AS b FROM e UNION ALL SELECT d2, d1 FROM e),
+          reach(a, b) AS (SELECT a, b FROM und
+            UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+            FROM reach GROUP BY a),
+          toks2 AS (SELECT d.doc_id,
+              CAST(len(string_split(d.text,' ')) AS BIGINT) AS ntok,
+              COALESCE(cl.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+          pc AS (SELECT cluster, COUNT(*) AS sz, SUM(ntok) AS tok,
+              arg_min(ntok, doc_id) AS canon_tok
+            FROM toks2 GROUP BY cluster)
+        SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+          SUM(sz - 1) AS removed_docs,
+          SUM(tok - canon_tok) AS removed_tokens
+        FROM pc GROUP BY sz ORDER BY cluster_size""")),
+
+    // j71 — embedding DISPERSION per label: the semantic-diversity
+    // diagnostic (is a source's embedding cloud tight — redundant — or
+    // spread?) computed WITHOUT any pairwise work: mean pairwise squared
+    // distance = 2·(E‖x‖² − ‖E x‖²), so one pass for Σ‖x‖² plus the j7
+    // per-dim centroid gives what the naive O(n²) join computes. At
+    // 100 TB this is the difference between a scan-shaped statistic and
+    // an impossible self-join. Variance term assembled from per-dim
+    // sums; round-6 absorbs summation-order float noise (the j7 device).
+    Q("j71_embed_dispersion",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val perdim = e
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(sum(col("v").cast("double")).as("sd"), count(lit(1)).as("n"))
+        val msq = perdim.groupBy(col("label").as("ml"))
+          .agg(sum(col("sd") * col("sd") / (col("n") * col("n")))
+            .as("msq"), max(col("n")).as("n"))
+        val ssq = e.select(col("label"), expr(
+            """aggregate(embedding, cast(0 as double),
+               (a, x) -> a + cast(x as double) * cast(x as double))""")
+            .as("nsq"))
+          .groupBy("label").agg(sum(col("nsq")).as("ssq"))
+        ssq.join(msq, col("label") === col("ml"))
+          .select(col("label"), col("n").as("n_vectors"),
+            round(col("ssq") / col("n") - col("msq"), 6).as("dispersion"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+            FROM embeddings),
+          pd AS (SELECT label, dim, SUM(v) AS sd, COUNT(*) AS n
+            FROM e GROUP BY label, dim),
+          m AS (SELECT label, SUM(sd * sd / (n * n)) AS msq, MAX(n) AS n
+            FROM pd GROUP BY label),
+          s AS (SELECT label, SUM(v * v) AS ssq FROM e GROUP BY label)
+        SELECT s.label, m.n AS n_vectors,
+          ROUND(s.ssq / m.n - m.msq, 6) AS dispersion
+        FROM s JOIN m ON s.label = m.label
+        ORDER BY s.label"""))
   )
 }
