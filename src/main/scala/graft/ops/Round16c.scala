@@ -627,6 +627,52 @@ object Round16c {
         SELECT s.label, m.n AS n_vectors,
           ROUND(s.ssq / m.n - m.msq, 6) AS dispersion
         FROM s JOIN m ON s.label = m.label
-        ORDER BY s.label"""))
+        ORDER BY s.label""")),
+
+    // b9 — LATERAL correlated derived table (SQL:1999 LATERAL; Spark 4
+    // and DuckDB share the surface): the subquery in FROM references the
+    // outer row — the procedural "for each order, run this query" shape.
+    // The optimizer must DECORRELATE it to one grouped aggregate joined
+    // on the correlation key (Round16cSpec pins no-nested-loop): the
+    // lineitem side aggregates ONCE by l_orderkey, never per outer row.
+    // CROSS JOIN LATERAL semantics drop orders whose subquery returns
+    // no rows — graded behavior, both engines agree.
+    Q("b9_lateral_subquery",
+      (s, d) => Views.unique(s,
+        "b9_orders" -> t(s, d, "orders"),
+        "b9_lineitem" -> t(s, d, "lineitem")) { v =>
+        s.sql(s"""SELECT o_orderkey, lt.mx, lt.n
+          FROM ${v("b9_orders")},
+            LATERAL (SELECT MAX(l_quantity) AS mx, COUNT(*) AS n
+              FROM ${v("b9_lineitem")}
+              WHERE l_orderkey = o_orderkey) lt
+          WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, lt.mx, lt.n
+        FROM orders,
+          LATERAL (SELECT MAX(l_quantity) AS mx, COUNT(*) AS n
+            FROM lineitem WHERE l_orderkey = o_orderkey) lt
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        ORDER BY o_orderkey""")),
+
+    // k23 — DISTRIBUTE BY / SORT BY: the Hive-dialect physical-layout
+    // clauses pandas-td's TD-Hive tier exposes (partition-local sort
+    // without a global order — the write-side clustering primitive).
+    // The inner block plans as Exchange hashpartitioning(c_nationkey) +
+    // partition-LOCAL Sort (Round16cSpec pins both); the outer ORDER BY
+    // exists only to make the result hash-gradeable and layers a range
+    // exchange on top. At scale DISTRIBUTE+SORT BY is what feeds
+    // sorted-run writers (a20's layout) without paying a global sort.
+    Q("k23_distribute_sort_by",
+      (s, d) => Views.unique(s, "k23_cust" -> t(s, d, "customer")) { v =>
+        s.sql(s"""SELECT c_nationkey, c_custkey,
+            ROUND(c_acctbal, 2) AS c_acctbal
+          FROM (SELECT * FROM ${v("k23_cust")}
+            DISTRIBUTE BY c_nationkey SORT BY c_nationkey, c_custkey) x
+          ORDER BY c_nationkey, c_custkey""")
+      },
+      Some("""SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer ORDER BY c_nationkey, c_custkey"""))
   )
 }

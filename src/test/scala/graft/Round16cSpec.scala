@@ -96,6 +96,48 @@ class Round16cSpec extends AnyFunSuite {
     assert(scans <= 2, s"documents scanned at most twice, got $scans")
   }
 
+  test("b9: LATERAL decorrelates to one grouped aggregate + join, never a per-row rescan") {
+    val p = plan("b9_lateral_subquery")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "correlated lateral must become a join")
+    assert(p.contains("HashAggregate"),
+      "the lateral body must aggregate once by the correlation key")
+  }
+
+  test("k23: DISTRIBUTE BY is a hash exchange; SORT BY is a partition-LOCAL sort") {
+    // graded key: the hash exchange survives; the outer ORDER BY
+    // SUBSUMES the inner SORT BY (EliminateSorts drops the redundant
+    // local sort — the optimizer behavior worth pinning)
+    val p = plan("k23_distribute_sort_by")
+    assert(p.contains("hashpartitioning(c_nationkey"),
+      "DISTRIBUTE BY must hash-partition")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "the exchange must be the user-requested repartition")
+    // un-wrapped (no outer ORDER BY): SORT BY plans as a LOCAL sort
+    // over the same exchange — Sort [...], false, 0
+    val cust = graft.Tables.t(spark, TestSpark.sf, "customer")
+    graft.ops.Views.unique(spark, "k23s_cust" -> cust) { v =>
+      val q = spark.sql(
+        s"SELECT * FROM ${v("k23s_cust")} DISTRIBUTE BY c_nationkey " +
+          "SORT BY c_nationkey, c_custkey")
+      val rp = q.queryExecution.executedPlan.toString
+      assert(rp.contains("hashpartitioning(c_nationkey"))
+      assert(
+        "Sort \\[[^\\]]*\\], false, 0".r.findFirstIn(rp).isDefined,
+        "SORT BY without an outer ORDER BY must be a partition-local sort")
+      q
+    }
+    ()
+  }
+
+  test("j71: dispersion is scan-shaped — no self-join on the vectors") {
+    val p = plan("j71_embed_dispersion")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "mean pairwise distance must come from moments, not pairs")
+  }
+
   test("p14/Q9: selective part filter broadcasts; no cartesian in the 5-table chain") {
     val p = plan("p14_tpch_q9")
     assert(!p.contains("CartesianProduct") &&
