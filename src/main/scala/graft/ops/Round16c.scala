@@ -673,6 +673,95 @@ object Round16c {
           ORDER BY c_nationkey, c_custkey""")
       },
       Some("""SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
-        FROM customer ORDER BY c_nationkey, c_custkey"""))
+        FROM customer ORDER BY c_nationkey, c_custkey""")),
+
+    // j72 — vocabulary truncation + OOV rate: the tokenizer-prep
+    // diagnostic (cap the vocab at K terms by corpus frequency, measure
+    // what fraction of each document falls out-of-vocabulary — the
+    // number that decides whether K is big enough before training a
+    // tokenizer). Deterministic vocab: top-K by (count DESC, term ASC) —
+    // the tie-break is part of the spec, otherwise the vocab boundary is
+    // partition-order-dependent and nothing downstream reproduces.
+    // Shape: one Zipf-collapsed (term, count) aggregation, a K-row
+    // TakeOrdered vocab that BROADCASTS back over the token stream, one
+    // per-doc regroup — the vocab is orders smaller than the corpus at
+    // any scale, same discipline as j50's word→token-count map.
+    Q("j72_vocab_oov",
+      (s, d) => {
+        val k = 40
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("term")).limit(k)
+          .select(col("term").as("vt"))
+        tok.join(broadcast(vocab), col("term") === col("vt"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("vt").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tok"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tok"), 6)
+              .as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+              unnest(string_split(text, ' ')) AS term FROM documents),
+          vocab AS (SELECT term FROM
+            (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+             ORDER BY cnt DESC, term LIMIT 40) v)
+        SELECT t.doc_id, COUNT(*) AS n_tok,
+          SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+          ROUND(CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM tok t LEFT JOIN vocab ON t.term = vocab.term
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // h43 — str_to_map + sentences: the two Hive string functions the
+    // TD-Hive tier (k13/k14) text most commonly carries that h1-h7
+    // don't cover. str_to_map parses 'k1:v1,k2:v2' config/props strings
+    // into a MAP (the props-column idiom before VARIANT existed);
+    // graded FLATTENED to a key-sorted joined string since map order is
+    // collection order and declared output never carries array/struct
+    // cells (SURVEY §8.4 / the k9 device). Per-row codegen'd string ops
+    // — scan shaped.
+    Q("h43_str_to_map",
+      (s, d) => Views.unique(s, "h43_docs" -> t(s, d, "documents")) { v =>
+        s.sql(s"""SELECT doc_id,
+            array_join(transform(sort_array(map_entries(str_to_map(
+              concat('lang:', lang, ',src:', source, ',n:',
+                cast(n_chars AS STRING)), ',', ':'))),
+              e -> concat(e.key, '=', e.value)), ';') AS props,
+            element_at(str_to_map(
+              concat('lang:', lang, ',src:', source), ',', ':'),
+              'lang') AS lang_back
+          FROM ${v("h43_docs")} ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id,
+          'lang=' || lang || ';n=' || CAST(n_chars AS VARCHAR)
+            || ';src=' || source AS props,
+          lang AS lang_back
+        FROM documents ORDER BY doc_id""")),
+
+    // d36 — count_if + any_value in its DETERMINISTIC regime: count_if
+    // is the predicate-count aggregate (sugar over sum(case), graded
+    // against the explicit spelling); any_value is nondeterministic BY
+    // CONTRACT, so the key grades it only where the group is
+    // single-valued (min == max == any_value on a constant-per-group
+    // column) — the same exact-regime discipline as d7/d21.
+    Q("d36_count_if",
+      (s, d) => Views.unique(s, "d36_ord" -> t(s, d, "orders")) { v =>
+        s.sql(s"""SELECT o_orderpriority,
+            count_if(o_orderstatus = 'F') AS n_f,
+            count_if(o_totalprice > 100000) AS n_big,
+            any_value(substring(o_orderpriority, 1, 1)) AS prio_digit
+          FROM ${v("d36_ord")}
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_f,
+          CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_big,
+          substring(o_orderpriority, 1, 1) AS prio_digit
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
