@@ -762,6 +762,159 @@ object Round16c {
           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_big,
           substring(o_orderpriority, 1, 1) AS prio_digit
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // m13 — ISO-BMFF (MP4) NESTED box walk: the hierarchy leg of the
+    // container family. m12 walks a flat variable-count entry table;
+    // MP4 boxes NEST — the fixture is ftyp + a variable-length free box
+    // (so moov's offset is genuinely data-dependent) + moov CONTAINING a
+    // spec-layout 108-byte mvhd v0, and the decoder must (1) skip boxes
+    // by their OWN length fields to find moov, then (2) descend into it
+    // and parse mvhd's big-endian timescale/duration. Pure chained
+    // offset arithmetic over hex slices — map-only codegen, no UDF,
+    // content bytes never shuffle. dur_hex pins the raw duration SLICE
+    // against the oracle's independent synthesis so a matched
+    // encode/decode bug cannot cancel (the m2b discipline). The oracle
+    // recomputes everything from the synthesis rule, never from bytes.
+    Q("m13_decode_mp4",
+      (s, d) => {
+        val fixture = t(s, d, "documents").selectExpr("doc_id",
+            "cast(doc_id % 7 AS INT) AS pad",
+            "cast((doc_id % 50 + 1) * 600 + (doc_id % 7) * 60 AS BIGINT) AS dur",
+            "CASE WHEN doc_id % 2 = 0 THEN '69736F6D' ELSE '6D703432' END AS brandhx")
+          .selectExpr("doc_id",
+            """concat(
+                 '00000010', '66747970', brandhx, '00000200',
+                 lpad(hex(8 + pad), 8, '0'), '66726565', repeat('00', pad),
+                 '00000074', '6D6F6F76',
+                 '0000006C', '6D766864',
+                 '00000000', '00000000', '00000000',
+                 lpad(hex(600), 8, '0'),
+                 lpad(hex(dur), 8, '0'),
+                 '00010000', '0100', repeat('00', 10),
+                 '00010000', '00000000', '00000000',
+                 '00000000', '00010000', '00000000',
+                 '00000000', '00000000', '40000000',
+                 repeat('00', 24), '00000000') AS hx""")
+        fixture
+          // walk: box 1 length → box 2 offset; skip non-moov boxes by
+          // their own length; moov's first child here is mvhd
+          .selectExpr("doc_id", "hx",
+            "cast(conv(substr(hx, 1, 8), 16, 10) AS INT) * 2 + 1 AS p2")
+          .selectExpr("doc_id", "hx", "p2",
+            """cast(CASE WHEN substr(hx, p2 + 8, 8) = '6D6F6F76' THEN p2
+                 ELSE p2 + cast(conv(substr(hx, p2, 8), 16, 10) AS INT) * 2
+               END AS INT) AS pm""")
+          .selectExpr("doc_id",
+            "cast(unhex(substr(hx, 17, 8)) AS STRING) AS brand",
+            "substr(hx, pm + 8, 8) AS moov_type_hex",
+            "cast(conv(substr(hx, pm + 16 + 40, 8), 16, 10) AS BIGINT) AS timescale",
+            "cast(conv(substr(hx, pm + 16 + 48, 8), 16, 10) AS BIGINT) AS duration",
+            "substr(hx, pm + 16 + 48, 8) AS dur_hex")
+          .selectExpr("doc_id", "brand", "timescale", "duration", "dur_hex",
+            "round(cast(duration AS DOUBLE) / timescale, 3) AS dur_secs")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+          CAST(600 AS BIGINT) AS timescale,
+          CAST((doc_id % 50 + 1) * 600 + (doc_id % 7) * 60 AS BIGINT)
+            AS duration,
+          upper(lpad(to_hex((doc_id % 50 + 1) * 600 + (doc_id % 7) * 60),
+            8, '0')) AS dur_hex,
+          ROUND(CAST((doc_id % 50 + 1) * 600 + (doc_id % 7) * 60 AS DOUBLE)
+            / 600, 3) AS dur_secs
+        FROM documents ORDER BY doc_id""")),
+
+    // j73 — decontamination EXCISION: what you actually DO after j25/j65
+    // flag contamination — cut the leaked spans out and keep the rest of
+    // the document (drop-the-doc wastes the clean 95%; Lee et al. and
+    // most production pipelines excise). Every train-doc position
+    // covered by any benchmark-matching 4-gram ([p, p+3] span union,
+    // j56's covered-position device pointed CROSS-corpus) is removed;
+    // the cleaned text is graded as md5(reassembly) so no text column
+    // rides the declared output. The bench gram set broadcasts (suite-
+    // bounded, as j25); grams travel as xxhash64 longs. The per-doc
+    // regroup that rebuilds text for hashing is the j56-documented
+    // trade — at 100 TB emit (doc_id, spans) and excise at the consumer
+    // (j56b's shape); the verdict columns here are the graded content.
+    Q("j73_decontam_excise",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 4)
+        val bench = docs.where(col("source") === "src0")
+          .select(explode(expr(
+            """array_distinct(transform(sequence(1, size(toks)-3),
+               i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))"""))
+            .as("g")).distinct()
+        val train = docs.where(col("source") =!= "src0")
+        val hitStarts = train.select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks)-3),
+               i -> struct(i AS p,
+                 xxhash64(concat_ws(' ', slice(toks, i, 4))) AS g))"""))
+            .as("s"))
+          .select(col("doc_id"), col("s.p").as("p"), col("s.g").as("g"))
+          .join(broadcast(bench), "g")
+        val covered = hitStarts
+          .select(col("doc_id"),
+            explode(expr("sequence(p, p + 3)")).as("cp"))
+          .distinct()
+        // kept = positions with NO covering span: a clean anti join (a
+        // filtered left join would mis-handle positions matching several
+        // covered rows)
+        val keptClean = train
+          .select(col("doc_id"), posexplode(col("toks"))
+            .as(Seq("i0", "tok")))
+          .withColumn("p", col("i0") + 1)
+          .join(covered.select(col("doc_id").as("cd"), col("cp")),
+            col("doc_id") === col("cd") && col("p") === col("cp"),
+            "left_anti")
+        val agg = keptClean.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(concat_ws(" ", expr(
+              "transform(sort_array(collect_list(struct(p, tok))), x -> x.tok)")))
+              .as("clean_md5"))
+        train.select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+              .as("removed_tokens"),
+            coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS toks
+            FROM documents WHERE len(string_split(text,' ')) >= 4),
+          b AS (SELECT DISTINCT
+              toks[i.i]||' '||toks[i.i+1]||' '||toks[i.i+2]||' '||toks[i.i+3] AS g
+            FROM tk, unnest(range(1, len(toks)-2)) i(i)
+            WHERE source = 'src0'),
+          tg AS (SELECT doc_id, i.i AS p,
+              toks[i.i]||' '||toks[i.i+1]||' '||toks[i.i+2]||' '||toks[i.i+3] AS g
+            FROM tk, unnest(range(1, len(toks)-2)) i(i)
+            WHERE source <> 'src0'),
+          hits AS (SELECT DISTINCT tg.doc_id, tg.p
+            FROM tg JOIN b ON tg.g = b.g),
+          cov AS (SELECT DISTINCT doc_id, p + j.j AS cp
+            FROM hits, unnest(range(0, 4)) j(j)),
+          tp AS (SELECT doc_id, i.i AS p, toks[i.i] AS tok
+            FROM tk, unnest(range(1, len(toks)+1)) i(i)
+            WHERE source <> 'src0'),
+          kept AS (SELECT tp.doc_id, tp.p, tp.tok
+            FROM tp LEFT JOIN cov
+              ON tp.doc_id = cov.doc_id AND tp.p = cov.cp
+            WHERE cov.cp IS NULL),
+          agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+              md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+            FROM kept GROUP BY doc_id),
+          n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM tk WHERE source <> 'src0')
+        SELECT n.doc_id, n.n_tokens,
+          n.n_tokens - COALESCE(a.n_kept, 0) AS removed_tokens,
+          COALESCE(a.clean_md5, md5('')) AS clean_md5
+        FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
+        ORDER BY n.doc_id"""))
   )
 }
