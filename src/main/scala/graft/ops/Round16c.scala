@@ -915,6 +915,110 @@ object Round16c {
           n.n_tokens - COALESCE(a.n_kept, 0) AS removed_tokens,
           COALESCE(a.clean_md5, md5('')) AS clean_md5
         FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
-        ORDER BY n.doc_id"""))
+        ORDER BY n.doc_id""")),
+
+    // j74 — quality-threshold SWEEP: the filter-tuning table (for each
+    // candidate cutoff, how many docs/tokens survive) that decides where
+    // to set a quality gate before committing a 100 TB filter run.
+    // NOT a grid cross-join: the 9 thresholds fold as conditional sums
+    // in ONE corpus pass (9 extra aggregate expressions, zero extra
+    // rows) — the threshold grid is compile-time bounded, so sweeping it
+    // costs the same scan the single-threshold filter would. Quality =
+    // j9's composite (distinct-ratio/stopword blend), recomputed inline
+    // so the key is self-contained.
+    Q("j74_threshold_sweep",
+      (s, d) => {
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+            round(
+              (expr("size(array_distinct(toks))").cast("double") /
+                size(col("toks"))) * 0.5 +
+              (lit(1.0) -
+                expr("size(filter(toks, x -> x = 'a' OR x = 'the'))")
+                  .cast("double") / size(col("toks"))) * 0.5, 6)
+              .as("q"))
+        val sweeps = (1 to 9).map { i =>
+          val thr = i / 10.0
+          Seq(
+            sum(when(col("q") >= thr, 1L).otherwise(0L))
+              .as(s"docs_$i"),
+            sum(when(col("q") >= thr, col("n_tok")).otherwise(0L))
+              .as(s"toks_$i"))
+        }
+        val wide = scored.agg(sweeps.flatten.head, sweeps.flatten.tail: _*)
+        // long-form output (threshold, n_docs, n_tokens): unpivot the
+        // 1-row wide aggregate — 9 rows, driver-free
+        wide.selectExpr(
+          """inline(transform(sequence(1, 9), i -> struct(
+               round(cast(i AS DOUBLE) / 10, 1) AS threshold,
+               CASE i WHEN 1 THEN docs_1 WHEN 2 THEN docs_2
+                 WHEN 3 THEN docs_3 WHEN 4 THEN docs_4 WHEN 5 THEN docs_5
+                 WHEN 6 THEN docs_6 WHEN 7 THEN docs_7 WHEN 8 THEN docs_8
+                 ELSE docs_9 END AS n_docs,
+               CASE i WHEN 1 THEN toks_1 WHEN 2 THEN toks_2
+                 WHEN 3 THEN toks_3 WHEN 4 THEN toks_4 WHEN 5 THEN toks_5
+                 WHEN 6 THEN toks_6 WHEN 7 THEN toks_7 WHEN 8 THEN toks_8
+                 ELSE toks_9 END AS n_tokens)))""")
+          .orderBy("threshold")
+      },
+      Some("""WITH x AS (SELECT doc_id,
+            CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+            ROUND((CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                / len(string_split(text,' '))) * 0.5
+              + (1.0 - CAST(len(list_filter(string_split(text,' '),
+                  t -> t = 'a' OR t = 'the')) AS DOUBLE)
+                / len(string_split(text,' '))) * 0.5, 6) AS q
+          FROM documents)
+        SELECT ROUND(i.i / 10.0, 1) AS threshold,
+          CAST(SUM(CASE WHEN q >= i.i / 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_docs,
+          CAST(SUM(CASE WHEN q >= i.i / 10.0 THEN n_tok ELSE 0 END)
+            AS BIGINT) AS n_tokens
+        FROM x, unnest(range(1, 10)) i(i)
+        GROUP BY i.i ORDER BY threshold""")),
+
+    // j75 — exact-N reproducible sample: "give me exactly 10,000 docs,
+    // same ones every run, any cluster size" — the eval-set carve-out
+    // j22b's rate-based hash threshold cannot promise (a rate yields
+    // a binomial count). Order by md5(doc_id) and take N: the hash
+    // order is a deterministic shuffle of the corpus, and the plan is
+    // TakeOrderedAndProject (per-partition N-heaps, never a global
+    // sort — the f2 property on the hash axis). Spec-pins the operator.
+    Q("j75_sample_exact_n",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .orderBy("h")
+        .limit(50)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM
+          (SELECT doc_id, source FROM documents
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50) x
+        ORDER BY doc_id""")),
+
+    // k24 — table-valued functions in FROM: range() as a generated
+    // relation (the spine/sequence generator every gap-fill and
+    // synthetic-dimension pattern starts from — a16's spine spelled as
+    // a TVF) and inline() exploding a struct array into rows. range()
+    // is a LEAF operator generating rows distributed across partitions
+    // — no data read at all; joined against an aggregate it grades the
+    // generator's values, not just its count.
+    Q("k24_table_functions",
+      (s, d) => Views.unique(s, "k24_ord" -> t(s, d, "orders")) { v =>
+        s.sql(s"""SELECT r.id AS bucket_id,
+            COALESCE(o.n, 0) AS n_orders
+          FROM range(0, 5) r
+          LEFT JOIN (SELECT o_orderkey % 5 AS b, COUNT(*) AS n
+            FROM ${v("k24_ord")} GROUP BY o_orderkey % 5) o
+            ON r.id = o.b
+          ORDER BY bucket_id""")
+      },
+      Some("""SELECT r.i AS bucket_id, COALESCE(o.n, 0) AS n_orders
+        FROM range(0, 5) r(i)
+        LEFT JOIN (SELECT o_orderkey % 5 AS b, COUNT(*) AS n
+          FROM orders GROUP BY o_orderkey % 5) o ON r.i = o.b
+        ORDER BY bucket_id"""))
   )
 }

@@ -138,6 +138,20 @@ class Round16cSpec extends AnyFunSuite {
       "mean pairwise distance must come from moments, not pairs")
   }
 
+  test("j74: nine thresholds sweep in ONE corpus pass — a single scan, no grid join") {
+    val p = plan("j74_threshold_sweep")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"the sweep must fold as conditional sums, got $scans scans")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "no grid join")
+  }
+
+  test("j75: exact-N sample is TakeOrdered on the hash axis, never a global sort of the corpus") {
+    val p = plan("j75_sample_exact_n")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY md5 LIMIT n must plan as per-partition heaps")
+  }
+
   test("p14/Q9: selective part filter broadcasts; no cartesian in the 5-table chain") {
     val p = plan("p14_tpch_q9")
     assert(!p.contains("CartesianProduct") &&
