@@ -200,6 +200,20 @@ object ScaleSoak {
       }
       println(f"""SOAK {"key":"brute_cross_decontam","conf":"sharedshingle","sec":$sec%.2f,"rows":$rows}""")
       release()
+      // j73's excision core under the same %17 split: detection cost +
+      // the covered-position explode (×4 on hit mass) + the per-doc
+      // text regroup — measures what excision adds ON TOP of detection
+      // on the boilerplate-heavy corpus (every boilerplate doc shares
+      // grams with the bench partition's boilerplate docs)
+      val (sec3, rows3) = time {
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 4)
+        graft.ops.Round16c.exciseStats(docs, col("doc_id") % 17 === 0)
+          .where(col("removed_tokens") > 0).count()
+      }
+      println(f"""SOAK {"key":"j73_excise_cross","conf":"mod17","sec":$sec3%.2f,"rows":$rows3}""")
+      release()
     }
 
     section("ev") {

@@ -24,6 +24,50 @@ object Round16c {
   private val decSumDbl = (c: String) =>
     s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** j73's excision core, reusable by ScaleSoak under a different bench
+    * split: cut every train-doc position covered by a benchmark-matching
+    * 4-gram and report per-doc (n_tokens, removed_tokens, clean_md5).
+    * `docs` needs (doc_id, toks); `isBench` partitions it. */
+  private[graft] def exciseStats(
+      docs: org.apache.spark.sql.DataFrame,
+      isBench: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val bench = docs.where(isBench)
+      .select(explode(expr(
+        """array_distinct(transform(sequence(1, size(toks)-3),
+           i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))"""))
+        .as("g")).distinct()
+    val train = docs.where(!isBench)
+    val hitStarts = train.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks)-3),
+           i -> struct(i AS p,
+             xxhash64(concat_ws(' ', slice(toks, i, 4))) AS g))"""))
+        .as("s"))
+      .select(col("doc_id"), col("s.p").as("p"), col("s.g").as("g"))
+      .join(broadcast(bench), "g")
+    val covered = hitStarts
+      .select(col("doc_id"), explode(expr("sequence(p, p + 3)")).as("cp"))
+      .distinct()
+    // kept = positions with NO covering span: a clean anti join (a
+    // filtered left join would mis-handle positions matching several
+    // covered rows)
+    val keptClean = train
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
+      .withColumn("p", col("i0") + 1)
+      .join(covered.select(col("doc_id").as("cd"), col("cp")),
+        col("doc_id") === col("cd") && col("p") === col("cp"), "left_anti")
+    val agg = keptClean.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(p, tok))), x -> x.tok)")))
+          .as("clean_md5"))
+    train.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   def all: Seq[Q] = Seq(
 
     // p8 — TPC-H Q17 (small-quantity-order revenue): the CORRELATED
@@ -844,46 +888,7 @@ object Round16c {
           .select(col("doc_id"), col("source"),
             split(col("text"), " ").as("toks"))
           .where(size(col("toks")) >= 4)
-        val bench = docs.where(col("source") === "src0")
-          .select(explode(expr(
-            """array_distinct(transform(sequence(1, size(toks)-3),
-               i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))"""))
-            .as("g")).distinct()
-        val train = docs.where(col("source") =!= "src0")
-        val hitStarts = train.select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(toks)-3),
-               i -> struct(i AS p,
-                 xxhash64(concat_ws(' ', slice(toks, i, 4))) AS g))"""))
-            .as("s"))
-          .select(col("doc_id"), col("s.p").as("p"), col("s.g").as("g"))
-          .join(broadcast(bench), "g")
-        val covered = hitStarts
-          .select(col("doc_id"),
-            explode(expr("sequence(p, p + 3)")).as("cp"))
-          .distinct()
-        // kept = positions with NO covering span: a clean anti join (a
-        // filtered left join would mis-handle positions matching several
-        // covered rows)
-        val keptClean = train
-          .select(col("doc_id"), posexplode(col("toks"))
-            .as(Seq("i0", "tok")))
-          .withColumn("p", col("i0") + 1)
-          .join(covered.select(col("doc_id").as("cd"), col("cp")),
-            col("doc_id") === col("cd") && col("p") === col("cp"),
-            "left_anti")
-        val agg = keptClean.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_kept"),
-            md5(concat_ws(" ", expr(
-              "transform(sort_array(collect_list(struct(p, tok))), x -> x.tok)")))
-              .as("clean_md5"))
-        train.select(col("doc_id"),
-            size(col("toks")).cast("long").as("n_tokens"))
-          .join(agg, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-              .as("removed_tokens"),
-            coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
-          .orderBy("doc_id")
+        exciseStats(docs, col("source") === "src0").orderBy("doc_id")
       },
       Some("""WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS toks
             FROM documents WHERE len(string_split(text,' ')) >= 4),
