@@ -1024,6 +1024,122 @@ object Round16c {
         FROM range(0, 5) r(i)
         LEFT JOIN (SELECT o_orderkey % 5 AS b, COUNT(*) AS n
           FROM orders GROUP BY o_orderkey % 5) o ON r.i = o.b
-        ORDER BY bucket_id"""))
+        ORDER BY bucket_id""")),
+
+    // h44 — ANSI TIMESTAMPADD/TIMESTAMPDIFF: the unit-quantified
+    // timestamp arithmetic surface (h2/h24 cover the td_*/function
+    // spellings; this is the SQL-standard form with its unit-boundary
+    // semantics — TIMESTAMPDIFF counts COMPLETE units, so 23:59:59 of
+    // elapsed time is 0 days). Graded across four units incl. the
+    // month edge (adding a month to Jan 31 clamps). Oracle spells
+    // DuckDB's date_diff/date_add equivalents.
+    Q("h44_timestamp_arith",
+      (s, d) => Views.unique(s, "h44_ord" -> t(s, d, "orders")) { v =>
+        s.sql(s"""SELECT o_orderkey,
+            date_format(timestampadd(DAY, 30, o_orderdate),
+              'yyyy-MM-dd') AS plus_30d,
+            date_format(timestampadd(MONTH, 1, o_orderdate),
+              'yyyy-MM-dd') AS plus_1m,
+            timestampdiff(DAY, o_orderdate,
+              TIMESTAMP '2001-01-01 00:00:00') AS days_to_2001,
+            timestampdiff(HOUR, o_orderdate,
+              TIMESTAMP '2001-01-01 00:00:00') AS hours_to_2001
+          FROM ${v("h44_ord")}
+          WHERE o_orderkey <= 200 ORDER BY o_orderkey""")
+      },
+      // oracle note: DuckDB 1.0.0's CSE erroneously unifies two
+      // `col + <constant interval>` expressions over a scanned column
+      // (both evaluate as the FIRST interval); the '+ INTERVAL 0 seconds'
+      // wrapper makes the month-add structurally distinct. Verified:
+      // literal-timestamp probes are unaffected, scans are.
+      Some("""SELECT o_orderkey,
+          strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+          strftime((o_orderdate + INTERVAL '0 seconds') + INTERVAL 1 MONTH,
+            '%Y-%m-%d') AS plus_1m,
+          CAST(floor(date_diff('second', o_orderdate,
+            TIMESTAMP '2001-01-01 00:00:00') / 86400.0) AS BIGINT)
+            AS days_to_2001,
+          CAST(floor(date_diff('second', o_orderdate,
+            TIMESTAMP '2001-01-01 00:00:00') / 3600.0) AS BIGINT)
+            AS hours_to_2001
+        FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""")),
+
+    // b10 — IS [NOT] DISTINCT FROM: the null-safe comparison PREDICATE
+    // (c19 grades the join form; this is the filter/projection form —
+    // NULL IS DISTINCT FROM NULL is FALSE where NULL <> NULL is NULL,
+    // the three-valued-logic trap every hand-written diff query hits).
+    // A planted-null projection makes all four truth-table cells
+    // non-empty.
+    Q("b10_is_distinct_from",
+      (s, d) => Views.unique(s, "b10_cust" -> t(s, d, "customer")
+        .selectExpr("c_custkey",
+          "CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS a",
+          "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS b")) {
+        v =>
+          s.sql(s"""SELECT c_custkey, a, b,
+              a IS DISTINCT FROM b AS is_diff,
+              a IS NOT DISTINCT FROM b AS is_same
+            FROM ${v("b10_cust")}
+            WHERE c_custkey <= 300 ORDER BY c_custkey""")
+      },
+      Some("""WITH x AS (SELECT c_custkey,
+            CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS a,
+            CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS b
+          FROM customer WHERE c_custkey <= 300)
+        SELECT c_custkey, a, b,
+          a IS DISTINCT FROM b AS is_diff,
+          a IS NOT DISTINCT FROM b AS is_same
+        FROM x ORDER BY c_custkey""")),
+
+    // m14 — SRT subtitle parsing: the caption/transcript sidecar every
+    // video pipeline carries next to its media column — cue blocks
+    // (index, "HH:MM:SS,mmm --> HH:MM:SS,mmm", text) parsed into typed
+    // rows. The fixture RENDERS the timestamps through the wall-clock
+    // formatter and the decoder re-derives milliseconds from the parsed
+    // fields, so a matched render/parse bug cannot cancel against the
+    // oracle's direct integer synthesis. split-on-blank-line + one
+    // regexp per field, all per-row codegen — scan shaped; cues explode
+    // AFTER parsing so only typed fields ride the generator.
+    Q("m14_parse_srt",
+      (s, d) => {
+        val fmt = (c: String) =>
+          s"""concat(lpad(cast($c div 3600000 AS STRING), 2, '0'), ':',
+              lpad(cast(($c div 60000) % 60 AS STRING), 2, '0'), ':',
+              lpad(cast(($c div 1000) % 60 AS STRING), 2, '0'), ',',
+              lpad(cast($c % 1000 AS STRING), 3, '0'))"""
+        t(s, d, "documents").selectExpr("doc_id",
+            "cast(1 + doc_id % 3 AS INT) AS cues")
+          .selectExpr("doc_id",
+            s"""array_join(transform(sequence(1, cues), i -> concat(
+                 cast(i AS STRING), '\n',
+                 ${fmt("((doc_id % 60) * 1000 + (i-1) * 4000)")}, ' --> ',
+                 ${fmt("((doc_id % 60) * 1000 + (i-1) * 4000 + 2000 + (doc_id * i) % 1500)")},
+                 '\n', repeat('w ', cast(1 + i % 3 AS INT)), 'end')),
+               '\n\n') AS srt""")
+          .selectExpr("doc_id",
+            "posexplode(split(srt, '\n\n')) AS (i0, block)")
+          .selectExpr("doc_id",
+            "cast(regexp_extract(block, '^([0-9]+)\n', 1) AS INT) AS idx",
+            """cast(regexp_extract(block, '([0-9]{2}):[0-9]{2}:[0-9]{2},[0-9]{3} -->', 1) AS BIGINT) * 3600000
+             + cast(regexp_extract(block, '[0-9]{2}:([0-9]{2}):[0-9]{2},[0-9]{3} -->', 1) AS BIGINT) * 60000
+             + cast(regexp_extract(block, '[0-9]{2}:[0-9]{2}:([0-9]{2}),[0-9]{3} -->', 1) AS BIGINT) * 1000
+             + cast(regexp_extract(block, '[0-9]{2}:[0-9]{2}:[0-9]{2},([0-9]{3}) -->', 1) AS BIGINT) AS start_ms""",
+            """cast(regexp_extract(block, '--> ([0-9]{2}):', 1) AS BIGINT) * 3600000
+             + cast(regexp_extract(block, '--> [0-9]{2}:([0-9]{2}):', 1) AS BIGINT) * 60000
+             + cast(regexp_extract(block, '--> [0-9]{2}:[0-9]{2}:([0-9]{2}),', 1) AS BIGINT) * 1000
+             + cast(regexp_extract(block, '--> [0-9]{2}:[0-9]{2}:[0-9]{2},([0-9]{3})', 1) AS BIGINT) AS end_ms""",
+            "size(split(regexp_extract(block, '\n([^\n]*)$', 1), ' ')) - 1 AS n_words")
+          .selectExpr("doc_id", "idx", "start_ms", "end_ms",
+            "end_ms - start_ms AS dur_ms", "cast(n_words AS INT) AS n_words")
+          .orderBy("doc_id", "idx")
+      },
+      Some("""SELECT doc_id, CAST(i.i AS INT) AS idx,
+          (doc_id % 60) * 1000 + (i.i - 1) * 4000 AS start_ms,
+          (doc_id % 60) * 1000 + (i.i - 1) * 4000 + 2000
+            + (doc_id * i.i) % 1500 AS end_ms,
+          2000 + (doc_id * i.i) % 1500 AS dur_ms,
+          CAST(1 + i.i % 3 AS INT) AS n_words
+        FROM documents, unnest(range(1, CAST(1 + doc_id % 3 AS INT) + 1)) i(i)
+        ORDER BY doc_id, idx"""))
   )
 }
