@@ -1140,6 +1140,34 @@ object Round16c {
           2000 + (doc_id * i.i) % 1500 AS dur_ms,
           CAST(1 + i.i % 3 AS INT) AS n_words
         FROM documents, unnest(range(1, CAST(1 + doc_id % 3 AS INT) + 1)) i(i)
-        ORDER BY doc_id, idx"""))
+        ORDER BY doc_id, idx""")),
+
+    // f5 — KEYSET pagination: the at-scale alternative f4 documents —
+    // instead of OFFSET (which scans and discards every earlier row on
+    // every page), the cursor is the last row's sort key and the page
+    // is a tuple-comparison FILTER + top-k. The row-value comparison
+    // (o_orderdate, o_orderkey) > (cursor...) is lexicographic — spelled
+    // struct-vs-struct in Spark (same semantics as the SQL row
+    // constructor DuckDB accepts). The filter pushes toward the scan and
+    // the page is TakeOrderedAndProject: page N costs the same as page 1
+    // at any depth, which OFFSET cannot promise at 100 TB.
+    Q("f5_keyset_pagination",
+      (s, d) => t(s, d, "orders")
+        // NTZ→LTZ cast is the identity under the pinned UTC session and
+        // makes the struct comparison type-exact against the cursor
+        .where(struct(col("o_orderdate").cast("timestamp"),
+            col("o_orderkey")) >
+          struct(tsLit("1997-06-15"), lit(100L)))
+        .select(col("o_orderkey"),
+          dateStr(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .limit(20),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+            AS o_orderdate, o_orderpriority
+        FROM orders
+        WHERE (o_orderdate, o_orderkey) >
+          (TIMESTAMP '1997-06-15 00:00:00', 100)
+        ORDER BY o_orderdate, o_orderkey LIMIT 20"""))
   )
 }

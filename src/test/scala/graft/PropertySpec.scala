@@ -27,6 +27,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("j73 excision core matches a driver-side reference on random corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // tiny alphabet so 4-gram collisions are common; doc lengths 4..12
+    val tokGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.choose(4, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val corpusGen = Gen.listOfN(8, docGen)
+    samples(corpusGen, 20).foreach { corpus =>
+      val docs = corpus.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      val isBench = (id: Long) => id % 3 == 0
+      // reference: bench gram set → covered spans → excise, plain Scala
+      val benchGrams = docs.filter(d => isBench(d._1))
+        .flatMap(_._2.sliding(4).filter(_.size == 4).map(_.mkString(" ")))
+        .toSet
+      val expected = docs.filterNot(d => isBench(d._1)).map { case (id, ts) =>
+        val covered = (1 to ts.size - 3)
+          .filter(p => benchGrams.contains(ts.slice(p - 1, p + 3).mkString(" ")))
+          .flatMap(p => p to p + 3).toSet
+        val kept = ts.zipWithIndex.collect {
+          case (t, i0) if !covered(i0 + 1) => t
+        }
+        (id, ts.size.toLong, (ts.size - kept.size).toLong,
+          md5hex(kept.mkString(" ")))
+      }.sortBy(_._1)
+      val df = docs.toDF("doc_id", "toks")
+      val got = graft.ops.Round16c
+        .exciseStats(df, col("doc_id") % 3 === 0)
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      assert(got == expected, s"corpus=$docs")
+    }
+  }
+
   test("td_interval parses signed compound duration specs") {
     assert(Td.tdIntervalSeconds("-7d") == -7L * 86400)
     assert(Td.tdIntervalSeconds("12h") == 12L * 3600)
