@@ -30,7 +30,8 @@ object ScaleSoak {
     // (no args = all sections) — re-measuring one family must not cost a
     // full 10-minute sweep
     val sections: Set[String] =
-      if (args.isEmpty) Set("neardup", "ann", "j60", "sub", "ev", "decontam")
+      if (args.isEmpty)
+        Set("neardup", "ann", "j60", "sub", "ev", "decontam", "page")
       else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
@@ -213,6 +214,35 @@ object ScaleSoak {
           .where(col("removed_tokens") > 0).count()
       }
       println(f"""SOAK {"key":"j73_excise_cross","conf":"mod17","sec":$sec3%.2f,"rows":$rows3}""")
+      release()
+    }
+
+    // pagination at depth: f4's OFFSET vs f5's keyset cursor, page 20 at
+    // row 1,000,000 of a 2M-row sorted stream. OFFSET must materialize
+    // and discard everything before the page; the keyset filter prunes
+    // before the top-k, so page cost is depth-independent.
+    section("page") {
+      val dP = graft.ops.Scratch.dir("scalesoak_page")
+      spark.range(2000000L).toDF("k")
+        .select(col("k"), pmod(hash(col("k")), lit(100000)).as("ts"),
+          md5(col("k").cast("string")).as("pay"))
+        .coalesce(8).write.mode("overwrite").parquet(dP)
+      val tbl = spark.read.parquet(dP)
+      // cursor = last row before the page (computed once, untimed — in
+      // production it arrives with the previous page's response)
+      val cur = tbl.orderBy("ts", "k").offset(999999).limit(1)
+        .select("ts", "k").collect()(0)
+      val (sOff, nOff) = time {
+        tbl.orderBy("ts", "k").offset(1000000).limit(20).count()
+      }
+      println(f"""SOAK {"key":"page_offset","conf":"depth1M","sec":$sOff%.2f,"rows":$nOff}""")
+      release()
+      val (sKey, nKey) = time {
+        tbl.where(struct(col("ts"), col("k")) >
+            struct(lit(cur.getInt(0)), lit(cur.getLong(1))))
+          .orderBy("ts", "k").limit(20).count()
+      }
+      println(f"""SOAK {"key":"page_keyset","conf":"depth1M","sec":$sKey%.2f,"rows":$nKey}""")
       release()
     }
 
