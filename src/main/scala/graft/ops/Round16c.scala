@@ -1168,6 +1168,99 @@ object Round16c {
         FROM orders
         WHERE (o_orderdate, o_orderkey) >
           (TIMESTAMP '1997-06-15 00:00:00', 100)
-        ORDER BY o_orderdate, o_orderkey LIMIT 20"""))
+        ORDER BY o_orderdate, o_orderkey LIMIT 20""")),
+
+    // j76 — split LEAKAGE audit: the measurement that justifies j44's
+    // cluster-safe split — count near-dup pairs whose members land in
+    // DIFFERENT splits under (a) the naive per-doc hash split (j15's
+    // rule) and (b) the cluster-keyed split (j44's rule). Cluster-safe
+    // must audit to ZERO cross-split pairs BY CONSTRUCTION (both members
+    // share the cluster, the split key); the doc-hash row measures the
+    // leakage the naive rule ships to eval. One pair-core pass feeds
+    // both counts (pairs persist; the two split labels are projections
+    // of one assignment relation); the oracle recomputes clusters via
+    // the RECURSIVE CTE and both md5 bucketings, so the audit itself is
+    // hash-checked.
+    Q("j76_split_leakage_audit",
+      (s, d) => {
+        val pairs = LlmOps.jaccardPairs(LlmOps.shingles(s, d),
+          LlmOps.shingleCounts(s, d), Knobs.pairMaxDf(s))
+          .select("d1", "d2").persist()
+        val labeled = CC.cluster(s, pairs)
+        def splitOf(keyCol: String) = expr(
+          s"""CASE WHEN cast(conv(substring(md5(cast($keyCol AS STRING)),
+               1, 8), 16, 10) AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN cast(conv(substring(md5(cast($keyCol AS STRING)),
+               1, 8), 16, 10) AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test' END""")
+        val assign = t(s, d, "documents").select(col("doc_id"))
+          .join(labeled, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .select(col("doc_id"), splitOf("doc_id").as("sd"),
+            splitOf("cluster").as("sc"))
+        val joined = pairs
+          .join(assign.select(col("doc_id").as("d1"),
+            col("sd").as("sd1"), col("sc").as("sc1")), "d1")
+          .join(assign.select(col("doc_id").as("d2"),
+            col("sd").as("sd2"), col("sc").as("sc2")), "d2")
+        joined.agg(
+            sum(when(col("sd1") =!= col("sd2"), 1L).otherwise(0L))
+              .as("cross_doc"),
+            sum(when(col("sc1") =!= col("sc2"), 1L).otherwise(0L))
+              .as("cross_cluster"),
+            count(lit(1)).as("total"))
+          .selectExpr(
+            """stack(2,
+                 'cluster_safe', cross_cluster, total,
+                 'doc_hash', cross_doc, total)
+               AS (method, cross_pairs, total_pairs)""")
+          .orderBy("method")
+      },
+      Some("""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
+            FROM documents WHERE len(string_split(text,' ')) >= 3),
+          sh AS (SELECT DISTINCT doc_id,
+              toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
+            FROM tk, unnest(range(1, len(toks)-1)) i(i)),
+          n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+          e AS (SELECT d1, d2 FROM p
+            JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+            WHERE CAST(inter AS DOUBLE)
+              / CAST(n1.n + n2.n - inter AS DOUBLE) >= 0.5),
+          und AS (SELECT d1 AS a, d2 AS b FROM e UNION ALL SELECT d2, d1 FROM e),
+          reach(a, b) AS (SELECT a, b FROM und
+            UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+            FROM reach GROUP BY a),
+          f AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN lab l USING (doc_id)),
+          g AS (SELECT doc_id,
+              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)
+                  AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)
+                  AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS sd,
+              CASE WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)),1,8)
+                  AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)),1,8)
+                  AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS sc
+            FROM f),
+          j AS (SELECT e.d1, e.d2, g1.sd AS sd1, g1.sc AS sc1,
+              g2.sd AS sd2, g2.sc AS sc2
+            FROM e JOIN g g1 ON e.d1 = g1.doc_id
+              JOIN g g2 ON e.d2 = g2.doc_id),
+          w AS (SELECT
+              CAST(SUM(CASE WHEN sd1 <> sd2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cross_doc,
+              CAST(SUM(CASE WHEN sc1 <> sc2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cross_cluster,
+              COUNT(*) AS total FROM j)
+        SELECT 'cluster_safe' AS method, cross_cluster AS cross_pairs,
+          total AS total_pairs FROM w
+        UNION ALL
+        SELECT 'doc_hash', cross_doc, total FROM w
+        ORDER BY method"""))
   )
 }
