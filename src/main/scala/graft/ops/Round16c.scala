@@ -1261,6 +1261,48 @@ object Round16c {
           total AS total_pairs FROM w
         UNION ALL
         SELECT 'doc_hash', cross_doc, total FROM w
-        ORDER BY method"""))
+        ORDER BY method""")),
+
+    // e16 — EWMA (pandas ewm(alpha=.5).mean(), adjusted form) engine-
+    // side: the exponentially weighted rolling metric every monitoring /
+    // feature pipeline wants and SQL windows don't provide natively
+    // (the recursion s_t = αx_t + (1-α)s_{t-1} has no closed window
+    // form). Device: a bounded 10-row frame collects the trailing
+    // values IN FRAME ORDER and one aggregate() fold applies the
+    // adjusted weights Σ(1-α)^k·x / Σ(1-α)^k. α = 0.5 makes every
+    // weight an exact power of two — scaling a double by 2^-k never
+    // rounds — and both engines fold the same list left-to-right, so
+    // the statistic is bit-stable cross-engine (round-6 belt anyway).
+    // The 10-row cap bounds both state and the (1-α)^k tail (2^-10 <
+    // 1e-3 of the weight mass) — the same truncation pandas' ewm
+    // effectively has at float precision, made explicit.
+    Q("e16_ewma",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-9, 0)
+        events(s, d).where(col("event_id") < 2000)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("vals", collect_list(col("value")).over(w))
+          .selectExpr("event_id", "user_id",
+            """round(
+                 aggregate(sequence(0, size(vals) - 1),
+                   cast(0 AS DOUBLE),
+                   (acc, i) -> acc + element_at(vals, i + 1)
+                     * power(0.5, size(vals) - 1 - i),
+                   acc -> acc / (2.0 - power(0.5, size(vals) - 1))),
+                 6) AS ewma""")
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (SELECT event_id, user_id, value,
+            list(value) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+          FROM events WHERE event_id < 2000)
+        SELECT event_id, user_id,
+          ROUND(
+            list_sum(list_transform(range(0, len(vals)),
+              i -> vals[i + 1] * power(0.5, len(vals) - 1 - i)))
+            / (2.0 - power(0.5, len(vals) - 1)), 6) AS ewma
+        FROM v ORDER BY event_id"""))
   )
 }
