@@ -1303,6 +1303,72 @@ object Round16c {
             list_sum(list_transform(range(0, len(vals)),
               i -> vals[i + 1] * power(0.5, len(vals) - 1 - i)))
             / (2.0 - power(0.5, len(vals) - 1)), 6) AS ewma
-        FROM v ORDER BY event_id"""))
+        FROM v ORDER BY event_id""")),
+
+    // j77 — winsorization: clamp a metric to its per-group [p05, p95]
+    // band — the outlier-robust normalization feature pipelines apply
+    // before training on heavy-tailed signals (j58 GATES outliers out;
+    // winsorizing KEEPS the row at the boundary value, preserving
+    // counts). Thresholds are one grouped exact-percentile pass — a
+    // |groups|-row relation broadcast back (the j68 device); at 100 TB
+    // swap approx_percentile in for the threshold pass, clamps
+    // unchanged except at the margin. Round-6 thresholds restore
+    // cross-engine bit-equality where interpolation lands on a point.
+    Q("j77_winsorize",
+      (s, d) => {
+        val ev = events(s, d).where(col("event_id") < 3000)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val thr = ev.groupBy(col("event_type").as("tt"))
+          .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+            round(expr("percentile(value, 0.95)"), 6).as("hi"))
+        ev.join(broadcast(thr), col("event_type") === col("tt"))
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 6).as("value"),
+            round(greatest(least(col("value"), col("hi")), col("lo")), 6)
+              .as("winsorized"),
+            (col("value") < col("lo") || col("value") > col("hi"))
+              .as("clamped"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type, value FROM events
+            WHERE event_id < 3000),
+          thr AS (SELECT event_type AS tt,
+              ROUND(quantile_cont(value, 0.05), 6) AS lo,
+              ROUND(quantile_cont(value, 0.95), 6) AS hi
+            FROM ev GROUP BY event_type)
+        SELECT event_id, event_type, ROUND(value, 6) AS value,
+          ROUND(GREATEST(LEAST(value, hi), lo), 6) AS winsorized,
+          (value < lo OR value > hi) AS clamped
+        FROM ev JOIN thr ON event_type = tt
+        ORDER BY event_id""")),
+
+    // j78 — label-BALANCED exact-N sample: n-per-class eval-set
+    // construction (j75 gives exactly N overall; class-imbalanced
+    // corpora need exactly N PER LABEL, reproducibly). row_number over
+    // (label, md5 order) ≤ N — deterministic, and the plan is the e7
+    // top-k-per-group shape: one hash exchange on label, per-partition
+    // sort bounded by the frame, no global sort. The md5 axis makes
+    // membership independent of ingestion order — re-runs and
+    // cluster-size changes return the same sample.
+    Q("j78_balanced_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("label")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("label"), col("vec_id"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("label", "rn")
+      },
+      Some("""SELECT label, vec_id, rn FROM
+          (SELECT label, vec_id,
+             CAST(row_number() OVER (PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+               AS rn
+           FROM embeddings) x
+        WHERE rn <= 5 ORDER BY label, rn"""))
   )
 }
