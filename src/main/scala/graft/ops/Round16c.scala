@@ -1369,6 +1369,63 @@ object Round16c {
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
                AS rn
            FROM embeddings) x
-        WHERE rn <= 5 ORDER BY label, rn"""))
+        WHERE rn <= 5 ORDER BY label, rn""")),
+
+    // a41 — corrupt-record ingestion semantics: real landing zones
+    // carry malformed lines, and the reader's failure MODE is part of
+    // the contract. PERMISSIVE mode (graded here) keeps every line —
+    // corrupt ones surface with null fields and the raw text in the
+    // _corrupt_record column, so bad data is QUARANTINED in-band, never
+    // silently dropped (the count reconciles: good + bad = lines).
+    // FAILFAST's throw is pinned in Round16cSpec. The fixture writes
+    // one JSONL line per document DISTRIBUTED (df.write.text), with
+    // every 97th line truncated mid-object; the oracle recomputes both
+    // counts from the synthesis rule.
+    Q("a41_corrupt_records",
+      (s, d) => {
+        val out = Scratch.dir("a41")
+        t(s, d, "documents").select(
+            when(col("doc_id") % 97 === 0,
+              concat(lit("""{"doc_id": """), col("doc_id"),
+                lit(""", "lang": """)))
+            .otherwise(concat(lit("""{"doc_id": """), col("doc_id"),
+              lit(""", "lang": """"), col("lang"), lit(""""}""")))
+            .as("value"))
+          .coalesce(2).write.mode("overwrite").text(out)
+        val schema = "doc_id LONG, lang STRING, _corrupt_record STRING"
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out)
+          .groupBy(coalesce(col("lang"), lit("_corrupt")).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CASE WHEN doc_id % 97 = 0 THEN '_corrupt' ELSE lang END
+            AS bucket, COUNT(*) AS n
+        FROM documents GROUP BY bucket ORDER BY bucket""")),
+
+    // h46 — XPath extraction: the XML sibling of h5's JSON-path tier
+    // (a28 reads whole XML FILES; these are the per-VALUE extractors
+    // for an XML-typed string column — legacy feeds, SOAP payloads,
+    // sitemap entries). xpath_string / xpath_int / xpath(...) count,
+    // all per-row codegen'd — scan shaped. DuckDB has no XPath, so the
+    // oracle recomputes every output from the synthesis rule (the m-key
+    // discipline: build and parse can't share a bug).
+    Q("h46_xpath",
+      (s, d) => t(s, d, "documents")
+        .selectExpr("doc_id",
+          """concat('<doc><id>', cast(doc_id AS STRING), '</id><lang>',
+             lang, '</lang><ws>',
+             repeat('<w>t</w>', cast(1 + doc_id % 4 AS INT)),
+             '</ws></doc>') AS xml""")
+        .selectExpr("doc_id",
+          "xpath_string(xml, '/doc/lang') AS lang",
+          "xpath_long(xml, '/doc/id') AS id_back",
+          "cast(size(xpath(xml, '/doc/ws/w/text()')) AS BIGINT) AS n_w")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, doc_id AS id_back,
+          CAST(1 + doc_id % 4 AS BIGINT) AS n_w
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -152,6 +152,37 @@ class Round16cSpec extends AnyFunSuite {
       "ORDER BY md5 LIMIT n must plan as per-partition heaps")
   }
 
+  test("a41: FAILFAST throws on the planted corrupt lines; PERMISSIVE reconciles counts") {
+    // the graded key uses PERMISSIVE; here pin the failure MODE contract
+    val out = graft.ops.Scratch.dir("a41_spec")
+    import org.apache.spark.sql.functions._
+    graft.Tables.t(spark, TestSpark.sf, "documents")
+      .select(when(col("doc_id") % 97 === 0, lit("{\"doc_id\": oops"))
+        .otherwise(concat(lit("{\"doc_id\": "), col("doc_id"), lit("}")))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("doc_id LONG")
+        .option("mode", "FAILFAST").json(out).count()
+    }
+    assert(ex.getMessage.contains("Malformed") ||
+      ex.getCause != null, "FAILFAST must surface the malformed line")
+    // PERMISSIVE: good + corrupt = total lines
+    // Spark disallows querying ONLY the corrupt column from the raw
+    // source — cache the parsed relation first (the documented idiom)
+    val got = spark.read.schema("doc_id LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out).cache()
+    val total = got.count()
+    val bad = got.where(col("_corrupt_record").isNotNull).count()
+    got.unpersist()
+    val expectBad = graft.Tables.t(spark, TestSpark.sf, "documents")
+      .where(col("doc_id") % 97 === 0).count()
+    assert(bad == expectBad && total == 500L,
+      s"quarantine must reconcile: total=$total bad=$bad expect=$expectBad")
+  }
+
   test("p14/Q9: selective part filter broadcasts; no cartesian in the 5-table chain") {
     val p = plan("p14_tpch_q9")
     assert(!p.contains("CartesianProduct") &&
