@@ -44,6 +44,9 @@ object PlanLint {
     // perplexity buckets: j61's 1-row total carrier; the tercile
     // threshold relation (|languages| rows) joins back as an equi-join
     "j68_perplexity_buckets",
+    // composed recipe: the same 1-row total carrier inside its
+    // perplexity stage (every other join is equi / broadcast-threshold)
+    "j79_data_recipe",
     // Q22: the 1-row global-average-balance scalar broadcasts over the
     // anti-joined customers (the dormancy probe itself is the anti join,
     // pinned in Round16cSpec)

@@ -1426,6 +1426,159 @@ object Round16c {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, lang, doc_id AS id_back,
           CAST(1 + doc_id % 4 AS BIGINT) AS n_w
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // j79 — the COMPOSED data recipe, round-16 edition: j35 chains the
+    // classic cleaning stages; this chains the r16 additions the way a
+    // FineWeb/CCNet-class pipeline actually orders them — (1) j9's
+    // quality gate, (2) exact dedup on the lead-paragraph digest (the
+    // CCNet order — dedup BEFORE scoring so duplicated mass can't skew
+    // the quantile cut), (3) j68's perplexity cut (drop each language's
+    // tail tercile; LM fit on the whole train corpus, thresholds on the
+    // deduped survivors — the population entering the cut), (4) j73's
+    // benchmark-span
+    // EXCISION with a drop rule (excised docs losing >50% of their
+    // tokens leave the corpus; the rest stay, trimmed). ONE lazy plan:
+    // the per-doc predicates evaluate below the dedup shuffle, the
+    // bench gram set broadcasts, and every train doc exits with a
+    // stage ATTRIBUTION (the audit trail a production run must emit —
+    // why did this doc leave?). Oracle recomposes all four stages from
+    // their proven CTE pieces, so the composition itself hash-checks.
+    Q("j79_data_recipe",
+      (s, d) => {
+        val all = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 4)
+        val train = all.where(col("source") =!= "src0")
+        // stage 1: quality composite (j9's blend)
+        val q = train.withColumn("q", round(
+            (expr("size(array_distinct(toks))").cast("double") /
+              size(col("toks"))) * 0.5 +
+            (lit(1.0) -
+              expr("size(filter(toks, x -> x = 'a' OR x = 'the'))")
+                .cast("double") / size(col("toks"))) * 0.5, 6))
+          .withColumn("pass_q", col("q") >= 0.63)
+        // stage 2: unigram-NLL over the train corpus (j61), per-lang
+        // 2/3-quantile threshold over stage-1 survivors (j68's device)
+        val tok = train.select(col("doc_id"),
+          explode(col("toks")).as("term"))
+        val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = tok.agg(count(lit(1)).cast("double").as("total"))
+        val nll = tok.join(vocab, "term").crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(round(avg(-log(col("cnt") / col("total"))), 6).as("nll"))
+        // stage 2: exact dedup among quality survivors — dedup runs
+        // BEFORE LM scoring thresholds are applied (the CCNet order:
+        // don't let duplicated mass skew the quantile cut). Digest =
+        // lead paragraph (first 16 tokens): the "same opening
+        // boilerplate" rule — full-content md5 finds nothing in a crawl
+        // where dups differ by trailing chrome.
+        val wDg = org.apache.spark.sql.expressions.Window
+          .partitionBy("digest").orderBy("doc_id")
+        val deduped = q.where(col("pass_q"))
+          .withColumn("digest",
+            md5(concat_ws(" ", expr("slice(toks, 1, 16)"))))
+          .withColumn("rn", row_number().over(wDg))
+        // stage 3: per-lang perplexity cut over the dedup survivors
+        val scored = deduped.where(col("rn") === 1).join(nll, Seq("doc_id"))
+        val thr = scored.groupBy(col("lang").as("tl"))
+          .agg(round(expr("percentile(nll, 2.0/3)"), 6).as("t2"))
+        val staged = scored.join(broadcast(thr), col("lang") === col("tl"))
+          .withColumn("pass_p", col("nll") <= col("t2"))
+        // stage 4: excision over the perplexity survivors (bench = src0)
+        val survivors = staged.where(col("pass_p"))
+          .select(col("doc_id"), col("source"), col("toks"))
+        val exc = exciseStats(
+          all.where(col("source") === "src0")
+            .select(col("doc_id"), col("source"), col("toks"))
+            .unionByName(survivors),
+          col("source") === "src0")
+        // attribution: first failing stage wins
+        train.select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"))
+          .join(q.select(col("doc_id"), col("pass_q")), Seq("doc_id"))
+          .join(deduped.select(col("doc_id"), col("rn")), Seq("doc_id"),
+            "left")
+          .join(staged.select(col("doc_id"), col("pass_p")), Seq("doc_id"),
+            "left")
+          .join(exc.select(col("doc_id"),
+            col("removed_tokens")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+            when(!col("pass_q"), "quality")
+              .when(col("rn") > 1, "exact_dup")
+              .when(!col("pass_p"), "perplexity")
+              .when(col("removed_tokens") * 2 > col("n_tokens"),
+                "excised_drop")
+              .otherwise("kept").as("stage"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH all_d AS (SELECT doc_id, source, lang, text,
+              string_split(text, ' ') AS toks
+            FROM documents WHERE len(string_split(text, ' ')) >= 4),
+          train AS (SELECT * FROM all_d WHERE source <> 'src0'),
+          q AS (SELECT doc_id, lang, text, toks,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              ROUND((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                  * 0.5
+                + (1.0 - CAST(len(list_filter(toks,
+                    x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(toks))
+                  * 0.5, 6) >= 0.63 AS pass_q
+            FROM train),
+          tok AS (SELECT doc_id, unnest(toks) AS term FROM train),
+          vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+          tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+          nll AS (SELECT t.doc_id,
+              ROUND(AVG(-ln(v.cnt / (SELECT total FROM tot))), 6) AS nll
+            FROM tok t JOIN vocab v ON t.term = v.term GROUP BY t.doc_id),
+          deduped AS (SELECT doc_id, lang, toks,
+              row_number() OVER (
+                PARTITION BY md5(array_to_string(
+                  list_slice(toks, 1, 16), ' '))
+                ORDER BY doc_id) AS rn
+            FROM q WHERE pass_q),
+          scored AS (SELECT d.doc_id, d.lang, d.toks, nll.nll
+            FROM deduped d JOIN nll USING (doc_id) WHERE d.rn = 1),
+          thr AS (SELECT lang AS tl,
+              ROUND(quantile_cont(nll, 2.0/3), 6) AS t2
+            FROM scored GROUP BY lang),
+          staged AS (SELECT s.*, s.nll <= t.t2 AS pass_p
+            FROM scored s JOIN thr t ON s.lang = t.tl),
+          surv AS (SELECT doc_id, toks FROM staged WHERE pass_p),
+          b AS (SELECT DISTINCT
+              toks[i.i]||' '||toks[i.i+1]||' '||toks[i.i+2]||' '||toks[i.i+3]
+                AS g
+            FROM all_d, unnest(range(1, len(toks)-2)) i(i)
+            WHERE source = 'src0'),
+          tg AS (SELECT doc_id, i.i AS p,
+              toks[i.i]||' '||toks[i.i+1]||' '||toks[i.i+2]||' '||toks[i.i+3]
+                AS g
+            FROM surv, unnest(range(1, len(toks)-2)) i(i)),
+          hits AS (SELECT DISTINCT tg.doc_id, tg.p FROM tg
+            JOIN b ON tg.g = b.g),
+          cov AS (SELECT DISTINCT doc_id, p + j.j AS cp
+            FROM hits, unnest(range(0, 4)) j(j)),
+          removed AS (SELECT s.doc_id,
+              CAST(len(s.toks) AS BIGINT)
+                - (SELECT COUNT(*) FROM unnest(range(1, len(s.toks)+1)) i(i)
+                   WHERE NOT EXISTS (SELECT 1 FROM cov
+                     WHERE cov.doc_id = s.doc_id AND cov.cp = i.i))
+                AS removed_tokens
+            FROM surv s)
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          COALESCE(r.removed_tokens, 0) AS removed_tokens,
+          CASE WHEN NOT qq.pass_q THEN 'quality'
+               WHEN dd.rn > 1 THEN 'exact_dup'
+               WHEN NOT st.pass_p THEN 'perplexity'
+               WHEN COALESCE(r.removed_tokens, 0) * 2
+                 > CAST(len(t.toks) AS BIGINT) THEN 'excised_drop'
+               ELSE 'kept' END AS stage
+        FROM train t
+          JOIN q qq ON t.doc_id = qq.doc_id
+          LEFT JOIN deduped dd ON t.doc_id = dd.doc_id
+          LEFT JOIN staged st ON t.doc_id = st.doc_id
+          LEFT JOIN removed r ON t.doc_id = r.doc_id
+        ORDER BY t.doc_id"""))
   )
 }
