@@ -51,6 +51,9 @@ object PlanLint {
     // anti-joined customers (the dormancy probe itself is the anti join,
     // pinned in Round16cSpec)
     "p9_tpch_q22",
+    // Q11: the 1-row global-total cut broadcasts over the per-part
+    // aggregate (the share-of-total HAVING shape)
+    "p16_tpch_q11",
     // ICWS: the K-row (16) slot table broadcasts over the tf relation
     // (bounded by the signature length, never data volume); candidate
     // generation is the banded equi-join

@@ -183,6 +183,41 @@ class Round16cSpec extends AnyFunSuite {
       s"quarantine must reconcile: total=$total bad=$bad expect=$expectBad")
   }
 
+  test("p15/Q2: the multi-table correlated MIN decorrelates — no nested loop, per-part argmin as aggregate + join") {
+    val p = plan("p15_tpch_q2")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"),
+      "min-cost-per-part must be ONE grouped aggregate")
+  }
+
+  test("p17/Q20: the nested-IN chain is semi joins, the demand scalar one grouped aggregate") {
+    val p = plan("p17_tpch_q20")
+    assert(p.contains("LeftSemi"), "both INs must decorrelate to semis")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "the demand year bound must reach the lineitem scan")
+  }
+
+  test("p18/Q6: every predicate pushed; single scan") {
+    val p = plan("p18_tpch_q6")
+    // the PushedFilters list is string-truncated in toString — assert a
+    // truncation-proof prefix plus the quantity bound from the Filter node
+    assert(p.contains("GreaterThanOrEqual(l_shipda"),
+      "the shipdate bound must reach PushedFilters")
+    assert("l_quantity#\\d+ < 24".r.findFirstIn(p).isDefined,
+      "the quantity bound must be in the residual filter at least")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"Q6 is one scan, got $scans")
+  }
+
+  test("p19/Q4: EXISTS is one semi join feeding the grouped count") {
+    val p = plan("p19_tpch_q4")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("p14/Q9: selective part filter broadcasts; no cartesian in the 5-table chain") {
     val p = plan("p14_tpch_q9")
     assert(!p.contains("CartesianProduct") &&
