@@ -249,6 +249,45 @@ object Round16d {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        GROUP BY l_linestatus ORDER BY l_linestatus"""))
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // j80 — feature HASHING (the hashing trick): text → fixed-D sparse
+    // count vector via bucket = hash(term) mod D — the input prep for
+    // fasttext/VW-class linear models and the j49 classifier's scalable
+    // sibling (no vocabulary table AT ALL: the feature space is fixed
+    // at D buckets, so the op is map-side pure and needs no broadcast,
+    // no join, no second corpus pass — the property that makes it THE
+    // featurizer at 100 TB). Signed variant (sign from another md5
+    // nibble) cancels collision bias, as in Weinberger et al. Output is
+    // the sparse (doc, bucket, count, signed_sum) long form — exact
+    // integers, trivially hash-gradeable.
+    Q("j80_feature_hashing",
+      (s, d) => {
+        val D = 64
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          // md5-derived bucket/sign (the j15 split device): identical
+          // arithmetic in both engines, which xxhash64 is not
+          .select(col("doc_id"),
+            (expr("cast(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)")
+              % D).as("bucket"),
+            (expr("cast(conv(substring(md5(term), 9, 1), 16, 10) AS BIGINT)")
+              % 2 * 2 - 1).as("sign"))
+          .groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("cnt"), sum(col("sign")).as("signed_sum"))
+          .where(col("doc_id") < 50)
+          .orderBy("doc_id", "bucket")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+              unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id < 50),
+          h AS (SELECT doc_id,
+              CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64
+                AS bucket,
+              CAST('0x' || substr(md5(term), 9, 1) AS BIGINT) % 2 * 2 - 1
+                AS sign
+            FROM tok)
+        SELECT doc_id, bucket, COUNT(*) AS cnt, SUM(sign) AS signed_sum
+        FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""))
   )
 }
