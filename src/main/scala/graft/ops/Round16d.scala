@@ -288,6 +288,55 @@ object Round16d {
                 AS sign
             FROM tok)
         SELECT doc_id, bucket, COUNT(*) AS cnt, SUM(sign) AS signed_sum
-        FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""))
+        FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
+
+    // j81 — Zipf rank-frequency slope: the corpus-health diagnostic
+    // (natural text sits near slope −1 on log-log rank-frequency;
+    // template/boilerplate corpora flatten, spam steepens — a cheap
+    // one-number drift check next to j36's chi-square). The top-100
+    // terms come via TakeOrdered (never a global sort of the vocab —
+    // the rank window runs on the 100-row relation AFTER the limit),
+    // then d16's closed-form least squares over (ln rank, ln freq).
+    // Ranks are row_number with the (cnt DESC, term ASC) tie-break, so
+    // the fit input is deterministic; the 100-term double sums sit far
+    // inside round-6.
+    Q("j81_zipf_slope",
+      (s, d) => {
+        val top = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("term")).limit(100)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cnt"), asc("term"))
+        top.withColumn("rank", row_number().over(w))
+          .select(log(col("rank").cast("double")).as("x"),
+            log(col("cnt").cast("double")).as("y"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("slope"),
+            round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")))
+              * col("sx")) / col("n"), 6).as("intercept"))
+      },
+      Some("""WITH vocab AS (SELECT term, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+            GROUP BY term ORDER BY cnt DESC, term LIMIT 100),
+          ranked AS (SELECT ln(CAST(row_number() OVER
+                (ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+              ln(CAST(cnt AS DOUBLE)) AS y
+            FROM vocab),
+          m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+              SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM ranked)
+        SELECT n, ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+            AS slope,
+          ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+            / n, 6) AS intercept
+        FROM m"""))
   )
 }
