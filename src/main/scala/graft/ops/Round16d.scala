@@ -337,6 +337,34 @@ object Round16d {
             AS slope,
           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
             / n, 6) AS intercept
-        FROM m"""))
+        FROM m""")),
+
+    // k25 — inline VALUES relation: the literal lookup-table idiom (ad
+    // hoc enum decode, priority weights, a manual mapping pasted into
+    // the query — every analyst does this daily). The VALUES relation
+    // is a LocalRelation: it exists only in the plan, broadcasts by
+    // construction, and the join against it is a broadcast hash join
+    // with zero scan cost. Both engines share the syntax verbatim.
+    Q("k25_values_inline",
+      (s, d) => Views.unique(s, "k25_ord" -> t(s, d, "orders")) { v =>
+        s.sql(s"""SELECT w.tier, COUNT(*) AS n,
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))
+              * w.weight), 2) AS DOUBLE) AS weighted_price
+          FROM ${v("k25_ord")}
+          JOIN (VALUES ('1-URGENT', 'hot', 3), ('2-HIGH', 'hot', 2),
+              ('3-MEDIUM', 'warm', 1), ('4-NOT SPECIFIED', 'cold', 1),
+              ('5-LOW', 'cold', 1)) AS w(prio, tier, weight)
+            ON o_orderpriority = w.prio
+          GROUP BY w.tier ORDER BY w.tier""")
+      },
+      Some("""SELECT w.tier, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))
+            * w.weight), 2) AS DOUBLE) AS weighted_price
+        FROM orders
+        JOIN (VALUES ('1-URGENT', 'hot', 3), ('2-HIGH', 'hot', 2),
+            ('3-MEDIUM', 'warm', 1), ('4-NOT SPECIFIED', 'cold', 1),
+            ('5-LOW', 'cold', 1)) AS w(prio, tier, weight)
+          ON o_orderpriority = w.prio
+        GROUP BY w.tier ORDER BY w.tier"""))
   )
 }
