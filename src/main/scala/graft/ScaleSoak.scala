@@ -31,7 +31,8 @@ object ScaleSoak {
     // full 10-minute sweep
     val sections: Set[String] =
       if (args.isEmpty)
-        Set("neardup", "ann", "j60", "sub", "ev", "decontam", "page")
+        Set("neardup", "ann", "j60", "sub", "ev", "decontam", "page",
+          "recipe")
       else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
@@ -243,6 +244,49 @@ object ScaleSoak {
           .orderBy("ts", "k").limit(20).count()
       }
       println(f"""SOAK {"key":"page_keyset","conf":"depth1M","sec":$sKey%.2f,"rows":$nKey}""")
+      release()
+    }
+
+    // j79 composed recipe END-TO-END at 10× skew (r16 verdict item 5):
+    // every stage is individually soaked above, but the COMPOSITION
+    // (quality gate → paragraph dedup → perplexity cut → excision in one
+    // lazy plan) is what a production run executes. The claim to prove:
+    // the single-plan form does not recompute the corpus per stage — its
+    // end-to-end cost must land near the SUM of its stage families run
+    // separately (j9 + j1-class dedup + j68 + j73), not their product,
+    // and the executed plan must show exchange reuse where stages share
+    // the tokenized-train scan. Corpus: the boilerplate-skewed 40k-doc
+    // generator with a %17 bench split (src0) and two languages so the
+    // per-lang quantile cut is non-trivial.
+    section("recipe") {
+      val dR = graft.ops.Scratch.dir("scalesoak_recipe")
+      spark.range(NDocs).toDF("doc_id")
+        .withColumn("src", when(col("doc_id") === 101L, 100L)
+          .when(col("doc_id") === 201L, 200L).otherwise(col("doc_id")))
+        .withColumn("body", concat_ws(" ", (0 until 6).map(phraseCol): _*))
+        .withColumn("text", when(pmod(col("src"), lit(3)) === 0,
+          concat(lit(s"$BOILER "), col("body"))).otherwise(col("body")))
+        .select(col("doc_id"), col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0, "en").otherwise("fr")
+            .as("lang"),
+          when(pmod(col("doc_id"), lit(17)) === 0, "src0").otherwise("web")
+            .as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(8)
+        .write.mode("overwrite").parquet(s"$dR/documents.parquet")
+      runAt("j79_data_recipe", dR, "skew10x")
+      // stage families separately on the SAME corpus — the sum is the
+      // "no recompute multiplier" yardstick for the composed number above
+      Seq("j9_text_quality", "j1_dedup_exact", "j68_perplexity_buckets",
+        "j73_decontam_excise").foreach(k => runAt(k, dR, "skew10x"))
+      // plan-shape diagnostic: scans of the corpus vs reused exchanges in
+      // the EXECUTED (post-AQE) composed plan
+      val df = SparkEntry.queries("j79_data_recipe")(spark, dR)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(p).size
+      val reused = "ReusedExchange".r.findAllIn(p).size
+      println(s"""SOAK {"diag":"j79_plan","parquet_scans":$scans,"reused_exchanges":$reused}""")
       release()
     }
 

@@ -431,23 +431,29 @@ object Round16 {
       (s, d) => Views.unique(s, "h41_lineitem" -> t(s, d, "lineitem")) { v =>
         s.sql(s"""
           SELECT l_orderkey, l_linenumber,
-                 CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
-                   * (1 - CAST(l_discount AS DECIMAL(18,4))), 4)
-                   AS DECIMAL(18,4)) AS disc_price,
-                 CAST(ROUND(disc_price * (1 + CAST(l_tax AS DECIMAL(18,4))), 4)
-                   AS DOUBLE) AS charged,
-                 CAST(charged >= 50000.0 AS BOOLEAN) AS is_big
-          FROM ${v("h41_lineitem")} WHERE l_orderkey < 200
+                 CAST(dp AS DOUBLE) AS disc_price, charged, is_big
+          FROM (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4))), 4)
+                     AS DECIMAL(18,4)) AS dp,
+                   CAST(ROUND(dp * (1 + CAST(l_tax AS DECIMAL(18,4))), 4)
+                     AS DOUBLE) AS charged,
+                   CAST(charged >= 50000.0 AS BOOLEAN) AS is_big
+            FROM ${v("h41_lineitem")} WHERE l_orderkey < 200)
           ORDER BY l_orderkey, l_linenumber, charged""")
       },
       Some("""SELECT l_orderkey, l_linenumber,
-          CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
-            * (1 - CAST(l_discount AS DECIMAL(18,4))), 4)
-            AS DECIMAL(18,4)) AS disc_price,
-          CAST(ROUND(disc_price * (1 + CAST(l_tax AS DECIMAL(18,4))), 4)
-            AS DOUBLE) AS charged,
-          charged >= 50000.0 AS is_big
-        FROM lineitem WHERE l_orderkey < 200
+          CAST(dp AS DOUBLE) AS disc_price, charged, is_big
+        FROM (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4))), 4)
+                   AS DECIMAL(18,4)) AS dp,
+                 CAST(ROUND(dp * (1 + CAST(l_tax AS DECIMAL(18,4))), 4)
+                   AS DOUBLE) AS charged,
+                 charged >= 50000.0 AS is_big
+          FROM lineitem WHERE l_orderkey < 200)
         ORDER BY l_orderkey, l_linenumber, charged""")),
 
     // g8 — UNION BY NAME with missing-column tolerance: positional
@@ -605,16 +611,18 @@ object Round16 {
             CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS nm
           FROM customer)
         SELECT lower(seg) AS seg_l, COUNT(*) AS n,
-               SUM(CASE WHEN seg = upper(seg) THEN 1 ELSE 0 END) AS n_upper
+               CAST(SUM(CASE WHEN seg = upper(seg) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_upper
         FROM mixed GROUP BY lower(seg)
         UNION ALL
         SELECT '__totals__', COUNT(DISTINCT lower(seg)), COUNT(DISTINCT seg)
         FROM mixed
         UNION ALL
         SELECT '__predicates__',
-               SUM(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END),
-               SUM(CASE WHEN contains(lower(nm), 'customer#0000001')
-                   THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(SUM(CASE WHEN contains(lower(nm), 'customer#0000001')
+                   THEN 1 ELSE 0 END) AS BIGINT)
         FROM mixed
         ORDER BY seg_l""")),
 

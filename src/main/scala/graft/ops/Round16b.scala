@@ -1224,7 +1224,7 @@ object Round16b {
             CAST(CAST(cu AS DOUBLE) / CAST(tot AS DOUBLE) AS DECIMAL(25,12))
               AS pu
           FROM cu, tot)
-        SELECT dg.doc_id, SUM(cnt) AS n_bigrams,
+        SELECT dg.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
           ROUND((0.7 * CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * pb) AS DOUBLE)
             + 0.3 * CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * pu) AS DOUBLE))
             / CAST(SUM(cnt) AS DOUBLE), 6) AS score

@@ -423,12 +423,21 @@ object Round16c {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("text"),
             split(col("text"), " ").as("toks"))
+        // guard each transform on token count: sequence(0, size-2) is
+        // DESCENDING (hence wrong, and concat_ws null-skips the
+        // out-of-range toks) when a doc has <2 / <3 tokens — the DuckDB
+        // range() is empty there, so an unguarded transform diverges on
+        // short docs (r16 ADVICE item)
         val grams = docs.select(col("doc_id"), explode(expr(
           """concat(
-               transform(sequence(0, size(toks)-2), i -> struct(2 AS n,
-                 concat_ws(' ', toks[i], toks[i+1]) AS gram)),
-               transform(sequence(0, size(toks)-3), i -> struct(3 AS n,
-                 concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram)))"""))
+               if(size(toks) >= 2,
+                 transform(sequence(0, size(toks)-2), i -> struct(2 AS n,
+                   concat_ws(' ', toks[i], toks[i+1]) AS gram)),
+                 array()),
+               if(size(toks) >= 3,
+                 transform(sequence(0, size(toks)-3), i -> struct(3 AS n,
+                   concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram)),
+                 array()))"""))
           .as("g"))
           .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
         // both n-masses fold in ONE conditional aggregation — splitting
@@ -627,8 +636,8 @@ object Round16c {
               arg_min(ntok, doc_id) AS canon_tok
             FROM toks2 GROUP BY cluster)
         SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
-          SUM(sz - 1) AS removed_docs,
-          SUM(tok - canon_tok) AS removed_tokens
+          CAST(SUM(sz - 1) AS BIGINT) AS removed_docs,
+          CAST(SUM(tok - canon_tok) AS BIGINT) AS removed_tokens
         FROM pc GROUP BY sz ORDER BY cluster_size""")),
 
     // j71 — embedding DISPERSION per label: the semantic-diversity
@@ -753,7 +762,8 @@ object Round16c {
             (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
              ORDER BY cnt DESC, term LIMIT 40) v)
         SELECT t.doc_id, COUNT(*) AS n_tok,
-          SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+          CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
           ROUND(CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
             AS DOUBLE) / COUNT(*), 6) AS oov_rate
         FROM tok t LEFT JOIN vocab ON t.term = vocab.term
@@ -1056,10 +1066,10 @@ object Round16c {
           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
           strftime((o_orderdate + INTERVAL '0 seconds') + INTERVAL 1 MONTH,
             '%Y-%m-%d') AS plus_1m,
-          CAST(floor(date_diff('second', o_orderdate,
+          CAST(trunc(date_diff('second', o_orderdate,
             TIMESTAMP '2001-01-01 00:00:00') / 86400.0) AS BIGINT)
             AS days_to_2001,
-          CAST(floor(date_diff('second', o_orderdate,
+          CAST(trunc(date_diff('second', o_orderdate,
             TIMESTAMP '2001-01-01 00:00:00') / 3600.0) AS BIGINT)
             AS hours_to_2001
         FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""")),

@@ -287,7 +287,8 @@ object Round16d {
               CAST('0x' || substr(md5(term), 9, 1) AS BIGINT) % 2 * 2 - 1
                 AS sign
             FROM tok)
-        SELECT doc_id, bucket, COUNT(*) AS cnt, SUM(sign) AS signed_sum
+        SELECT doc_id, bucket, COUNT(*) AS cnt,
+          CAST(SUM(sign) AS BIGINT) AS signed_sum
         FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
 
     // j81 — Zipf rank-frequency slope: the corpus-health diagnostic

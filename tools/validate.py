@@ -21,6 +21,38 @@ def norm(v):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return repr(v)
 
+def type_mismatches(con, sql, files):
+    """Driver-faithful TYPE leg (r16 verdict item 2): the driver hashes
+    typed values, so HUGEINT!=BIGINT and DECIMAL!=DOUBLE fail its gate
+    even when every value compares equal. DESCRIBE both the oracle query
+    and the Spark parquet in DuckDB and report per-column differences.
+
+    Known-benign pairs (collapsed by the driver's hasher per the r16
+    driver artifact: keys with these diffs passed hash_match) are
+    allowlisted; everything else — notably HUGEINT/BIGINT and
+    DECIMAL/DOUBLE, the two classes that produced r16's 6 surprises —
+    fails."""
+    benign = {frozenset(p) for p in [
+        ("INTEGER", "BIGINT"), ("SMALLINT", "BIGINT"), ("TINYINT", "BIGINT"),
+        ("SMALLINT", "INTEGER"), ("TINYINT", "INTEGER"),
+        ("TIMESTAMP", "TIMESTAMP_NS"), ("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"),
+        # UINTEGER: DuckDB's regr_count returns it; d34_regr_native passed
+        # the driver's hash_match in CORRECTNESS_r16 with oracle UINTEGER
+        # vs spark BIGINT, so the driver's hasher collapses this pair.
+        ("UINTEGER", "BIGINT"),
+    ]}
+    dd = con.execute(f"DESCRIBE {sql}").fetchall()
+    sd = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()
+    dtypes = {r[0]: r[1] for r in dd}
+    stypes = {r[0]: r[1] for r in sd}
+    bad = []
+    for c in sorted(set(dtypes) & set(stypes)):
+        a, b = stypes[c], dtypes[c]
+        if a != b and frozenset((a, b)) not in benign:
+            bad.append(f"{c}: spark={a} oracle={b}")
+    return bad
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -63,6 +95,14 @@ def main():
                 bad = (i, a, b); break
         if bad:
             print(f"FAIL {key}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_bad += 1
+            continue
+        try:
+            tbad = type_mismatches(con, sql, files)
+        except Exception as e:
+            tbad = [f"describe error: {e}"]
+        if tbad:
+            print(f"TYPE-FAIL {key}: " + "; ".join(tbad))
             n_bad += 1
         else:
             print(f"ok   {key} ({len(srows)} rows)")
