@@ -274,20 +274,58 @@ object ScaleSoak {
           length(col("text")).cast("long").as("n_chars"))
         .coalesce(8)
         .write.mode("overwrite").parquet(s"$dR/documents.parquet")
-      runAt("j79_data_recipe", dR, "skew10x")
+      // j79 under BOTH stage-cache settings, measuring WORK (input +
+      // shuffle-write bytes summed over completed stages via listener)
+      // alongside wall — wall alone misleads at this SF: duplicate
+      // subtrees schedule in parallel across the 32 idle threads, so the
+      // recompute multiplier (which grows with corpus mass) hides while
+      // the one-off cache-fill pass shows. The work columns are what
+      // extrapolate.
+      def workOf(key: String, dir: String, confs: Map[String, String],
+          tag: String): Unit = {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val inRec = new java.util.concurrent.atomic.AtomicLong
+        val shuf = new java.util.concurrent.atomic.AtomicLong
+        val cpuNs = new java.util.concurrent.atomic.AtomicLong
+        val nStages = new java.util.concurrent.atomic.AtomicLong
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]
+        val lis = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val m = e.stageInfo.taskMetrics
+            if (m != null) {
+              inRec.addAndGet(m.inputMetrics.recordsRead)
+              shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+              cpuNs.addAndGet(m.executorCpuTime)
+              nStages.incrementAndGet()
+              stages.add(f"${m.executorRunTime}ms ${e.stageInfo.name.takeWhile(_ != '\n').take(60)}")
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(lis)
+        try {
+          val (sec, rows) = time(SparkEntry.queries(key)(spark, dir).count())
+          Thread.sleep(2000) // listener bus drain
+          println(f"""SOAK {"key":"$key","conf":"$tag","sec":$sec%.2f,"rows":$rows,"scan_rows":${inRec.get},"shuffle_mb":${shuf.get / 1048576},"cpu_sec":${cpuNs.get / 1e9}%.1f,"stages":${nStages.get}}""")
+          if (sys.env.contains("SOAK_STAGE_DUMP"))
+            stages.toArray.map(_.toString)
+              .sortBy(s => -s.takeWhile(_ != 'm').toLong)
+              .take(8).foreach(s => System.err.println(s"STAGE $s"))
+        } finally {
+          spark.sparkContext.removeSparkListener(lis)
+          confs.keys.foreach(spark.conf.unset)
+          release()
+        }
+      }
+      workOf("j79_data_recipe", dR, Map.empty, "skew10x,stageCache=on")
+      workOf("j79_data_recipe", dR,
+        Map(graft.ops.Knobs.RecipeStageCacheKey -> "false"),
+        "skew10x,stageCache=off")
       // stage families separately on the SAME corpus — the sum is the
       // "no recompute multiplier" yardstick for the composed number above
       Seq("j9_text_quality", "j1_dedup_exact", "j68_perplexity_buckets",
         "j73_decontam_excise").foreach(k => runAt(k, dR, "skew10x"))
-      // plan-shape diagnostic: scans of the corpus vs reused exchanges in
-      // the EXECUTED (post-AQE) composed plan
-      val df = SparkEntry.queries("j79_data_recipe")(spark, dR)
-      df.count()
-      val p = df.queryExecution.executedPlan.toString
-      val scans = "Scan parquet".r.findAllIn(p).size
-      val reused = "ReusedExchange".r.findAllIn(p).size
-      println(s"""SOAK {"diag":"j79_plan","parquet_scans":$scans,"reused_exchanges":$reused}""")
-      release()
     }
 
     section("ev") {

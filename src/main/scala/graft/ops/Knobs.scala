@@ -23,6 +23,7 @@ object Knobs {
   val MinhashBandSizeKey    = "spark.graft.minhash.bandSize"
   val PairMaxDfKey          = "spark.graft.pairs.maxDf"
   val GridBlocksKey         = "spark.graft.grid.blocks"
+  val RecipeStageCacheKey   = "spark.graft.recipe.stageCache"
 
   private def longConf(s: SparkSession, key: String, default: Long): Long =
     s.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
@@ -102,4 +103,21 @@ object Knobs {
     require(v >= 1 && v <= 1024, s"$IvfNprobeKey must be in [1,1024], got $v")
     v
   }
+
+  /** Whether composed-recipe keys (j79) persist the parsed corpus and
+    * their NARROW per-doc stage outputs at stage boundaries. Default
+    * true — the scale-correct shape: unpersisted, every later stage and
+    * the attribution joins re-derive the full upstream chain per
+    * reference (the r17 soak measured a 44-parquet-scan plan with zero
+    * exchange reuse), a work multiplier that grows with corpus mass.
+    * The persists trade one serialization pass for that multiplier; at
+    * toy SF the duplicate subtrees schedule in parallel across idle
+    * threads and the cache fill is the visible cost (ScaleSoak's
+    * recipe section records both wall AND input/shuffle work for both
+    * settings), so `false` is the micro-bench setting, never the
+    * production one. Does not change results — KnobsSpec-class
+    * contract, output identical either way. */
+  def recipeStageCache(s: SparkSession): Boolean =
+    s.conf.getOption(RecipeStageCacheKey)
+      .map(_.trim.toBoolean).getOrElse(true)
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -1456,10 +1457,22 @@ object Round16c {
     // their proven CTE pieces, so the composition itself hash-checks.
     Q("j79_data_recipe",
       (s, d) => {
-        val all = t(s, d, "documents")
+        // the composed plan references the parsed corpus from EVERY stage
+        // (quality gate, LM fit, dedup, attribution joins, excision) —
+        // unpersisted, Catalyst happily plans one parquet scan + re-split
+        // per reference (the r17 soak measured 44 scans / 0 reused
+        // exchanges), which at 100 TB is 44 corpus reads. One persist at
+        // the parse boundary makes every stage derive from a single scan;
+        // the Verify/Bench harnesses release caches per query, so the
+        // persist is charged to this query alone.
+        val cache: DataFrame => DataFrame =
+          if (Knobs.recipeStageCache(s))
+            _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else identity
+        val all = cache(t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("lang"), col("text"),
             split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= 4)
+          .where(size(col("toks")) >= 4))
         val train = all.where(col("source") =!= "src0")
         // stage 1: quality composite (j9's blend)
         val q = train.withColumn("q", round(
@@ -1471,6 +1484,18 @@ object Round16c {
           .withColumn("pass_q", col("q") >= 0.63)
         // stage 2: unigram-NLL over the train corpus (j61), per-lang
         // 2/3-quantile threshold over stage-1 survivors (j68's device)
+        // STAGE-OUTPUT BOUNDARIES (r17, soak-driven): the attribution
+        // joins and every later stage reference earlier stages, and an
+        // unpersisted chain re-derives each one per reference — the
+        // pre-fix soak measured 44 parquet scans / 0 reused exchanges
+        // and composed cost ≈ stage-family sum only because this SF is
+        // shuffle-light. The production shape is ONE cached corpus +
+        // NARROW (doc_id, flag) per-stage tables, each persisted at its
+        // boundary so its explode/window/join pipeline runs exactly
+        // once; toks re-join from the cached corpus where a later stage
+        // needs them. Per-doc flag tables are O(docs), not O(corpus) —
+        // cacheable at any SF.
+        val qf = cache(q.select(col("doc_id"), col("pass_q")))
         val tok = train.select(col("doc_id"),
           explode(col("toks")).as("term"))
         val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
@@ -1478,6 +1503,7 @@ object Round16c {
         val nll = tok.join(vocab, "term").crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(round(avg(-log(col("cnt") / col("total"))), 6).as("nll"))
+          .transform(cache)
         // stage 2: exact dedup among quality survivors — dedup runs
         // BEFORE LM scoring thresholds are applied (the CCNet order:
         // don't let duplicated mass skew the quantile cut). Digest =
@@ -1486,19 +1512,25 @@ object Round16c {
         // where dups differ by trailing chrome.
         val wDg = org.apache.spark.sql.expressions.Window
           .partitionBy("digest").orderBy("doc_id")
-        val deduped = q.where(col("pass_q"))
-          .withColumn("digest",
-            md5(concat_ws(" ", expr("slice(toks, 1, 16)"))))
+        val ded = train.join(qf, Seq("doc_id")).where(col("pass_q"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", expr("slice(toks, 1, 16)"))).as("digest"))
           .withColumn("rn", row_number().over(wDg))
+          .select(col("doc_id"), col("rn")).transform(cache)
         // stage 3: per-lang perplexity cut over the dedup survivors
-        val scored = deduped.where(col("rn") === 1).join(nll, Seq("doc_id"))
+        val scored = ded.where(col("rn") === 1).join(nll, Seq("doc_id"))
+          .join(train.select(col("doc_id"), col("lang")), Seq("doc_id"))
         val thr = scored.groupBy(col("lang").as("tl"))
           .agg(round(expr("percentile(nll, 2.0/3)"), 6).as("t2"))
-        val staged = scored.join(broadcast(thr), col("lang") === col("tl"))
-          .withColumn("pass_p", col("nll") <= col("t2"))
-        // stage 4: excision over the perplexity survivors (bench = src0)
-        val survivors = staged.where(col("pass_p"))
-          .select(col("doc_id"), col("source"), col("toks"))
+        val pp = scored.join(broadcast(thr), col("lang") === col("tl"))
+          .select(col("doc_id"), (col("nll") <= col("t2")).as("pass_p"))
+          .transform(cache)
+        // stage 4: excision over the perplexity survivors (bench = src0);
+        // survivors re-join toks from the CACHED corpus, not through the
+        // stage chain
+        val survivors = train.select(col("doc_id"), col("source"),
+            col("toks"))
+          .join(pp.where(col("pass_p")).select("doc_id"), Seq("doc_id"))
         val exc = exciseStats(
           all.where(col("source") === "src0")
             .select(col("doc_id"), col("source"), col("toks"))
@@ -1507,11 +1539,9 @@ object Round16c {
         // attribution: first failing stage wins
         train.select(col("doc_id"),
             size(col("toks")).cast("long").as("n_tokens"))
-          .join(q.select(col("doc_id"), col("pass_q")), Seq("doc_id"))
-          .join(deduped.select(col("doc_id"), col("rn")), Seq("doc_id"),
-            "left")
-          .join(staged.select(col("doc_id"), col("pass_p")), Seq("doc_id"),
-            "left")
+          .join(qf, Seq("doc_id"))
+          .join(ded, Seq("doc_id"), "left")
+          .join(pp, Seq("doc_id"), "left")
           .join(exc.select(col("doc_id"),
             col("removed_tokens")), Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),

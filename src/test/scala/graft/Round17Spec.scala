@@ -45,4 +45,14 @@ class Round17Spec extends AnyFunSuite {
         s"$k produced a different result under concurrent session mutation")
     }
   }
+
+  test("j79 stage-cache knob changes the plan, never the result") {
+    val cached = rows("j79_data_recipe")
+    spark.conf.set(ops.Knobs.RecipeStageCacheKey, "false")
+    try {
+      val lazyRows = rows("j79_data_recipe")
+      assert(lazyRows == cached,
+        "recipe output must be knob-invariant (KnobsSpec contract)")
+    } finally spark.conf.unset(ops.Knobs.RecipeStageCacheKey)
+  }
 }
