@@ -78,7 +78,12 @@ object PlanLint {
     "j55_maxsim_retrieval",
     // filtered ANN: the 1-row probe broadcast (j3's pattern); the label
     // predicate is pushed to the scan ahead of it
-    "j57_filtered_ann")
+    "j57_filtered_ann",
+    // mixture temperature: two 1-row scalar carriers (Σn, Σsqrt) over
+    // the |sources|-row relation (j30/j38's allowance)
+    "j82_mixture_temperature",
+    // matryoshka eval: j3's 1-row probe broadcast, twice (full + trunc)
+    "j83_matryoshka_eval")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -46,6 +46,36 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  test("k26 recursion plans as UnionLoop with an equi-join frontier step") {
+    val df = SparkEntry.queries("k26_recursive_cte")(spark, TestSpark.sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("UnionLoop"), "recursive CTE must plan as UnionLoop")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the parent link must stay an equi-join (child DIV 2 = parent)")
+    val rows = df.collect()
+    assert(rows.length == 127)
+    assert(rows.map(_.getLong(1)).max == 6L, "expected tree depth 6 at k<=127")
+  }
+
+  test("j82 weights form a distribution; j83 rank lists align") {
+    val w = SparkEntry.queries("j82_mixture_temperature")(spark, TestSpark.sf)
+      .collect().map(_.getDouble(2))
+    assert(math.abs(w.sum - 1.0) < 1e-4, s"weights must sum to 1, got ${w.sum}")
+    val m = SparkEntry.queries("j83_matryoshka_eval")(spark, TestSpark.sf)
+      .collect()
+    assert(m.length == 10 && m.map(_.getLong(0)).toSeq == (1L to 10L),
+      "both rankings must emit aligned ranks 1..10")
+    // both lists descend and stay in cosine range (rank-1 values are NOT
+    // ordered across lists: fewer dims = higher cosine variance, so the
+    // truncated top-1 routinely exceeds the full top-1 on random vectors)
+    Seq(2, 4).foreach { c =>
+      val sims = m.map(_.getDouble(c)).toSeq
+      assert(sims == sims.sorted.reverse && sims.forall(s =>
+        s >= -1.0 && s <= 1.0), s"col $c must descend within [-1,1]")
+    }
+  }
+
   test("j79 stage-cache knob changes the plan, never the result") {
     val cached = rows("j79_data_recipe")
     spark.conf.set(ops.Knobs.RecipeStageCacheKey, "false")
