@@ -63,6 +63,111 @@ object Round17 {
         SELECT c_custkey, depth, path FROM chain
         ORDER BY c_custkey""")),
 
+    // b11 — correlated LATERAL subquery join (Spark 4 / SQL:2016): the
+    // top-N-per-row spelling analysts actually write (`FROM a, LATERAL
+    // (SELECT … WHERE x = a.x ORDER BY … LIMIT k)`), complementing e7's
+    // window spelling of the same semantics. Spark decorrelates the
+    // limit-under-correlation via its DomainJoin rewrite — the graded
+    // property is that an arbitrary correlated LIMIT subquery becomes a
+    // set-based plan (no per-outer-row rescans of orders). Both ORDER
+    // BY keys in the lateral body carry a deterministic tie-break.
+    Q("b11_lateral_topk",
+      (s, d) => Views.unique(s, "b11_cust" -> t(s, d, "customer"),
+        "b11_ord" -> t(s, d, "orders")) { v =>
+        s.sql(s"""
+          SELECT c.c_custkey, o.o_orderkey,
+                 CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,4)), 4)
+                   AS DOUBLE) AS price
+          FROM ${v("b11_cust")} c,
+            LATERAL (SELECT o_orderkey, o_totalprice
+                     FROM ${v("b11_ord")}
+                     WHERE o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+          WHERE c.c_custkey <= 50
+          ORDER BY c.c_custkey, price DESC, o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey,
+          CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,4)), 4)
+            AS DOUBLE) AS price
+        FROM customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice
+                   FROM orders
+                   WHERE o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        WHERE c.c_custkey <= 50
+        ORDER BY c.c_custkey, price DESC, o_orderkey""")),
+
+    // m15 — EXIF/TIFF IFD walk with PER-ROW ENDIANNESS: the byte-order
+    // leg of the container-decode family. m6-m13 all parse one fixed
+    // byte order; TIFF headers declare theirs in-band ('II' little /
+    // 'MM' big), and a real EXIF scanner must dispatch per FILE. The
+    // fixture synthesizes a minimal TIFF (BOM, magic 42, IFD at 8,
+    // three SHORT entries: ImageWidth 0x0100, ImageLength 0x0101,
+    // Orientation 0x0112) alternating byte order by doc_id; the decoder
+    // reads the BOM and swaps multi-byte fields accordingly — all
+    // map-only codegen'd hex-string arithmetic over one payload column,
+    // content never shuffles (the m-tier contract). head_hex pins the
+    // encode bytes; the oracle recomputes everything from the synthesis
+    // rule so a matched encode/decode bug cannot cancel.
+    Q("m15_parse_exif",
+      (s, d) => {
+        // 16-bit / entry hex helpers, little vs big endian
+        def be16(v: String) = s"lpad(hex($v), 4, '0')"
+        def le16(v: String) =
+          s"concat(substring(lpad(hex($v), 4, '0'), 3, 2)," +
+            s" substring(lpad(hex($v), 4, '0'), 1, 2))"
+        val fixture = t(s, d, "documents").selectExpr("doc_id",
+            "doc_id % 2 = 0 AS le",
+            "16L + doc_id % 512 AS w0", "16L + (doc_id * 3) % 512 AS h0",
+            "1L + doc_id % 8 AS or0")
+          .selectExpr("doc_id", "le",
+            // header: BOM + magic 42 + IFD offset 8 (4 bytes), then
+            // count=3 and three 12-byte SHORT entries (tag, type=3,
+            // count=1, value in the leading 2 of 4 value bytes)
+            s"""concat(
+               CASE WHEN le THEN '49492A0008000000'
+                    ELSE '4D4D002A00000008' END,
+               CASE WHEN le THEN '0300' ELSE '0003' END,
+               CASE WHEN le THEN concat('0001', '0300', '01000000',
+                                        ${le16("w0")}, '0000')
+                    ELSE concat('0100', '0003', '00000001',
+                                ${be16("w0")}, '0000') END,
+               CASE WHEN le THEN concat('0101', '0300', '01000000',
+                                        ${le16("h0")}, '0000')
+                    ELSE concat('0101', '0003', '00000001',
+                                ${be16("h0")}, '0000') END,
+               CASE WHEN le THEN concat('1201', '0300', '01000000',
+                                        ${le16("or0")}, '0000')
+                    ELSE concat('0112', '0003', '00000001',
+                                ${be16("or0")}, '0000') END) AS hx""")
+        // decode: endian from the BOM, then per-entry tag/value reads
+        // with endian-conditional byte swaps (rd16 at 1-based hex pos)
+        def rd16(pos: String) =
+          s"""cast(conv(CASE WHEN bom = '4949'
+               THEN concat(substring(hx, ($pos) + 2, 2),
+                           substring(hx, $pos, 2))
+               ELSE substring(hx, $pos, 4) END, 16, 10) AS BIGINT)"""
+        fixture
+          .withColumn("bom", expr("substring(hx, 1, 4)"))
+          // entry i (0-based) starts at hex pos 21 + 24*i; value field
+          // at +16 within the entry; tags identify the fields
+          .selectExpr("doc_id",
+            "CASE WHEN bom = '4949' THEN 'II' ELSE 'MM' END AS endian",
+            s"""${rd16("21 + 24*0 + 16")} AS width""",
+            s"""${rd16("21 + 24*1 + 16")} AS height""",
+            s"""${rd16("21 + 24*2 + 16")} AS orientation""",
+            "substring(hx, 1, 20) AS head_hex")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+          CAST(16 + doc_id % 512 AS BIGINT) AS width,
+          CAST(16 + (doc_id * 3) % 512 AS BIGINT) AS height,
+          CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+          CASE WHEN doc_id % 2 = 0 THEN '49492A00080000000300'
+               ELSE '4D4D002A000000080003' END AS head_hex
+        FROM documents ORDER BY doc_id""")),
+
     // j82 — temperature-smoothed source-mixture schedule: the sampling
     // recipe step every published pretraining mixture uses (multinomial
     // over sources with p_i ∝ n_i^τ, τ < 1 upweighting small/rare

@@ -76,6 +76,28 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  test("b11 lateral LIMIT decorrelates to WindowGroupLimit, never a rescan") {
+    val p = SparkEntry.queries("b11_lateral_topk")(spark, TestSpark.sf)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "correlated LIMIT must plan as a group-limit, not a per-row subquery")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+    // the outer c_custkey <= 50 bound must be inferred onto the orders side
+    assert(p.contains("(o_custkey") && p.contains("<= 50)"),
+      "outer filter must transfer to the lateral input")
+  }
+
+  test("m15 parses both byte orders and stays map-only") {
+    val df = SparkEntry.queries("m15_parse_exif")(spark, TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.map(_.getString(1)).toSet == Set("II", "MM"))
+    // decode must be one scan + projection (plus the output sort):
+    // content bytes never shuffle through a join or aggregate
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(400))
+  }
+
   test("j79 stage-cache knob changes the plan, never the result") {
     val cached = rows("j79_data_recipe")
     spark.conf.set(ops.Knobs.RecipeStageCacheKey, "false")
