@@ -83,7 +83,10 @@ object PlanLint {
     // the |sources|-row relation (j30/j38's allowance)
     "j82_mixture_temperature",
     // matryoshka eval: j3's 1-row probe broadcast, twice (full + trunc)
-    "j83_matryoshka_eval")
+    "j83_matryoshka_eval",
+    // pack sweep: the 3-row candidate-length dimension broadcasts over
+    // the 8-row per-shard totals (both bounded by construction)
+    "j85_pack_efficiency")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

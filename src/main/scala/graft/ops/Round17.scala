@@ -211,6 +211,148 @@ object Round17 {
           ROUND((sq / z) * 1000000.0 / n_tokens, 6) AS epochs
         FROM sq, z ORDER BY source""")),
 
+    // j84 — n-gram NOVELTY curve: per doc (in doc_id = ingestion order),
+    // what fraction of its distinct 3-grams is it the FIRST to
+    // contribute — the marginal-utility diagnostic behind every
+    // "does another crawl snapshot still add content?" decision (the
+    // dataset-scaling curve, computed corpus-side). Attribution is
+    // arg-min over doc order: one distinct (doc, gram) projection, one
+    // gram-keyed min, one join back — all partial-aggregated on the
+    // standard corpus-sized gram exchange; nothing pairwise. Short-doc
+    // guard per the j67 rule (sequence() descends below 3 tokens).
+    Q("j84_ngram_novelty",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val g = docs.select(col("doc_id"), explode(expr(
+            """if(size(toks) >= 3,
+                 transform(sequence(0, size(toks)-3), i ->
+                   concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+                 array())""")).as("gram"))
+          .distinct()
+        val intro = g.groupBy("gram").agg(min("doc_id").as("intro"))
+        val per = g.join(intro, Seq("gram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(when(col("intro") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_new"))
+        docs.select("doc_id").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            coalesce(round(col("n_new").cast("double") /
+              col("n_distinct"), 6), lit(0.0)).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+            FROM documents),
+          g AS (SELECT DISTINCT doc_id,
+              tk[i.i] || ' ' || tk[i.i+1] || ' ' || tk[i.i+2] AS gram
+            FROM toks, unnest(range(1, len(tk) - 1)) i(i)),
+          intro AS (SELECT gram, MIN(doc_id) AS intro FROM g GROUP BY gram),
+          per AS (SELECT g.doc_id, COUNT(*) AS n_distinct,
+              CAST(SUM(CASE WHEN intro.intro = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new
+            FROM g JOIN intro USING (gram) GROUP BY g.doc_id)
+        SELECT d.doc_id,
+          COALESCE(per.n_distinct, 0) AS n_distinct,
+          COALESCE(per.n_new, 0) AS n_new,
+          COALESCE(ROUND(CAST(per.n_new AS DOUBLE) / per.n_distinct, 6),
+            0.0) AS novelty
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // j85 — packing-efficiency sweep: BEFORE committing a context length,
+    // report what each candidate max_len costs in padding waste under
+    // j33's shard-local packing rule (docs concatenated per shard
+    // doc_id % 8, cut at L; the last bin of each shard is the only
+    // padded one). The j74-style sweep device: one scan computes the
+    // per-shard token totals, a 3-row length table crosses them, and
+    // everything else is integer arithmetic — bins = ceil(T/L), waste =
+    // bins·L − T, fill = T/(bins·L). At 100 TB this is a metadata-sized
+    // query over a corpus-sized scan, and it is the number that decides
+    // the dataloader geometry. Lengths broadcast (3-row dimension).
+    Q("j85_pack_efficiency",
+      (s, d) => {
+        val shard = t(s, d, "documents")
+          .select((col("doc_id") % 8).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy("shard").agg(sum("n_tok").as("t"))
+        shard.crossJoin(broadcast(
+            s.range(1).select(explode(
+              array(lit(256L), lit(1024L), lit(2048L))).as("max_len"))))
+          .select(col("max_len"), col("t"),
+            expr("(t - 1) div max_len + 1").as("bins"))
+          .groupBy("max_len")
+          .agg(sum("bins").as("n_bins"),
+            sum("t").as("total_tokens"),
+            round(sum("t").cast("double") /
+              (sum(col("bins") * col("max_len"))).cast("double"), 6)
+              .as("fill_rate"),
+            sum(col("bins") * col("max_len") - col("t")).as("waste"))
+          .orderBy("max_len")
+      },
+      Some("""WITH shard AS (SELECT doc_id % 8 AS shard,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+            FROM documents GROUP BY 1),
+          ls AS (SELECT CAST(unnest([256, 1024, 2048]) AS BIGINT)
+            AS max_len),
+          b AS (SELECT max_len, t, (t - 1) // max_len + 1 AS bins
+            FROM shard, ls)
+        SELECT max_len,
+          CAST(SUM(bins) AS BIGINT) AS n_bins,
+          CAST(SUM(t) AS BIGINT) AS total_tokens,
+          ROUND(CAST(SUM(t) AS DOUBLE) /
+            CAST(SUM(bins * max_len) AS DOUBLE), 6) AS fill_rate,
+          CAST(SUM(bins * max_len - t) AS BIGINT) AS waste
+        FROM b GROUP BY max_len ORDER BY max_len""")),
+
+    // p21 — year-over-year self-join with EXCHANGE REUSE: the TPC-DS
+    // Q75-class shape — aggregate once at (priority, year) grain, then
+    // join the aggregate to ITSELF shifted one year for the YoY ratio.
+    // The graded plan property is that the two sides of the self-join
+    // are ONE exchange: the aggregate subtrees are canonically
+    // identical, so Spark's ReuseExchange must materialize the shuffle
+    // once and feed both sides (Round17Spec pins ReusedExchange in the
+    // executed plan) — at 100 TB that halves the heaviest stage of the
+    // query. Sums run in DECIMAL before the DOUBLE emit (double SUM is
+    // accumulation-order-dependent across engines); the ratio divides
+    // the already-rounded doubles, so it is deterministic.
+    Q("p21_yoy_selfjoin_reuse",
+      (s, d) => {
+        val agg = t(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 4)
+            .cast("double").as("rev"),
+            count(lit(1)).as("n"))
+        // REUSE DISCIPLINE: the year shift lives in the JOIN CONDITION
+        // (c.yr = p.yr + 1) and BOTH sides emit every aggregate column —
+        // projecting yr+1 on one side, or letting column pruning drop the
+        // count from the other, makes the subtrees canonically different
+        // and Spark re-scans + re-aggregates the fact table (the naive
+        // form measured exactly that). Identical subtrees → one exchange.
+        val c = agg.as("c")
+        val p = agg.as("p")
+        c.join(p, col("c.pri") === col("p.pri") &&
+            col("c.yr") === col("p.yr") + 1L)
+          .select(col("c.pri").as("pri"), col("c.yr").as("yr"),
+            col("c.rev").as("rev_cur"), col("p.rev").as("rev_prev"),
+            col("c.n").as("n_cur"), col("p.n").as("n_prev"),
+            round(col("c.rev") / col("p.rev"), 6).as("yoy"))
+          .orderBy("pri", "yr")
+      },
+      Some("""WITH agg AS (SELECT o_orderpriority AS pri,
+              CAST(year(o_orderdate) AS BIGINT) AS yr,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS rev,
+              COUNT(*) AS n
+            FROM orders GROUP BY 1, 2)
+        SELECT c.pri, c.yr, c.rev AS rev_cur, p.rev AS rev_prev,
+          c.n AS n_cur, p.n AS n_prev, ROUND(c.rev / p.rev, 6) AS yoy
+        FROM agg c JOIN agg p ON c.pri = p.pri AND c.yr = p.yr + 1
+        ORDER BY c.pri, c.yr""")),
+
     // j83 — matryoshka truncation fidelity: rank the probe's neighbors
     // by full 64-dim cosine AND by the first-16-dims cosine (the MRL
     // deployment trick — truncate stored vectors 4× and re-rank only a

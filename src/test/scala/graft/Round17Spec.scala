@@ -98,6 +98,24 @@ class Round17Spec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(400))
   }
 
+  test("p21 self-joined aggregate reuses ONE exchange") {
+    val df = SparkEntry.queries("p21_yoy_selfjoin_reuse")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage")
+      || p.contains("ReusedQueryStage"),
+      s"the (pri, yr) aggregate must materialize once for both join sides:\n${p.take(600)}")
+  }
+
+  test("j84 novelty: doc 0 introduces everything it has; fractions in [0,1]") {
+    val rows = SparkEntry.queries("j84_ngram_novelty")(spark, TestSpark.sf)
+      .collect()
+    val first = rows.find(_.getLong(0) == 0L).get
+    assert(first.getLong(1) == first.getLong(2),
+      "the first doc in ingestion order introduces all of its grams")
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("j79 stage-cache knob changes the plan, never the result") {
     val cached = rows("j79_data_recipe")
     spark.conf.set(ops.Knobs.RecipeStageCacheKey, "false")
