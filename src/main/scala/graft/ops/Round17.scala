@@ -211,6 +211,84 @@ object Round17 {
           ROUND((sq / z) * 1000000.0 / n_tokens, 6) AS epochs
         FROM sq, z ORDER BY source""")),
 
+    // i27 — composed streaming recipe (gate → bounded dedup → windowed
+    // agg), the streaming leg of j79: see Streams.i27 for the harness
+    // and the state-boundedness rationale. Oracle = the batch recompute
+    // over unique filtered events (re-sends either dedup away inside
+    // the watermark or drop below it — never double-count).
+    Q("i27_stream_recipe",
+      (s, d) => graft.streaming.Streams.i27(s, d),
+      Some("""SELECT (CAST(epoch_ms(ts) AS BIGINT) // 3600000) * 3600000
+            AS w_start,
+          event_type, COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+            AS sum_v
+        FROM events
+        WHERE event_type <> 'error' AND value >= 1.0
+        GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // k27 — join-strategy HINTS: /*+ SHUFFLE_MERGE */ forcing a
+    // sort-merge join where the optimizer would broadcast — the ops
+    // lever for the day a "small" dim outgrows executor memory and the
+    // auto-broadcast OOMs (hints override size estimation without
+    // touching session confs). Results are hint-invariant by contract;
+    // the oracle reads the same text because DuckDB parses the hint as
+    // a plain block comment. Round17Spec pins that the hint actually
+    // flipped the strategy (SortMergeJoin in-plan where the unhinted
+    // twin broadcasts).
+    Q("k27_join_hints",
+      (s, d) => Views.unique(s, "k27_ord" -> t(s, d, "orders"),
+        "k27_cust" -> t(s, d, "customer")) { v =>
+        s.sql(s"""
+          SELECT /*+ SHUFFLE_MERGE(c) */ c.c_mktsegment,
+                 COUNT(*) AS n,
+                 CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 4)
+                   AS DOUBLE) AS rev
+          FROM ${v("k27_ord")} o JOIN ${v("k27_cust")} c
+            ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT /*+ SHUFFLE_MERGE(c) */ c.c_mktsegment,
+          COUNT(*) AS n,
+          CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 4)
+            AS DOUBLE) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c_mktsegment""")),
+
+    // a42 — output FILE SIZING (maxRecordsPerFile): the writer-side
+    // lever against both failure modes of file geometry at 100 TB —
+    // multi-GB files that defeat task parallelism, and the small-files
+    // explosion that melts the metastore. The fixture writes one
+    // task's worth of lineitem under a 10k-record cap and reads the
+    // GEOMETRY back via the _metadata hidden column (a37's device):
+    // the writer must emit ⌊N/10k⌋ full files plus one remainder —
+    // byte-budget layout becomes row arithmetic, which is what makes
+    // it oracle-checkable (the oracle derives the histogram from
+    // COUNT(*) alone, never from file names).
+    Q("a42_file_sizing",
+      (s, d) => {
+        val out = graft.ops.Scratch.dir("a42_sized")
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber")
+          .coalesce(1)
+          .write.option("maxRecordsPerFile", 10000)
+          .mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .select(col("_metadata.file_path").as("f"))
+          .groupBy("f").agg(count(lit(1)).as("rows_per_file"))
+          .groupBy("rows_per_file")
+          .agg(count(lit(1)).as("n_files"))
+          .orderBy("rows_per_file")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n FROM lineitem)
+        SELECT rows_per_file, n_files FROM (
+          SELECT CAST(10000 AS BIGINT) AS rows_per_file,
+                 CAST(n // 10000 AS BIGINT) AS n_files
+          FROM n WHERE n >= 10000
+          UNION ALL
+          SELECT CAST(n % 10000 AS BIGINT), CAST(1 AS BIGINT)
+          FROM n WHERE n % 10000 > 0) x
+        ORDER BY rows_per_file""")),
+
     // j84 — n-gram NOVELTY curve: per doc (in doc_id = ingestion order),
     // what fraction of its distinct 3-grams is it the FIRST to
     // contribute — the marginal-utility diagnostic behind every

@@ -1326,4 +1326,47 @@ object Streams {
       FROM days JOIN ex ON days.day = ex.day
       ORDER BY days.day""")
   }
+
+  /** i27 — the COMPOSED streaming recipe: quality gate → bounded-state
+    * dedup → watermarked tumbling aggregation in ONE streaming query —
+    * the streaming leg of j79's batch recipe (a production ingest
+    * pipeline runs exactly this chain continuously). The gate is a
+    * stateless filter (evaluates before any state), the dedup is
+    * `dropDuplicatesWithinWatermark` (bounded state — i25's contract,
+    * which is what lets this run forever), and the windowed count/sum
+    * closes windows as the watermark passes. The harness re-sends the
+    * ENTIRE stream in a second batch: re-sends inside the watermark
+    * dedup away, re-sends below it are dropped by the watermark
+    * pre-filter — either way the output equals the batch oracle over
+    * the unique filtered events. Sentinel flush as i4. */
+  def i27(s: SparkSession, d: String): DataFrame = withFewShufflePartitions(s) {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = collectEvents(s, d)
+    val sentinel = Ev(-1L, evs.last.ts_ms + 365L * 24 * 3600 * 1000,
+      -1L, "__sentinel", 1e9)
+    val stream = MemoryStream[Ev]
+    val recipe = stream.toDF()
+      .where(col("event_type") =!= "error" && col("value") >= lit(1.0))
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Tables.mSum(col("value")).as("sum_v"))
+      .select(expr("unix_millis(window.start)").as("w_start"),
+        col("event_type"), col("n"), col("sum_v"))
+    val qn = "i27_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = recipe.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .option("checkpointLocation", tmp("i27ck")).start()
+    stream.addData(evs.toSeq)
+    q.processAllAvailable()
+    stream.addData(evs.toSeq) // full re-send: dedup or late-drop, never double-count
+    q.processAllAvailable()
+    stream.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).where(col("event_type") =!= "__sentinel")
+      .orderBy("w_start", "event_type")
+  }
 }

@@ -116,6 +116,26 @@ class Round17Spec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("k27 hint flips broadcast to sort-merge; results hint-invariant") {
+    val hinted = SparkEntry.queries("k27_join_hints")(spark, TestSpark.sf)
+    assert(hinted.queryExecution.sparkPlan.toString.contains("SortMergeJoin"),
+      "SHUFFLE_MERGE hint must force SMJ")
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+    val c = spark.read.parquet(s"${TestSpark.sf}/customer.parquet")
+    val unhinted = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 4)
+          .cast("double").as("rev"))
+      .orderBy("c_mktsegment")
+    assert(unhinted.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      "customer is broadcast-sized here; without the hint it must broadcast")
+    assert(hinted.collect().toSeq == unhinted.collect().toSeq,
+      "join strategy must never change the result")
+  }
+
   test("j79 stage-cache knob changes the plan, never the result") {
     val cached = rows("j79_data_recipe")
     spark.conf.set(ops.Knobs.RecipeStageCacheKey, "false")
