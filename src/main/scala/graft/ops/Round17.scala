@@ -289,6 +289,86 @@ object Round17 {
           FROM n WHERE n % 10000 > 0) x
         ORDER BY rows_per_file""")),
 
+    // g9 — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    // g3/g4 grade the DISTINCT forms; the ALL forms keep multiplicity
+    // (min-count for intersect, count-subtraction for except) — the
+    // semantics reconciliation queries need (how many COPIES of this
+    // key does each extract hold?) and the form Spark plans WITHOUT a
+    // pre-aggregation (a generated row-count column + join, not a
+    // distinct). Output re-aggregates to (value, multiplicity) so the
+    // bag semantics are visible in a canonical, sortable shape — a
+    // DISTINCT-semantics engine would emit multiplicity 1 everywhere.
+    Q("g9_set_ops_all",
+      (s, d) => {
+        val a = t(s, d, "lineitem").where(col("l_orderkey") < 400)
+          .select("l_partkey")
+        val b = t(s, d, "lineitem")
+          .where(col("l_orderkey") >= 200 && col("l_orderkey") < 600)
+          .select("l_partkey")
+        val ia = a.intersectAll(b).groupBy("l_partkey")
+          .agg(count(lit(1)).as("mult"))
+          .select(lit("intersect_all").as("op"), col("l_partkey"),
+            col("mult"))
+        val ea = a.exceptAll(b).groupBy("l_partkey")
+          .agg(count(lit(1)).as("mult"))
+          .select(lit("except_all").as("op"), col("l_partkey"), col("mult"))
+        ia.unionAll(ea).orderBy("op", "l_partkey")
+      },
+      Some("""WITH a AS (SELECT l_partkey FROM lineitem
+            WHERE l_orderkey < 400),
+          b AS (SELECT l_partkey FROM lineitem
+            WHERE l_orderkey >= 200 AND l_orderkey < 600),
+          ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+          ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS mult
+        FROM ia GROUP BY l_partkey
+        UNION ALL
+        SELECT 'except_all', l_partkey, COUNT(*) FROM ea GROUP BY l_partkey
+        ORDER BY op, l_partkey""")),
+
+    // j86 — dedup COST MODEL: the planning query an operator runs BEFORE
+    // launching a pair-generating dedup at scale — the df histogram of
+    // the shingle postings (log2 buckets, integer-exact via
+    // strlen(bin(df))−1, never a libm log), each bucket's exact pair
+    // mass Σ df·(df−1)/2, and what the pairMaxDf=256 cap keeps. The
+    // capped/uncapped RATIO per bucket is precisely the knob decision:
+    // buckets whose mass melts under the cap are boilerplate (route to
+    // the heavy-key branch), buckets untouched by it are content. One
+    // gram exchange — the same shuffle j2 itself pays, no pairs are
+    // ever materialized (the model costs ~nothing next to the job it
+    // plans).
+    Q("j86_dedup_cost_model",
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """array_distinct(transform(sequence(1, size(toks)-2),
+                 i -> concat_ws(' ', slice(toks, i, 3))))""")).as("gram"))
+        g.groupBy("gram").agg(count(lit(1)).as("df"))
+          .select(col("df"),
+            (length(expr("bin(df)")) - 1).cast("long").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(expr("df * (df - 1) div 2")).as("pair_mass"),
+            sum(expr(
+              "least(df, 256L) * (least(df, 256L) - 1) div 2"))
+              .as("capped_mass"))
+          .orderBy("bucket")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+            FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          g AS (SELECT DISTINCT doc_id,
+              tk[i.i] || ' ' || tk[i.i+1] || ' ' || tk[i.i+2] AS gram
+            FROM toks, unnest(range(1, len(tk) - 1)) i(i)),
+          dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+        SELECT CAST(strlen(bin(df)) - 1 AS BIGINT) AS bucket,
+          COUNT(*) AS n_grams,
+          CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pair_mass,
+          CAST(SUM(LEAST(df, 256) * (LEAST(df, 256) - 1) // 2) AS BIGINT)
+            AS capped_mass
+        FROM dfreq GROUP BY 1 ORDER BY bucket""")),
+
     // j84 — n-gram NOVELTY curve: per doc (in doc_id = ingestion order),
     // what fraction of its distinct 3-grams is it the FIRST to
     // contribute — the marginal-utility diagnostic behind every
