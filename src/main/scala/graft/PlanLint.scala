@@ -86,7 +86,10 @@ object PlanLint {
     "j83_matryoshka_eval",
     // pack sweep: the 3-row candidate-length dimension broadcasts over
     // the 8-row per-shard totals (both bounded by construction)
-    "j85_pack_efficiency")
+    "j85_pack_efficiency",
+    // quota sample: the 1-row token-total carrier over the |sources|-row
+    // relation (j82's allowance)
+    "j87_quota_sample")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

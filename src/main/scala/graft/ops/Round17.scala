@@ -369,6 +369,105 @@ object Round17 {
             AS capped_mass
         FROM dfreq GROUP BY 1 ORDER BY bucket""")),
 
+    // j87 — token-weighted QUOTA sampling (largest-remainder
+    // apportionment): draw a 100-doc sample whose per-source allocation
+    // is proportional to each source's TOKEN mass — the production
+    // spelling of weighted corpus sampling (budgets per source, then a
+    // uniform draw inside each). Exponential-keys weighted sampling
+    // (Efraimidis-Spirakis) needs ln(u) in the ORDER — libm-dependent
+    // and so not cross-engine-hashable (the j32 lesson); Hamilton's
+    // method is INTEGER-exact: quota_i = (N·n_i) div T, remainders
+    // ranked by (N·n_i) mod T with source tie-break, +1 to the largest
+    // until N. The within-source draw is j75's md5-order device, per
+    // stratum (e7's window shape). Everything after the one token-count
+    // aggregate runs on the |sources|-row relation.
+    Q("j87_quota_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val N = 100L
+        val st = t(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " "))).cast("long").as("nt"))
+        val tot = st.agg(sum("nt").as("t"))
+        val wRem = Window.orderBy(
+          expr(s"($N * nt) % t").desc, col("source").asc)
+        val quota = st.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($N * nt) div t"))
+          .withColumn("extra",
+            when(row_number().over(wRem) <=
+              (lit(N) - sum("base").over(Window.partitionBy())), 1L)
+              .otherwise(0L))
+          .select(col("source"), (col("base") + col("extra")).as("quota"))
+        val wSrc = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(wSrc).cast("long"))
+          .join(broadcast(quota), Seq("source"))
+          .where(col("rn") <= col("quota"))
+          .select(col("source"), col("doc_id"), col("quota"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH st AS (SELECT source,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS nt
+            FROM documents GROUP BY source),
+          tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS t FROM st),
+          q0 AS (SELECT source, nt, (100 * nt) // t AS base,
+              (100 * nt) % t AS rem,
+              SUM((100 * nt) // t) OVER () AS base_sum
+            FROM st, tot),
+          quota AS (SELECT source,
+              CAST(base + CASE WHEN row_number() OVER (
+                  ORDER BY rem DESC, source) <= 100 - base_sum
+                THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM q0),
+          ranked AS (SELECT doc_id, source, CAST(row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rn
+            FROM documents)
+        SELECT r.source, r.doc_id, q.quota
+        FROM ranked r JOIN quota q ON r.source = q.source
+        WHERE r.rn <= q.quota
+        ORDER BY r.source, r.doc_id""")),
+
+    // m16 — ID3v2 SYNCSAFE integers: the 7-bit-packed length encoding
+    // (every size byte keeps bit 7 clear so the value can never fake an
+    // MPEG frame sync) — a third integer-decode discipline after m6-m10
+    // fixed-width little/big-endian and m15's per-row byte-order
+    // dispatch: size = b0·2^21 + b1·2^14 + b2·2^7 + b3. Fixture
+    // synthesizes an ID3v2.3 header whose syncsafe size encodes a
+    // doc_id-derived value; decode is pure hex-substring arithmetic,
+    // map-only (the m-tier contract). Oracle recomputes from the rule.
+    Q("m16_parse_id3",
+      (s, d) => {
+        val fixture = t(s, d, "documents").selectExpr("doc_id",
+            "(doc_id * 977) % 200000 AS sz")
+          .selectExpr("doc_id",
+            """concat('494433', '0300', '00',
+               lpad(hex((sz div 2097152) % 128), 2, '0'),
+               lpad(hex((sz div 16384) % 128), 2, '0'),
+               lpad(hex((sz div 128) % 128), 2, '0'),
+               lpad(hex(sz % 128), 2, '0')) AS hx""")
+        fixture.selectExpr("doc_id",
+            "cast(conv(substring(hx, 7, 2), 16, 10) AS BIGINT) AS ver_major",
+            """cast(conv(substring(hx, 13, 2), 16, 10) AS BIGINT) * 2097152
+             + cast(conv(substring(hx, 15, 2), 16, 10) AS BIGINT) * 16384
+             + cast(conv(substring(hx, 17, 2), 16, 10) AS BIGINT) * 128
+             + cast(conv(substring(hx, 19, 2), 16, 10) AS BIGINT)
+               AS tag_size""",
+            "substring(hx, 1, 20) AS head_hex")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(3 AS BIGINT) AS ver_major,
+          CAST((doc_id * 977) % 200000 AS BIGINT) AS tag_size,
+          upper('4944330300' || '00'
+            || printf('%02x', ((doc_id * 977) % 200000) // 2097152 % 128)
+            || printf('%02x', ((doc_id * 977) % 200000) // 16384 % 128)
+            || printf('%02x', ((doc_id * 977) % 200000) // 128 % 128)
+            || printf('%02x', (doc_id * 977) % 200000 % 128)) AS head_hex
+        FROM documents ORDER BY doc_id""")),
+
     // j84 — n-gram NOVELTY curve: per doc (in doc_id = ingestion order),
     // what fraction of its distinct 3-grams is it the FIRST to
     // contribute — the marginal-utility diagnostic behind every
