@@ -89,7 +89,10 @@ object PlanLint {
     "j85_pack_efficiency",
     // quota sample: the 1-row token-total carrier over the |sources|-row
     // relation (j82's allowance)
-    "j87_quota_sample")
+    "j87_quota_sample",
+    // negative sampling: the 1-row corpus-count carrier over the pair
+    // table (the draws themselves are a pure map)
+    "j88_negative_sampling")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

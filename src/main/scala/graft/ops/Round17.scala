@@ -610,6 +610,115 @@ object Round17 {
         FROM agg c JOIN agg p ON c.pri = p.pri AND c.yr = p.yr + 1
         ORDER BY c.pri, c.yr""")),
 
+    // e18 — MOVING MEDIAN (exact percentile as a window aggregate over a
+    // bounded ROWS frame): the robust-smoothing twin of e4's moving
+    // average — one outlier drags a mean for the whole frame but moves
+    // a median one rank, which is why ops dashboards smooth with
+    // medians. Spark evaluates the exact interpolated `percentile` over
+    // each ≤7-row frame (bounded frames keep window state O(frame), the
+    // at-scale contract); DuckDB's quantile_cont matches the
+    // interpolation exactly (the k22/j68 precedent).
+    Q("e18_win_median",
+      (s, d) => Views.unique(s, "e18_ev" -> events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("value"))) { v =>
+        s.sql(s"""
+          SELECT event_id, user_id,
+                 CAST(ROUND(percentile(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                   AS DOUBLE) AS med7
+          FROM ${v("e18_ev")} ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, user_id,
+          CAST(ROUND(quantile_cont(value, 0.5) OVER (
+            PARTITION BY user_id
+            ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+            AS DOUBLE) AS med7
+        FROM events ORDER BY event_id""")),
+
+    // p22 — TPC-DS Q67-class composite: RANK WITHIN EACH ROLLUP LEVEL —
+    // the rollup produces every grouping grain in one pass, then a
+    // window partitioned by grouping_id ranks inside each grain and
+    // keeps the top 3. Grades the rollup→window interplay: one expand +
+    // one aggregate exchange + one window exchange, never a union of
+    // per-grain queries (which would rescan the fact table per grain —
+    // the shape this operator exists to kill).
+    Q("p22_rollup_rank",
+      (s, d) => Views.unique(s, "p22_ord" -> t(s, d, "orders")) { v =>
+        s.sql(s"""
+          WITH r AS (
+            SELECT COALESCE(o_orderpriority, '(all)') AS pri,
+                   COALESCE(o_orderstatus, '(all)') AS st,
+                   CAST(grouping_id(o_orderpriority, o_orderstatus)
+                     AS BIGINT) AS lvl,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                     AS DOUBLE) AS rev
+            FROM ${v("p22_ord")}
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus))
+          SELECT * FROM (
+            SELECT pri, st, lvl, rev,
+                   CAST(rank() OVER (PARTITION BY lvl
+                     ORDER BY rev DESC, pri, st) AS BIGINT) AS rk
+            FROM r) x
+          WHERE rk <= 3 ORDER BY lvl, rk, pri, st""")
+      },
+      Some("""WITH r AS (
+          SELECT COALESCE(o_orderpriority, '(all)') AS pri,
+                 COALESCE(o_orderstatus, '(all)') AS st,
+                 CAST(GROUPING(o_orderpriority, o_orderstatus)
+                   AS BIGINT) AS lvl,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                   AS DOUBLE) AS rev
+          FROM orders
+          GROUP BY ROLLUP(o_orderpriority, o_orderstatus))
+        SELECT * FROM (
+          SELECT pri, st, lvl, rev,
+                 CAST(rank() OVER (PARTITION BY lvl
+                   ORDER BY rev DESC, pri, st) AS BIGINT) AS rk
+          FROM r) x
+        WHERE rk <= 3 ORDER BY lvl, rk, pri, st""")),
+
+    // j88 — deterministic NEGATIVE SAMPLING (contrastive-pair prep): for
+    // each (anchor, positive) pair, draw 4 negatives from the corpus
+    // uniformly, guaranteed ≠ positive, WITHOUT rejection loops: draw
+    // from a ring of size N−1 (md5-derived uniform — the established
+    // cross-engine RNG) and shift draws ≥ positive up by one — the
+    // classic exclusion trick, exact and branch-free, which is what
+    // keeps it a pure map over the pair table at any scale (rejection
+    // resampling would be an unbounded iterate). Positives are a
+    // derived deterministic partner; N comes from the corpus count
+    // (1-row carrier).
+    Q("j88_negative_sampling",
+      (s, d) => {
+        val pos = t(s, d, "documents")
+          .select(col("doc_id").as("anchor"),
+            ((col("doc_id") * 7 + 13) % 500).as("pos"))
+        val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
+        pos.crossJoin(broadcast(n))
+          .select(col("anchor"), col("pos"),
+            explode(expr("sequence(1, 4)")).as("i"), col("n"))
+          .withColumn("raw", expr(
+            """cast(conv(substring(md5(concat(cast(anchor AS STRING), ':',
+                 cast(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % (n - 1)"""))
+          .select(col("anchor"), col("pos"), col("i").cast("long").as("i"),
+            (col("raw") + when(col("raw") >= col("pos"), 1L)
+              .otherwise(0L)).cast("long").as("neg"))
+          .orderBy("anchor", "i")
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+          pos AS (SELECT doc_id AS anchor, (doc_id * 7 + 13) % 500 AS pos
+            FROM documents),
+          drawn AS (SELECT anchor, pos, i.i AS i,
+              CAST('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':' ||
+                CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT) % (n - 1) AS raw
+            FROM pos, n, unnest(range(1, 5)) i(i))
+        SELECT anchor, pos, CAST(i AS BIGINT) AS i,
+          CAST(raw + CASE WHEN raw >= pos THEN 1 ELSE 0 END AS BIGINT)
+            AS neg
+        FROM drawn ORDER BY anchor, i""")),
+
     // j83 — matryoshka truncation fidelity: rank the probe's neighbors
     // by full 64-dim cosine AND by the first-16-dims cosine (the MRL
     // deployment trick — truncate stored vectors 4× and re-rank only a
