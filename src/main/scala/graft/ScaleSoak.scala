@@ -326,6 +326,12 @@ object ScaleSoak {
       // "no recompute multiplier" yardstick for the composed number above
       Seq("j9_text_quality", "j1_dedup_exact", "j68_perplexity_buckets",
         "j73_decontam_excise").foreach(k => runAt(k, dR, "skew10x"))
+      // the r17 planning keys on the same skewed corpus: j86 must price
+      // the boilerplate bucket as the dominant pair mass (the number
+      // that justifies the pairMaxDf cap BEFORE running j2), j84's
+      // novelty attribution is one more gram-exchange-shaped pass
+      Seq("j86_dedup_cost_model", "j84_ngram_novelty")
+        .foreach(k => runAt(k, dR, "skew10x"))
     }
 
     section("ev") {
