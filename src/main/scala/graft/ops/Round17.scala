@@ -16,11 +16,14 @@ object Round17 {
 
   def all: Seq[Q] = Seq(
 
-    // k26 — RECURSIVE CTE (Spark 4 WITH RECURSIVE): linear recursion
-    // with a base-table join in the recursive term — the hierarchy walk
-    // (management chains, BOM explosion, graph reachability) that
-    // previously needed a driver-side loop of self-joins (the j14/j76
-    // CC device) now runs engine-side. The recursion here is a binary
+    // k26 — RECURSIVE CTE with a BASE-TABLE JOIN in the recursive term:
+    // g7 grades the arithmetic-only recursion (each step transforms the
+    // accumulated rows, touching no table); this key grades the other
+    // half of the surface — every iteration equi-joins the live
+    // frontier against a scanned relation, the shape of BOM explosion /
+    // org-chart walks / iterative graph expansion, where the engine
+    // must re-plan a distributed join per round (the work the j14/j76
+    // CC device did driver-side). The recursion here is a binary
     // management tree DERIVED from customer keys (parent = ⌊k/2⌋ —
     // deterministic in both engines, no fixture assumption): anchor at
     // the root, each iteration equi-joins the frontier against the
