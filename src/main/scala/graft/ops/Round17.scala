@@ -722,6 +722,53 @@ object Round17 {
             AS neg
         FROM drawn ORDER BY anchor, i""")),
 
+    // j89 — label-centroid CONFUSION: per label, the nearest FOREIGN
+    // centroid by cosine — the semantic complement of j64's lexical
+    // who-copies-whom matrix (two labels whose centroids sit closest
+    // are the mixture's redundancy candidates; the j71 dispersion
+    // decides whether that closeness is tight duplication or broad
+    // overlap). Shape: the corpus collapses to |labels| centroid rows
+    // in ONE per-dimension aggregate (posexplode → (label, dim) mean —
+    // j7's device), and the pairwise part runs on that 16-row relation
+    // (j45's bounded-theta allowance) — no corpus-sized join anywhere.
+    // Round-6 cosine + label tie-break for the argmin (the j3 device).
+    Q("j89_centroid_confusion",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cent = t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("v"))
+        val pairs = cent.toDF("la", "pos", "va")
+          .join(cent.toDF("lb", "pos", "vb"), Seq("pos"))
+          .where(col("la") =!= col("lb"))
+          .groupBy("la", "lb")
+          .agg(round(sum(col("va") * col("vb")) /
+            (sqrt(sum(col("va") * col("va"))) *
+             sqrt(sum(col("vb") * col("vb")))), 6).as("cos"))
+        val w = Window.partitionBy("la")
+          .orderBy(desc("cos"), asc("lb"))
+        pairs.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("la").as("label"), col("lb").as("nearest_label"),
+            col("cos"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label,
+              generate_subscripts(embedding, 1) AS pos,
+              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+          cent AS (SELECT label, pos, AVG(v) AS v
+            FROM e GROUP BY label, pos),
+          pairs AS (SELECT a.label AS la, b.label AS lb,
+              ROUND(SUM(a.v * b.v) /
+                (sqrt(SUM(a.v * a.v)) * sqrt(SUM(b.v * b.v))), 6) AS cos
+            FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+            GROUP BY a.label, b.label),
+          best AS (SELECT la, lb, cos, row_number() OVER (
+              PARTITION BY la ORDER BY cos DESC, lb) AS rn FROM pairs)
+        SELECT la AS label, lb AS nearest_label, cos
+        FROM best WHERE rn = 1 ORDER BY label""")),
+
     // j83 — matryoshka truncation fidelity: rank the probe's neighbors
     // by full 64-dim cosine AND by the first-16-dims cosine (the MRL
     // deployment trick — truncate stored vectors 4× and re-rank only a

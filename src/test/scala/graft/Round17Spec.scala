@@ -136,6 +136,32 @@ class Round17Spec extends AnyFunSuite {
       "join strategy must never change the result")
   }
 
+  test("integer identities: j87 quotas sum to N; j85 waste closes the books") {
+    val q = SparkEntry.queries("j87_quota_sample")(spark, TestSpark.sf)
+      .collect()
+    assert(q.length == 100, s"quota sample must emit exactly N=100 rows")
+    val j85 = SparkEntry.queries("j85_pack_efficiency")(spark, TestSpark.sf)
+      .collect()
+    j85.foreach { r =>
+      val (l, bins, tok, waste) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(bins * l - tok == waste, s"waste identity broken at L=$l")
+    }
+    // longer contexts always pack no worse in bins and no better in waste
+    assert(j85.map(_.getLong(1)).toSeq == j85.map(_.getLong(1)).toSeq
+      .sorted.reverse, "bin count must fall as max_len grows")
+  }
+
+  test("j89 confusion matrix is total and never self-referential") {
+    val rows = SparkEntry.queries("j89_centroid_confusion")(
+      spark, TestSpark.sf).collect()
+    val nLabels = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(rows.length == nLabels, "one row per label")
+    assert(rows.forall(r => r.getInt(0) != r.getInt(1)),
+      "nearest centroid must be foreign")
+  }
+
   test("j79 stage-cache knob changes the plan, never the result") {
     val cached = rows("j79_data_recipe")
     spark.conf.set(ops.Knobs.RecipeStageCacheKey, "false")
