@@ -92,7 +92,11 @@ object PlanLint {
     "j87_quota_sample",
     // negative sampling: the 1-row corpus-count carrier over the pair
     // table (the draws themselves are a pure map)
-    "j88_negative_sampling")
+    "j88_negative_sampling",
+    // semantic decontam: the BENCHMARK side broadcasts (bounded by
+    // benchmark size — tiny by nature next to train corpora); the train
+    // corpus streams through one scan
+    "j90_semantic_decontam")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -722,6 +722,192 @@ object Round17 {
             AS neg
         FROM drawn ORDER BY anchor, i""")),
 
+    // e19 — RESETTING running sum (session-scoped cumsum): the
+    // two-window composition every funnel/inventory/budget query needs —
+    // a lag-gap flag marks session starts (h10's 30-minute rule), a
+    // first cumulative sum turns flags into session ids, a second
+    // accumulates value WITHIN each (user, session). Both windows share
+    // ONE (user) partitioning and ordering, so the whole thing is one
+    // shuffle + one sort (the h30 shared-window discipline); sums run
+    // in DECIMAL and emit DOUBLE per §8.4.
+    Q("e19_win_reset_runsum",
+      (s, d) => Views.unique(s, "e19_ev" -> events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("value"))) { v =>
+        s.sql(s"""
+          WITH x AS (SELECT event_id, user_id, ts_ms, value,
+              CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id
+                  ORDER BY ts_ms, event_id) IS NULL
+                OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                  ORDER BY ts_ms, event_id) > 1800000
+                THEN 1 ELSE 0 END AS new_sess
+            FROM ${v("e19_ev")}),
+          se AS (SELECT event_id, user_id, ts_ms, value,
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts_ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS sid
+            FROM x)
+          SELECT event_id, user_id, sid,
+                 CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                   PARTITION BY user_id, sid ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS DOUBLE) AS run_v
+          FROM se ORDER BY event_id""")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+              CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value FROM events),
+          x AS (SELECT event_id, user_id, ts_ms, value,
+              CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id
+                  ORDER BY ts_ms, event_id) IS NULL
+                OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                  ORDER BY ts_ms, event_id) > 1800000
+                THEN 1 ELSE 0 END AS new_sess
+            FROM e),
+          se AS (SELECT event_id, user_id, ts_ms, value,
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts_ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS sid
+            FROM x)
+        SELECT event_id, user_id, sid,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id, sid ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                 AS DOUBLE) AS run_v
+        FROM se ORDER BY event_id""")),
+
+    // j90 — SEMANTIC decontamination: j65/j73 catch lexical overlap;
+    // paraphrased contamination needs the embedding leg — for every
+    // BENCHMARK doc (source src0), the top-5 nearest TRAIN docs by
+    // cosine, the review list a decontam run hands a human (or a
+    // threshold). The at-scale shape is exactly what this plans:
+    // benchmarks are tiny next to train corpora, so the BENCH side
+    // broadcasts (25 rows here; ~10⁴ in production) and the train
+    // corpus streams through ONE scan scoring against every bench
+    // vector; per-bench top-5 is the e7 window on a bench-keyed
+    // relation. Rounded-cosine + id tie-break (the j3 device).
+    Q("j90_semantic_decontam",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, d, "embeddings")
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val tagged = emb.join(src, emb("vec_id") === src("doc_id"))
+          .select(col("vec_id"), col("embedding"),
+            (col("source") === "src0").as("is_bench"))
+        val bench = tagged.where(col("is_bench"))
+          .select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+        val pairs = tagged.where(!col("is_bench"))
+          .crossJoin(broadcast(bench))
+          .select(col("b_id"), col("vec_id").as("t_id"), round(expr(
+            """aggregate(zip_with(embedding, e_b,
+                 (x,y) -> cast(x as double)*cast(y as double)),
+               cast(0.0 as double), (a,b) -> a+b)
+             / (sqrt(aggregate(transform(embedding,
+                   x -> cast(x as double)*cast(x as double)),
+                 cast(0.0 as double), (a,b) -> a+b))
+              * sqrt(aggregate(transform(e_b,
+                   x -> cast(x as double)*cast(x as double)),
+                 cast(0.0 as double), (a,b) -> a+b)))"""), 6).as("cos"))
+        val w = Window.partitionBy("b_id").orderBy(desc("cos"), asc("t_id"))
+        pairs.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select(col("b_id"), col("rank"), col("t_id"), col("cos"))
+          .orderBy("b_id", "rank")
+      },
+      Some("""WITH tagged AS (SELECT e.vec_id, e.embedding,
+              d.source = 'src0' AS is_bench
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+          ex AS (SELECT vec_id, is_bench,
+              generate_subscripts(embedding, 1) AS dd,
+              CAST(unnest(embedding) AS DOUBLE) AS v FROM tagged),
+          nrm AS (SELECT vec_id, is_bench, sqrt(SUM(v*v)) AS n
+            FROM ex GROUP BY vec_id, is_bench),
+          dots AS (SELECT b.vec_id AS b_id, t.vec_id AS t_id,
+              SUM(t.v * b.v) AS dot
+            FROM ex t JOIN ex b USING (dd)
+            WHERE b.is_bench AND NOT t.is_bench
+            GROUP BY b.vec_id, t.vec_id),
+          scored AS (SELECT d.b_id, d.t_id,
+              ROUND(d.dot / (nt.n * nb.n), 6) AS cos
+            FROM dots d
+            JOIN nrm nt ON nt.vec_id = d.t_id
+            JOIN nrm nb ON nb.vec_id = d.b_id),
+          ranked AS (SELECT b_id, t_id, cos,
+              CAST(row_number() OVER (PARTITION BY b_id
+                ORDER BY cos DESC, t_id) AS BIGINT) AS rank
+            FROM scored)
+        SELECT b_id, rank, t_id, cos FROM ranked
+        WHERE rank <= 5 ORDER BY b_id, rank""")),
+
+    // m17 — WARC-style RECORD WALK (text-protocol container): the crawl
+    // interchange format every LLM data pipeline starts from is a
+    // concatenation of header-framed records whose offsets chain
+    // through a TEXTUAL Content-Length field — unlike m12's binary TLV,
+    // the lengths arrive as decimal strings inside CRLF-terminated
+    // headers, so the walk extracts text fields and converts, per
+    // record, inside one aggregate() fold (locate() with a position
+    // argument is the scanner). Map-only, content never shuffles; the
+    // oracle rebuilds every record from the synthesis rule.
+    Q("m17_parse_warc",
+      (s, d) => {
+        val fixture = t(s, d, "documents").selectExpr("doc_id",
+            "cast(1 + doc_id % 3 AS INT) AS cnt")
+          .selectExpr("doc_id", "cnt",
+            """aggregate(sequence(1, cnt), '', (acc, i) -> concat(acc,
+                 'WARC/1.0\r\nWARC-Type: ',
+                 CASE WHEN i % 2 = 1 THEN 'response' ELSE 'request' END,
+                 '\r\nContent-Length: ',
+                 cast(20 + (doc_id * i) % 40 AS STRING),
+                 '\r\n\r\n',
+                 substring(repeat(md5(concat(cast(doc_id AS STRING), ':',
+                   cast(i AS STRING))), 2),
+                   1, cast(20 + (doc_id * i) % 40 AS INT)),
+                 '\r\n\r\n')) AS payload""")
+        fixture
+          .selectExpr("doc_id",
+            """aggregate(sequence(1, cnt),
+                struct(1 AS p,
+                  cast(array() AS
+                    array<struct<typ:string,len:int,head:string>>) AS es),
+                (acc, i) -> struct(
+                  cast(locate('\r\n\r\n', payload, acc.p) + 4
+                    + cast(substring(payload,
+                        locate('Content-Length: ', payload, acc.p) + 16,
+                        locate('\r\n\r\n', payload, acc.p)
+                          - locate('Content-Length: ', payload, acc.p)
+                          - 16) AS INT) + 4 AS INT) AS p,
+                  concat(acc.es, array(struct(
+                    substring(payload,
+                      locate('WARC-Type: ', payload, acc.p) + 11,
+                      locate('\r\nContent-Length', payload, acc.p)
+                        - locate('WARC-Type: ', payload, acc.p) - 11)
+                      AS typ,
+                    cast(substring(payload,
+                      locate('Content-Length: ', payload, acc.p) + 16,
+                      locate('\r\n\r\n', payload, acc.p)
+                        - locate('Content-Length: ', payload, acc.p)
+                        - 16) AS INT) AS len,
+                    substring(payload,
+                      locate('\r\n\r\n', payload, acc.p) + 4, 8)
+                      AS head))) AS es),
+                acc -> acc.es) AS es""")
+          .selectExpr("doc_id", "posexplode(es) AS (i0, e)")
+          .selectExpr("doc_id", "cast(i0 + 1 AS BIGINT) AS idx",
+            "e.typ AS rec_type", "cast(e.len AS BIGINT) AS content_len",
+            "e.head AS body_head")
+          .orderBy("doc_id", "idx")
+      },
+      Some("""WITH recs AS (SELECT doc_id, i.i AS idx FROM documents,
+            unnest(range(1, 4)) i(i) WHERE i.i <= 1 + doc_id % 3)
+        SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+          CASE WHEN idx % 2 = 1 THEN 'response' ELSE 'request' END
+            AS rec_type,
+          CAST(20 + (doc_id * idx) % 40 AS BIGINT) AS content_len,
+          substring(repeat(md5(CAST(doc_id AS VARCHAR) || ':' ||
+            CAST(idx AS VARCHAR)), 2), 1, 8) AS body_head
+        FROM recs ORDER BY doc_id, idx""")),
+
     // j89 — label-centroid CONFUSION: per label, the nearest FOREIGN
     // centroid by cosine — the semantic complement of j64's lexical
     // who-copies-whom matrix (two labels whose centroids sit closest
