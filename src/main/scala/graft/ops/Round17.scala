@@ -908,6 +908,47 @@ object Round17 {
             CAST(idx AS VARCHAR)), 2), 1, 8) AS body_head
         FROM recs ORDER BY doc_id, idx""")),
 
+    // h48 — array SET ALGEBRA surface (array_union / array_intersect /
+    // array_except): the deduplicating set trio next to h6's HOFs —
+    // used internally by j2's shingle intersections, graded here as a
+    // user-facing surface. Outputs flatten to SORTED joined strings
+    // (§8.4: no array columns in declared output; sorting also erases
+    // the engines' differing element-order contracts — Spark preserves
+    // left-argument order, DuckDB's list functions don't promise one).
+    // Two overlapping token windows per doc make all three results
+    // non-trivial; counts ride along as BIGINT.
+    Q("h48_array_setops",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 15)
+        .selectExpr("doc_id",
+          "slice(toks, 1, 10) AS a", "slice(toks, 6, 10) AS b")
+        .selectExpr("doc_id",
+          "size(array_union(a, b)) AS n_union",
+          "size(array_intersect(a, b)) AS n_inter",
+          "size(array_except(a, b)) AS n_except",
+          "array_join(array_sort(array_intersect(a, b)), ' ') AS inter_s")
+        .selectExpr("doc_id", "CAST(n_union AS BIGINT) AS n_union",
+          "CAST(n_inter AS BIGINT) AS n_inter",
+          "CAST(n_except AS BIGINT) AS n_except", "inter_s")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+            list_slice(string_split(text, ' '), 1, 10) AS a,
+            list_slice(string_split(text, ' '), 6, 15) AS b
+          FROM documents WHERE len(string_split(text, ' ')) >= 15),
+        se AS (SELECT doc_id,
+            list_distinct(list_concat(a, b)) AS u,
+            list_distinct(list_filter(a, x -> list_contains(b, x))) AS i,
+            list_distinct(list_filter(a, x -> NOT list_contains(b, x)))
+              AS ex
+          FROM w)
+        SELECT doc_id,
+          CAST(len(u) AS BIGINT) AS n_union,
+          CAST(len(i) AS BIGINT) AS n_inter,
+          CAST(len(ex) AS BIGINT) AS n_except,
+          array_to_string(list_sort(i), ' ') AS inter_s
+        FROM se ORDER BY doc_id""")),
+
     // j89 — label-centroid CONFUSION: per label, the nearest FOREIGN
     // centroid by cosine — the semantic complement of j64's lexical
     // who-copies-whom matrix (two labels whose centroids sit closest
