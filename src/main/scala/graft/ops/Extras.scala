@@ -190,7 +190,7 @@ object Extras {
     // the ingest hygiene TD's hourly buckets depend on at 100 TB.
     Q("a18_compaction",
       (s, d) => {
-        val frag = Scratch.dir("a18") + "/t"
+        val frag = Scratch.unique("a18") + "/t"
         t(s, d, "supplier").repartition(64).write.mode("overwrite").parquet(frag)
         val (before, after) = Compaction.compact(s, frag, targetBytes = 8L << 20)
         require(after < before, s"compaction did not reduce files: $before -> $after")

@@ -41,7 +41,7 @@ object LlmOps {
   private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks)-2), " +
+        "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
           "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")).as("sh"))
 
   /** Per-doc distinct-shingle counts straight off the array form: a
@@ -51,7 +51,7 @@ object LlmOps {
   private[graft] def shingleCounts(s: SparkSession, d: String): DataFrame =
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
-        "size(array_distinct(transform(sequence(1, size(toks)-2), " +
+        "size(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
           "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))))")
         .cast("long").as("n"))
 
@@ -65,7 +65,7 @@ object LlmOps {
   private[graft] def shinglesWithCount(s: SparkSession, d: String): DataFrame =
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, size(toks)-2), " +
+        "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
           "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))").as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
         explode(col("arr")).as("sh"))
@@ -152,7 +152,7 @@ object LlmOps {
     val k = Knobs.minhashK(s)
     val sh = docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks)-2), " +
+        "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
           "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))),1,15),16,10) as bigint)" +
           s" % $MinhashP))")).as("h"))
     sh.groupBy("doc_id").agg(
@@ -254,7 +254,7 @@ object LlmOps {
     // complete groups (df ≤ cap): all C(df,2) pairs emitted in place
     val light = posts.where(col("df") <= maxDf)
       .select(explode(expr(
-        "flatten(transform(sequence(0, size(ds)-2), i -> " +
+        "flatten(transform(" + Ngrams.starts0("ds", 2) + ", i -> " +
           "transform(sequence(i+1, size(ds)-1), j -> " +
           "named_struct('d1', least(ds[i], ds[j]), " +
           "'d2', greatest(ds[i], ds[j])))))")).as("p"))
@@ -283,7 +283,7 @@ object LlmOps {
   private[graft] def docShingleTf(s: SparkSession, d: String): DataFrame =
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks)-2), " +
+        "transform(" + Ngrams.starts("toks", 3) + ", " +
           "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
 
@@ -309,7 +309,7 @@ object LlmOps {
       .where(col("df") >= 2)
     val light = posts.where(col("df") <= maxDf)
       .select(explode(expr(
-        "flatten(transform(sequence(0, size(ds)-2), i -> " +
+        "flatten(transform(" + Ngrams.starts0("ds", 2) + ", i -> " +
           "transform(sequence(i+1, size(ds)-1), j -> " +
           "named_struct('d1', least(ds[i], ds[j]), " +
           "'d2', greatest(ds[i], ds[j]), " +
@@ -546,7 +546,7 @@ object LlmOps {
           .union(cand.select(col("d2").as("doc_id"))).distinct()
         val docArrs = docsTok(s, d).where(size(col("toks")) >= 3)
           .select(col("doc_id"), expr(
-            "sort_array(array_distinct(transform(sequence(1, size(toks)-2), " +
+            "sort_array(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
               "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))))").as("arr"))
         val sets = docArrs.join(candDocs, "doc_id")
         cand
@@ -1186,13 +1186,13 @@ object LlmOps {
         // exploding a transform()-built string array)
         val wp = Window.partitionBy("lang").orderBy(desc("n"), asc("g"))
         val prof = docs.select(col("lang"), col("text"),
-            explode(expr("sequence(1, length(text)-2)")).as("i"))
+            explode(expr("" + Ngrams.charStarts("text", 3) + "")).as("i"))
           .select(col("lang"), expr("substring(text, i, 3)").as("g"))
           .groupBy("lang", "g").agg(count(lit(1)).as("n"))
           .withColumn("rn", row_number().over(wp)).where(col("rn") <= 20)
           .select(col("lang").as("plang"), col("g"))
         val dg = docs.select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")).as("g"))
+          "array_distinct(transform(" + Ngrams.charStarts("text", 3) + ", i -> substring(text, i, 3)))")).as("g"))
         val wb = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("plang"))
         dg.join(broadcast(prof), "g")
           .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
@@ -1251,7 +1251,7 @@ object LlmOps {
       (s, d) => {
         val docs = docsTok(s, d).where(size(col("toks")) >= 4)
         def grams(c: DataFrame) = c.select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, size(toks)-3), " +
+          "array_distinct(transform(" + Ngrams.starts("toks", 4) + ", " +
             "i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))")).as("g"))
         val bench = grams(docs.where(col("source") === "src0"))
           .select("g").distinct()
@@ -1289,7 +1289,7 @@ object LlmOps {
       (s, d) => {
         val docs = docsTok(s, d).where(size(col("toks")) >= 4)
         def grams(c: DataFrame) = c.select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, size(toks)-3), " +
+          "array_distinct(transform(" + Ngrams.starts("toks", 4) + ", " +
             "i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))")).as("g"))
         val bench = grams(docs.where(col("source") === "src0"))
           .select("g").distinct()

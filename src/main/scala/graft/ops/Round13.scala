@@ -293,7 +293,7 @@ object Round13 {
     // RowGroupSkipSpec pins the measured skip vs a bloom-less twin.
     Q("a31_parquet_bloom",
       (s, d) => {
-        val out = Scratch.dir("a31")
+        val out = Scratch.unique("a31")
         t(s, d, "lineitem")
           .repartition(8, col("l_partkey")) // hash layout: no key locality
           .write.mode("overwrite")
@@ -372,7 +372,7 @@ object Round13 {
     // arithmetic, no JSON parser oracle-side.
     Q("a33_json_malformed_modes",
       (s, d) => {
-        val dir = Scratch.dir("a33")
+        val dir = Scratch.unique("a33")
         val js = s"$dir/in"
         t(s, d, "customer").orderBy("c_custkey")
           .select(concat(
@@ -533,7 +533,7 @@ object Round13 {
     // instead of silently dropping them.
     Q("a32_csv_malformed_modes",
       (s, d) => {
-        val dir = Scratch.dir("a32")
+        val dir = Scratch.unique("a32")
         val csv = s"$dir/in"
         t(s, d, "customer")
           .orderBy("c_custkey")

@@ -53,7 +53,7 @@ object Round15 {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val grams = tk.where(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - $k + 1), " +
+        s"transform(${Ngrams.starts("toks", k)}, " +
           s"i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("g"))

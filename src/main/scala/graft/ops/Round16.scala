@@ -170,7 +170,7 @@ object Round16 {
     // source — equality proves the struct round trip loses nothing.
     Q("a35_nested_struct_prune",
       (s, d) => {
-        val out = Scratch.dir("a35")
+        val out = Scratch.unique("a35")
         events(s, d).select(col("event_id"),
             struct(col("user_id"), col("event_type")).as("meta"),
             struct(col("value"), col("props")).as("payload"))
@@ -195,7 +195,7 @@ object Round16 {
     // bugs cannot cancel.
     Q("a36_variant_parquet",
       (s, d) => {
-        val out = Scratch.dir("a36")
+        val out = Scratch.unique("a36")
         events(s, d).where(col("event_id") < 2000)
           .select(col("event_id"), expr("parse_json(props)").as("pv"))
           .write.mode("overwrite").parquet(out)

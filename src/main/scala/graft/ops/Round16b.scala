@@ -482,7 +482,7 @@ object Round16b {
     // shuffle, and never leaves the executor unless projected.
     Q("a37_file_metadata",
       (s, d) => {
-        val out = Scratch.dir("a37")
+        val out = Scratch.unique("a37")
         t(s, d, "orders").repartition(1)
           .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
         s.read.parquet(out)
@@ -891,7 +891,7 @@ object Round16b {
     // partitions), not O(table).
     Q("a38_dynamic_overwrite",
       (s, d) => {
-        val out = Scratch.dir("a38")
+        val out = Scratch.unique("a38")
         val ord = t(s, d, "orders")
         ord.repartition(1).write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(out)
@@ -1173,7 +1173,7 @@ object Round16b {
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
         val bg = toks.where(size(col("toks")) >= 2)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks)-1), " +
+            "transform(" + Ngrams.starts("toks", 2) + ", " +
               "i -> struct(toks[i-1] as w1, toks[i] as w2))")).as("b"))
           .select(col("doc_id"), col("b.w1"), col("b.w2"))
           .where(col("w1").isNotNull && col("w2").isNotNull)

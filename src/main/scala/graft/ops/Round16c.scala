@@ -34,12 +34,12 @@ object Round16c {
       isBench: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val bench = docs.where(isBench)
       .select(explode(expr(
-        """array_distinct(transform(sequence(1, size(toks)-3),
+        s"""array_distinct(transform(${Ngrams.starts("toks", 4)},
            i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))"""))
         .as("g")).distinct()
     val train = docs.where(!isBench)
     val hitStarts = train.select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks)-3),
+        s"""transform(${Ngrams.starts("toks", 4)},
            i -> struct(i AS p,
              xxhash64(concat_ws(' ', slice(toks, i, 4))) AS g))"""))
         .as("s"))
@@ -424,21 +424,15 @@ object Round16c {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("text"),
             split(col("text"), " ").as("toks"))
-        // guard each transform on token count: sequence(0, size-2) is
-        // DESCENDING (hence wrong, and concat_ws null-skips the
-        // out-of-range toks) when a doc has <2 / <3 tokens — the DuckDB
-        // range() is empty there, so an unguarded transform diverges on
-        // short docs (r16 ADVICE item)
+        // short-doc guard lives INSIDE Ngrams.starts0 (the r16 ADVICE bug
+        // was an unguarded DESCENDING sequence here; the guard is now
+        // structural, not call-site discipline)
         val grams = docs.select(col("doc_id"), explode(expr(
-          """concat(
-               if(size(toks) >= 2,
-                 transform(sequence(0, size(toks)-2), i -> struct(2 AS n,
-                   concat_ws(' ', toks[i], toks[i+1]) AS gram)),
-                 array()),
-               if(size(toks) >= 3,
-                 transform(sequence(0, size(toks)-3), i -> struct(3 AS n,
-                   concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram)),
-                 array()))"""))
+          s"""concat(
+               transform(${Ngrams.starts0("toks", 2)}, i -> struct(2 AS n,
+                 concat_ws(' ', toks[i], toks[i+1]) AS gram)),
+               transform(${Ngrams.starts0("toks", 3)}, i -> struct(3 AS n,
+                 concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram)))"""))
           .as("g"))
           .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
         // both n-masses fold in ONE conditional aggregation — splitting
@@ -493,7 +487,7 @@ object Round16c {
     // lists once, the decoys never reach an executor.
     Q("a40_glob_ingest",
       (s, d) => {
-        val out = Scratch.dir("a40")
+        val out = Scratch.unique("a40")
         val ord = t(s, d, "orders")
         ord.where(col("o_orderkey") % 2 === 0).write.mode("overwrite")
           .parquet(s"$out/2021/01/batch_a")
@@ -1296,8 +1290,8 @@ object Round16c {
           .select(col("event_id"), col("user_id"), col("value"))
           .withColumn("vals", collect_list(col("value")).over(w))
           .selectExpr("event_id", "user_id",
-            """round(
-                 aggregate(sequence(0, size(vals) - 1),
+            s"""round(
+                 aggregate(${Ngrams.starts0("vals", 1)},
                    cast(0 AS DOUBLE),
                    (acc, i) -> acc + element_at(vals, i + 1)
                      * power(0.5, size(vals) - 1 - i),
@@ -1394,7 +1388,7 @@ object Round16c {
     // counts from the synthesis rule.
     Q("a41_corrupt_records",
       (s, d) => {
-        val out = Scratch.dir("a41")
+        val out = Scratch.unique("a41")
         t(s, d, "documents").select(
             when(col("doc_id") % 97 === 0,
               concat(lit("""{"doc_id": """), col("doc_id"),

@@ -270,7 +270,7 @@ object Round17 {
     // COUNT(*) alone, never from file names).
     Q("a42_file_sizing",
       (s, d) => {
-        val out = graft.ops.Scratch.dir("a42_sized")
+        val out = graft.ops.Scratch.unique("a42_sized")
         t(s, d, "lineitem").select("l_orderkey", "l_linenumber")
           .coalesce(1)
           .write.option("maxRecordsPerFile", 10000)
@@ -346,7 +346,7 @@ object Round17 {
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(expr(
-            """array_distinct(transform(sequence(1, size(toks)-2),
+            s"""array_distinct(transform(${Ngrams.starts("toks", 3)},
                  i -> concat_ws(' ', slice(toks, i, 3))))""")).as("gram"))
         g.groupBy("gram").agg(count(lit(1)).as("df"))
           .select(col("df"),
@@ -485,10 +485,8 @@ object Round17 {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
         val g = docs.select(col("doc_id"), explode(expr(
-            """if(size(toks) >= 3,
-                 transform(sequence(0, size(toks)-3), i ->
-                   concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
-                 array())""")).as("gram"))
+            s"""transform(${Ngrams.starts0("toks", 3)}, i ->
+                 concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""")).as("gram"))
           .distinct()
         val intro = g.groupBy("gram").agg(min("doc_id").as("intro"))
         val per = g.join(intro, Seq("gram"))

@@ -33,7 +33,7 @@ object Round2 {
   private def docsTok2(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("toks"))
 
-  private def sinkDir(tag: String): String = Scratch.dir(tag)
+  private def sinkDir(tag: String): String = Scratch.unique(tag)
 
   val all: Seq[Q] = Seq(
 
@@ -496,7 +496,7 @@ object Round2 {
         val toks = docsTok2(s, d)
         val bg = toks.where(size(col("toks")) >= 2)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] as w1, toks[i] as w2))"))
+            "transform(" + Ngrams.starts("toks", 2) + ", i -> struct(toks[i-1] as w1, toks[i] as w2))"))
             .as("b"))
           .select(col("doc_id"), col("b.w1"), col("b.w2"))
           // no-op semantically (split never yields nulls) but load-bearing
@@ -585,7 +585,7 @@ object Round2 {
       (s, d) => {
         val grams = docsTok2(s, d).where(size(col("toks")) >= 4)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks)-3), i -> concat_ws(' ', slice(toks, i, 4)))"))
+            "transform(" + Ngrams.starts("toks", 4) + ", i -> concat_ws(' ', slice(toks, i, 4)))"))
             .as("g"))
         grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
           .groupBy("doc_id")

@@ -37,7 +37,7 @@ import graft.Tables._
   */
 object Round5 {
 
-  private def sinkDir(tag: String): String = Scratch.dir(tag)
+  private def sinkDir(tag: String): String = Scratch.unique(tag)
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
   private def mSum(c: Column): Column = round(sum(dec(c)), 4).cast("double")
@@ -321,10 +321,10 @@ object Round5 {
           .where(size(col("toks")) >= 3)
         tk.select(col("doc_id"),
             (size(col("toks")) - 1).cast("long").as("n2"),
-            expr("size(array_distinct(transform(sequence(1, size(toks)-1), i -> concat_ws(' ', slice(toks, i, 2)))))")
+            expr("size(array_distinct(transform(" + Ngrams.starts("toks", 2) + ", i -> concat_ws(' ', slice(toks, i, 2)))))")
               .cast("long").as("d2"),
             (size(col("toks")) - 2).cast("long").as("n3"),
-            expr("size(array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))))")
+            expr("size(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", i -> concat_ws(' ', slice(toks, i, 3)))))")
               .cast("long").as("d3"))
           .select(col("doc_id"),
             round(lit(1.0) - col("d2").cast("double") / col("n2").cast("double"), 6).as("dup2"),

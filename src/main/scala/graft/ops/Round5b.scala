@@ -75,7 +75,7 @@ object Round5b {
         expr(s"(stream_end - n_tok) div $binSize").as("bin"))
   }
 
-  private def tmp(tag: String): String = Scratch.dir(tag)
+  private def tmp(tag: String): String = Scratch.unique(tag)
 
   val all: Seq[Q] = Seq(
 
@@ -274,7 +274,7 @@ object Round5b {
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
           .where(size(col("toks")) >= 2)
         val bg = docs.select(col("doc_id"), col("source"), explode(expr(
-          "transform(sequence(1, size(toks)-1), " +
+          "transform(" + Ngrams.starts("toks", 2) + ", " +
             "i -> concat_ws(' ', toks[i-1], toks[i]))")).as("g"))
           .select(col("doc_id"), col("source"),
             expr(s"cast(conv(substring(md5(g),1,15),16,10) as bigint) % $B").as("b"))
@@ -544,11 +544,11 @@ object Round5b {
         // exact-Jaccard core as j2, fed with the filtered postings)
         val sh = exact.where(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(1, size(toks)-2), " +
+            "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
               "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")).as("sh"))
         val n = exact.where(size(col("toks")) >= 3)
           .select(col("doc_id"), expr(
-            "size(array_distinct(transform(sequence(1, size(toks)-2), " +
+            "size(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
               "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))))")
             .cast("long").as("n"))
         val dropped = LlmOps.jaccardPairs(sh, n, 256)

@@ -95,7 +95,7 @@ object Round6 {
         val blocks = t(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(0, cast((size(toks)+$B-1) div $B as int) - 1), " +
+            s"transform(${Ngrams.seqAsc("0", s"cast((size(toks)+$B-1) div $B as int) - 1")}, " +
               s"i -> concat_ws(' ', slice(toks, i*$B+1, $B)))")))
           .select(col("doc_id"), col("pos").cast("long").as("blk"),
             col("col").as("btxt"))

@@ -113,7 +113,7 @@ object Round8 {
     * stats rows (O(files)) and stats-selected files, never the table. */
   private def cowBase(s: org.apache.spark.sql.SparkSession, d: String,
       tag: String): (String, Long, org.apache.spark.sql.DataFrame) = {
-    val tbl = Scratch.dir(tag + "tbl")
+    val tbl = Scratch.unique(tag + "tbl")
     val orders = t(s, d, "orders")
     orders.repartitionByRange(8, col("o_orderkey"))
       .write.mode("overwrite").parquet(tbl)
@@ -205,7 +205,7 @@ object Round8 {
     * two versions). Returns (tableDir, manifestDir). */
   private def versionedSnapshots(s: org.apache.spark.sql.SparkSession,
       d: String, tag: String): (String, String) = {
-    val tbl = Scratch.dir(tag + "tbl"); val mani = Scratch.dir(tag + "mani")
+    val tbl = Scratch.unique(tag + "tbl"); val mani = Scratch.unique(tag + "mani")
     val orders = t(s, d, "orders")
     def commit(v: Int): Unit =
       s.read.parquet(tbl).select(input_file_name().as("f")).distinct()

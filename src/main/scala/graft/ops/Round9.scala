@@ -139,7 +139,7 @@ object Round9 {
           .as("ss"), col("f"))
         .where(size(col("ss")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, size(ss) - 1)," +
+          "transform(" + Ngrams.starts("ss", 2) + "," +
             " i -> struct(ss[i - 1] AS a, ss[i] AS b))")).as("p"), col("f"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("f")).as("pf"))
@@ -338,7 +338,7 @@ object Round9 {
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
         val starts = tk.where(size(col("toks")) >= 5)
           .select(col("doc_id"),
-            explode(expr("sequence(1, size(toks) - 4)")).as("p"),
+            explode(expr("" + Ngrams.starts("toks", 5) + "")).as("p"),
             col("toks"))
           .select(col("doc_id"), col("p"),
             concat_ws(" ", expr("slice(toks, p, 5)")).as("gram"))
@@ -348,7 +348,7 @@ object Round9 {
         val fl = starts.join(dup, "gram")
           .select(col("doc_id"), col("p").as("q"), lit(1).as("f0"))
         val pos = tk.select(col("doc_id"),
-          explode(expr("sequence(1, size(toks))")).as("q"))
+          explode(expr("" + Ngrams.starts("toks", 1) + "")).as("q"))
         val jn = pos.join(fl, Seq("doc_id", "q"), "left")
           .select(col("doc_id"), col("q"), coalesce(col("f0"), lit(0)).as("f"))
         val w = Window.partitionBy("doc_id").orderBy("q").rowsBetween(-4, 0)
@@ -425,7 +425,7 @@ object Round9 {
     // scan.
     Q("m7_binary_ingest",
       (s, d) => {
-        val out = graft.ops.Scratch.dir("m7")
+        val out = graft.ops.Scratch.unique("m7")
         val rows = imagePayloads(s, d).where(col("doc_id") < 64)
           .select(col("doc_id"), col("payload")).collect()
         rows.foreach { r =>
@@ -1074,7 +1074,7 @@ object Round9 {
         // short scalar strings.
         val grams = corpus.select(col("id"), col("txt"),
             explode(expr(
-              "array_distinct(transform(sequence(1, length(txt) - 2)," +
+              "array_distinct(transform(" + Ngrams.charStarts("txt", 3) + "," +
                 " p -> substring(txt, p, 3)))")).as("g"))
         val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
         val prefix = grams.join(df, "g")

@@ -17,7 +17,7 @@ import graft.functions.Td
   */
 object Scans {
 
-  private def sinkDir(tag: String): String = Scratch.dir(tag)
+  private def sinkDir(tag: String): String = Scratch.unique(tag)
 
   val all: Seq[Q] = Seq(
 

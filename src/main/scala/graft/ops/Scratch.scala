@@ -38,4 +38,23 @@ object Scratch {
     java.nio.file.Files.createDirectories(base)
     base.toString
   }
+
+  /** Unique-per-INVOCATION scratch dir (r17 ADVICE): registry sink keys
+    * run under the concurrent dual-SF Verify regime (and Round17Spec's
+    * concurrent-session model), so the wiping `dir(tag)` — which deletes
+    * the whole tag subtree on every call — can wipe the other SF's
+    * in-flight files or hand back a half-deleted tree; for keys like a42
+    * whose ANSWER is derived from read-back geometry that is a wrong
+    * answer, not a crash. This variant never deletes: each call gets
+    * `<root>/<tag>/u<uuid>`, the same device as `Views.unique` for temp
+    * view names. Accumulation is bounded: registry keys run O(1) times
+    * per process (Verify once per SF, Bench once + a few retries) and the
+    * shutdown hook removes the whole per-process root. Single-threaded
+    * overwrite contexts (ScaleSoak) keep using `dir`. */
+  def unique(tag: String): String = {
+    val base = root.resolve(tag).resolve(
+      "u" + java.util.UUID.randomUUID().toString.take(12))
+    java.nio.file.Files.createDirectories(base)
+    base.toString
+  }
 }

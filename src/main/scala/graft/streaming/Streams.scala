@@ -39,7 +39,7 @@ object Streams {
       .as[Ev].collect().sortBy(e => (e.ts_ms, e.event_id))
   }
 
-  private def tmp(tag: String): String = graft.ops.Scratch.dir(tag)
+  private def tmp(tag: String): String = graft.ops.Scratch.unique(tag)
 
   /** Run `body` with a low shuffle-partition count, restoring the session
     * conf after. Stateful streaming cost scales with partitions — every

@@ -46,6 +46,12 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
+    # r17 ADVICE: a typo'd key arg used to be silently skipped yet still
+    # counted in the denominator — "0 flagged of 1" with nothing checked.
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: unknown key(s) not in oracle_sql.json: {sorted(unknown)}")
+        sys.exit(2)
     for key in sorted(oracle):
         if only and key not in only:
             continue

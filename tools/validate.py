@@ -47,6 +47,12 @@ def type_mismatches(con, sql, files):
     dtypes = {r[0]: r[1] for r in dd}
     stypes = {r[0]: r[1] for r in sd}
     bad = []
+    # r17 ADVICE: a column present on only one side must be a TYPE-FAIL
+    # too — the intersection-only loop let schema drift slip through when
+    # (hypothetically) the value leg's name check also regressed.
+    for c in sorted(set(dtypes) ^ set(stypes)):
+        side = "oracle-only" if c in dtypes else "spark-only"
+        bad.append(f"{c}: {side}")
     for c in sorted(set(dtypes) & set(stypes)):
         a, b = stypes[c], dtypes[c]
         if a != b and frozenset((a, b)) not in benign:
