@@ -3,9 +3,57 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 object Bench {
+
+  /** Tier split (r17 verdict item 3): at 383 keys the full sweep is ~28
+    * minutes of driver wall and a contention cross-section that outgrew
+    * the retry/mover budget (a 3.4 s query was charged 103.9 s through a
+    * retry that itself landed in the slow window). `core` — the default —
+    * keeps every key a perf reader actually consults: the 74 SURVEY-
+    * contract keys, the TPC-H p-tier, the steady-state slow cohort (pair
+    * core, Ed-Join, streams, ANN — the keys whose movement means
+    * anything), and keys new this round. The variant/dialect tail
+    * (k-dialect aliases, h-scalar variants, a-geometry) runs under
+    * `full` — the builder's closing sweep records it in BASELINE.md each
+    * round, so full-registry numbers still exist per round with a
+    * smaller per-run cross-section. Select with SPARK_GRAFT_BENCH_TIER
+    * or argv[0] ∈ {core, full}. */
+  private val contractKeyPrefixes: Set[String] = {
+    val counts = Seq('a' -> 10, 'b' -> 4, 'c' -> 10, 'd' -> 11, 'e' -> 7,
+      'f' -> 2, 'g' -> 4, 'h' -> 10, 'i' -> 6, 'j' -> 7, 'k' -> 3)
+    counts.flatMap { case (f, n) => (1 to n).map(i => s"$f$i") }.toSet
+  }
+  /** Steady-state slow cohort — the keys whose per-round movement carries
+    * signal (BENCH_r17 slowest-20 post-adjudication + the retry-queue
+    * regulars). Kept by full key name so a rename breaks the bench loudly
+    * (unknown keys are reported, not silently dropped). */
+  private val slowCohortKeys: Set[String] = Set(
+    "j2_dedup_near", "j2b_dedup_minhash", "j2c_dedup_prefix",
+    "j14_dedup_clusters", "j24_sketch_error", "j27_dedup_containment",
+    "j28_dedup_incremental", "j44_cluster_safe_split",
+    "j51_dedup_editdist", "j53_pq_ann", "j54_ivfpq_ann",
+    "j55_maxsim_retrieval", "j56_substring_dedup", "j60_dedup_weighted",
+    "j60b_dedup_weighted_prefix", "j60c_dedup_weighted_icws",
+    "j63_softdedup_weights", "j64_source_dup_matrix",
+    "j65_decontam_fuzzy", "j79_data_recipe", "j90_semantic_decontam",
+    "k16_param_query",
+    "i8_stream_stream_join", "i21_stream_left_outer_join",
+    "i26_stream_full_outer_join", "i27_stream_recipe")
+  /** Keys added this round — always in core for their debut round. */
+  private val newThisRound: Set[String] = Set(
+    "j90b_decontam_ivf")
+
+  private[graft] def coreKeys(all: Seq[String]): Seq[String] =
+    all.filter { k =>
+      contractKeyPrefixes.contains(k.takeWhile(_ != '_')) ||
+        k.takeWhile(_ != '_').matches("p\\d+") ||
+        slowCohortKeys.contains(k) || newThisRound.contains(k)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val tier = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_TIER")).getOrElse("core")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -100,7 +148,17 @@ object Bench {
     // retry at the END of the run, when a contention phase has usually
     // passed. r6: exactly the >=30 s spike victims kept their spike times.
     val retryQueue = scala.collection.mutable.ArrayBuffer.empty[String]
-    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val allKeys = SparkEntry.queries.keys.toSeq.sorted
+    val benchKeys = tier match {
+      case "full" => allKeys
+      case _      => coreKeys(allKeys)
+    }
+    // a slow-cohort/new-key rename must fail loudly, not silently shrink
+    // the core tier
+    (slowCohortKeys ++ newThisRound).diff(allKeys.toSet).foreach { k =>
+      System.err.println(s"[bench] WARNING: tier key not in registry: $k")
+    }
+    val firstPass = benchKeys.map { name =>
       val tStart = System.nanoTime()
       val t = try {
         val t1 = timeOne(name)
@@ -230,14 +288,22 @@ object Bench {
     // sum of successful per-query seconds): a flaked run's wall-clock and
     // a single slow query's overshoot both count, so on a sick machine the
     // stated bound actually bounds the bench.
+    // r18 (r17 verdict item 2c): up-movers with ratio >= 2 are MANDATORY —
+    // they get a readj sample even past the budget (one sample instead of
+    // min-of-3; shipping the spike unadjudicated is the only wrong
+    // answer). Optional movers (down-movers, small up-movers) still honor
+    // the budget. No take(N) cap: the budget bounds wall-clock, the
+    // mandatory class bounds blind spots.
     val adjBudgetSec = 240.0
     val adjStart = System.nanoTime()
     def adjSpent: Double = (System.nanoTime() - adjStart) / 1e9
-    val adjudicated = movers.take(24).flatMap { case (k, _) =>
-      if (adjSpent > adjBudgetSec) None
+    val adjudicated = movers.flatMap { case (k, (prev, now)) =>
+      val mandatory = now > prev && now / prev >= 2.0
+      if (!mandatory && adjSpent > adjBudgetSec) None
       else {
-        val runs = (1 to 3).flatMap { _ =>
-          if (adjSpent > adjBudgetSec) None
+        val nRuns = if (adjSpent > adjBudgetSec) 1 else 3
+        val runs = (1 to nRuns).flatMap { i =>
+          if (i > 1 && adjSpent > adjBudgetSec && !mandatory) None
           else try Some(timeOne(k))
           catch { case e: Throwable =>
             System.err.println(s"[bench] $k adjudication flaked: ${e.getMessage}")
@@ -248,20 +314,61 @@ object Bench {
       }
     }.toMap
     val controlPostAdj = if (adjudicated.nonEmpty) controlRun() else -1.0
+    // SLOW-COHORT REQUEUE (r17 verdict item 2a): r17 charged a 3.4 s query
+    // 103.9 s because its one retry landed in the same contention window
+    // as the first pass. Rather than estimate a phase band, apply the
+    // strictly stronger rule: ANY key whose accepted charge is still
+    // >= 15 s and that has no adjudication sample yet gets a final
+    // min-of-2 here — the latest point in the run, when the phase has had
+    // the longest time to pass — under its own wall budget, with a control
+    // sample after so the artifact shows what phase the requeue ran in.
+    val rqBudgetSec = 300.0
+    val rqStart = System.nanoTime()
+    def rqSpent: Double = (System.nanoTime() - rqStart) / 1e9
+    val requeued = results
+      .filter { case (k, v) => v >= 15.0 && !adjudicated.contains(k) }
+      .sortBy(-_._2)
+      .flatMap { case (k, _) =>
+        if (rqSpent > rqBudgetSec) None
+        else {
+          val runs = (1 to 2).flatMap { i =>
+            if (i > 1 && rqSpent > rqBudgetSec) None
+            else try Some(timeOne(k))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $k requeue flaked: ${e.getMessage}")
+              None
+            }
+          }
+          runs.minOption.map(k -> _)
+        }
+      }.toMap
+    val controlPostRq = if (requeued.nonEmpty) controlRun() else -1.0
+    // corrected_total (r17 verdict item 2b): the number the judge
+    // previously recomputed by hand — every per-query charge replaced by
+    // its best steady-state re-measure (retry is already folded into
+    // `results`; this folds adjudication + requeue samples too). `value`
+    // stays the raw accepted total for cross-round comparability.
+    val corrected = results.map { case (k, v) =>
+      k -> math.min(v,
+        math.min(adjudicated.getOrElse(k, v), requeued.getOrElse(k, v)))
+    }
+    val correctedTotal = corrected.map(_._2).sum
     def moversJsonOf(entries: Seq[(String, (Double, Double))]): String =
       entries.map { case (k, (prev, now)) =>
         "\"" + k + "\":{\"prev\":" + fmt(prev) + ",\"now\":" + fmt(now) +
           ",\"ratio\":" + fmt(now / prev) +
           adjudicated.get(k).map(r => ",\"readj\":" + fmt(r)).getOrElse("") + "}"
       }.mkString("{", ",", "}")
-    val controlFullJson = s"""{"key":"$controlKey","start":${fmt(controlStart)},"end":${fmt(controlEnd)},"post_adj":${fmt(controlPostAdj)}}"""
+    val controlFullJson = s"""{"key":"$controlKey","start":${fmt(controlStart)},"end":${fmt(controlEnd)},"post_adj":${fmt(controlPostAdj)},"post_rq":${fmt(controlPostRq)}}"""
+    val requeuedJson = requeued.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     java.nio.file.Files.write(outDir.resolve("bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","failed":$failedJson,"control":$controlFullJson,"retried":$retriedJson,"movers":${moversJsonOf(movers)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"corrected_total":${fmt(correctedTotal)},"unit":"sec","tier":"$tier","n_registry":${allKeys.size},"queries":$fullQs,"sf":"$sfDir","failed":$failedJson,"control":$controlFullJson,"retried":$retriedJson,"requeued":$requeuedJson,"movers":${moversJsonOf(movers)}}"""
         .getBytes("UTF-8"))
-    val slowest = results.sortBy(-_._2).take(20)
+    val slowest = corrected.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // stdout stays bounded: worst 8 movers only, full list in the file
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","failed":$failedJson,"control":$controlFullJson,"n_retried":${retried.size},"retried":$retriedStdoutJson,"n_movers":${movers.size},"n_adjudicated":${adjudicated.size},"movers":${moversJsonOf(movers.take(8))}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"corrected_total":${fmt(correctedTotal)},"unit":"sec","tier":"$tier","n_queries":${results.size},"n_registry":${allKeys.size},"queries":$slowest,"sf":"$sfDir","failed":$failedJson,"control":$controlFullJson,"n_retried":${retried.size},"retried":$retriedStdoutJson,"requeued":$requeuedJson,"n_movers":${movers.size},"n_adjudicated":${adjudicated.size},"movers":${moversJsonOf(movers.take(8))}}""")
     spark.stop()
   }
 }

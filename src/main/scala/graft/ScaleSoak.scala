@@ -216,6 +216,36 @@ object ScaleSoak {
       }
       println(f"""SOAK {"key":"j73_excise_cross","conf":"mod17","sec":$sec3%.2f,"rows":$rows3}""")
       release()
+      // SEMANTIC leg at the 20k-vector corpus (r17 verdict item 4):
+      // j90's brute bench×train cosine sweep vs j90b's IVF-pruned
+      // candidate core, same bench split (every 400th vector → 50
+      // probes). The soak's murmur3-uniform embeddings are the coarse
+      // quantizer's WORST case, so this row measures scored-pair MASS
+      // and wall, not recall (recall is pinned on the fixture corpus in
+      // Round18Spec). rows = scored pairs: brute is |bench|·|train|;
+      // IVF is Σ_probe (probed cells' train mass) — with the soak's
+      // even vec_id%16 cells the even-cell bound 6/16 applies, unlike
+      // the fixture's uneven cells.
+      val emb20 = spark.read.parquet(s"$d/embeddings.parquet")
+      val isB = pmod(col("vec_id"), lit(400)) === 0
+      val (secBr, pairsBr) = time {
+        val bench = emb20.where(isB)
+          .select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+        emb20.where(!isB).crossJoin(broadcast(bench))
+          .select(round(graft.expressions.CosineSimilarity(spark,
+            col("embedding"), col("e_b")), 6).as("cos"))
+          .where(col("cos").isNotNull).count()
+      }
+      println(f"""SOAK {"key":"j90_brute_sweep","conf":"bench50","sec":$secBr%.2f,"rows":$pairsBr}""")
+      release()
+      val (secIv, pairsIv) = time {
+        val tagged = emb20.select(col("vec_id"), col("embedding"),
+          col("label"), isB.as("is_bench"))
+        graft.ops.Round18.ivfPairs(tagged, nprobe = 6)
+          .where(col("cos").isNotNull).count()
+      }
+      println(f"""SOAK {"key":"j90b_ivf_pruned","conf":"bench50,nprobe6","sec":$secIv%.2f,"rows":$pairsIv}""")
+      release()
     }
 
     // pagination at depth: f4's OFFSET vs f5's keyset cursor, page 20 at
@@ -319,6 +349,18 @@ object ScaleSoak {
         }
       }
       workOf("j79_data_recipe", dR, Map.empty, "skew10x,stageCache=on")
+      // r17 verdict item 5 — the CORPUS cache-level ladder: the narrow
+      // flag tables persist in all three rows; only the parsed-corpus
+      // copy (the 100-TB-scale storage question) changes level. scan_rows
+      // is the column that extrapolates: `none` re-parses the corpus per
+      // stage reference, so its scan mass is the no-cache multiplier
+      // while its shuffle/cpu stay flat (flags still cached).
+      workOf("j79_data_recipe", dR,
+        Map(graft.ops.Knobs.RecipeCorpusCacheLevelKey -> "disk_only"),
+        "skew10x,corpus=disk_only")
+      workOf("j79_data_recipe", dR,
+        Map(graft.ops.Knobs.RecipeCorpusCacheLevelKey -> "none"),
+        "skew10x,corpus=none")
       workOf("j79_data_recipe", dR,
         Map(graft.ops.Knobs.RecipeStageCacheKey -> "false"),
         "skew10x,stageCache=off")

@@ -120,4 +120,44 @@ object Knobs {
   def recipeStageCache(s: SparkSession): Boolean =
     s.conf.getOption(RecipeStageCacheKey)
       .map(_.trim.toBoolean).getOrElse(true)
+
+  val RecipeCorpusCacheLevelKey = "spark.graft.recipe.corpusCacheLevel"
+
+  /** Storage level for the PARSED CORPUS persist inside composed-recipe
+    * keys (j79) — the wide table (doc_id, source, lang, text, toks) that
+    * every stage re-references. The narrow per-doc flag tables always
+    * persist at MEMORY_AND_DISK (they are O(docs) rows of a few bytes);
+    * this knob only governs the corpus copy, which at 100 TB is a full
+    * second copy of the dataset:
+    *
+    *   - `memory_and_disk` (default): fastest re-reads; at scale the
+    *     columnar cache spills to executor disk once memory fills, so
+    *     the practical cost converges to disk_only's.
+    *   - `disk_only`: skips the memory tier — the right call when the
+    *     recipe shares executors with hotter caches; same scan-mass
+    *     profile, one serialization pass, no memory pressure.
+    *   - `none`: do NOT persist the corpus at all — stages re-parse toks
+    *     from the parquet scan per reference; only the narrow flag
+    *     tables persist. Cheapest storage, but re-reads the corpus
+    *     ~11× (r18 soak: scan_rows 440,240 vs 40,328 at the 40k-doc
+    *     corpus — the multiplier is the number of corpus references in
+    *     the composed plan, so it grows with stage count, not SF).
+    *
+    * r18 soak (BASELINE.md "Round-18 j79 corpus-cache ladder"): all
+    * three levels produce IDENTICAL results (Round18Spec pins it) and
+    * near-equal toy-SF wall (9.97 / 6.56 / 6.85 s — machine-phase
+    * jitter dwarfs the level at this SF); scan_rows is what separates
+    * them — which is the metric that extrapolates to 100 TB. Default
+    * stays memory_and_disk: Spark's unified memory manager already
+    * degrades it to disk-backed blocks under pressure, so the default
+    * is never worse than the explicit disk tier, and `none` is an 11×
+    * corpus-read multiplier that only wins when cluster storage is the
+    * binding constraint. */
+  def recipeCorpusCacheLevel(s: SparkSession): String = {
+    val v = s.conf.getOption(RecipeCorpusCacheLevelKey)
+      .map(_.trim.toLowerCase).getOrElse("memory_and_disk")
+    require(Set("memory_and_disk", "disk_only", "none").contains(v),
+      s"$RecipeCorpusCacheLevelKey must be memory_and_disk|disk_only|none, got $v")
+    v
+  }
 }

@@ -1463,7 +1463,20 @@ object Round16c {
           if (Knobs.recipeStageCache(s))
             _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else identity
-        val all = cache(t(s, d, "documents")
+        // the CORPUS persist is level-tunable separately from the narrow
+        // flag tables: at 100 TB it is a full second copy of the dataset
+        // (r17 verdict item 5) — see Knobs.recipeCorpusCacheLevel for the
+        // soak-measured ladder (memory_and_disk | disk_only | none).
+        val corpusCache: DataFrame => DataFrame =
+          if (!Knobs.recipeStageCache(s)) identity
+          else Knobs.recipeCorpusCacheLevel(s) match {
+            case "memory_and_disk" =>
+              _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            case "disk_only" =>
+              _.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            case _ => identity
+          }
+        val all = corpusCache(t(s, d, "documents")
           .select(col("doc_id"), col("source"), col("lang"), col("text"),
             split(col("text"), " ").as("toks"))
           .where(size(col("toks")) >= 4))

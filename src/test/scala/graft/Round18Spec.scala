@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-18 pins. j90b (IVF-pruned semantic decontam) follows the
+  * j2b/j2c pattern: the approximate path's RECALL against its exact
+  * sibling is measured and pinned, so a quantizer regression (or a
+  * fixture regeneration that changes the clustering) fails loudly
+  * instead of silently degrading the review list. */
+class Round18Spec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("j90b recall@5 vs exact j90 ≥ 0.7, on ≤ 6/16 of the pair mass") {
+    val exact = SparkEntry.queries("j90_semantic_decontam")(spark, sf)
+      .select("b_id", "t_id")
+    val ivf = SparkEntry.queries("j90b_decontam_ivf")(spark, sf)
+      .select("b_id", "t_id")
+    val nExact = exact.count()
+    val hit = exact.join(ivf, Seq("b_id", "t_id")).count()
+    val recall = hit.toDouble / nExact
+    // measured 0.76 @ sf0.001 / 0.784 @ sf0.01 at nprobe=6 (scaladoc
+    // curve); 0.7 floor leaves ulp-tie headroom without masking a real
+    // quantizer break (nprobe=4 measures 0.64 — below the floor)
+    assert(nExact == 125L, s"exact top-5 list changed shape: $nExact")
+    assert(recall >= 0.7, f"IVF recall@5 degraded: $recall%.3f")
+
+    // the point of the key: candidate mass must be the PRUNED mass.
+    // nprobe=6 of 16 cells would cap scored pairs at 6/16 of brute
+    // force if cells were even; they are not (bench probes concentrate
+    // on the heavy cells), and the measured fraction at sf0.001 is
+    // 0.597. Pin ≤ 0.7: proves the prune is real (brute force is 1.0)
+    // and still fails if the quantizer collapses toward one cell.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val tagged = emb.join(docs, emb("vec_id") === docs("doc_id"))
+    val nBench = tagged.where(col("source") === "src0").count()
+    val nTrain = tagged.where(col("source") =!= "src0").count()
+    val brute = nBench * nTrain
+    // count scored pairs by reproducing the candidate join's cell sizes
+    val q = SparkEntry.queries("j90b_decontam_ivf")(spark, sf)
+    q.collect() // execute once so the metric below is from a real run
+    // structural bound instead of metric-scraping: candidates =
+    // Σ_bench |probed cells' train mass|; recompute from the key's own
+    // published ranking (every (b_id,t_id) it COULD emit is bounded by
+    // the nprobe fraction) — cheap proxy: distinct t_id count per b_id
+    // in the full candidate relation can't exceed the capped fraction.
+    // We pin the fraction via an independent recount of cell masses.
+    val dims = tagged.select(col("vec_id"),
+        (col("source") === "src0").as("is_bench"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("is_bench"), col("label"), col("dim"),
+        col("v").cast("double").as("v"))
+    val centd = dims.groupBy("label", "dim")
+      .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("c"))
+      .select(col("label").as("cell"), col("dim"), col("c"))
+    val norms = dims.groupBy("vec_id")
+      .agg(sqrt(sum(col("v") * col("v"))).as("nv"))
+    val cnorms = centd.groupBy("cell")
+      .agg(sqrt(sum(col("c") * col("c"))).as("nc"))
+    val csim = dims.join(broadcast(centd), "dim")
+      .groupBy("vec_id", "cell").agg(sum(col("v") * col("c")).as("dot"))
+      .join(norms, "vec_id").join(broadcast(cnorms), "cell")
+      .select(col("vec_id"), col("cell"),
+        round(col("dot") / (col("nv") * col("nc")), 6).as("csim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+    val assigned = csim.withColumn("rn", row_number().over(w))
+    val benchSide = tagged.where(col("source") === "src0")
+      .select(col("vec_id").as("b_id"))
+    val probed = assigned.join(benchSide,
+      assigned("vec_id") === benchSide("b_id")).where(col("rn") <= 6)
+      .select(col("b_id"), col("cell"))
+    val trainMass = assigned.where(col("rn") === 1)
+      .join(tagged.where(col("source") =!= "src0")
+        .select(col("vec_id")), "vec_id")
+      .groupBy("cell").agg(count(lit(1)).as("m"))
+    val scoredPairs = probed.join(trainMass, "cell")
+      .agg(sum("m")).head.getLong(0)
+    val frac = scoredPairs.toDouble / brute
+    assert(frac <= 0.7, f"IVF prune lost its teeth: scored $frac%.3f of brute-force pairs")
+  }
+
+  test("j79 corpus-cache LEVEL ladder is result-invariant (knob contract)") {
+    def rows(): Seq[String] =
+      SparkEntry.queries("j79_data_recipe")(spark, sf)
+        .collect().map(_.toString).toSeq
+    val base = rows() // default memory_and_disk
+    for (lvl <- Seq("disk_only", "none")) {
+      spark.conf.set(ops.Knobs.RecipeCorpusCacheLevelKey, lvl)
+      try assert(rows() == base,
+        s"recipe output must be level-invariant, diverged at corpus=$lvl")
+      finally spark.conf.unset(ops.Knobs.RecipeCorpusCacheLevelKey)
+    }
+    // a bad level must fail loudly at build time, not silently no-op
+    spark.conf.set(ops.Knobs.RecipeCorpusCacheLevelKey, "memory_only")
+    try intercept[IllegalArgumentException] {
+      SparkEntry.queries("j79_data_recipe")(spark, sf)
+    } finally spark.conf.unset(ops.Knobs.RecipeCorpusCacheLevelKey)
+  }
+}
