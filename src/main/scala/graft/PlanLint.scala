@@ -128,6 +128,9 @@ object PlanLint {
       }
     }
     println(s"SMELLS=$smells")
+    // r17 verdict item 6: record how many SURVEY-contract keys carry an
+    // asserted headline plan property (the ContractPlanSpec sweep).
+    println(s"CONTRACT_ASSERTED=${PlanContract.contractKeys.size}")
     spark.stop()
   }
 }
