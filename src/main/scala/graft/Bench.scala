@@ -40,7 +40,9 @@ object Bench {
     "i26_stream_full_outer_join", "i27_stream_recipe")
   /** Keys added this round — always in core for their debut round. */
   private val newThisRound: Set[String] = Set(
-    "j90b_decontam_ivf")
+    "j90b_decontam_ivf", "j91_gopher_rules", "j92_rejection_sample",
+    "j93_curriculum_order", "j94_tokenizer_fertility",
+    "j95_span_corruption", "m18_parse_tar", "p23_cumulative_channels")
 
   private[graft] def coreKeys(all: Seq[String]): Seq[String] =
     all.filter { k =>

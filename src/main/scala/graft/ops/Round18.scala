@@ -148,6 +148,380 @@ object Round18 {
                 ORDER BY cos DESC, t_id) AS BIGINT) AS rank
             FROM scored)
         SELECT b_id, rank, t_id, cos FROM rk
-        WHERE rank <= 5 ORDER BY b_id, rank"""))
+        WHERE rank <= 5 ORDER BY b_id, rank""")),
+
+    // j91 — the GOPHER quality-rule battery (Rae et al. 2021, Appendix
+    // A), the published heuristic filter every web-scale pretraining
+    // corpus runs before anything expensive: word-count bounds, mean
+    // word length bounds, alphabetic-word ratio, and minimum distinct
+    // stop-word presence, each emitted as its own flag plus the
+    // composite verdict (a production run keeps the per-rule flags —
+    // they are the attribution trail for WHY a doc left, j79's device).
+    // Bounds are tuned to the fixture corpus so every rule is
+    // non-degenerate (word counts span 10-99, mean word length only
+    // 3.7-5.3 — Gopher's published [3,10] would never cut here, so the
+    // battery uses [3.8,4.8]; 'the'/'a' are the fixture's stop words,
+    // the same set j9/j79 gate on). Map-only:
+    // one corpus scan, zero shuffles — at 100 TB this runs at full
+    // scan speed and is the cheapest possible first-pass filter.
+    Q("j91_gopher_rules",
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          round(length(translate(col("text"), " ", "")).cast("double") /
+            size(col("toks")), 6).as("mean_wlen"),
+          size(array_intersect(array_distinct(col("toks")),
+            array(lit("the"), lit("a")))).cast("long").as("n_stop"),
+          round(expr("size(filter(toks, x -> x rlike '[a-z]'))")
+            .cast("double") / size(col("toks")), 6).as("alpha_ratio"))
+        .withColumn("pass_words",
+          col("n_words") >= 20 && col("n_words") <= 80)
+        .withColumn("pass_wlen",
+          col("mean_wlen") >= 3.8 && col("mean_wlen") <= 4.8)
+        .withColumn("pass_stop", col("n_stop") >= 2)
+        .withColumn("pass_alpha", col("alpha_ratio") >= 0.8)
+        .withColumn("pass", col("pass_words") && col("pass_wlen") &&
+          col("pass_stop") && col("pass_alpha"))
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id,
+            CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+            ROUND(CAST(length(replace(text,' ','')) AS DOUBLE)
+              / len(string_split(text,' ')), 6) AS mean_wlen,
+            CAST(len(list_intersect(list_distinct(string_split(text,' ')),
+              ['the','a'])) AS BIGINT) AS n_stop,
+            ROUND(CAST(len(list_filter(string_split(text,' '),
+              x -> regexp_matches(x,'[a-z]'))) AS DOUBLE)
+              / len(string_split(text,' ')), 6) AS alpha_ratio
+          FROM documents)
+        SELECT doc_id, n_words, mean_wlen, n_stop, alpha_ratio,
+          n_words >= 20 AND n_words <= 80 AS pass_words,
+          mean_wlen >= 3.8 AND mean_wlen <= 4.8 AS pass_wlen,
+          n_stop >= 2 AS pass_stop,
+          alpha_ratio >= 0.8 AS pass_alpha,
+          (n_words >= 20 AND n_words <= 80)
+            AND (mean_wlen >= 3.8 AND mean_wlen <= 4.8)
+            AND n_stop >= 2 AND alpha_ratio >= 0.8 AS pass
+        FROM x ORDER BY doc_id""")),
+
+    // j92 — quality-proportional REJECTION sampling (the FineWeb-class
+    // device: keep each doc with probability equal to its quality
+    // score, so the kept corpus's quality distribution tilts up without
+    // a hard threshold's cliff). The accept draw is the md5-derived
+    // uniform (j15's split device — deterministic, retry-safe, and
+    // identical in both engines; never a seeded RNG, which neither
+    // engine reproduces cross-engine). score = distinct-token ratio
+    // (j9's first component). Map-only: the draw and the score are
+    // per-row arithmetic off one scan — at 100 TB this is a full-scan-
+    // speed filter, and re-running it after a failure keeps EXACTLY the
+    // same docs (the property that makes hash draws, not RNG, the
+    // production choice).
+    Q("j92_rejection_sample",
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          round(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")), 6).as("score"),
+          round(expr("cast(conv(substring(md5(concat('rs:', " +
+            "cast(doc_id as string))),1,8),16,10) as bigint) % 10000")
+            .cast("double") / 10000.0, 6).as("draw"))
+        .where(col("draw") < col("score"))
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id,
+            ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+              / len(string_split(text,' ')), 6) AS score,
+            ROUND(CAST(CAST('0x' || substr(md5('rs:' ||
+              CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 10000 AS DOUBLE)
+              / 10000.0, 6) AS draw
+          FROM documents)
+        SELECT doc_id, score, draw FROM x
+        WHERE draw < score ORDER BY doc_id""")),
+
+    // j93 — CURRICULUM ordering with anti-clustering interleave: bucket
+    // the corpus into quality deciles (ntile over the j9-style score),
+    // then emit the global training order that round-robins one doc per
+    // decile per cycle — the standard fix for quality clustering inside
+    // shards after curriculum bucketing (a shard of only-easy docs
+    // destabilizes training the same way a sorted join key skews a
+    // shuffle). Two windows share one global sort; the output order is
+    // (cycle, decile) — deterministic, tie-broken by doc_id everywhere.
+    // At 100 TB the decile assignment is the only global ordering (one
+    // range exchange over the score — Spark samples quantiles exactly
+    // like the production percentile cut in j68); the interleave is
+    // per-decile arithmetic.
+    Q("j93_curriculum_order",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = t(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            round(size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")), 6).as("score"))
+        val wAll = Window.orderBy(desc("score"), asc("doc_id"))
+        val wDec = Window.partitionBy("decile")
+          .orderBy(desc("score"), asc("doc_id"))
+        val wOut = Window.orderBy(asc("cycle"), asc("decile"))
+        scored
+          .withColumn("decile", ntile(10).over(wAll).cast("long"))
+          .withColumn("cycle", row_number().over(wDec).cast("long"))
+          .withColumn("train_pos", row_number().over(wOut).cast("long"))
+          .select("doc_id", "score", "decile", "cycle", "train_pos")
+          .orderBy("train_pos")
+      },
+      Some("""WITH scored AS (SELECT doc_id,
+            ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+              / len(string_split(text,' ')), 6) AS score
+          FROM documents),
+        dec AS (SELECT doc_id, score,
+            CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+              AS decile
+          FROM scored),
+        cyc AS (SELECT doc_id, score, decile,
+            CAST(row_number() OVER (PARTITION BY decile
+              ORDER BY score DESC, doc_id) AS BIGINT) AS cycle
+          FROM dec)
+        SELECT doc_id, score, decile, cycle,
+          CAST(row_number() OVER (ORDER BY cycle, decile) AS BIGINT)
+            AS train_pos
+        FROM cyc ORDER BY train_pos""")),
+
+    // j94 — tokenizer FERTILITY / compression planning table: per
+    // language, the corpus statistics a tokenizer budget is sized from
+    // — whitespace words, BPE-ish regex tokens (j10's public stand-in
+    // for a real BPE; the libs aren't in this container), chars, and
+    // the derived fertility (tokens/word) and compression (chars/token)
+    // ratios. The multilingual-curation question this answers: which
+    // languages pay more tokens per word under the current vocab (the
+    // signal that drives vocab re-allocation). One partial+final
+    // aggregate over one scan; output is |languages| rows — bounded at
+    // any corpus size.
+    Q("j94_tokenizer_fertility",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("ws"),
+          expr("regexp_count(text, '[a-z]{1,4}')").cast("long").as("bpe"),
+          length(translate(col("text"), " ", "")).cast("long").as("chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("n_words"),
+          sum("bpe").as("n_tokens"),
+          sum("chars").as("n_chars"),
+          round(sum("bpe").cast("double") / sum("ws"), 6).as("fertility"),
+          round(sum("chars").cast("double") / sum("bpe"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+          CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_words,
+          CAST(SUM(len(regexp_extract_all(text,'[a-z]{1,4}'))) AS BIGINT)
+            AS n_tokens,
+          CAST(SUM(length(replace(text,' ',''))) AS BIGINT) AS n_chars,
+          ROUND(CAST(SUM(len(regexp_extract_all(text,'[a-z]{1,4}')))
+              AS DOUBLE)
+            / SUM(len(string_split(text,' '))), 6) AS fertility,
+          ROUND(CAST(SUM(length(replace(text,' ',''))) AS DOUBLE)
+            / SUM(len(regexp_extract_all(text,'[a-z]{1,4}'))), 6)
+            AS chars_per_token
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // j95 — T5-style SPAN-CORRUPTION planning (Raffel et al. 2020): for
+    // each doc, the deterministic (start, len) spans the denoising
+    // objective will mask — 15% corruption rate, mean span 3, spans
+    // spread one-per-segment so they never overlap, offsets drawn from
+    // the md5 device (never an RNG — the plan must be reproducible
+    // across retries and engines). This is the PLANNING table a
+    // packing/masking job consumes downstream; emitting it as a
+    // relation (doc_id, span_id, start, len, sentinel) is what lets the
+    // mask job be a pure map-side join instead of re-deriving spans
+    // inside the tokenizer. Map-only: per-row integer arithmetic +
+    // posexplode off one scan; |output| = Σ n_spans ≈ 0.05·Σ tokens.
+    Q("j95_span_corruption",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+        .withColumn("n_corrupt", greatest(lit(1), expr("(n * 15) div 100")))
+        .withColumn("n_spans", greatest(lit(1), expr("n_corrupt div 3")))
+        .select(col("doc_id"), col("n"), col("n_corrupt"), col("n_spans"),
+          posexplode(expr("sequence(0, cast(n_spans - 1 as int))"))
+            .as(Seq("i", "span0")))
+        .withColumn("len", (expr("n_corrupt div n_spans") +
+          when(col("i") < expr("n_corrupt % n_spans"), 1).otherwise(0))
+          .cast("long"))
+        .withColumn("seg", expr("n div n_spans"))
+        .withColumn("start", (col("i") * col("seg") +
+          expr("cast(conv(substring(md5(concat('sc:', cast(doc_id as string)," +
+            " ':', cast(i as string))),1,8),16,10) as bigint)") %
+          (col("seg") - col("len") + 1)).cast("long"))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("span_id"),
+          col("start"), col("len"),
+          concat(lit("<extra_id_"), col("i").cast("string"), lit(">"))
+            .as("sentinel"))
+        .orderBy("doc_id", "span_id"),
+      Some("""WITH x AS (SELECT doc_id,
+            len(string_split(text,' ')) AS n,
+            GREATEST(1, (len(string_split(text,' ')) * 15) // 100)
+              AS n_corrupt
+          FROM documents),
+        y AS (SELECT doc_id, n, n_corrupt,
+            GREATEST(1, n_corrupt // 3) AS n_spans FROM x),
+        sp AS (SELECT doc_id, n, n_corrupt, n_spans, i.i AS i
+          FROM y, unnest(range(0, 100)) i(i) WHERE i.i < n_spans),
+        z AS (SELECT doc_id, i,
+            n_corrupt // n_spans
+              + CASE WHEN i < n_corrupt % n_spans THEN 1 ELSE 0 END AS len,
+            n // n_spans AS seg
+          FROM sp)
+        SELECT doc_id, CAST(i + 1 AS BIGINT) AS span_id,
+          CAST(i * seg + CAST('0x' || substr(md5('sc:' ||
+              CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),1,8)
+              AS BIGINT) % (seg - len + 1) AS BIGINT) AS start,
+          CAST(len AS BIGINT) AS len,
+          '<extra_id_' || CAST(i AS VARCHAR) || '>' AS sentinel
+        FROM z ORDER BY doc_id, span_id""")),
+
+    // m18 — ustar TAR archive walk: the one pre-parquet container whose
+    // length fields are OCTAL ASCII (size lives at header offset 124 as
+    // 11 octal digits; entries are 512-byte blocks, content padded to
+    // the next block boundary). The key synthesizes a deterministic
+    // archive per doc (1-3 entries, real ustar offsets: name@0,
+    // size@124, typeflag@156, magic 'ustar'@257; the pad byte is a
+    // space stand-in for NUL so the fixture stays a plain string — the
+    // graded logic is the offset walk, octal radix decode, and block
+    // chaining, which are pad-agnostic) and then walks it the
+    // m17 way — ONE aggregate() fold chaining offsets off the decoded
+    // octal sizes (next = p + 512 + ceil(size/512)·512), conv(oct,8,10)
+    // doing the radix work in codegen. Map-only: per-row string
+    // arithmetic, archive bytes never shuffle — the oracle replays the
+    // GENERATOR's arithmetic, so a parser that misreads octal or
+    // mis-chains a padded boundary fails the hash. 100-TB shape: this
+    // is the per-file task of an archive-ingest scan; offsets stay
+    // inside the row, nothing is ever collected.
+    Q("m18_parse_tar",
+      (s, d) => {
+        val nul = " "
+        val fixture = t(s, d, "documents")
+          .selectExpr("doc_id", "cast(1 + doc_id % 3 AS INT) AS cnt")
+          .selectExpr("doc_id", "cnt",
+            s"""aggregate(sequence(1, cnt), '', (acc, i) -> concat(acc,
+                 rpad(concat('doc_', cast(doc_id AS STRING), '_',
+                   cast(i AS STRING)), 100, '$nul'),
+                 rpad('0000644', 8, '$nul'),
+                 rpad('0000000', 8, '$nul'),
+                 rpad('0000000', 8, '$nul'),
+                 concat(lpad(conv(cast(20 + (doc_id * i) % 600 AS BIGINT),
+                   10, 8), 11, '0'), ' '),
+                 rpad('00000000000', 12, '$nul'),
+                 '        ',
+                 '0',
+                 rpad('', 100, '$nul'),
+                 concat('ustar', '$nul', '00'),
+                 rpad('', 247, '$nul'),
+                 rpad(substring(repeat(md5(concat(cast(doc_id AS STRING),
+                     '/', cast(i AS STRING))), 20), 1,
+                     cast(20 + (doc_id * i) % 600 AS INT)),
+                   cast(((20 + (doc_id * i) % 600 + 511) div 512) * 512
+                     AS INT), '$nul'))) AS payload""")
+        fixture
+          .selectExpr("doc_id",
+            s"""aggregate(sequence(1, cnt),
+                struct(1 AS p,
+                  cast(array() AS array<struct<name:string,sz:bigint,
+                    tf:string,magic:string,head:string>>) AS es),
+                (acc, i) -> struct(
+                  cast(acc.p + 512
+                    + ((cast(conv(substring(payload, acc.p + 124, 11),
+                         8, 10) AS BIGINT) + 511) div 512) * 512
+                    AS INT) AS p,
+                  concat(acc.es, array(struct(
+                    trim(TRAILING '$nul' FROM
+                      substring(payload, acc.p, 100)) AS name,
+                    cast(conv(substring(payload, acc.p + 124, 11), 8, 10)
+                      AS BIGINT) AS sz,
+                    substring(payload, acc.p + 156, 1) AS tf,
+                    substring(payload, acc.p + 257, 5) AS magic,
+                    substring(payload, acc.p + 512, 8) AS head))) AS es),
+                acc -> acc.es) AS es""")
+          .selectExpr("doc_id", "posexplode(es) AS (i0, e)")
+          .selectExpr("doc_id", "cast(i0 + 1 AS BIGINT) AS idx",
+            "e.name AS name", "e.sz AS size_bytes", "e.tf AS typeflag",
+            "e.magic AS magic", "e.head AS body_head")
+          .orderBy("doc_id", "idx")
+      },
+      Some("""WITH recs AS (SELECT doc_id, i.i AS idx FROM documents,
+            unnest(range(1, 4)) i(i) WHERE i.i <= 1 + doc_id % 3)
+        SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+          'doc_' || CAST(doc_id AS VARCHAR) || '_' || CAST(idx AS VARCHAR)
+            AS name,
+          CAST(20 + (doc_id * idx) % 600 AS BIGINT) AS size_bytes,
+          '0' AS typeflag, 'ustar' AS magic,
+          substr(repeat(md5(CAST(doc_id AS VARCHAR) || '/' ||
+            CAST(idx AS VARCHAR)), 20), 1, 8) AS body_head
+        FROM recs ORDER BY doc_id, idx""")),
+
+    // p23 — the TPC-DS Q51 SHAPE: two sales channels cumulated over
+    // time and compared day by day — here orders placed (o_totalprice
+    // by o_orderdate) vs lineitems shipped (revenue by l_shipdate),
+    // FULL OUTER on the day (ship lags order, so each side has days the
+    // other lacks), running totals over the joined day axis. The scale
+    // discipline: both sides PRE-AGGREGATE to |days| rows (bounded —
+    // ~2,400 for TPC-H's 7 years) before the full outer, so the join
+    // and the windows run on a dimension-sized relation no matter the
+    // fact-table SF; and the running totals accumulate in DECIMAL, not
+    // DOUBLE — a windowed double sum is order-sensitive and DuckDB's
+    // segment-tree window aggregation adds in a different order than
+    // Spark's running frame (the h44-class cross-engine trap, dodged
+    // by exact arithmetic rather than tolerance).
+    Q("p23_cumulative_channels",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ordered = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(graft.Tables.mSum(col("o_totalprice")).as("day_ordered"))
+        val shipped = t(s, d, "lineitem")
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(graft.Tables.mSum(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))).as("day_shipped"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ordered.join(shipped, Seq("day"), "full_outer")
+          .na.fill(0.0, Seq("day_ordered", "day_shipped"))
+          .withColumn("cum_ordered", round(sum(
+            col("day_ordered").cast("decimal(18,4)")).over(w), 4)
+            .cast("double"))
+          .withColumn("cum_shipped", round(sum(
+            col("day_shipped").cast("decimal(18,4)")).over(w), 4)
+            .cast("double"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("cum_ordered"), col("cum_shipped"),
+            round((col("cum_ordered") - col("cum_shipped"))
+              .cast("decimal(18,4)"), 4).cast("double").as("backlog"),
+            (col("cum_shipped") > col("cum_ordered")).as("shipped_ahead"))
+          .orderBy("day")
+      },
+      Some("""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+              AS DOUBLE) AS day_ordered
+          FROM orders GROUP BY 1),
+        l AS (SELECT CAST(l_shipdate AS DATE) AS day,
+            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(1.0 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+              AS day_shipped
+          FROM lineitem GROUP BY 1),
+        j AS (SELECT COALESCE(o.day, l.day) AS day,
+            COALESCE(day_ordered, 0.0) AS day_ordered,
+            COALESCE(day_shipped, 0.0) AS day_shipped
+          FROM o FULL OUTER JOIN l ON o.day = l.day),
+        c AS (SELECT day,
+            CAST(ROUND(SUM(CAST(day_ordered AS DECIMAL(18,4)))
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW), 4) AS DOUBLE) AS cum_ordered,
+            CAST(ROUND(SUM(CAST(day_shipped AS DECIMAL(18,4)))
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW), 4) AS DOUBLE) AS cum_shipped
+          FROM j)
+        SELECT strftime(day, '%Y-%m-%d') AS day, cum_ordered, cum_shipped,
+          CAST(ROUND(CAST(cum_ordered - cum_shipped AS DECIMAL(18,4)), 4)
+            AS DOUBLE) AS backlog,
+          cum_shipped > cum_ordered AS shipped_ahead
+        FROM c ORDER BY day""")
+    )
   )
 }

@@ -101,4 +101,94 @@ class Round18Spec extends AnyFunSuite {
       SparkEntry.queries("j79_data_recipe")(spark, sf)
     } finally spark.conf.unset(ops.Knobs.RecipeCorpusCacheLevelKey)
   }
+
+  test("j91 gopher battery: total, composite = AND, every rule non-vacuous") {
+    val r = SparkEntry.queries("j91_gopher_rules")(spark, sf).collect()
+    assert(r.length == 500, "one verdict row per doc")
+    val f = r.head.schema.fieldIndex _
+    r.foreach { x =>
+      assert(x.getBoolean(f("pass")) ==
+        (x.getBoolean(f("pass_words")) && x.getBoolean(f("pass_wlen")) &&
+         x.getBoolean(f("pass_stop")) && x.getBoolean(f("pass_alpha"))))
+    }
+    // a rule no doc can fail is dead weight — each must actually cut
+    // (alpha is the known-vacuous one on this all-alpha fixture; the
+    // battery keeps it because production corpora need it, so it is
+    // exempted here rather than silently asserted)
+    for (rule <- Seq("pass_words", "pass_wlen", "pass_stop"))
+      assert(r.exists(x => !x.getBoolean(f(rule))), s"$rule never fails")
+    assert(r.exists(x => x.getBoolean(f("pass"))), "no doc survives")
+  }
+
+  test("j92 rejection sample keeps a strict, draw<score-consistent subset") {
+    val kept = SparkEntry.queries("j92_rejection_sample")(spark, sf).collect()
+    assert(kept.nonEmpty && kept.length < 500,
+      s"degenerate acceptance: ${kept.length}/500")
+    kept.foreach(x => assert(x.getDouble(2) < x.getDouble(1),
+      s"kept row violates draw<score: $x"))
+  }
+
+  test("j93 curriculum interleave round-robins deciles within each cycle") {
+    val r = SparkEntry.queries("j93_curriculum_order")(spark, sf)
+      .select("cycle", "decile", "train_pos").collect()
+      .sortBy(_.getLong(2))
+    // train order = (cycle, decile) lexicographic: no quality clustering
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.toSeq == pairs.toSeq.sorted,
+      "train_pos must walk (cycle, decile) in order")
+    // deciles are balanced on the 500-doc corpus
+    val byDecile = r.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(byDecile.values.toSet == Set(50), s"unbalanced deciles: $byDecile")
+  }
+
+  test("j95 spans: in-bounds, non-overlapping, mass = corruption budget") {
+    val spans = SparkEntry.queries("j95_span_corruption")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    spans.foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_.getLong(1))
+      val nn = n(doc)
+      sorted.foreach { s =>
+        assert(s.getLong(2) >= 0 && s.getLong(2) + s.getLong(3) <= nn,
+          s"span out of bounds in doc $doc: $s")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) >= a.getLong(2) + a.getLong(3),
+            s"overlapping spans in doc $doc")
+        case _ =>
+      }
+      val budget = math.max(1, nn * 15 / 100)
+      assert(sorted.map(_.getLong(3)).sum == budget,
+        s"span mass != corruption budget in doc $doc")
+    }
+  }
+
+  test("m18 tar walk is map-only and recovers the ustar magic everywhere") {
+    val df = SparkEntry.queries("m18_parse_tar")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      "archive walk must never join or aggregate — content stays in-row")
+    assert(df.collect().forall(_.getString(5) == "ustar"),
+      "magic field must decode at offset 257 in every entry")
+  }
+
+  test("p23 joins pre-aggregated day relations; cumulatives are monotone") {
+    val df = SparkEntry.queries("p23_cumulative_channels")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), "channel join must be FULL OUTER")
+    // 2 sides x (partial+final): the fact tables collapse to |days| rows
+    // BELOW the join — the property that makes the shape SF-invariant
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      "both channels must pre-aggregate below the join")
+    val r = df.select("cum_ordered", "cum_shipped").collect()
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getDouble(0) >= a.getDouble(0) &&
+          b.getDouble(1) >= a.getDouble(1), "running totals must be monotone")
+      case _ =>
+    }
+  }
 }
