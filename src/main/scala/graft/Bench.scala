@@ -42,7 +42,8 @@ object Bench {
   private val newThisRound: Set[String] = Set(
     "j90b_decontam_ivf", "j91_gopher_rules", "j92_rejection_sample",
     "j93_curriculum_order", "j94_tokenizer_fertility",
-    "j95_span_corruption", "m18_parse_tar", "p23_cumulative_channels")
+    "j95_span_corruption", "m18_parse_tar", "p23_cumulative_channels",
+    "e20_win_distribution", "j96_kneser_ney", "j97_char_entropy")
 
   private[graft] def coreKeys(all: Seq[String]): Seq[String] =
     all.filter { k =>

@@ -382,11 +382,8 @@ object Round18 {
     // 11 octal digits; entries are 512-byte blocks, content padded to
     // the next block boundary). The key synthesizes a deterministic
     // archive per doc (1-3 entries, real ustar offsets: name@0,
-    // size@124, typeflag@156, magic 'ustar'@257; the pad byte is a
-    // space stand-in for NUL so the fixture stays a plain string — the
-    // graded logic is the offset walk, octal radix decode, and block
-    // chaining, which are pad-agnostic) and then walks it the
-    // m17 way — ONE aggregate() fold chaining offsets off the decoded
+    // size@124, typeflag@156, magic 'ustar'@257, real NUL padding) and
+    // then walks it the m17 way — ONE aggregate() fold chaining offsets off the decoded
     // octal sizes (next = p + 512 + ceil(size/512)·512), conv(oct,8,10)
     // doing the radix work in codegen. Map-only: per-row string
     // arithmetic, archive bytes never shuffle — the oracle replays the
@@ -396,7 +393,7 @@ object Round18 {
     // inside the row, nothing is ever collected.
     Q("m18_parse_tar",
       (s, d) => {
-        val nul = " "
+        val nul = "\u0000"
         val fixture = t(s, d, "documents")
           .selectExpr("doc_id", "cast(1 + doc_id % 3 AS INT) AS cnt")
           .selectExpr("doc_id", "cnt",
@@ -521,7 +518,139 @@ object Round18 {
           CAST(ROUND(CAST(cum_ordered - cum_shipped AS DECIMAL(18,4)), 4)
             AS DOUBLE) AS backlog,
           cum_shipped > cum_ordered AS shipped_ahead
-        FROM c ORDER BY day""")
+        FROM c ORDER BY day""")),
+
+    // e20 — DISTRIBUTION window functions: percent_rank, cume_dist, and
+    // ratio-to-report (share of the partition total) — the analytic
+    // trio a percentile-cut pipeline reads (j68 consumes exactly these
+    // semantics; here they are the graded user-facing surface). Unique
+    // total order inside each partition ((o_totalprice, o_orderkey) —
+    // o_orderkey is unique) makes both rank functions engine-exact:
+    // percent_rank = (rank-1)/(n-1) and cume_dist = rank/n reduce to
+    // row_number arithmetic, and the share denominator accumulates in
+    // DECIMAL (p23's discipline). One hash exchange on the partition
+    // key, windows share one sort — SF-invariant shape.
+    Q("e20_win_distribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        val wAll = Window.partitionBy("o_orderpriority")
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .withColumn("share", round(col("o_totalprice")
+            .cast("decimal(18,4)") /
+            sum(col("o_totalprice").cast("decimal(18,4)")).over(wAll), 6)
+            .cast("double"))
+          .orderBy("o_orderpriority", "pct_rank")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+          ROUND(percent_rank() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+          ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey), 6) AS cume,
+          CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) /
+            SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+              OVER (PARTITION BY o_orderpriority), 6) AS DOUBLE) AS share
+        FROM orders ORDER BY o_orderpriority, pct_rank""")),
+
+    // j96 — KNESER-NEY smoothed bigram LM (Kneser & Ney 1995; the
+    // standard n-gram smoothing every published LM-filter pipeline
+    // defaults to): absolute discount D=0.75 with the continuation-
+    // probability backoff P_cont(w) = N1+(-w) / |bigram types|. The
+    // upgrade over j61/j66's interpolated-MLE: unseen-context mass is
+    // allocated by how PROMISCUOUS a word is (how many contexts it
+    // follows), not how frequent — the property that makes KN the
+    // production choice. All quantities are one gram aggregate plus two
+    // bounded re-aggregations (per-v and per-w relations, each
+    // |vocab|-sized); the |types| total rides as a window sum over the
+    // per-w relation, never a 1-row cross join. Determinism: counts are
+    // ints, D-subtraction is exact (x.25), the two divisions and one
+    // product evaluate in the same written order in both engines,
+    // round-6 on the emitted probability. Top-50 bigrams by count —
+    // TakeOrderedAndProject, never a full sort.
+    Q("j96_kneser_ney",
+      (s, d) => {
+        val toksDf = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val bg = toksDf.select(explode(expr(
+            "transform(" + Ngrams.starts("toks", 2) + ", i -> " +
+            "struct(element_at(toks, i) AS v, " +
+            "element_at(toks, cast(i + 1 AS INT)) AS w))")).as("b"))
+          .select(col("b.v").as("v"), col("b.w").as("w"))
+          .groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+        val cv = bg.groupBy("v").agg(sum("c_vw").as("c_v"),
+          count(lit(1)).as("n1f"))
+        val wWin = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        val pc = bg.groupBy("w").agg(count(lit(1)).as("n1b"))
+          .withColumn("pcont",
+            col("n1b").cast("double") / sum("n1b").over(wWin))
+        bg.join(cv, "v").join(pc, "w")
+          .select(col("v"), col("w"), col("c_vw"),
+            round((greatest(col("c_vw").cast("double") - lit(0.75),
+              lit(0.0)) + lit(0.75) * col("n1f") * col("pcont")) /
+              col("c_v"), 6).as("p_kn"))
+          .orderBy(desc("c_vw"), asc("v"), asc("w"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk
+            FROM documents),
+        bg AS (SELECT tk[i.i] AS v, tk[i.i + 1] AS w, COUNT(*) AS c_vw
+          FROM toks, unnest(range(1, 1000)) i(i)
+          WHERE i.i <= len(tk) - 1 GROUP BY 1, 2),
+        cv AS (SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1f
+          FROM bg GROUP BY v),
+        pc AS (SELECT w, COUNT(*) AS n1b,
+            CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS pcont
+          FROM bg GROUP BY w)
+        SELECT bg.v, bg.w, c_vw,
+          ROUND((GREATEST(CAST(c_vw AS DOUBLE) - 0.75, 0.0)
+            + 0.75 * n1f * pcont) / c_v, 6) AS p_kn
+        FROM bg JOIN cv ON bg.v = cv.v JOIN pc ON bg.w = pc.w
+        ORDER BY c_vw DESC, bg.v, bg.w LIMIT 50""")),
+
+    // j97 — character-level Shannon ENTROPY per doc: the cheap gibberish
+    // / encoding-damage detector (low entropy = repeated filler, high =
+    // random bytes; both are what a quality gate drops before paying
+    // for an LM score). H = -sum p ln p / ln 2 over the doc's char
+    // distribution, spaces excluded. One explode + two-level aggregate
+    // off one scan; per-doc term count is bounded by the alphabet, so
+    // the round-6 emission absorbs the sub-ulp addition-order spread
+    // (the j61 NLL precedent). 100-TB shape: map-side partial aggs on
+    // (doc_id, char) — no row ever carries more than a char.
+    Q("j97_char_entropy",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id")
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(split(
+            translate(col("text"), " ", ""), "")).as("ch"))
+          .where(col("ch") =!= "")
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+          .withColumn("len", sum("cnt").over(w))
+          .groupBy("doc_id")
+          .agg(max("len").cast("long").as("n_chars"),
+            count(lit(1)).as("n_unique"),
+            round(-sum((col("cnt").cast("double") / col("len")) *
+              log(col("cnt").cast("double") / col("len"))) /
+              log(lit(2.0)), 6).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split_regex(
+            replace(text, ' ', ''), '')) AS c FROM documents),
+        cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch
+          WHERE c <> '' GROUP BY doc_id, c),
+        cl AS (SELECT doc_id, c, cnt,
+            SUM(cnt) OVER (PARTITION BY doc_id) AS len FROM cc)
+        SELECT doc_id, CAST(MAX(len) AS BIGINT) AS n_chars,
+          COUNT(*) AS n_unique,
+          ROUND(-SUM((CAST(cnt AS DOUBLE) / len)
+            * ln(CAST(cnt AS DOUBLE) / len)) / ln(2.0), 6) AS entropy
+        FROM cl GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }

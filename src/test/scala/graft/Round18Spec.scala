@@ -175,6 +175,44 @@ class Round18Spec extends AnyFunSuite {
       "magic field must decode at offset 257 in every entry")
   }
 
+  test("e20 distribution functions: endpoints exact, shares close the books") {
+    val r = SparkEntry.queries("e20_win_distribution")(spark, sf)
+      .collect().groupBy(_.getString(1))
+    r.foreach { case (prio, rows) =>
+      val pr = rows.map(_.getDouble(3))
+      assert(pr.min == 0.0 && pr.max == 1.0,
+        s"$prio: percent_rank endpoints must be exactly [0,1]")
+      val cd = rows.map(_.getDouble(4))
+      assert(cd.min > 0.0 && cd.max == 1.0,
+        s"$prio: cume_dist must end at exactly 1")
+      val shareSum = rows.map(_.getDouble(5)).sum
+      assert(math.abs(shareSum - 1.0) < 1e-3,
+        s"$prio: shares must sum to ~1, got $shareSum")
+    }
+  }
+
+  test("j96 Kneser-Ney: 50 rows, count-descending, probabilities in (0,1]") {
+    val r = SparkEntry.queries("j96_kneser_ney")(spark, sf).collect()
+    assert(r.length == 50)
+    val counts = r.map(_.getLong(2))
+    assert(counts.toSeq == counts.toSeq.sortBy(-_), "must be top-by-count")
+    r.foreach { x =>
+      val p = x.getDouble(3)
+      assert(p > 0.0 && p <= 1.0, s"p_kn out of range: $x")
+    }
+  }
+
+  test("j97 entropy bounded by log2(alphabet); totals consistent") {
+    val r = SparkEntry.queries("j97_char_entropy")(spark, sf).collect()
+    assert(r.length == 500)
+    r.foreach { x =>
+      val (n, u, h) = (x.getLong(1), x.getLong(2), x.getDouble(3))
+      assert(n >= u && u >= 1, s"char totals inconsistent: $x")
+      assert(h >= 0.0 && h <= math.log(u.toDouble) / math.log(2.0) + 1e-9,
+        s"entropy outside [0, log2(unique)]: $x")
+    }
+  }
+
   test("p23 joins pre-aggregated day relations; cumulatives are monotone") {
     val df = SparkEntry.queries("p23_cumulative_channels")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
