@@ -738,7 +738,85 @@ object Round18 {
           UNION ALL BY NAME
           SELECT 'open' AS src, o_custkey, o_orderkey
           FROM orders WHERE o_orderstatus = 'O')
-        ORDER BY o_orderkey, src""")
+        ORDER BY o_orderkey, src""")),
+
+    // d29 — equi-width HISTOGRAM as an aggregation surface:
+    // width_bucket over fixed [0, 500) bounds, 10 buckets, per event
+    // type — the profiling shape every monitoring pipeline emits.
+    // Fixed bounds (not data-dependent min/max) are the deliberate
+    // production choice: they keep the key a pure one-pass partial+
+    // final aggregate with no min/max pre-pass or 1-row carrier join,
+    // and histograms only compare across runs when their bins don't
+    // move. Bucket edges are reconstructed arithmetically in the
+    // output so the relation is self-describing. Output is
+    // |types|×|buckets| rows — bounded at any SF.
+    Q("d29_agg_histogram",
+      (s, d) => graft.Tables.events(s, d)
+        .select(col("event_type"),
+          expr("width_bucket(value, 0.0, 500.0, 10)").as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bucket"),
+          round((col("bucket") - 1).cast("double") * 50.0, 1).as("lo"),
+          round(col("bucket").cast("double") * 50.0, 1).as("hi"),
+          col("n"))
+        .orderBy("event_type", "bucket"),
+      // DuckDB 1.0 has no width_bucket — the oracle spells out the
+      // equivalent fixed-bound arithmetic (bin width (500-0)/10 = 50 is
+      // exact in double, so floor(v/50)+1 is bit-identical to Spark's
+      // WidthBucket on the in-range data)
+      Some("""WITH b AS (SELECT event_type,
+            CAST(floor(value / 50.0) AS BIGINT) + 1 AS bucket
+          FROM events)
+        SELECT event_type, bucket,
+          CAST(ROUND((bucket - 1) * 50.0, 1) AS DOUBLE) AS lo,
+          CAST(ROUND(bucket * 50.0, 1) AS DOUBLE) AS hi,
+          COUNT(*) AS n
+        FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""")),
+
+    // j99 — EFFECTIVE SAMPLE SIZE of a weighted corpus, per source:
+    // ESS = (Σw)²/Σw² (Kish 1965) over the j92-class quality weights —
+    // the diagnostic read BEFORE importance-weighted training: a source
+    // whose ESS/n collapses is contributing far fewer effective docs
+    // than its row count claims (a few heavy weights dominate), which
+    // is when reweighting should give way to resampling (j32's DSIR
+    // scaladoc owns that decision; this key is its gauge). One
+    // partial+final aggregate over one scan; |sources| output rows.
+    // Determinism: w = distinct-token ratio (exact int division), Σw
+    // and Σw² accumulate in DECIMAL so partial-agg order can't move an
+    // ulp, final ratio rounds to 6.
+    Q("j99_importance_ess",
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source"),
+          round(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")), 6).as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("w").cast("decimal(28,12)")), 6).cast("double")
+            .as("sum_w"),
+          round(sum((col("w") * col("w")).cast("decimal(28,12)")), 6)
+            .cast("double").as("sum_w2"))
+        .select(col("source"), col("n"), col("sum_w"),
+          round((col("sum_w") * col("sum_w")) / col("sum_w2"), 6)
+            .as("ess"),
+          round((col("sum_w") * col("sum_w")) / col("sum_w2") /
+            col("n"), 6).as("ess_ratio"))
+        .orderBy("source"),
+      Some("""WITH x AS (SELECT source,
+            ROUND(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+              / len(string_split(text,' ')), 6) AS w
+          FROM documents),
+        a AS (SELECT source, COUNT(*) AS n,
+            CAST(ROUND(SUM(CAST(w AS DECIMAL(28,12))), 6) AS DOUBLE)
+              AS sum_w,
+            CAST(ROUND(SUM(CAST(w * w AS DECIMAL(28,12))), 6) AS DOUBLE)
+              AS sum_w2
+          FROM x GROUP BY source)
+        SELECT source, n, sum_w,
+          ROUND((sum_w * sum_w) / sum_w2, 6) AS ess,
+          ROUND((sum_w * sum_w) / sum_w2 / n, 6) AS ess_ratio
+        FROM a ORDER BY source""")
     )
   )
 }

@@ -235,6 +235,26 @@ class Round18Spec extends AnyFunSuite {
       "full side o_total must survive the name alignment")
   }
 
+  test("d29 histogram: counts close the books, edges are contiguous") {
+    val r = SparkEntry.queries("d29_agg_histogram")(spark, sf).collect()
+    val total = r.map(_.getLong(4)).sum
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == nEvents, "every event lands in exactly one bucket")
+    r.foreach(x => assert(x.getDouble(3) - x.getDouble(2) == 50.0,
+      s"bucket width must be (500-0)/10: $x"))
+  }
+
+  test("j99 ESS: 1 <= ess <= n per source (Kish bounds)") {
+    val r = SparkEntry.queries("j99_importance_ess")(spark, sf).collect()
+    assert(r.length == 20, "one row per source")
+    r.foreach { x =>
+      val (n, ess, ratio) = (x.getLong(1), x.getDouble(3), x.getDouble(4))
+      assert(ess >= 1.0 - 1e-9 && ess <= n + 1e-6,
+        s"ESS outside [1, n]: $x")
+      assert(math.abs(ratio - ess / n) < 1e-5)
+    }
+  }
+
   test("p23 joins pre-aggregated day relations; cumulatives are monotone") {
     val df = SparkEntry.queries("p23_cumulative_channels")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
