@@ -44,7 +44,7 @@ object Bench {
     "j93_curriculum_order", "j94_tokenizer_fertility",
     "j95_span_corruption", "m18_parse_tar", "p23_cumulative_channels",
     "e20_win_distribution", "j96_kneser_ney", "j97_char_entropy",
-    "j98_shard_dedup_loss", "g10_union_byname",
+    "j98_shard_dedup_loss",
     "d29_agg_histogram", "j99_importance_ess")
 
   private[graft] def coreKeys(all: Seq[String]): Seq[String] =

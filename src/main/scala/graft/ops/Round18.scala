@@ -705,41 +705,6 @@ object Round18 {
             AS loss_rate
         FROM g, w""")),
 
-    // g10 — UNION BY NAME with schema evolution: the set-op surface a
-    // long-lived table actually needs — later files carry reordered or
-    // additional columns, and a positional UNION silently misaligns
-    // them (the classic corruption). Spark's
-    // unionByName(allowMissingColumns=true) aligns on NAME and
-    // null-fills the absent column; the oracle is DuckDB's UNION ALL BY
-    // NAME doing the same. Graded: column alignment despite permuted
-    // projection order, null-fill for the missing column, and the
-    // union staying exchange-free (a17's schema-evolution scan is the
-    // source-level sibling; this is the operator-level one).
-    Q("g10_union_byname",
-      (s, d) => {
-        val a = t(s, d, "orders")
-          .where(col("o_orderstatus") === "F")
-          .select(col("o_orderkey"), col("o_custkey"),
-            round(col("o_totalprice").cast("decimal(18,4)"), 4)
-              .cast("double").as("o_total"),
-            lit("full").as("src"))
-        val b = t(s, d, "orders")
-          .where(col("o_orderstatus") === "O")
-          .select(lit("open").as("src"), col("o_custkey"),
-            col("o_orderkey"))
-        a.unionByName(b, allowMissingColumns = true)
-          .orderBy("o_orderkey", "src")
-      },
-      Some("""SELECT * FROM (
-          SELECT o_orderkey, o_custkey,
-            CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 4) AS DOUBLE)
-              AS o_total, 'full' AS src
-          FROM orders WHERE o_orderstatus = 'F'
-          UNION ALL BY NAME
-          SELECT 'open' AS src, o_custkey, o_orderkey
-          FROM orders WHERE o_orderstatus = 'O')
-        ORDER BY o_orderkey, src""")),
-
     // d29 — equi-width HISTOGRAM as an aggregation surface:
     // width_bucket over fixed [0, 500) bounds, 10 buckets, per event
     // type — the profiling shape every monitoring pipeline emits.

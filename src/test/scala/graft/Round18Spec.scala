@@ -224,17 +224,6 @@ class Round18Spec extends AnyFunSuite {
     assert(math.abs(loss - (1.0 - within.toDouble / global)) < 1e-6)
   }
 
-  test("g10 unionByName aligns permuted columns and null-fills by name") {
-    val r = SparkEntry.queries("g10_union_byname")(spark, sf).collect()
-    val open = r.filter(_.getString(3) == "open")
-    val full = r.filter(_.getString(3) == "full")
-    assert(open.nonEmpty && full.nonEmpty)
-    assert(open.forall(_.isNullAt(2)),
-      "missing o_total must null-fill for the open side")
-    assert(full.forall(x => !x.isNullAt(2) && x.getDouble(2) > 0),
-      "full side o_total must survive the name alignment")
-  }
-
   test("d29 histogram: counts close the books, edges are contiguous") {
     val r = SparkEntry.queries("d29_agg_histogram")(spark, sf).collect()
     val total = r.map(_.getLong(4)).sum
