@@ -377,8 +377,10 @@ object Round18 {
           '<extra_id_' || CAST(i AS VARCHAR) || '>' AS sentinel
         FROM z ORDER BY doc_id, span_id""")),
 
-    // m18 — ustar TAR archive walk: the one pre-parquet container whose
-    // length fields are OCTAL ASCII (size lives at header offset 124 as
+    // m18 — ustar TAR archive walk. m12 already grades the abstract
+    // length-prefixed TLV walk; what TLV lacks — and what this key
+    // adds — are ustar's two concrete mechanics: length fields are
+    // OCTAL ASCII (size lives at header offset 124 as
     // 11 octal digits; entries are 512-byte blocks, content padded to
     // the next block boundary). The key synthesizes a deterministic
     // archive per doc (1-3 entries, real ustar offsets: name@0,
