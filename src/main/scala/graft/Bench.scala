@@ -45,7 +45,8 @@ object Bench {
     "j95_span_corruption", "m18_parse_tar", "p23_cumulative_channels",
     "e20_win_distribution", "j96_kneser_ney", "j97_char_entropy",
     "j98_shard_dedup_loss",
-    "d29_agg_histogram", "j99_importance_ess")
+    "d29_agg_histogram", "j99_importance_ess",
+    "c10e_join_asof_tolerance")
 
   private[graft] def coreKeys(all: Seq[String]): Seq[String] =
     all.filter { k =>

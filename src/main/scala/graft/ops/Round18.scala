@@ -783,7 +783,63 @@ object Round18 {
         SELECT source, n, sum_w,
           ROUND((sum_w * sum_w) / sum_w2, 6) AS ess,
           ROUND((sum_w * sum_w) / sum_w2 / n, 6) AS ess_ratio
-        FROM a ORDER BY source""")
+        FROM a ORDER BY source""")),
+
+    // c10e — AS-OF join with TOLERANCE (pandas merge_asof's `tolerance`
+    // parameter — the one c10/c10b-d leave ungraded): each error event
+    // attributes to the LATEST click by the same user no older than 12
+    // hours, and errors with no click inside the tolerance stay in the
+    // output with a NULL attribution (merge_asof keeps left rows). The
+    // tolerance predicate rides INSIDE the join condition, so at scale
+    // it bounds the candidate fan-out per error to the tolerance window
+    // (the unbounded backward join's k-candidate blowup is exactly what
+    // tolerance exists to cap); the winner is row_number()=1 over
+    // (cts DESC, click_id DESC) and unmatched errors return via one
+    // broadcast-sized left join back. On this corpus: 48 of 201 errors
+    // match at 12 h, 130 more WOULD match backward-unbounded — the
+    // tolerance is doing real work (sf0.001; non-degeneracy spans SFs).
+    Q("c10e_join_asof_tolerance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = graft.Tables.events(s, d)
+        val err = ev.where(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        val clk = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("cuid"), col("ts_ms").as("cts_ms"))
+        val tolMs = 12L * 3600 * 1000
+        val cand = err.join(clk,
+          col("user_id") === col("cuid") &&
+          col("cts_ms") <= col("ts_ms") &&
+          col("ts_ms") - col("cts_ms") <= tolMs)
+        val w = Window.partitionBy("event_id")
+          .orderBy(desc("cts_ms"), desc("click_id"))
+        val best = cand.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("event_id").as("m_id"), col("click_id"),
+            (col("ts_ms") - col("cts_ms")).as("gap_ms"))
+        err.join(best, err("event_id") === best("m_id"), "left")
+          .select(col("event_id"), col("user_id"), col("click_id"),
+            col("gap_ms"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+            CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+        err AS (SELECT event_id, user_id, ts_ms FROM ev
+          WHERE event_type = 'error'),
+        clk AS (SELECT event_id AS click_id, user_id AS cuid,
+            ts_ms AS cts_ms FROM ev WHERE event_type = 'click'),
+        cand AS (SELECT err.event_id, clk.click_id,
+            err.ts_ms - clk.cts_ms AS gap_ms,
+            row_number() OVER (PARTITION BY err.event_id
+              ORDER BY clk.cts_ms DESC, clk.click_id DESC) AS rn
+          FROM err JOIN clk ON err.user_id = clk.cuid
+            AND clk.cts_ms <= err.ts_ms
+            AND err.ts_ms - clk.cts_ms <= 43200000)
+        SELECT err.event_id, err.user_id, c.click_id, c.gap_ms
+        FROM err LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+          ON err.event_id = c.event_id
+        ORDER BY err.event_id""")
     )
   )
 }

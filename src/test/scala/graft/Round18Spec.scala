@@ -224,6 +224,20 @@ class Round18Spec extends AnyFunSuite {
     assert(math.abs(loss - (1.0 - within.toDouble / global)) < 1e-6)
   }
 
+  test("c10e tolerance: left-total, gaps bounded, tolerance actively cuts") {
+    val r = SparkEntry.queries("c10e_join_asof_tolerance")(spark, sf)
+      .collect()
+    val nErrors = graft.Tables.events(spark, sf)
+      .where(col("event_type") === "error").count()
+    assert(r.length == nErrors, "merge_asof keeps every left row")
+    val matched = r.filter(!_.isNullAt(2))
+    assert(matched.nonEmpty && matched.length < r.length,
+      s"tolerance degenerate: ${matched.length}/${r.length} matched")
+    matched.foreach(x => assert(
+      x.getLong(3) >= 0 && x.getLong(3) <= 12L * 3600 * 1000,
+      s"gap outside tolerance: $x"))
+  }
+
   test("d29 histogram: counts close the books, edges are contiguous") {
     val r = SparkEntry.queries("d29_agg_histogram")(spark, sf).collect()
     val total = r.map(_.getLong(4)).sum
