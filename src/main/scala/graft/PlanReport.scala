@@ -47,7 +47,11 @@ object PlanReport {
     "j55_maxsim_retrieval"   -> "MaxSim: 5-row query carrier broadcasts; corpus streams through max+sum aggregations",
     "d26_topk_time_rollup"   -> "frequent-items rollup: day combine aggregates hour SKETCH rows off one events scan",
     "d27_bitmap_exact_distinct" -> "exact bitmap uniques: OR/AND re-aggregate stored bitmap rows, one corpus pass",
-    "c16_join_nullsafe"      -> "null-safe equality still plans a broadcast HASH join, no NLJ")
+    "c16_join_nullsafe"      -> "null-safe equality still plans a broadcast HASH join, no NLJ",
+    "j90b_decontam_ivf"      -> "IVF decontam: candidates from the cell equi-join; 16-row centroid relation broadcasts",
+    "p23_cumulative_channels" -> "Q51 shape: both channels pre-aggregate to day grain BELOW the full outer",
+    "c10e_join_asof_tolerance" -> "as-of with tolerance: window predicate inside the join bounds candidate fan-out",
+    "j98_shard_dedup_loss"   -> "shard-loss audit: two bounded aggregations, 1-row totals join")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
