@@ -839,7 +839,97 @@ object Round18 {
         SELECT err.event_id, err.user_id, c.click_id, c.gap_ms
         FROM err LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
           ON err.event_id = c.event_id
-        ORDER BY err.event_id""")
+        ORDER BY err.event_id""")),
+
+    // j100 — BLOOM-FILTER sizing planner: the query an operator runs
+    // BEFORE building j52's decontamination bloom (j86's plan-before-
+    // you-run discipline applied to the filter itself). Per source, the
+    // standard optimal geometry for the measured insert count n at each
+    // target false-positive rate: m = ceil(-n·ln p / ln²2) bits,
+    // k = round((m/n)·ln 2) hashes — the two numbers that size executor
+    // memory and per-row hash cost at 100 TB. n = the source's token
+    // count (the grams j52 inserts). One aggregate + a 2-row fpp
+    // explode; output is |sources|×|fpp| rows. ln/ceil on identical
+    // doubles both engines; round-6 on the derived MB.
+    Q("j100_bloom_planner",
+      (s, d) => t(s, d, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
+        .select(col("source"), col("n"),
+          explode(array(lit(0.01), lit(0.001))).as("fpp"))
+        .withColumn("m_bits",
+          ceil(-col("n") * log(col("fpp")) / (log(lit(2.0)) * log(lit(2.0))))
+            .cast("long"))
+        .withColumn("k_hashes", greatest(lit(1L),
+          round((col("m_bits").cast("double") / col("n")) * log(lit(2.0)))
+            .cast("long")))
+        .withColumn("mb", round(col("m_bits").cast("double") /
+          lit(8.0 * 1024 * 1024), 6))
+        .orderBy("source", "fpp"),
+      Some("""WITH n AS (SELECT source,
+            CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n
+          FROM documents GROUP BY source),
+        f AS (SELECT source, n, CAST(unnest([0.01, 0.001]) AS DOUBLE) AS fpp FROM n),
+        g AS (SELECT source, n, fpp,
+            CAST(ceil(-n * ln(fpp) / (ln(2.0) * ln(2.0))) AS BIGINT)
+              AS m_bits
+          FROM f)
+        SELECT source, n, fpp, m_bits,
+          GREATEST(1, CAST(round((CAST(m_bits AS DOUBLE) / n) * ln(2.0))
+            AS BIGINT)) AS k_hashes,
+          ROUND(CAST(m_bits AS DOUBLE) / (8.0 * 1024 * 1024), 6) AS mb
+        FROM g ORDER BY source, fpp""")),
+
+    // j101 — MINHASH BANDING geometry planner: the S-curve table behind
+    // j2b's (bands, rows) knob (Knobs.minhashK/BandSize). For every
+    // divisor split of the K=32 signature, the standard LSH banding
+    // algebra: catch probability P(s) = 1-(1-s^r)^b at the operating
+    // similarities (0.5 background, 0.7 target, 0.8 confident-dup), and
+    // the half-catch threshold t½ = (1/b)^(1/r) — the rule of thumb an
+    // operator matches to the dedup threshold BEFORE paying for a
+    // corpus pass (j86 prices the pairs; this prices the geometry).
+    // The default r=4/b=8 lands t½ ≈ 0.594 with P(0.8)=0.986 —
+    // readable straight off the emitted table. Pure bounded arithmetic
+    // off a 6-row divisor relation; the corpus contributes only its
+    // document count (for the C(n,2) random-collision volume at the
+    // background similarity). pow on identical doubles both engines;
+    // round-6 everywhere.
+    Q("j101_lsh_geometry",
+      (s, d) => {
+        val n = t(s, d, "documents").count()
+        val geo = s.range(0, 6).toDF("i")
+          .select(expr("cast(shiftleft(1, cast(i AS INT)) AS BIGINT)")
+            .as("r"))
+          .withColumn("b", expr("32 div r").cast("long"))
+        def pcatch(sim: Double) = round(lit(1.0) -
+          pow(lit(1.0) - pow(lit(sim), col("r").cast("double")),
+            col("b").cast("double")), 6)
+        geo.select(col("r"), col("b"),
+            round(pow(lit(1.0) / col("b").cast("double"),
+              lit(1.0) / col("r").cast("double")), 6).as("t_half"),
+            pcatch(0.5).as("p_bg"), pcatch(0.7).as("p_target"),
+            pcatch(0.8).as("p_dup"))
+          .withColumn("exp_bg_pairs",
+            round(lit(n.toDouble * (n - 1) / 2) * col("p_bg"), 2))
+          .orderBy("r")
+      },
+      Some("""WITH geo AS (SELECT CAST(power(2, i.i) AS BIGINT) AS r,
+            CAST(32 / power(2, i.i) AS BIGINT) AS b
+          FROM unnest(range(0, 6)) i(i)),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        curve AS (SELECT r, b,
+            ROUND(power(1.0 / b, 1.0 / r), 6) AS t_half,
+            ROUND(1.0 - power(1.0 - power(0.5, CAST(r AS DOUBLE)),
+              CAST(b AS DOUBLE)), 6) AS p_bg,
+            ROUND(1.0 - power(1.0 - power(0.7, CAST(r AS DOUBLE)),
+              CAST(b AS DOUBLE)), 6) AS p_target,
+            ROUND(1.0 - power(1.0 - power(0.8, CAST(r AS DOUBLE)),
+              CAST(b AS DOUBLE)), 6) AS p_dup
+          FROM geo)
+        SELECT r, b, t_half, p_bg, p_target, p_dup,
+          ROUND((CAST(n AS DOUBLE) * (n - 1) / 2) * p_bg, 2)
+            AS exp_bg_pairs
+        FROM curve, n ORDER BY r""")
     )
   )
 }

@@ -238,6 +238,40 @@ class Round18Spec extends AnyFunSuite {
       s"gap outside tolerance: $x"))
   }
 
+  test("j100 bloom geometry: optimal-k identity holds, m scales with -ln p") {
+    val r = SparkEntry.queries("j100_bloom_planner")(spark, sf).collect()
+    r.foreach { x =>
+      val (n, m, k) = (x.getLong(1), x.getLong(3), x.getLong(4))
+      assert(m > n, s"bits must exceed inserts at fpp<=1%: $x")
+      assert(k >= 1 && k <= 20, s"hash count out of sane band: $x")
+      // k = round((m/n)·ln2) — re-derive and compare exactly
+      val kRef = math.max(1L, math.round((m.toDouble / n) * math.log(2.0)))
+      assert(k == kRef, s"k diverged from optimal-k identity: $x vs $kRef")
+    }
+    // tighter fpp must cost more bits for the same source
+    r.groupBy(_.getString(0)).values.foreach { g =>
+      val bySrc = g.sortBy(_.getDouble(2))
+      assert(bySrc.head.getLong(3) > bySrc.last.getLong(3),
+        "fpp=0.001 must need more bits than fpp=0.01")
+    }
+  }
+
+  test("j101 S-curve: t-half monotone in r, default geometry in the band") {
+    val r = SparkEntry.queries("j101_lsh_geometry")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    val tHalf = r.map(_.getDouble(2))
+    assert(tHalf.toSeq == tHalf.toSeq.sorted,
+      "t_half must rise with rows-per-band")
+    val pBg = r.map(_.getDouble(3))
+    assert(pBg.toSeq == pBg.toSeq.sorted.reverse,
+      "background catch rate must fall with rows-per-band")
+    val default = r.find(_.getLong(0) == 4).get
+    assert(default.getDouble(2) > 0.5 && default.getDouble(2) < 0.7,
+      s"the shipped r=4/b=8 geometry must sit in the operating band: $default")
+    assert(default.getDouble(5) > 0.95,
+      "confident dups (s=0.8) must be near-certain catches at the default")
+  }
+
   test("d29 histogram: counts close the books, edges are contiguous") {
     val r = SparkEntry.queries("d29_agg_histogram")(spark, sf).collect()
     val total = r.map(_.getLong(4)).sum
