@@ -374,6 +374,10 @@ object ScaleSoak {
       // novelty attribution is one more gram-exchange-shaped pass
       Seq("j86_dedup_cost_model", "j84_ngram_novelty")
         .foreach(k => runAt(k, dR, "skew10x"))
+      // r18: the Kneser-Ney table on the same skewed corpus — one gram
+      // exchange + two vocab-sized re-aggregations; boilerplate skew
+      // concentrates bigram mass exactly like production web text
+      runAt("j96_kneser_ney", dR, "skew10x")
     }
 
     section("ev") {
