@@ -185,11 +185,17 @@ object PlanContract {
       // executedPlan (PlanLint's surface), NOT sparkPlan: exchange
       // placement only exists after EnsureRequirements, and "no shuffle
       // here" is half the contract
-      val plan =
-        try SparkEntry.queries(key)(spark, sf)
-          .queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"PLAN-ERROR ${e.getMessage}" }
-      val failed = checks(key).collect { case c if !c.ok(plan) => c.name }
+      val planOrErr =
+        try Right(SparkEntry.queries(key)(spark, sf)
+          .queryExecution.executedPlan.toString)
+        catch { case e: Throwable => Left(s"plan-error: ${e.getMessage}") }
+      // a key that cannot even plan must FAIL the sweep — an error
+      // string would vacuously satisfy every negative-only check set
+      val failed = planOrErr match {
+        case Left(err)   => Seq(err.take(120))
+        case Right(plan) =>
+          checks(key).collect { case c if !c.ok(plan) => c.name }
+      }
       if (failed.isEmpty) None else Some(key -> failed)
     }
 }

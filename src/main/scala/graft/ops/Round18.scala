@@ -363,7 +363,7 @@ object Round18 {
         y AS (SELECT doc_id, n, n_corrupt,
             GREATEST(1, n_corrupt // 3) AS n_spans FROM x),
         sp AS (SELECT doc_id, n, n_corrupt, n_spans, i.i AS i
-          FROM y, unnest(range(0, 100)) i(i) WHERE i.i < n_spans),
+          FROM y, unnest(range(0, n_spans)) i(i)),
         z AS (SELECT doc_id, i,
             n_corrupt // n_spans
               + CASE WHEN i < n_corrupt % n_spans THEN 1 ELSE 0 END AS len,
@@ -602,8 +602,7 @@ object Round18 {
       Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk
             FROM documents),
         bg AS (SELECT tk[i.i] AS v, tk[i.i + 1] AS w, COUNT(*) AS c_vw
-          FROM toks, unnest(range(1, 1000)) i(i)
-          WHERE i.i <= len(tk) - 1 GROUP BY 1, 2),
+          FROM toks, unnest(range(1, len(tk))) i(i) GROUP BY 1, 2),
         cv AS (SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1f
           FROM bg GROUP BY v),
         pc AS (SELECT w, COUNT(*) AS n1b,
@@ -724,20 +723,33 @@ object Round18 {
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"))
         .select(col("event_type"), col("bucket"),
-          round((col("bucket") - 1).cast("double") * 50.0, 1).as("lo"),
-          round(col("bucket").cast("double") * 50.0, 1).as("hi"),
+          // width_bucket's clamp buckets (0 = below lo, 11 = at/above
+          // hi) have open edges — label them NULL, not a fabricated
+          // 50-wide bin (sf0.1's value tail reaches 560: the overflow
+          // bucket is real data, not a theoretical case)
+          when(col("bucket") === 0, lit(null).cast("double"))
+            .otherwise(round((col("bucket") - 1).cast("double") * 50.0, 1))
+            .as("lo"),
+          when(col("bucket") === 11, lit(null).cast("double"))
+            .otherwise(round(col("bucket").cast("double") * 50.0, 1))
+            .as("hi"),
           col("n"))
         .orderBy("event_type", "bucket"),
       // DuckDB 1.0 has no width_bucket — the oracle spells out the
-      // equivalent fixed-bound arithmetic (bin width (500-0)/10 = 50 is
-      // exact in double, so floor(v/50)+1 is bit-identical to Spark's
-      // WidthBucket on the in-range data)
+      // equivalent fixed-bound arithmetic INCLUDING the clamp semantics
+      // (v < lo → 0, v >= hi → n+1): bin width (500-0)/10 = 50 is exact
+      // in double, so floor(v/50)+1 is bit-identical to Spark's
+      // WidthBucket in range, and the LEAST/GREATEST clamp reproduces
+      // the two overflow buckets exactly
       Some("""WITH b AS (SELECT event_type,
-            CAST(floor(value / 50.0) AS BIGINT) + 1 AS bucket
+            LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT) + 1, 0), 11)
+              AS bucket
           FROM events)
         SELECT event_type, bucket,
-          CAST(ROUND((bucket - 1) * 50.0, 1) AS DOUBLE) AS lo,
-          CAST(ROUND(bucket * 50.0, 1) AS DOUBLE) AS hi,
+          CASE WHEN bucket = 0 THEN NULL
+            ELSE CAST(ROUND((bucket - 1) * 50.0, 1) AS DOUBLE) END AS lo,
+          CASE WHEN bucket = 11 THEN NULL
+            ELSE CAST(ROUND(bucket * 50.0, 1) AS DOUBLE) END AS hi,
           COUNT(*) AS n
         FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""")),
 

@@ -277,8 +277,15 @@ class Round18Spec extends AnyFunSuite {
     val total = r.map(_.getLong(4)).sum
     val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
     assert(total == nEvents, "every event lands in exactly one bucket")
-    r.foreach(x => assert(x.getDouble(3) - x.getDouble(2) == 50.0,
-      s"bucket width must be (500-0)/10: $x"))
+    r.foreach { x =>
+      val b = x.getLong(1)
+      if (b >= 1 && b <= 10)
+        assert(x.getDouble(3) - x.getDouble(2) == 50.0,
+          s"bucket width must be (500-0)/10: $x")
+      else // width_bucket clamp buckets: the open edge is NULL
+        assert((b == 0 && x.isNullAt(2)) || (b == 11 && x.isNullAt(3)),
+          s"clamp bucket must carry a NULL open edge: $x")
+    }
   }
 
   test("j99 ESS: 1 <= ess <= n per source (Kish bounds)") {

@@ -66,6 +66,12 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # r18: a typo'd key arg must not print "0 ok, 0 failed" and exit 0
+    # with nothing checked (the oracle_lint r17 fix, mirrored here)
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: unknown key(s) not in oracle_sql.json: {sorted(unknown)}")
+        sys.exit(2)
     n_ok = n_bad = 0
     for key in sorted(oracle):
         if only and key not in only:
