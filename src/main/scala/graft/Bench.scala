@@ -46,7 +46,8 @@ object Bench {
     "e20_win_distribution", "j96_kneser_ney", "j97_char_entropy",
     "j98_shard_dedup_loss",
     "d29_agg_histogram", "j99_importance_ess",
-    "c10e_join_asof_tolerance", "j100_bloom_planner", "j101_lsh_geometry")
+    "c10e_join_asof_tolerance", "j100_bloom_planner", "j101_lsh_geometry",
+    "k28_pipe_syntax")
 
   private[graft] def coreKeys(all: Seq[String]): Seq[String] =
     all.filter { k =>

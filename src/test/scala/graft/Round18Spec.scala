@@ -299,6 +299,16 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  test("k28 pipe syntax plans the standard class: 2-phase agg, pushed filter") {
+    val df = SparkEntry.queries("k28_pipe_syntax")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "pipe AGGREGATE must still be partial+final hash aggregation")
+    assert(plan.linesIterator.exists(l => l.contains("PushedFilters: [")
+      && !l.contains("PushedFilters: []")),
+      "pipe WHERE must still push to the parquet scan")
+  }
+
   test("p23 joins pre-aggregated day relations; cumulatives are monotone") {
     val df = SparkEntry.queries("p23_cumulative_channels")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
