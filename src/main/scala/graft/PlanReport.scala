@@ -51,7 +51,8 @@ object PlanReport {
     "j90b_decontam_ivf"      -> "IVF decontam: candidates from the cell equi-join; 16-row centroid relation broadcasts",
     "p23_cumulative_channels" -> "Q51 shape: both channels pre-aggregate to day grain BELOW the full outer",
     "c10e_join_asof_tolerance" -> "as-of with tolerance: window predicate inside the join bounds candidate fan-out",
-    "j98_shard_dedup_loss"   -> "shard-loss audit: two bounded aggregations, 1-row totals join")
+    "j98_shard_dedup_loss"   -> "shard-loss audit: two bounded aggregations, 1-row totals join",
+    "k28_pipe_syntax"        -> "SQL pipe chain resolves to the standard two-phase agg + pushed filter")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
