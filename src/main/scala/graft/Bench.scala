@@ -47,7 +47,9 @@ object Bench {
     "j98_shard_dedup_loss",
     "d29_agg_histogram", "j99_importance_ess",
     "c10e_join_asof_tolerance", "j100_bloom_planner", "j101_lsh_geometry",
-    "k28_pipe_syntax")
+    "k28_pipe_syntax",
+    "p24_tpch_q1", "p25_tpch_q3", "j102_judge_agreement",
+    "j103_calibration_bins")
 
   private[graft] def coreKeys(all: Seq[String]): Seq[String] =
     all.filter { k =>

@@ -179,6 +179,31 @@ object Round9 {
     sb.toString
   }
 
+  /** j49's feature/score pipeline, factored so j103 (Round18b) audits the
+    * SAME classifier it grades — one definition, no formula drift. Emits
+    * `doc_id`, `swf` (stopword fraction, unrounded IEEE double of two
+    * exact integer counts — deterministic cross-engine), and `score` (the
+    * logistic output at the 6-decimal rounding that makes ln/exp
+    * cross-engine-stable, h4's device). Map-only: scores at scan speed. */
+  private[graft] def j49Scored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("double").as("n"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+          .cast("double").as("chars"),
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))")
+          .cast("double").as("sw"),
+        size(array_distinct(col("toks"))).cast("double").as("types"))
+      .select(col("doc_id"), (col("sw") / col("n")).as("swf"),
+        (lit(-5.0) + lit(0.9) * log(lit(1.0) + col("n"))
+          + lit(0.35) * (col("chars") / col("n"))
+          - lit(2.2) * (col("sw") / col("n"))
+          + lit(1.1) * (col("types") / col("n"))).as("z"))
+      .select(col("doc_id"), col("swf"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
+
   val all: Seq[Q] = Seq(
 
     // j46 — graph centrality over the j39 kNN graph: 3 fixed iterations
@@ -282,22 +307,8 @@ object Round9 {
     // production default for corpus-wide passes. ln/exp at 6-decimal
     // rounding is cross-engine-stable (h4's device).
     Q("j49_quality_logistic",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("double").as("n"),
-          expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
-            .cast("double").as("chars"),
-          expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in')))")
-            .cast("double").as("sw"),
-          size(array_distinct(col("toks"))).cast("double").as("types"))
-        .select(col("doc_id"),
-          (lit(-5.0) + lit(0.9) * log(lit(1.0) + col("n"))
-            + lit(0.35) * (col("chars") / col("n"))
-            - lit(2.2) * (col("sw") / col("n"))
-            + lit(1.1) * (col("types") / col("n"))).as("z"))
-        .select(col("doc_id"),
-          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
+      (s, d) => j49Scored(s, d)
+        .select(col("doc_id"), col("score"))
         .withColumn("kept", col("score") >= 0.5)
         .orderBy("doc_id"),
       Some("""WITH f AS (SELECT doc_id, string_split(text, ' ') AS toks
