@@ -253,6 +253,53 @@ object Round18b {
           ROUND(acc_u, 6) AS accuracy,
           ROUND(SUM(CAST(n_b AS DOUBLE) * abs(acc_u - conf_u)) OVER ()
             / SUM(CAST(n_b AS DOUBLE)) OVER (), 6) AS ece
-        FROM b2 ORDER BY bin"""))
+        FROM b2 ORDER BY bin""")),
+
+    // h49 — the TIME data type (Spark 4.1's new type, feature-flagged
+    // behind spark.sql.timeType.enabled — set per-invocation, idempotent
+    // under Verify's concurrent dual-SF regime since both writers set the
+    // same value). Time-of-day analytics (peak-hour profiles, AM/PM
+    // splits) otherwise ride error-prone epoch-mod arithmetic; here the
+    // whole leg is typed: construct (make_time from the event timestamp's
+    // wall-clock fields, whole seconds — TIME(6) string forms differ
+    // cross-engine on fractions, so fractions never cross the boundary),
+    // compare (< TIME '12:00:00'), order (min/max over TIME), extract
+    // (hour/minute/second back out as ints). All codegen scalar ops +
+    // one 2-phase agg over |event_type| groups — scan-speed at 100 TB.
+    Q("h49_time_type",
+      (s, d) => {
+        s.conf.set("spark.sql.timeType.enabled", "true")
+        events(s, d)
+          .select(col("event_type"),
+            expr("make_time(hour(ts_t), minute(ts_t), second(ts_t))")
+              .as("tod"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("tod") < expr("TIME '12:00:00'"), 1L)
+              .otherwise(0L)).as("n_am"),
+            min(col("tod")).as("mn"), max(col("tod")).as("mx"))
+          .select(col("event_type"), col("n_events"), col("n_am"),
+            expr("hour(mn)").as("eh"), expr("minute(mn)").as("em"),
+            expr("second(mn)").as("es"),
+            expr("hour(mx)").as("lh"), expr("minute(mx)").as("lm"),
+            expr("second(mx)").as("ls"))
+          .orderBy("event_type")
+      },
+      Some("""WITH tod AS (SELECT event_type,
+            make_time(CAST(extract(hour FROM ts) AS BIGINT),
+              CAST(extract(minute FROM ts) AS BIGINT),
+              CAST(extract(second FROM ts) AS DOUBLE)) AS t
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(COUNT(*) FILTER (WHERE t < TIME '12:00:00') AS BIGINT)
+            AS n_am,
+          CAST(extract(hour FROM min(t)) AS INTEGER) AS eh,
+          CAST(extract(minute FROM min(t)) AS INTEGER) AS em,
+          CAST(extract(second FROM min(t)) AS INTEGER) AS es,
+          CAST(extract(hour FROM max(t)) AS INTEGER) AS lh,
+          CAST(extract(minute FROM max(t)) AS INTEGER) AS lm,
+          CAST(extract(second FROM max(t)) AS INTEGER) AS ls
+        FROM tod GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -53,6 +53,30 @@ class Round18bSpec extends AnyFunSuite {
       "grouped by orderkey — no duplicate keys in the top list")
   }
 
+  test("h49: TIME leg agrees with the epoch-arithmetic reference") {
+    val rows = SparkEntry.queries("h49_time_type")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_am"),
+          r.getAs[Int]("eh") * 3600 + r.getAs[Int]("em") * 60 +
+            r.getAs[Int]("es"),
+          r.getAs[Int]("lh") * 3600 + r.getAs[Int]("lm") * 60 +
+            r.getAs[Int]("ls"))).toMap
+    // independent reference: the same stats from ts_ms modular
+    // arithmetic, no TIME type involved — the typed leg must agree
+    val ref = Tables.events(spark, sf)
+      .select(col("event_type"),
+        ((col("ts_ms") / 1000).cast("long") % 86400L).as("sod"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sod") < 43200L, 1L).otherwise(0L)).as("am"),
+        min("sod").as("mn"), max("sod").as("mx"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("am"),
+          r.getAs[Long]("mn").toInt, r.getAs[Long]("mx").toInt)).toMap
+    assert(rows == ref, s"TIME leg $rows vs epoch reference $ref")
+    assert(rows.nonEmpty)
+  }
+
   test("j102: confusion cells partition n; kappa matches its definition") {
     val r = SparkEntry.queries("j102_judge_agreement")(spark, sf).collect()
     assert(r.length == 1)
