@@ -63,6 +63,19 @@ object Tables {
   /** ISO date string — timestamps are never emitted raw (SURVEY.md §8.4.3). */
   def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** TPC-H revenue aggregate, Σ extendedprice·(1−discount), under the
+    * §8.4.2 exact-decimal recipe — ONE definition for every p-tier key
+    * (was duplicated per round-file; a width change must hit all TPC-H
+    * keys at once or they drift apart). */
+  def revenueAgg(alias: String = "revenue"): Column =
+    round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 4)
+      .cast(DoubleType).as(alias)
+
+  /** The DuckDB mirror of [[revenueAgg]] (append `AS <alias>` at use). */
+  val revenueAggSql: String =
+    """CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+         (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)"""
+
   /** Session-timezone-parsed timestamp literal (harness pins UTC); avoids
     * JVM-default-TZ-dependent java.sql.Timestamp.valueOf. */
   def tsLit(isoDate: String): Column = to_timestamp(lit(isoDate))

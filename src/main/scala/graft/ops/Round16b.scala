@@ -27,8 +27,7 @@ import graft.Tables._
   */
 object Round16b {
 
-  private def revenue = round(sum(dec(col("l_extendedprice")) *
-    (lit(1) - dec(col("l_discount")))), 4).cast("double").as("revenue")
+  private def revenue = revenueAgg()
 
   /** j62's canonicalization as a reusable column pipeline (PropertySpec
     * fuzzes it against a driver-side reference): lowercase scheme+host,
@@ -61,9 +60,7 @@ object Round16b {
         concat(col("scheme"), lit("://"), col("host"), col("path"),
           col("qsort")))
 
-  private val revenueSql =
-    """CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-         (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)"""
+  private val revenueSql = revenueAggSql
 
   def all: Seq[Q] = Seq(
 

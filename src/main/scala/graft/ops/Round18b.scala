@@ -27,13 +27,6 @@ import graft.Tables._
   */
 object Round18b {
 
-  private def revenue = round(sum(dec(col("l_extendedprice")) *
-    (lit(1) - dec(col("l_discount")))), 4).cast("double").as("revenue")
-
-  private val revenueSql =
-    """CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-         (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)"""
-
   /** Rate columns (discount, tax ∈ [0,1), 2 decimal digits in TPC-H) cast
     * narrow — DECIMAL(6,4) — so the THREE-factor charge product stays
     * exact: (1±rate) is (7,4), their product (15,8), × price (18,4) needs
@@ -58,9 +51,7 @@ object Round18b {
         .agg(
           mSum(col("l_quantity")).as("sum_qty"),
           mSum(col("l_extendedprice")).as("sum_base_price"),
-          round(sum(dec(col("l_extendedprice")) *
-            (lit(1) - dec(col("l_discount")))), 4)
-            .cast("double").as("sum_disc_price"),
+          revenueAgg("sum_disc_price"),
           round(sum(dec(col("l_extendedprice")) *
             ((lit(1) - rate(col("l_discount"))) *
               (lit(1) + rate(col("l_tax"))))), 4)
@@ -116,14 +107,14 @@ object Round18b {
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-          .agg(revenue)
+          .agg(revenueAgg())
           .select(col("l_orderkey"), col("revenue"),
             dateStr(col("o_orderdate")).as("o_orderdate"),
             col("o_orderpriority"))
           .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
           .limit(10)
       },
-      Some(s"""SELECT l_orderkey, $revenueSql AS revenue,
+      Some(s"""SELECT l_orderkey, $revenueAggSql AS revenue,
           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -137,8 +128,10 @@ object Round18b {
     // training data is only as good as its labels, and the standard
     // audit is chance-corrected agreement between two raters. Raters
     // here are two deterministic heuristics over the same doc (a length
-    // judge and a type-token-ratio judge; thresholds chosen so all four
-    // confusion cells are populated at every fixture SF). ONE map-only
+    // judge and a type-token-ratio judge; thresholds populate all four
+    // confusion cells at the current fixtures, though the (0,0) cell
+    // holds only 1-2 docs — a fixture regen may empty it, which changes
+    // the statistic but breaks nothing: see the nullif guard). ONE map-only
     // scan → global 2×2 confusion counts via partial aggregation → kappa
     // arithmetic on a single row. po/pe/kappa are IEEE ops on exact
     // integer-derived doubles — cross-engine-deterministic, rounded 6 at
@@ -166,8 +159,12 @@ object Round18b {
             .as("pe_u"))
         .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
           round(col("po_u"), 6).as("po"), round(col("pe_u"), 6).as("pe"),
-          round((col("po_u") - col("pe_u")) / (lit(1.0) - col("pe_u")), 6)
-            .as("kappa")),
+          // nullif guards the degenerate corpus (both judges constant →
+          // pe_u = 1): Spark's 0/0 is NaN but DuckDB's is NULL — without
+          // the guard the two engines disagree exactly when the statistic
+          // is undefined. NULL on both sides is the honest answer.
+          round((col("po_u") - col("pe_u")) /
+            nullif(lit(1.0) - col("pe_u"), lit(0.0)), 6).as("kappa")),
       Some("""WITH j AS (
           SELECT CASE WHEN len(toks) >= 60 THEN 1 ELSE 0 END AS a,
             CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
@@ -187,7 +184,7 @@ object Round18b {
           FROM c)
         SELECT n, n11, n10, n01, n00, ROUND(po_u, 6) AS po,
           ROUND(pe_u, 6) AS pe,
-          ROUND((po_u - pe_u) / (1.0 - pe_u), 6) AS kappa
+          ROUND((po_u - pe_u) / nullif(1.0 - pe_u, 0.0), 6) AS kappa
         FROM u""")),
 
     // j103 — classifier calibration audit (reliability bins + ECE) of

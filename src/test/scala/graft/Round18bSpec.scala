@@ -85,15 +85,21 @@ class Round18bSpec extends AnyFunSuite {
     val (n11, n10, n01, n00) = (row.getAs[Long]("n11"),
       row.getAs[Long]("n10"), row.getAs[Long]("n01"), row.getAs[Long]("n00"))
     assert(n11 + n10 + n01 + n00 == n)
-    assert(Seq(n11, n10, n01, n00).forall(_ > 0),
-      "thresholds are tuned so every confusion cell is populated")
+    // non-degeneracy, not full population: the (0,0) cell holds only
+    // 1-2 fixture docs, so a regen may legitimately empty a cell — what
+    // must hold is that kappa is defined (both judges non-constant)
+    assert(Seq(n11, n10, n01, n00).count(_ > 0) >= 2,
+      "both judges collapsed to a constant — kappa undefined")
     val po = (n11 + n00).toDouble / n
     val pe = ((n11 + n10).toDouble / n) * ((n11 + n01).toDouble / n) +
       ((n01 + n00).toDouble / n) * ((n10 + n00).toDouble / n)
-    val kappa = (po - pe) / (1.0 - pe)
-    assert(math.abs(row.getAs[Double]("kappa") - kappa) < 1e-6,
-      s"emitted kappa ${row.getAs[Double]("kappa")} vs recomputed $kappa")
-    assert(kappa >= -1.0 && kappa <= 1.0)
+    if (pe < 1.0) {
+      val kappa = (po - pe) / (1.0 - pe)
+      assert(math.abs(row.getAs[Double]("kappa") - kappa) < 1e-6,
+        s"emitted kappa ${row.getAs[Double]("kappa")} vs recomputed $kappa")
+      assert(kappa >= -1.0 && kappa <= 1.0)
+    } else assert(row.isNullAt(row.fieldIndex("kappa")),
+      "pe == 1 must emit NULL kappa on both engines")
   }
 
   test("j103: bins partition the corpus; ECE matches a recompute from bins") {
