@@ -49,7 +49,7 @@ object Bench {
     "c10e_join_asof_tolerance", "j100_bloom_planner", "j101_lsh_geometry",
     "k28_pipe_syntax",
     "p24_tpch_q1", "p25_tpch_q3", "j102_judge_agreement",
-    "j103_calibration_bins", "h49_time_type")
+    "j103_calibration_bins", "h49_time_type", "j104_roc_auc")
 
   private[graft] def coreKeys(all: Seq[String]): Seq[String] =
     all.filter { k =>

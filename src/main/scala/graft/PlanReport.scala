@@ -52,7 +52,9 @@ object PlanReport {
     "p23_cumulative_channels" -> "Q51 shape: both channels pre-aggregate to day grain BELOW the full outer",
     "c10e_join_asof_tolerance" -> "as-of with tolerance: window predicate inside the join bounds candidate fan-out",
     "j98_shard_dedup_loss"   -> "shard-loss audit: two bounded aggregations, 1-row totals join",
-    "k28_pipe_syntax"        -> "SQL pipe chain resolves to the standard two-phase agg + pushed filter")
+    "k28_pipe_syntax"        -> "SQL pipe chain resolves to the standard two-phase agg + pushed filter",
+    "p25_tpch_q3"            -> "Q3 verbatim: all three predicates pushed, top-10 as TakeOrderedAndProject",
+    "j103_calibration_bins"  -> "calibration audit: one corpus scan collapses to <=10 bins before the ECE window")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -252,6 +252,79 @@ object Round18b {
             / SUM(CAST(n_b AS DOUBLE)) OVER (), 6) AS ece
         FROM b2 ORDER BY bin""")),
 
+    // j104 — exact ROC-AUC of the j49 quality classifier against the
+    // same reference gate j103 calibrates on: j103 answers "is the
+    // confidence honest", this answers "does the score RANK keepers
+    // above rejects" (the Mann-Whitney/rank form, ties at average rank
+    // — the standard threshold-free selection metric for gating
+    // filters). Scale shape: the corpus collapses in ONE scan to the
+    // per-score histogram (pos/neg counts per distinct 6-dp score —
+    // ≤ 10^6 rows BY CONSTRUCTION, regardless of corpus size), and the
+    // rank arithmetic runs as a cumulative window over that bounded
+    // relation; the corpus itself is never sorted or ranked. Integer
+    // core: Σ pos_s·(2·cumneg_<s + neg_s) / (2·P·N) — the /2 of
+    // average-rank ties is cleared by doubling, so everything before
+    // the final division is exact integer arithmetic (DECIMAL(38,0)
+    // sums: past-2^63-safe where long would wrap at ~10^12-doc pair
+    // counts).
+    Q("j104_roc_auc",
+      (s, d) => {
+        val hist = Round9.j49Scored(s, d)
+          .select(col("score"), (col("swf") >= 0.03).cast("int").as("l"))
+          .groupBy("score")
+          .agg(sum(col("l")).cast("long").as("pos"),
+            sum(lit(1) - col("l")).cast("long").as("neg"))
+        val below = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .select(col("pos"), col("neg"),
+            coalesce(sum(col("neg")).over(below), lit(0L)).as("cumneg"))
+          .agg(
+            sum(col("pos")).cast("long").as("n_pos"),
+            sum(col("neg")).cast("long").as("n_neg"),
+            sum((col("pos") * (lit(2) * col("cumneg") + col("neg")))
+              .cast(DecimalType(38, 0))).as("num"))
+          .select(col("n_pos"), col("n_neg"),
+            round(col("num").cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+            round(col("num").cast("double") /
+              (col("n_pos").cast("double") * col("n_neg")) - 1.0, 6)
+              .as("gini"))
+      },
+      Some("""WITH f AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+        ft AS (SELECT doc_id,
+            CAST(len(toks) AS DOUBLE) AS n,
+            CAST(list_aggregate(list_transform(toks, t -> strlen(t)), 'sum')
+              AS DOUBLE) AS chars,
+            CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'
+              OR t = 'and' OR t = 'in')) AS DOUBLE) AS sw,
+            CAST(len(list_distinct(toks)) AS DOUBLE) AS types
+          FROM f),
+        z AS (SELECT doc_id, sw / n AS swf,
+            -5.0 + 0.9 * ln(1.0 + n) + 0.35 * (chars / n)
+              - 2.2 * (sw / n) + 1.1 * (types / n) AS z
+          FROM ft),
+        scored AS (SELECT ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+            CASE WHEN swf >= 0.03 THEN 1 ELSE 0 END AS l FROM z),
+        hist AS (SELECT score, CAST(SUM(l) AS BIGINT) AS pos,
+            CAST(SUM(1 - l) AS BIGINT) AS neg
+          FROM scored GROUP BY score),
+        cum AS (SELECT pos, neg,
+            COALESCE(SUM(neg) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cumneg
+          FROM hist),
+        tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+            CAST(SUM(neg) AS BIGINT) AS n_neg,
+            SUM(pos * (2 * cumneg + neg)) AS num
+          FROM cum)
+        SELECT n_pos, n_neg,
+          ROUND(CAST(num AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc,
+          ROUND(CAST(num AS DOUBLE)
+            / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini
+        FROM tot""")),
+
     // h49 — the TIME data type (Spark 4.1's new type, feature-flagged
     // behind spark.sql.timeType.enabled — set per-invocation, idempotent
     // under Verify's concurrent dual-SF regime since both writers set the

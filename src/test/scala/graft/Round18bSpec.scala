@@ -77,6 +77,35 @@ class Round18bSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("j104: AUC matches a driver-side average-rank recompute; gini = 2·auc−1") {
+    val row = SparkEntry.queries("j104_roc_auc")(spark, sf).collect().head
+    val auc = row.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(row.getAs[Double]("gini") - (2 * auc - 1)) < 2e-6)
+    // independent reference: per-doc (score, label) pairs, classic
+    // average-rank Mann-Whitney — no histogram, no window
+    val pairs = ops.Round9.j49Scored(spark, sf)
+      .select(col("score"), (col("swf") >= 0.03).cast("int").as("l"))
+      .collect().map(r => (r.getAs[Double]("score"), r.getAs[Int]("l")))
+    val sorted = pairs.sortBy(_._1)
+    val ranks = new Array[Double](sorted.length)
+    var i = 0
+    while (i < sorted.length) { // average ranks over tie runs
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val avg = (i + 1 + j).toDouble / 2 // mean of ranks i+1..j
+      for (k <- i until j) ranks(k) = avg
+      i = j
+    }
+    val nPos = sorted.count(_._2 == 1).toDouble
+    val nNeg = sorted.length - nPos
+    val rPos = sorted.indices.filter(sorted(_)._2 == 1).map(ranks).sum
+    val ref = (rPos - nPos * (nPos + 1) / 2) / (nPos * nNeg)
+    assert(math.abs(auc - ref) < 1e-6, s"emitted $auc vs rank-form $ref")
+    assert(row.getAs[Long]("n_pos") == nPos.toLong &&
+      row.getAs[Long]("n_neg") == nNeg.toLong)
+  }
+
   test("j102: confusion cells partition n; kappa matches its definition") {
     val r = SparkEntry.queries("j102_judge_agreement")(spark, sf).collect()
     assert(r.length == 1)
