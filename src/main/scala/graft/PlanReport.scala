@@ -54,7 +54,8 @@ object PlanReport {
     "j98_shard_dedup_loss"   -> "shard-loss audit: two bounded aggregations, 1-row totals join",
     "k28_pipe_syntax"        -> "SQL pipe chain resolves to the standard two-phase agg + pushed filter",
     "p25_tpch_q3"            -> "Q3 verbatim: all three predicates pushed, top-10 as TakeOrderedAndProject",
-    "j103_calibration_bins"  -> "calibration audit: one corpus scan collapses to <=10 bins before the ECE window")
+    "j103_calibration_bins"  -> "calibration audit: one corpus scan collapses to <=10 bins before the ECE window",
+    "j104_roc_auc"           -> "exact AUC: rank window runs over the bounded per-score histogram, never the corpus")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

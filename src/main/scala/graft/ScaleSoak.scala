@@ -32,7 +32,7 @@ object ScaleSoak {
     val sections: Set[String] =
       if (args.isEmpty)
         Set("neardup", "ann", "j60", "sub", "ev", "decontam", "page",
-          "recipe")
+          "recipe", "auc")
       else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
@@ -378,6 +378,84 @@ object ScaleSoak {
       // exchange + two vocab-sized re-aggregations; boilerplate skew
       // concentrates bigram mass exactly like production web text
       runAt("j96_kneser_ney", dR, "skew10x")
+    }
+
+    // j104's scale claim head-to-head (r18 s2): exact AUC via the
+    // per-score histogram (the key) vs the textbook per-doc rank window
+    // (the naive shape). At 400k docs the histogram collapses to the
+    // distinct-score relation BEFORE the single-partition rank window,
+    // so the window input is what extrapolates: bounded at 10^6 rows by
+    // 6-dp rounding for the key, = corpus size for the naive. Work
+    // metrics (listener records/shuffle/cpu) land beside wall because
+    // 32 idle local threads hide single-reducer stalls at this SF.
+    section("auc") {
+      val dAuc = graft.ops.Scratch.dir("scalesoak_auc")
+      val NA = sys.env.getOrElse("SOAK_AUC_DOCS", "4000000").toLong
+      spark.range(NA).toDF("doc_id")
+        .withColumn("src", col("doc_id"))
+        .withColumn("body", concat_ws(" ", (0 until 6).map(phraseCol): _*))
+        .withColumn("text", when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("the a of and in the "), col("body")))
+          .otherwise(col("body")))
+        .select(col("doc_id"), col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0, "en").otherwise("fr")
+            .as("lang"),
+          lit("web").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(8)
+        .write.mode("overwrite").parquet(s"$dAuc/documents.parquet")
+      def workDf(tag: String)(body: => Long): Unit = {
+        val inRec = new java.util.concurrent.atomic.AtomicLong
+        val shuf = new java.util.concurrent.atomic.AtomicLong
+        val cpuNs = new java.util.concurrent.atomic.AtomicLong
+        val lis = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val m = e.stageInfo.taskMetrics
+            if (m != null) {
+              inRec.addAndGet(m.inputMetrics.recordsRead)
+              shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+              cpuNs.addAndGet(m.executorCpuTime)
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(lis)
+        try {
+          val (sec, rows) = time(body)
+          Thread.sleep(2000) // listener bus drain
+          println(f"""SOAK {"key":"auc","conf":"$tag","sec":$sec%.2f,"rows":$rows,"scan_rows":${inRec.get},"shuffle_mb":${shuf.get / 1048576},"cpu_sec":${cpuNs.get / 1e9}%.1f}""")
+        } finally {
+          spark.sparkContext.removeSparkListener(lis)
+          release()
+        }
+      }
+      workDf("histogram_window(j104)") {
+        SparkEntry.queries("j104_roc_auc")(spark, dAuc).count()
+      }
+      // the naive shape, implemented FAIRLY (one aggregation pass after
+      // the ranking, no recompute): every corpus row flows through the
+      // global ORDER BY score window
+      workDf("naive_corpus_rank") {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = graft.ops.Round9.j49Scored(spark, dAuc)
+          .select(col("score"), (col("swf") >= 0.03).cast("int").as("l"))
+          .withColumn("rk", rank().over(Window.orderBy("score")))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("score")))
+          .withColumn("avgrk", col("rk") + (col("cnt") - 1) / 2.0)
+        ranked.agg(
+            sum(when(col("l") === 1, col("avgrk"))).as("rp"),
+            sum(col("l")).cast("long").as("p"),
+            count(lit(1)).as("n"))
+          .select(round((col("rp") - col("p") * (col("p") + 1) / 2.0) /
+            (col("p") * (col("n") - col("p"))), 6).as("auc"))
+          .count()
+      }
+      val distinctScores = graft.ops.Round9.j49Scored(spark, dAuc)
+        .select("score").distinct().count()
+      release()
+      println(s"""SOAK {"diag":"auc_hist_rows","corpus":$NA,"distinct_scores":$distinctScores}""")
     }
 
     section("ev") {
