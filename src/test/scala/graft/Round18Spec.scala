@@ -12,7 +12,7 @@ class Round18Spec extends AnyFunSuite {
   lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("j90b recall@5 vs exact j90 ≥ 0.7, on ≤ 6/16 of the pair mass") {
+  test("j90b recall@5 vs exact j90 ≥ 0.7, on ≤ 0.7 of the pair mass") {
     val exact = SparkEntry.queries("j90_semantic_decontam")(spark, sf)
       .select("b_id", "t_id")
     val ivf = SparkEntry.queries("j90b_decontam_ivf")(spark, sf)
@@ -27,11 +27,11 @@ class Round18Spec extends AnyFunSuite {
     assert(recall >= 0.7, f"IVF recall@5 degraded: $recall%.3f")
 
     // the point of the key: candidate mass must be the PRUNED mass.
-    // nprobe=6 of 16 cells would cap scored pairs at 6/16 of brute
-    // force if cells were even; they are not (bench probes concentrate
-    // on the heavy cells), and the measured fraction at sf0.001 is
-    // 0.597. Pin ≤ 0.7: proves the prune is real (brute force is 1.0)
-    // and still fails if the quantizer collapses toward one cell.
+    // nprobe=6 of the fixture's 10 cells (labels verified [0,9]) puts
+    // the even-cell expectation at 6/10 = 0.60; measured 0.597 at
+    // sf0.001 — the cells are near-even. Pin ≤ 0.7: proves the prune
+    // is real (brute force is 1.0) and still fails if the quantizer
+    // collapses toward one cell.
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("source"))
