@@ -194,7 +194,13 @@ object Round17 {
         val tot = st.agg(sum("n_tokens").cast("double").as("n_total"))
         val sq = st.crossJoin(broadcast(tot))
           .withColumn("sq", sqrt(col("n_tokens") / col("n_total")))
-        val z = sq.agg(sum("sq").as("z"))
+        // exact-decimal normalizer (r18-s2 review): a plain double SUM
+        // of the sqrt weights is accumulation-order-dependent — the one
+        // spot in this key where a partition-order ulp could reach the
+        // 6-dp emit; DECIMAL(28,12) absorbs it (sqrt itself is
+        // correctly-rounded IEEE, identical both engines)
+        val z = sq.agg(sum(col("sq").cast("decimal(28,12)"))
+          .cast("double").as("z"))
         sq.crossJoin(broadcast(z))
           .select(col("source"), col("n_tokens"),
             round(col("sq") / col("z"), 6).as("weight"),
@@ -208,7 +214,8 @@ object Round17 {
           tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS n_total FROM st),
           sq AS (SELECT source, n_tokens,
               sqrt(n_tokens / n_total) AS sq FROM st, tot),
-          z AS (SELECT SUM(sq) AS z FROM sq)
+          z AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE)
+            AS z FROM sq)
         SELECT source, n_tokens,
           ROUND(sq / z, 6) AS weight,
           ROUND((sq / z) * 1000000.0 / n_tokens, 6) AS epochs
@@ -581,8 +588,7 @@ object Round17 {
         val agg = t(s, d, "orders")
           .groupBy(col("o_orderpriority").as("pri"),
             year(col("o_orderdate")).cast("long").as("yr"))
-          .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 4)
-            .cast("double").as("rev"),
+          .agg(graft.Tables.mSum(col("o_totalprice")).as("rev"),
             count(lit(1)).as("n"))
         // REUSE DISCIPLINE: the year shift lives in the JOIN CONDITION
         // (c.yr = p.yr + 1) and BOTH sides emit every aggregate column —
@@ -795,18 +801,15 @@ object Round17 {
             (col("source") === "src0").as("is_bench"))
         val bench = tagged.where(col("is_bench"))
           .select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+        // native codegen'd cosine (r18-s2 review): the interpreted HOF
+        // fold paid a lambda frame per element on the file's heaviest
+        // pair table AND re-derived the constant bench norm per pair;
+        // CosineSimilarity is the j3/j3c-proven bit-exact twin
         val pairs = tagged.where(!col("is_bench"))
           .crossJoin(broadcast(bench))
-          .select(col("b_id"), col("vec_id").as("t_id"), round(expr(
-            """aggregate(zip_with(embedding, e_b,
-                 (x,y) -> cast(x as double)*cast(y as double)),
-               cast(0.0 as double), (a,b) -> a+b)
-             / (sqrt(aggregate(transform(embedding,
-                   x -> cast(x as double)*cast(x as double)),
-                 cast(0.0 as double), (a,b) -> a+b))
-              * sqrt(aggregate(transform(e_b,
-                   x -> cast(x as double)*cast(x as double)),
-                 cast(0.0 as double), (a,b) -> a+b)))"""), 6).as("cos"))
+          .select(col("b_id"), col("vec_id").as("t_id"),
+            round(graft.expressions.CosineSimilarity(s,
+              col("embedding"), col("e_b")), 6).as("cos"))
         val w = Window.partitionBy("b_id").orderBy(desc("cos"), asc("t_id"))
         pairs.withColumn("rank", row_number().over(w).cast("long"))
           .where(col("rank") <= 5)
@@ -1001,11 +1004,15 @@ object Round17 {
     // by rank so the divergence is visible row-by-row. This is the
     // audit that DECIDES whether the 4× storage/bandwidth cut is safe
     // for a given corpus — the eval leg of the j3/j53 tier, as j74 is
-    // to the dedup thresholds. Shape: one embeddings scan feeds both
-    // rankings, each a TakeOrderedAndProject (never a global sort);
-    // the rank join is 10×10. The probe rows are j3's 1-row broadcast
-    // carriers (PlanLint-allowlisted). Ordering key is the ROUNDED
-    // cosine with vec_id tie-break — the j3 cross-engine device.
+    // to the dedup thresholds. Shape: each ranking is its own
+    // embeddings scan + 1-row probe broadcast ending in a
+    // TakeOrderedAndProject (never a global sort) — two scans by
+    // construction, since the full and sliced pipelines differ below
+    // the exchange and cannot share it (r18-s2: an earlier comment
+    // claimed one shared scan; the plan has two). The rank join is
+    // 10×10. The probe rows are j3's 1-row broadcast carriers
+    // (PlanLint-allowlisted). Ordering key is the ROUNDED cosine with
+    // vec_id tie-break — the j3 cross-engine device.
     Q("j83_matryoshka_eval",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -1013,18 +1020,13 @@ object Round17 {
         def topk(dimExpr: String => String, outId: String, outSim: String) = {
           val probe = emb.where(col("vec_id") === 0)
             .select(expr(dimExpr("embedding")).as("e0"))
+          // native codegen'd cosine (r18-s2 review) — was the verbatim
+          // interpreted-HOF copy of j90's old fold
           val scored = emb.crossJoin(broadcast(probe))
             .where(col("vec_id") =!= 0)
-            .select(col("vec_id"), round(expr(
-              s"""aggregate(zip_with(${dimExpr("embedding")}, e0,
-                   (x,y) -> cast(x as double)*cast(y as double)),
-                 cast(0.0 as double), (a,b) -> a+b)
-               / (sqrt(aggregate(transform(${dimExpr("embedding")},
-                     x -> cast(x as double)*cast(x as double)),
-                   cast(0.0 as double), (a,b) -> a+b))
-                * sqrt(aggregate(transform(e0,
-                     x -> cast(x as double)*cast(x as double)),
-                   cast(0.0 as double), (a,b) -> a+b)))"""), 6).as("cos"))
+            .select(col("vec_id"),
+              round(graft.expressions.CosineSimilarity(s,
+                expr(dimExpr("embedding")), col("e0")), 6).as("cos"))
             .orderBy(desc("cos"), asc("vec_id")).limit(10)
           scored.select(
             row_number().over(Window.orderBy(desc("cos"), asc("vec_id")))
