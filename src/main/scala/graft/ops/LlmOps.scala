@@ -804,13 +804,13 @@ object LlmOps {
           .select(col("bucket").as("pb"), col("embedding").as("e0"))
         bits.join(broadcast(probe), col("bucket") === col("pb"))
           .where(col("vec_id") =!= 0)
-          .select(col("vec_id"), col("bucket"), round(expr(
-            """aggregate(zip_with(embedding, e0, (x,y) -> cast(x as double)*cast(y as double)),
-              cast(0.0 as double), (a,b) -> a+b)
-            / (sqrt(aggregate(transform(embedding, x -> cast(x as double)*cast(x as double)),
-                cast(0.0 as double), (a,b) -> a+b))
-             * sqrt(aggregate(transform(e0, x -> cast(x as double)*cast(x as double)),
-                cast(0.0 as double), (a,b) -> a+b)))"""), 6).as("cos"))
+          // native codegen'd cosine on the in-bucket candidates (r18-s2:
+          // this is the scale path, so the per-candidate loop should be
+          // the fused one; j3 keeps the interpreted fold ON PURPOSE as
+          // the baseline twin that proves the expression bit-exact)
+          .select(col("vec_id"), col("bucket"),
+            round(graft.expressions.CosineSimilarity(s,
+              col("embedding"), col("e0")), 6).as("cos"))
           .orderBy(desc("cos"), asc("vec_id")).limit(5)
       },
       Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) - 1 AS dim,
