@@ -99,7 +99,19 @@ object PlanLint {
     "j90_semantic_decontam",
     // shard-loss audit: the final join is 1-row global totals × 1-row
     // within-shard totals (j82/j87's scalar-carrier allowance)
-    "j98_shard_dedup_loss")
+    "j98_shard_dedup_loss",
+    // retrieval eval trio: the 20-row labeled probe set broadcasts over
+    // one corpus scan (j90's bounded-benchmark allowance); j105 adds the
+    // 10-row rank-discount dim theta-joined to the 20-row R relation
+    "j105_ndcg",
+    "j106_mrr",
+    "j107_recall_at_k",
+    // triangle census: the triangle/wedge/edge totals are three 1-row
+    // scalar carriers (j82's allowance); the enumeration joins are equi
+    "j108_graph_triangles",
+    // PMI: the 1-row bigram-total carrier over the vocabulary-bounded
+    // bigram relation (j82's allowance)
+    "j111_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

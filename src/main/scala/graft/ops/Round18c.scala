@@ -1,0 +1,415 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Round-18 batch 3 — retrieval-quality eval, graph structure, and
+  * corpus-audit operators (EXT per SURVEY §1: the reference ships the
+  * QUERY channel — `pandas_td/td.py :: read_td_query`, §0-caveated
+  * anchor — and these are the queries a training-data pipeline runs
+  * through it).
+  *
+  * The eval trio (j105/j106/j107) closes the retrieval-metrics gap next
+  * to j104's ROC-AUC: a pipeline that ships an ANN index (j3b/j3d/j53/
+  * j54) needs graded-artifact evidence of WHAT the index returns —
+  * nDCG@k and MRR against a labeled probe set, and recall@k of the LSH
+  * path against the exact scan. All three share one shape: a BOUNDED
+  * probe set (20 labeled query vectors) broadcasts, the corpus streams
+  * through ONE scan, and everything after the per-probe top-k cut is
+  * bounded-relation arithmetic (20×10 rows). That is j90's adjudicated
+  * brute-force shape; at 100 TB the scoring leg routes through j90b's
+  * IVF pruning unchanged — the metric layers here only consume the
+  * ranked lists.
+  *
+  * j108 adds the first whole-graph structure audit over the j39 kNN
+  * graph (j46 ranks nodes; nothing measured the graph itself): triangle
+  * count + global clustering coefficient, the standard cluster-quality
+  * proxy for neighborhood graphs (Watts–Strogatz 1998). Edges are
+  * oriented u<v once, so each triangle is counted exactly once by two
+  * equi-joins — the merge-path triangle enumeration that partitions by
+  * join key at any scale (degree-ordered orientation is the production
+  * refinement for hub-heavy graphs; id-order suffices for a k-bounded
+  * out-degree graph).
+  */
+object Round18c {
+
+  /** Exact per-probe top-k over the labeled probe set: (qid, qlabel,
+    * rnk, vec_id, nlabel, cos). The 20-row probe side broadcasts; the
+    * corpus side is one scan through the codegen'd cosine (j3c's
+    * expression). The rank window partitions by qid — fine for a
+    * bounded audit probe set (20 reducers × corpus/20 rows); a larger
+    * probe sweep keeps the same columns but routes candidates through
+    * j90b's IVF cells first. */
+  private def probeTop(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val probes = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"),
+        col("label").as("nlabel"),
+        round(graft.expressions.CosineSimilarity(s,
+          col("embedding"), col("qe")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Oracle CTE chain mirroring [[probeTop]]: `top` is (qid, qlabel,
+    * rnk, vec_id, nlabel, cos) for the 20 probes × top-10. Same 6-dp
+    * cosine rounding and (cos DESC, vec_id) tiebreak as the Spark
+    * window, so the ranked lists hash-match. */
+  private val EvalCtes: String =
+    """e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dd,
+            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        nm AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+          WHERE vec_id < 20),
+        dots AS (SELECT qq.qid, e2.vec_id, SUM(e2.v * ep.v) AS dot
+          FROM q qq JOIN e ep ON ep.vec_id = qq.qid
+          JOIN e e2 ON e2.dd = ep.dd AND e2.vec_id != qq.qid
+          GROUP BY qq.qid, e2.vec_id),
+        sc AS (SELECT d.qid, d.vec_id, ROUND(d.dot/(n1.nm*n2.nm),6) AS cos
+          FROM dots d JOIN nm n1 ON d.vec_id = n1.vec_id
+            JOIN nm n2 ON d.qid = n2.vec_id),
+        rk AS (SELECT qid, vec_id, cos, row_number() OVER
+            (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM sc),
+        top AS (SELECT rk.qid, q.qlabel, rk.rnk, rk.vec_id,
+            em.label AS nlabel, rk.cos
+          FROM rk JOIN q USING (qid) JOIN embeddings em
+            ON em.vec_id = rk.vec_id
+          WHERE rk.rnk <= 10)"""
+
+  def all: Seq[Q] = Seq(
+
+    // nDCG@10 of exact cosine retrieval against the label channel
+    // (binary relevance: neighbor shares the probe's label). The log2
+    // rank discount is rounded to 6 dp PER TERM and summed as
+    // DECIMAL(18,12) on both engines — the sum is exact decimal
+    // arithmetic, so engine libm variance in log2 would have to cross a
+    // 6-dp rounding boundary to surface (the 10 discount values sit
+    // ≥3e-8 from their nearest boundary; Round18cSpec pins all ten
+    // against the DuckDB-computed literals). IDCG truncates the ideal
+    // list at min(k, R) where R = corpus count of same-label vectors —
+    // per-probe R comes from ONE equi-join on label, never a rank pass.
+    Q("j105_ndcg",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val disc = s.range(1, 11).select(col("id").as("rnk"),
+          round(lit(1.0) / log2(col("id") + 1), 6)
+            .cast(DecimalType(18, 12)).as("dc"))
+        val zero = lit(0).cast(DecimalType(18, 12))
+        val dcg = probeTop(s, d).join(broadcast(disc), "rnk")
+          .groupBy("qid")
+          .agg(sum(when(col("nlabel") === col("qlabel"), col("dc"))
+            .otherwise(zero)).as("dcgd"))
+        val q = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        val nrel = emb.select(col("label"), col("vec_id"))
+          .join(broadcast(q), col("label") === col("qlabel") &&
+            col("vec_id") =!= col("qid"))
+          .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+        val idcg = nrel.join(broadcast(disc),
+            col("rnk") <= least(lit(10L), col("n_rel")))
+          .groupBy("qid").agg(sum(col("dc")).as("idcgd"))
+        q.join(nrel, "qid").join(dcg, "qid").join(idcg, "qid")
+          .select(col("qid"), col("n_rel"),
+            col("dcgd").cast("double").as("dcg"),
+            col("idcgd").cast("double").as("idcg"),
+            round(col("dcgd").cast("double") / col("idcgd").cast("double"),
+              6).as("ndcg"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH $EvalCtes,
+        disc AS (SELECT r AS rnk,
+            CAST(ROUND(1.0/log2(r+1),6) AS DECIMAL(18,12)) AS dc
+          FROM unnest(range(1,11)) t(r)),
+        dcg AS (SELECT top.qid,
+            SUM(CASE WHEN nlabel = qlabel THEN disc.dc
+                ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcgd
+          FROM top JOIN disc ON top.rnk = disc.rnk GROUP BY top.qid),
+        nrel AS (SELECT q.qid, COUNT(*) AS n_rel
+          FROM q JOIN embeddings em
+            ON em.label = q.qlabel AND em.vec_id != q.qid
+          GROUP BY q.qid),
+        idcg AS (SELECT nrel.qid, SUM(disc.dc) AS idcgd
+          FROM nrel JOIN disc ON disc.rnk <= LEAST(10, nrel.n_rel)
+          GROUP BY nrel.qid)
+        SELECT q.qid, nrel.n_rel,
+          CAST(dcg.dcgd AS DOUBLE) AS dcg,
+          CAST(idcg.idcgd AS DOUBLE) AS idcg,
+          ROUND(CAST(dcg.dcgd AS DOUBLE)/CAST(idcg.idcgd AS DOUBLE), 6)
+            AS ndcg
+        FROM q JOIN nrel USING (qid) JOIN dcg USING (qid)
+          JOIN idcg USING (qid)
+        ORDER BY qid""")),
+
+    // MRR@10 over the same ranked lists: reciprocal rank of the FIRST
+    // same-label neighbor, 0 when none lands in the top-10. Pure
+    // rational arithmetic (1/r of an integer rank) — no libm anywhere,
+    // so the 6-dp round is decorative. The aggregation is a bounded
+    // MIN-FILTER over the 200-row top-k relation.
+    Q("j106_mrr",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        val fr = probeTop(s, d).groupBy("qid")
+          .agg(min(when(col("nlabel") === col("qlabel"), col("rnk")))
+            .as("fr"))
+        q.join(fr, Seq("qid"), "left")
+          .select(col("qid"), col("qlabel"),
+            coalesce(col("fr"), lit(0L)).as("first_rel_rank"),
+            coalesce(round(lit(1.0) / col("fr"), 6), lit(0.0)).as("rr"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH $EvalCtes,
+        fr AS (SELECT qid,
+            MIN(CASE WHEN nlabel = qlabel THEN rnk END) AS fr
+          FROM top GROUP BY qid)
+        SELECT q.qid, q.qlabel, COALESCE(fr.fr, 0) AS first_rel_rank,
+          COALESCE(ROUND(1.0/fr.fr, 6), 0.0) AS rr
+        FROM q LEFT JOIN fr USING (qid) ORDER BY qid""")),
+
+    // Recall@10 of the LSH-bucketed ANN path (j3b's device: 6
+    // hyperplanes, in-bucket cosine rank) against the exact scan, per
+    // probe. The graded twin of the j3b/j2b spec-level recall pins: the
+    // ANN leg generates candidates by bucket EQUI-join (the 64× prune),
+    // the exact leg is the probeTop scan, and the overlap count is a
+    // 200-row join. n_ann < 10 happens when a probe's bucket is thin —
+    // reported, not hidden (it is the multi-probe j39b motivation).
+    Q("j107_recall_at_k",
+      (s, d) => {
+        val bk = LlmOps.lshBuckets(s, d, Knobs.lshPlanes(s))
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val probes = bk.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("bucket").as("pb"))
+        val cand = bk.join(broadcast(probes),
+            col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"))
+          .join(emb.toDF("qid", "qe"), "qid")
+          .join(emb.toDF("vec_id", "ce"), "vec_id")
+          .select(col("qid"), col("vec_id"),
+            round(graft.expressions.CosineSimilarity(s,
+              col("ce"), col("qe")), 6).as("cos"))
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        val ann = cand.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 10).select(col("qid"), col("vec_id"))
+        val exact = probeTop(s, d).select(col("qid"), col("vec_id"))
+        val exn = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        val ann_n = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+        val hit = exact.join(ann, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        exn.join(ann_n, Seq("qid"), "left").join(hit, Seq("qid"), "left")
+          .select(col("qid"), col("n_exact"),
+            coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)) /
+              col("n_exact").cast("double"), 4).as("recall"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH ${Round6.KnnCtes},
+        qq AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 20),
+        qd AS (SELECT qq.qid, e2.vec_id, SUM(e2.v * ep.v) AS dot
+          FROM qq JOIN e ep ON ep.vec_id = qq.qid
+          JOIN e e2 ON e2.dim = ep.dim AND e2.vec_id != qq.qid
+          GROUP BY qq.qid, e2.vec_id),
+        qs AS (SELECT qd.qid, qd.vec_id,
+            ROUND(qd.dot/(n1.nm*n2.nm),6) AS cos
+          FROM qd JOIN nm n1 ON qd.vec_id = n1.vec_id
+            JOIN nm n2 ON qd.qid = n2.vec_id),
+        qr AS (SELECT qid, vec_id, row_number() OVER
+            (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM qs),
+        ex AS (SELECT qid, vec_id FROM qr WHERE rnk <= 10),
+        ann AS (SELECT i AS qid, j AS vec_id FROM r
+          WHERE i < 20 AND rank <= 10),
+        exn AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid),
+        ann_n AS (SELECT qid, COUNT(*) AS n_ann FROM ann GROUP BY qid),
+        hit AS (SELECT ex.qid, COUNT(*) AS n_hit
+          FROM ex JOIN ann ON ex.qid = ann.qid AND ex.vec_id = ann.vec_id
+          GROUP BY ex.qid)
+        SELECT exn.qid, exn.n_exact,
+          COALESCE(ann_n.n_ann, 0) AS n_ann,
+          COALESCE(hit.n_hit, 0) AS n_hit,
+          ROUND(COALESCE(hit.n_hit, 0) / CAST(exn.n_exact AS DOUBLE), 4)
+            AS recall
+        FROM exn LEFT JOIN ann_n USING (qid) LEFT JOIN hit USING (qid)
+        ORDER BY qid""")),
+
+    // Triangle count + global clustering coefficient of the j39 kNN
+    // graph. Orient every undirected edge u<v once; a triangle u<v<w is
+    // then exactly one (u,v)⋈(v,w)⋈(u,w) equi-join chain — the
+    // shuffle-parallel enumeration (each join partitions on its key;
+    // no vector ever rides the edge shuffle). Wedges Σ d(d−1)/2 come
+    // from one degree aggregation; clustering = 3T/wedges. The three
+    // 1-row totals cross-join at the end (scalar carriers, j82's
+    // allowance).
+    Q("j108_graph_triangles",
+      (s, d) => {
+        val ed = Round6.knnGraph(s, d)
+          .select(least(col("vec_id"), col("nbr_id")).as("u"),
+            greatest(col("vec_id"), col("nbr_id")).as("v"))
+          .distinct()
+        val deg = ed.select(col("u").as("x"))
+          .unionAll(ed.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("dg"))
+        val tri = ed.toDF("u1", "v1")
+          .join(ed.toDF("u2", "v2"), col("u2") === col("v1"))
+          .join(ed.toDF("u3", "v3"),
+            col("u3") === col("u1") && col("v3") === col("v2"))
+          .agg(count(lit(1)).as("n_tri"))
+        val wg = deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("dg * (dg - 1) div 2")).as("wedges"))
+        val en = ed.agg(count(lit(1)).as("n_edges"))
+        en.crossJoin(wg).crossJoin(tri)
+          .select(col("n_nodes"), col("n_edges"),
+            col("wedges").as("n_wedges"), col("n_tri"),
+            round(lit(3.0) * col("n_tri") / col("wedges"), 6)
+              .as("clustering"))
+      },
+      Some(s"""WITH ${Round6.KnnCtes},
+        ed AS (SELECT DISTINCT LEAST(i,j) AS u, GREATEST(i,j) AS v
+          FROM r WHERE rank <= 3),
+        deg AS (SELECT x, COUNT(*) AS dg FROM
+          (SELECT u AS x FROM ed UNION ALL SELECT v AS x FROM ed)
+          GROUP BY x),
+        tri AS (SELECT COUNT(*) AS n_tri FROM ed e1
+          JOIN ed e2 ON e2.u = e1.v
+          JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+        wg AS (SELECT COUNT(*) AS n_nodes,
+            CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+          FROM deg),
+        en AS (SELECT COUNT(*) AS n_edges FROM ed)
+        SELECT wg.n_nodes, en.n_edges, wg.n_wedges, tri.n_tri,
+          ROUND(3.0 * tri.n_tri / wg.n_wedges, 6) AS clustering
+        FROM en, wg, tri""")),
+
+    // Character-class profile per source: lower/upper/digit/space/other
+    // ratios off length deltas of class-stripping regexp_replace —
+    // integer counts until the final division, so the 6-dp round is
+    // exact division of exact sums. Map-only scan + one bounded
+    // aggregation; the script-mix histogram is the cheap first gate a
+    // multilingual crawl pipeline runs before lang-ID (j13) spends
+    // n-gram work (ASCII classes only — deliberately locale-free, the
+    // same class semantics in Java and RE2/DuckDB regex).
+    Q("j109_script_mix",
+      (s, d) => {
+        def stripped(cls: String) =
+          length(col("text")) - length(regexp_replace(col("text"), cls, ""))
+        val r = t(s, d, "documents").select(col("source"),
+          length(col("text")).as("tot"),
+          stripped("[a-z]").as("lo"), stripped("[A-Z]").as("up"),
+          stripped("[0-9]").as("dg"), stripped("[ ]").as("sp"))
+        def ratio(c: String) =
+          round(sum(col(c)).cast("double") /
+            sum(col("tot")).cast("double"), 6).as(c + "_r")
+        r.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tot")).as("n_chars"),
+            ratio("lo"), ratio("up"), ratio("dg"), ratio("sp"),
+            round((sum(col("tot")) - sum(col("lo")) - sum(col("up")) -
+              sum(col("dg")) - sum(col("sp"))).cast("double") /
+              sum(col("tot")).cast("double"), 6).as("other_r"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, LENGTH(text) AS tot,
+          LENGTH(text) - LENGTH(regexp_replace(text, '[a-z]', '', 'g')) AS lo,
+          LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS up,
+          LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS dg,
+          LENGTH(text) - LENGTH(regexp_replace(text, '[ ]', '', 'g')) AS sp
+        FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(tot) AS BIGINT) AS n_chars,
+          ROUND(CAST(SUM(lo) AS DOUBLE)/CAST(SUM(tot) AS DOUBLE), 6) AS lo_r,
+          ROUND(CAST(SUM(up) AS DOUBLE)/CAST(SUM(tot) AS DOUBLE), 6) AS up_r,
+          ROUND(CAST(SUM(dg) AS DOUBLE)/CAST(SUM(tot) AS DOUBLE), 6) AS dg_r,
+          ROUND(CAST(SUM(sp) AS DOUBLE)/CAST(SUM(tot) AS DOUBLE), 6) AS sp_r,
+          ROUND(CAST(SUM(tot)-SUM(lo)-SUM(up)-SUM(dg)-SUM(sp) AS DOUBLE)
+            /CAST(SUM(tot) AS DOUBLE), 6) AS other_r
+        FROM c GROUP BY source ORDER BY source""")),
+
+    // Deterministic 5-fold cross-validation assignment (j15's md5
+    // device, mod 5) with the per-(fold, source) stratification audit a
+    // CV split ships with: every doc lands in exactly one fold
+    // (Round18cSpec pins the partition identity), and source_share
+    // exposes stratification drift — the hash is source-blind, so a
+    // fold whose share strays from 1/k flags a thin stratum, not a bug.
+    // One scan, one bounded aggregation, one window over the ≤ k×|src|
+    // audit rows.
+    Q("j110_kfold_assign",
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          expr("cast(conv(substring(md5(cast(doc_id as string)),1,8),16,10)" +
+            " as bigint) % 5").as("fold"),
+          col("source"), col("n_chars"))
+        val g = f.groupBy("fold", "source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+        g.select(col("fold"), col("source"), col("n_docs"), col("tot_chars"),
+            round(col("n_docs").cast("double") /
+              sum(col("n_docs")).over(Window.partitionBy("source"))
+                .cast("double"), 4).as("source_share"))
+          .orderBy("fold", "source")
+      },
+      Some("""WITH f AS (SELECT
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
+            % 5 AS fold,
+          source, n_chars FROM documents),
+        g AS (SELECT fold, source, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+          FROM f GROUP BY fold, source)
+        SELECT fold, source, n_docs, tot_chars,
+          ROUND(CAST(n_docs AS DOUBLE) /
+            CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 4)
+            AS source_share
+        FROM g ORDER BY fold, source""")),
+
+    // Bigram PMI collocations: pointwise mutual information
+    // ln(c12·N / (c1·c2)) over the corpus bigram table, top-20 by
+    // count. c1/c2 are the bigram-slot marginals (counts of w1 in the
+    // first slot / w2 in the second), so the PMI argument is an exact
+    // integer ratio — ONE libm ln per output row on an identical double
+    // on both engines (the j81/j61 discipline). The gram window is the
+    // guarded Ngrams.starts builder (r17 item 1); n-gram counting is
+    // one explode + hash aggregation, shuffle-parallel on the gram key;
+    // the marginals re-aggregate the BIGRAM table (vocabulary-bounded),
+    // never the corpus. N is a 1-row scalar carrier (j82's allowance).
+    Q("j111_pmi_collocations",
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .select(split(col("text"), " ").as("toks"))
+          .select(explode(expr("transform(" + Ngrams.starts("toks", 2) +
+            ", i -> struct(element_at(toks, i) as w1," +
+            " element_at(toks, i + 1) as w2))")).as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val tot = bg.agg(sum(col("c12")).as("n"))
+        val c1 = bg.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        val c2 = bg.groupBy("w2").agg(sum(col("c12")).as("c2"))
+        bg.where(col("c12") >= 2)
+          .join(c1, "w1").join(c2, "w2").crossJoin(tot)
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+            round(log((col("c12") * col("n")).cast("double") /
+              (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+          .orderBy(desc("c12"), asc("w1"), asc("w2")).limit(20)
+      },
+      Some("""WITH tok AS (SELECT string_split(text, ' ') AS toks
+          FROM documents),
+        bi AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM tok, unnest(range(1, len(toks))) t(i)
+          WHERE len(toks) >= 2),
+        bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+        tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM bg),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+        c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2)
+        SELECT bg.w1, bg.w2, bg.c12, c1.c1, c2.c2,
+          ROUND(LN(CAST(bg.c12 * t.n AS DOUBLE) /
+            CAST(c1.c1 * c2.c2 AS DOUBLE)), 6) AS pmi
+        FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot t
+        WHERE bg.c12 >= 2
+        ORDER BY bg.c12 DESC, bg.w1, bg.w2 LIMIT 20"""))
+  )
+}
