@@ -931,16 +931,15 @@ object LlmOps {
     // and byte-reproducible in the oracle.
     Q("j22b_sample_consistent",
       (s, d) => t(s, d, "documents")
-        .withColumn("bucket",
-          expr("cast(conv(substring(md5(cast(doc_id as string)),9,8),16,10) as bigint) % 1000"))
+        .withColumn("bucket", expr(Hashes.bucket("doc_id", 1000, start = 9)))
         .withColumn("thresh",
           when(col("lang") === "en", 500L).when(col("lang") === "zh", 100L)
             .otherwise(300L))
         .where(col("bucket") < col("thresh"))
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id"),
-      Some("""WITH x AS (SELECT doc_id, lang,
-          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),9,8) AS BIGINT) % 1000 AS bucket,
+      Some(s"""WITH x AS (SELECT doc_id, lang,
+          ${Hashes.bucketSql("doc_id", 1000, start = 9)} AS bucket,
           CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 100 ELSE 300 END AS thresh
         FROM documents)
         SELECT doc_id, lang, bucket FROM x WHERE bucket < thresh

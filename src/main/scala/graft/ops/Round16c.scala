@@ -1193,10 +1193,8 @@ object Round16c {
           .select("d1", "d2").persist()
         val labeled = CC.cluster(s, pairs)
         def splitOf(keyCol: String) = expr(
-          s"""CASE WHEN cast(conv(substring(md5(cast($keyCol AS STRING)),
-               1, 8), 16, 10) AS BIGINT) % 100 < 80 THEN 'train'
-             WHEN cast(conv(substring(md5(cast($keyCol AS STRING)),
-               1, 8), 16, 10) AS BIGINT) % 100 < 90 THEN 'val'
+          s"""CASE WHEN ${Hashes.bucket(keyCol, 100)} < 80 THEN 'train'
+             WHEN ${Hashes.bucket(keyCol, 100)} < 90 THEN 'val'
              ELSE 'test' END""")
         val assign = t(s, d, "documents").select(col("doc_id"))
           .join(labeled, Seq("doc_id"), "left")
@@ -1222,7 +1220,7 @@ object Round16c {
                AS (method, cross_pairs, total_pairs)""")
           .orderBy("method")
       },
-      Some("""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text,' ') AS toks
             FROM documents WHERE len(string_split(text,' ')) >= 3),
           sh AS (SELECT DISTINCT doc_id,
               toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS sh
@@ -1243,14 +1241,12 @@ object Round16c {
           f AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
             FROM documents d LEFT JOIN lab l USING (doc_id)),
           g AS (SELECT doc_id,
-              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)
-                  AS BIGINT) % 100 < 80 THEN 'train'
-                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)
-                  AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS sd,
-              CASE WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)),1,8)
-                  AS BIGINT) % 100 < 80 THEN 'train'
-                WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)),1,8)
-                  AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS sc
+              CASE WHEN ${Hashes.bucketSql("doc_id", 100)} < 80 THEN 'train'
+                WHEN ${Hashes.bucketSql("doc_id", 100)} < 90 THEN 'val'
+                ELSE 'test' END AS sd,
+              CASE WHEN ${Hashes.bucketSql("cluster", 100)} < 80 THEN 'train'
+                WHEN ${Hashes.bucketSql("cluster", 100)} < 90 THEN 'val'
+                ELSE 'test' END AS sc
             FROM f),
           j AS (SELECT e.d1, e.d2, g1.sd AS sd1, g1.sc AS sc1,
               g2.sd AS sd2, g2.sc AS sc2

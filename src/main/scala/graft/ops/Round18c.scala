@@ -62,27 +62,30 @@ object Round18c {
   /** Oracle CTE chain mirroring [[probeTop]]: `top` is (qid, qlabel,
     * rnk, vec_id, nlabel, cos) for the 20 probes × top-10. Same 6-dp
     * cosine rounding and (cos DESC, vec_id) tiebreak as the Spark
-    * window, so the ranked lists hash-match. */
+    * window, so the ranked lists hash-match. Written as a SUFFIX of
+    * [[Round6.KnnCtes]] (consumes its `e`/`nm` relations) so the exact
+    * cosine top-k has ONE oracle definition across the eval trio —
+    * j107 composes both chains and a tiebreak/rounding fix cannot
+    * drift between "exact" legs (r18-s3 review). Unreferenced KnnCtes
+    * members (the LSH chain) are never evaluated by DuckDB in
+    * j105/j106. */
   private val EvalCtes: String =
-    """e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dd,
-            CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        nm AS (SELECT vec_id, sqrt(SUM(v*v)) AS nm FROM e GROUP BY vec_id),
-        q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+    """q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
           WHERE vec_id < 20),
-        dots AS (SELECT qq.qid, e2.vec_id, SUM(e2.v * ep.v) AS dot
+        qd AS (SELECT qq.qid, e2.vec_id, SUM(e2.v * ep.v) AS dot
           FROM q qq JOIN e ep ON ep.vec_id = qq.qid
-          JOIN e e2 ON e2.dd = ep.dd AND e2.vec_id != qq.qid
+          JOIN e e2 ON e2.dim = ep.dim AND e2.vec_id != qq.qid
           GROUP BY qq.qid, e2.vec_id),
-        sc AS (SELECT d.qid, d.vec_id, ROUND(d.dot/(n1.nm*n2.nm),6) AS cos
-          FROM dots d JOIN nm n1 ON d.vec_id = n1.vec_id
-            JOIN nm n2 ON d.qid = n2.vec_id),
-        rk AS (SELECT qid, vec_id, cos, row_number() OVER
-            (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM sc),
-        top AS (SELECT rk.qid, q.qlabel, rk.rnk, rk.vec_id,
-            em.label AS nlabel, rk.cos
-          FROM rk JOIN q USING (qid) JOIN embeddings em
-            ON em.vec_id = rk.vec_id
-          WHERE rk.rnk <= 10)"""
+        qs AS (SELECT qd.qid, qd.vec_id, ROUND(qd.dot/(n1.nm*n2.nm),6) AS cos
+          FROM qd JOIN nm n1 ON qd.vec_id = n1.vec_id
+            JOIN nm n2 ON qd.qid = n2.vec_id),
+        qr AS (SELECT qid, vec_id, cos, row_number() OVER
+            (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM qs),
+        top AS (SELECT qr.qid, q.qlabel, qr.rnk, qr.vec_id,
+            em.label AS nlabel, qr.cos
+          FROM qr JOIN q USING (qid) JOIN embeddings em
+            ON em.vec_id = qr.vec_id
+          WHERE qr.rnk <= 10)"""
 
   def all: Seq[Q] = Seq(
 
@@ -116,15 +119,20 @@ object Round18c {
         val idcg = nrel.join(broadcast(disc),
             col("rnk") <= least(lit(10L), col("n_rel")))
           .groupBy("qid").agg(sum(col("dc")).as("idcgd"))
-        q.join(nrel, "qid").join(dcg, "qid").join(idcg, "qid")
-          .select(col("qid"), col("n_rel"),
-            col("dcgd").cast("double").as("dcg"),
-            col("idcgd").cast("double").as("idcg"),
-            round(col("dcgd").cast("double") / col("idcgd").cast("double"),
-              6).as("ndcg"))
+        // LEFT joins: a probe whose label no other vector carries has
+        // no nrel/idcg row — it must still report (n_rel=0, ndcg=0)
+        // so the eval trio always emits the same 20-probe set
+        // (r18-s3 review; j106/j107 already had this property)
+        q.join(nrel, Seq("qid"), "left").join(dcg, Seq("qid"), "left")
+          .join(idcg, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+            coalesce(col("dcgd").cast("double"), lit(0.0)).as("dcg"),
+            coalesce(col("idcgd").cast("double"), lit(0.0)).as("idcg"),
+            coalesce(round(col("dcgd").cast("double") /
+              col("idcgd").cast("double"), 6), lit(0.0)).as("ndcg"))
           .orderBy("qid")
       },
-      Some(s"""WITH $EvalCtes,
+      Some(s"""WITH ${Round6.KnnCtes}, $EvalCtes,
         disc AS (SELECT r AS rnk,
             CAST(ROUND(1.0/log2(r+1),6) AS DECIMAL(18,12)) AS dc
           FROM unnest(range(1,11)) t(r)),
@@ -139,13 +147,13 @@ object Round18c {
         idcg AS (SELECT nrel.qid, SUM(disc.dc) AS idcgd
           FROM nrel JOIN disc ON disc.rnk <= LEAST(10, nrel.n_rel)
           GROUP BY nrel.qid)
-        SELECT q.qid, nrel.n_rel,
-          CAST(dcg.dcgd AS DOUBLE) AS dcg,
-          CAST(idcg.idcgd AS DOUBLE) AS idcg,
-          ROUND(CAST(dcg.dcgd AS DOUBLE)/CAST(idcg.idcgd AS DOUBLE), 6)
-            AS ndcg
-        FROM q JOIN nrel USING (qid) JOIN dcg USING (qid)
-          JOIN idcg USING (qid)
+        SELECT q.qid, COALESCE(nrel.n_rel, 0) AS n_rel,
+          COALESCE(CAST(dcg.dcgd AS DOUBLE), 0.0) AS dcg,
+          COALESCE(CAST(idcg.idcgd AS DOUBLE), 0.0) AS idcg,
+          COALESCE(ROUND(CAST(dcg.dcgd AS DOUBLE)
+            /CAST(idcg.idcgd AS DOUBLE), 6), 0.0) AS ndcg
+        FROM q LEFT JOIN nrel USING (qid) LEFT JOIN dcg USING (qid)
+          LEFT JOIN idcg USING (qid)
         ORDER BY qid""")),
 
     // MRR@10 over the same ranked lists: reciprocal rank of the FIRST
@@ -167,7 +175,7 @@ object Round18c {
             coalesce(round(lit(1.0) / col("fr"), 6), lit(0.0)).as("rr"))
           .orderBy("qid")
       },
-      Some(s"""WITH $EvalCtes,
+      Some(s"""WITH ${Round6.KnnCtes}, $EvalCtes,
         fr AS (SELECT qid,
             MIN(CASE WHEN nlabel = qlabel THEN rnk END) AS fr
           FROM top GROUP BY qid)
@@ -213,19 +221,8 @@ object Round18c {
               col("n_exact").cast("double"), 4).as("recall"))
           .orderBy("qid")
       },
-      Some(s"""WITH ${Round6.KnnCtes},
-        qq AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 20),
-        qd AS (SELECT qq.qid, e2.vec_id, SUM(e2.v * ep.v) AS dot
-          FROM qq JOIN e ep ON ep.vec_id = qq.qid
-          JOIN e e2 ON e2.dim = ep.dim AND e2.vec_id != qq.qid
-          GROUP BY qq.qid, e2.vec_id),
-        qs AS (SELECT qd.qid, qd.vec_id,
-            ROUND(qd.dot/(n1.nm*n2.nm),6) AS cos
-          FROM qd JOIN nm n1 ON qd.vec_id = n1.vec_id
-            JOIN nm n2 ON qd.qid = n2.vec_id),
-        qr AS (SELECT qid, vec_id, row_number() OVER
-            (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM qs),
-        ex AS (SELECT qid, vec_id FROM qr WHERE rnk <= 10),
+      Some(s"""WITH ${Round6.KnnCtes}, $EvalCtes,
+        ex AS (SELECT qid, vec_id FROM top),
         ann AS (SELECT i AS qid, j AS vec_id FROM r
           WHERE i < 20 AND rank <= 10),
         exn AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid),
@@ -343,8 +340,7 @@ object Round18c {
     Q("j110_kfold_assign",
       (s, d) => {
         val f = t(s, d, "documents").select(
-          expr("cast(conv(substring(md5(cast(doc_id as string)),1,8),16,10)" +
-            " as bigint) % 5").as("fold"),
+          expr(Hashes.bucket("doc_id", 5)).as("fold"),
           col("source"), col("n_chars"))
         val g = f.groupBy("fold", "source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
@@ -354,9 +350,8 @@ object Round18c {
                 .cast("double"), 4).as("source_share"))
           .orderBy("fold", "source")
       },
-      Some("""WITH f AS (SELECT
-          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)
-            % 5 AS fold,
+      Some(s"""WITH f AS (SELECT
+          ${Hashes.bucketSql("doc_id", 5)} AS fold,
           source, n_chars FROM documents),
         g AS (SELECT fold, source, COUNT(*) AS n_docs,
             CAST(SUM(n_chars) AS BIGINT) AS tot_chars
@@ -370,9 +365,11 @@ object Round18c {
     // Bigram PMI collocations: pointwise mutual information
     // ln(c12·N / (c1·c2)) over the corpus bigram table, top-20 by
     // count. c1/c2 are the bigram-slot marginals (counts of w1 in the
-    // first slot / w2 in the second), so the PMI argument is an exact
-    // integer ratio — ONE libm ln per output row on an identical double
-    // on both engines (the j81/j61 discipline). The gram window is the
+    // first slot / w2 in the second); the PMI argument is built from
+    // exact integer counts through the same two correctly-rounded
+    // double multiplies and one divide on both engines — ONE libm ln
+    // per output row on an identical double (the j81/j61 discipline).
+    // The gram window is the
     // guarded Ngrams.starts builder (r17 item 1); n-gram counting is
     // one explode + hash aggregation, shuffle-parallel on the gram key;
     // the marginals re-aggregate the BIGRAM table (vocabulary-bounded),
@@ -391,9 +388,15 @@ object Round18c {
         val c2 = bg.groupBy("w2").agg(sum(col("c12")).as("c2"))
         bg.where(col("c12") >= 2)
           .join(c1, "w1").join(c2, "w2").crossJoin(tot)
+          // each count casts to double BEFORE the products: c12·N and
+          // c1·c2 overflow 64-bit integers at large-corpus counts
+          // (n ≈ 1e13 bigrams × c12 ≈ 1e10 — Spark would wrap, DuckDB
+          // would raise; r18-s3 review), while the double path is the
+          // same two correctly-rounded multiplies on both engines
           .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
-            round(log((col("c12") * col("n")).cast("double") /
-              (col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+            round(log((col("c12").cast("double") * col("n").cast("double")) /
+              (col("c1").cast("double") * col("c2").cast("double"))), 6)
+              .as("pmi"))
           .orderBy(desc("c12"), asc("w1"), asc("w2")).limit(20)
       },
       Some("""WITH tok AS (SELECT string_split(text, ' ') AS toks
@@ -406,8 +409,8 @@ object Round18c {
         c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
         c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2)
         SELECT bg.w1, bg.w2, bg.c12, c1.c1, c2.c2,
-          ROUND(LN(CAST(bg.c12 * t.n AS DOUBLE) /
-            CAST(c1.c1 * c2.c2 AS DOUBLE)), 6) AS pmi
+          ROUND(LN((CAST(bg.c12 AS DOUBLE) * CAST(t.n AS DOUBLE)) /
+            (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))), 6) AS pmi
         FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot t
         WHERE bg.c12 >= 2
         ORDER BY bg.c12 DESC, bg.w1, bg.w2 LIMIT 20"""))

@@ -308,17 +308,16 @@ object Round2 {
     // recomputes it byte-for-byte in DuckDB).
     Q("j15_split_hash",
       (s, d) => t(s, d, "documents")
-        .withColumn("bucket",
-          expr("cast(conv(substring(md5(cast(doc_id as string)),1,8),16,10) as bigint) % 100"))
+        .withColumn("bucket", expr(Hashes.bucket("doc_id", 100)))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val").otherwise("test"))
         .select("doc_id", "bucket", "split")
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 AS bucket,
-        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 < 80 THEN 'train'
-             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 < 90 THEN 'val'
+      Some(s"""SELECT doc_id,
+        ${Hashes.bucketSql("doc_id", 100)} AS bucket,
+        CASE WHEN ${Hashes.bucketSql("doc_id", 100)} < 80 THEN 'train'
+             WHEN ${Hashes.bucketSql("doc_id", 100)} < 90 THEN 'val'
              ELSE 'test' END AS split
         FROM documents ORDER BY doc_id""")),
 

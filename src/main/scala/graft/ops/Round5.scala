@@ -409,19 +409,18 @@ object Round5 {
               lit(0.4) * col("tt") / (col("z") * sqrt(col("n")))))
               .cast("long").as("thresh"))
         docs.join(broadcast(thresh), "source")
-          .where(expr("cast(conv(substring(md5(cast(doc_id as string)),9,8),16,10) as bigint) % 1000000")
-            < col("thresh"))
+          .where(expr(Hashes.bucket("doc_id", 1000000, start = 9)) < col("thresh"))
           .select("doc_id", "source")
           .orderBy("doc_id")
       },
-      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+      Some(s"""WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
             FROM documents GROUP BY source),
           z AS (SELECT SUM(sqrt(n)) AS z, SUM(n) AS tt FROM c),
           p AS (SELECT source,
               CAST(ROUND(1e6 * LEAST(1.0, 0.4 * tt / (z * sqrt(n)))) AS BIGINT) AS thresh
             FROM c, z)
         SELECT d.doc_id, d.source FROM documents d JOIN p USING (source)
-        WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),9,8) AS BIGINT) % 1000000 < thresh
+        WHERE ${Hashes.bucketSql("d.doc_id", 1000000, start = 9)} < thresh
         ORDER BY d.doc_id""")),
 
     // Mergeable distinct-count sketches (Datasketches HLL, the successor

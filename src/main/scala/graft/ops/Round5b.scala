@@ -614,7 +614,7 @@ object Round5b {
         val tok = t(s, d, "documents")
           .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
           .select(col("source"),
-            (expr("cast(conv(substring(md5(cast(doc_id as string)),1,8),16,10) as bigint) % 2") === 1L)
+            (expr(Hashes.bucket("doc_id", 2)) === 1L)
               .as("is_new"),
             expr(s"cast(conv(substring(md5(w),1,15),16,10) as bigint) % $B").as("b"))
         val counts = tok.groupBy("source", "b")
@@ -640,7 +640,7 @@ object Round5b {
       Some(s"""WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
             FROM documents),
         h AS (SELECT source,
-            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 2 = 1 AS is_new,
+            ${Hashes.bucketSql("doc_id", 2)} = 1 AS is_new,
             CAST('0x' || substr(md5(w),1,15) AS BIGINT) % 1024 AS b FROM tok),
         counts AS (SELECT source, b,
             SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS o_old,
