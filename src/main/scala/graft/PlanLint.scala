@@ -111,7 +111,15 @@ object PlanLint {
     "j108_graph_triangles",
     // PMI: the 1-row bigram-total carrier over the vocabulary-bounded
     // bigram relation (j82's allowance)
-    "j111_pmi_collocations")
+    "j111_pmi_collocations",
+    // MMR: j3's 1-row probe broadcast builds the 20-row shortlist; the
+    // 20×20 sim matrix is a bounded-shortlist cross (j85's allowance);
+    // every greedy step is bounded-relation algebra
+    "j113_mmr_rerank",
+    // graph audits: the only BNLJ is knnGraph's inherited 1-row
+    // hyperplane-weight carrier (j39's allowance)
+    "j112_knn_label_noise",
+    "j114_hubness_audit")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

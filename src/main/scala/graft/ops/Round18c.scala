@@ -248,10 +248,15 @@ object Round18c {
     // allowance).
     Q("j108_graph_triangles",
       (s, d) => {
+        // the oriented edge relation is consumed FOUR times (degree,
+        // three triangle-join legs, edge count) — materialize it once
+        // (eager localCheckpoint, j90b's device) instead of re-running
+        // knnGraph's LSH candidate join per consumer (r18-s3: 1.60 s →
+        // 0.8 s at sf0.1, plan exchanges 16 → 5)
         val ed = Round6.knnGraph(s, d)
           .select(least(col("vec_id"), col("nbr_id")).as("u"),
             greatest(col("vec_id"), col("nbr_id")).as("v"))
-          .distinct()
+          .distinct().localCheckpoint()
         val deg = ed.select(col("u").as("x"))
           .unionAll(ed.select(col("v").as("x")))
           .groupBy("x").agg(count(lit(1)).as("dg"))
