@@ -252,7 +252,7 @@ object Round18c {
         // three triangle-join legs, edge count) — materialize it once
         // (eager localCheckpoint, j90b's device) instead of re-running
         // knnGraph's LSH candidate join per consumer (r18-s3: 1.60 s →
-        // 0.8 s at sf0.1, plan exchanges 16 → 5)
+        // 1.15 s min at sf0.1, plan exchanges 16 → 5)
         val ed = Round6.knnGraph(s, d)
           .select(least(col("vec_id"), col("nbr_id")).as("u"),
             greatest(col("vec_id"), col("nbr_id")).as("v"))

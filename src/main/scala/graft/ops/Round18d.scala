@@ -74,7 +74,11 @@ object Round18d {
     Q("j114_hubness_audit",
       (s, d) => {
         val g = Round6.knnGraph(s, d).select(col("vec_id"), col("nbr_id"))
+        // indeg feeds BOTH union branches (histogram + anti-join zero
+        // bucket) — materialize once or knnGraph's candidate join runs
+        // twice (r18-s3 review; j108/j113's device)
         val indeg = g.groupBy(col("nbr_id")).agg(count(lit(1)).as("in_deg"))
+          .localCheckpoint()
         val nonzero = indeg.groupBy("in_deg")
           .agg(count(lit(1)).as("n_vectors"))
         val zero = t(s, d, "embeddings").select(col("vec_id"))
@@ -112,7 +116,12 @@ object Round18d {
     // greedy path bit-for-bit.
     Q("j113_mmr_rerank",
       (s, d) => {
+        // BOTH weights as literal doubles: lit(1.0 - 0.7) would be
+        // 0.30000000000000004 — one ulp off the 0.3 the DuckDB oracle
+        // and the spec's recompute parse, enough to flip a 6-dp argmax
+        // at a rounding boundary (r18-s3 review)
         val lam = 0.7
+        val lamC = 0.3
         val emb = t(s, d, "embeddings")
         val probe = emb.where(col("vec_id") === 0)
           .select(col("embedding").as("e0"))
@@ -121,7 +130,7 @@ object Round18d {
         // device) so the corpus is scanned ONCE and the unrolled loop
         // is pure bounded-relation algebra over 20/380-row LogicalRDDs
         // (without this, each of the 5 steps re-derived the whole
-        // probe-scan subtree — 5.2 s vs 0.8 s at sf0.1)
+        // probe-scan subtree — 5.15 s vs 1.02 s min at sf0.1)
         val short = emb.crossJoin(broadcast(probe))
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"),
@@ -154,7 +163,7 @@ object Round18d {
             .agg(max(col("sim")).as("msim"))
             .select(lit(step.toLong).as("step"), col("vec_id"), col("rel"),
               round(lit(lam) * col("rel") -
-                lit(1.0 - lam) * col("msim"), 6).as("mmr_score"))
+                lit(lamC) * col("msim"), 6).as("mmr_score"))
             .orderBy(desc("mmr_score"), asc("vec_id")).limit(1)
           // checkpoint the growing selection so later steps reference
           // a <=5-row LogicalRDD instead of re-executing every earlier

@@ -16,7 +16,7 @@ class Round18dSpec extends AnyFunSuite {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def edges(): Array[(Long, Long)] =
+  private lazy val edges: Array[(Long, Long)] =
     SparkEntry.queries("j39_knn_graph")(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
 
@@ -26,7 +26,7 @@ class Round18dSpec extends AnyFunSuite {
 
   test("j112: per-label noise audit equals an edge-set recount") {
     val lab = labels()
-    val per = edges().groupBy(_._1).map { case (i, es) =>
+    val per = edges.groupBy(_._1).map { case (i, es) =>
       (lab(i), es.length.toLong,
         es.count { case (_, j) => lab(j) != lab(i) }.toLong)
     }.toSeq
@@ -40,7 +40,7 @@ class Round18dSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("n_vecs"),
         r.getAs[Double]("disagree_rate"), r.getAs[Long]("n_flagged")))
     assert(got.toSet == want.toSet)
-    assert(got.map(_._2).sum == edges().map(_._1).distinct.length.toLong)
+    assert(got.map(_._2).sum == edges.map(_._1).distinct.length.toLong)
   }
 
   test("j114: in-degree histogram mass-balances edges and corpus") {
@@ -48,7 +48,7 @@ class Round18dSpec extends AnyFunSuite {
       .collect()
     val totEdges = rows.map(r =>
       r.getAs[Long]("in_deg") * r.getAs[Long]("n_vectors")).sum
-    assert(totEdges == edges().length.toLong,
+    assert(totEdges == edges.length.toLong,
       "Σ in_deg × n_vectors must equal the edge count")
     val totVecs = rows.map(_.getAs[Long]("n_vectors")).sum
     val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
@@ -95,9 +95,12 @@ class Round18dSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
         r.getAs[Double]("rel"), r.getAs[Double]("mmr_score"))).toVector
     assert(got == selected, s"greedy path diverged:\n got=$got\nwant=$selected")
-    // MMR scores are non-increasing: each candidate's score only decays
-    // as the selected set grows, and the argmax ranges over a subset
-    val scores = got.map(_._4)
+    // MMR scores are non-increasing FROM STEP 2 ON: each candidate's
+    // penalized score only decays as the selected set grows and the
+    // argmax ranges over a shrinking subset. Step 1→2 is exempt — a
+    // negative sim to the first pick can legitimately RAISE a step-2
+    // score above 0.7·rel1 (r18-s3 review)
+    val scores = got.map(_._4).drop(1)
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     assert(got.map(_._2).distinct.length == 5)
   }
