@@ -49,7 +49,10 @@ object Bench {
     "c10e_join_asof_tolerance", "j100_bloom_planner", "j101_lsh_geometry",
     "k28_pipe_syntax",
     "p24_tpch_q1", "p25_tpch_q3", "j102_judge_agreement",
-    "j103_calibration_bins", "h49_time_type", "j104_roc_auc")
+    "j103_calibration_bins", "h49_time_type", "j104_roc_auc",
+    "j105_ndcg", "j106_mrr", "j107_recall_at_k", "j108_graph_triangles",
+    "j109_script_mix", "j110_kfold_assign", "j111_pmi_collocations",
+    "j112_knn_label_noise", "j113_mmr_rerank", "j114_hubness_audit")
 
   private[graft] def coreKeys(all: Seq[String]): Seq[String] =
     all.filter { k =>

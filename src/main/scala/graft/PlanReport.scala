@@ -55,7 +55,10 @@ object PlanReport {
     "k28_pipe_syntax"        -> "SQL pipe chain resolves to the standard two-phase agg + pushed filter",
     "p25_tpch_q3"            -> "Q3 verbatim: all three predicates pushed, top-10 as TakeOrderedAndProject",
     "j103_calibration_bins"  -> "calibration audit: one corpus scan collapses to <=10 bins before the ECE window",
-    "j104_roc_auc"           -> "exact AUC: rank window runs over the bounded per-score histogram, never the corpus")
+    "j104_roc_auc"           -> "exact AUC: rank window runs over the bounded per-score histogram, never the corpus",
+    "j105_ndcg"              -> "nDCG: 20-probe broadcast over ONE corpus scan; discount/ideal legs are bounded-relation algebra",
+    "j108_graph_triangles"   -> "triangle census: checkpointed oriented edges, two equi-joins, three 1-row totals",
+    "j113_mmr_rerank"        -> "MMR: corpus scanned once into checkpointed shortlist+sims; greedy steps are 20-row algebra")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -32,7 +32,7 @@ object ScaleSoak {
     val sections: Set[String] =
       if (args.isEmpty)
         Set("neardup", "ann", "j60", "sub", "ev", "decontam", "page",
-          "recipe", "auc")
+          "recipe", "auc", "evalm")
       else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
@@ -472,6 +472,50 @@ object ScaleSoak {
       .write.mode("overwrite").parquet(s"$dEv/events.parquet")
     runAt("c18_join_range_binned", dEv, "hotuser60k")
     runAt("c12b_join_interval_smj", dEv, "hotuser60k")
+    }
+
+    // retrieval-eval scaling claim (r18-s3): the trio's scaladocs argue
+    // the 20-probe sweep costs a small CONSTANT number of corpus scans
+    // (the probe side broadcasts) — never probes×corpus. scan_rows here
+    // is the SUM of numOutputRows over every FileSourceScanExec of the
+    // key's own executed plan (exact, unlike stage-level
+    // inputMetrics.recordsRead, which this harness measured reporting 0
+    // for AQE shuffle-map parquet stages — accounting gap noted in
+    // BASELINE). j3 (1-row probe, one corpus pass + one pruned probe
+    // file) calibrates the unit. j113 is excluded from the scan table:
+    // its corpus work runs inside eager localCheckpoints whose plans
+    // are not reachable afterwards — its evidence is the recorded
+    // 5.15 s → 1.02 s checkpoint delta and the plan collapse.
+    section("evalm") {
+      def scanOf(key: String): Unit = {
+        try {
+          val df = SparkEntry.queries(key)(spark, d)
+          val t0 = System.nanoTime()
+          val rows = df.collect().length
+          val sec = (System.nanoTime() - t0) / 1e9
+          def scans(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+            p match {
+              case a: org.apache.spark.sql.execution.adaptive
+                    .AdaptiveSparkPlanExec => scans(a.executedPlan)
+              // materialized AQE stages are LEAVES of the final plan —
+              // the real scan subtrees hang off their `plan` member
+              case q: org.apache.spark.sql.execution.adaptive
+                    .QueryStageExec => scans(q.plan)
+              case r: org.apache.spark.sql.execution.exchange
+                    .ReusedExchangeExec => Seq.empty // counted at source
+              case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+                Seq(s)
+              case o => o.children.flatMap(scans) ++
+                o.subqueries.flatMap(scans)
+            }
+          val scanRows = scans(df.queryExecution.executedPlan)
+            .map(_.metrics("numOutputRows").value).sum
+          println(f"""SOAK {"key":"$key","conf":"20k_vecs","sec":$sec%.2f,"rows":$rows,"scan_rows":$scanRows}""")
+        } finally release()
+      }
+      Seq("j3_sim_topk", "j105_ndcg", "j106_mrr", "j107_recall_at_k")
+        .foreach(scanOf)
     }
 
     spark.stop()
