@@ -52,7 +52,8 @@ object Bench {
     "j103_calibration_bins", "h49_time_type", "j104_roc_auc",
     "j105_ndcg", "j106_mrr", "j107_recall_at_k", "j108_graph_triangles",
     "j109_script_mix", "j110_kfold_assign", "j111_pmi_collocations",
-    "j112_knn_label_noise", "j113_mmr_rerank", "j114_hubness_audit")
+    "j112_knn_label_noise", "j113_mmr_rerank", "j114_hubness_audit",
+    "j115_weighted_sample_es")
 
   private[graft] def coreKeys(all: Seq[String]): Seq[String] =
     all.filter { k =>

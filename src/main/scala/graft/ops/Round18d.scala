@@ -232,6 +232,48 @@ object Round18d {
         UNION ALL SELECT step, vec_id, rel, mmr_score FROM s3
         UNION ALL SELECT step, vec_id, rel, mmr_score FROM s4
         UNION ALL SELECT step, vec_id, rel, mmr_score FROM s5
-        ORDER BY step"""))
+        ORDER BY step""")),
+
+    // Weighted sampling WITHOUT replacement, k=20, weight = n_chars —
+    // Efraimidis & Vitter's exponential-clocks form: each doc draws
+    // priority −ln(u)/w (an Exp(w) arrival time) and the k SMALLEST
+    // arrivals are the sample, inclusion odds proportional to weight.
+    // u is hash-derived ((md5-bucket+1)/2^24+1 — the Hashes device, so
+    // the draw is reproducible across engines, cluster sizes, and
+    // retries: the same no-RNG-state discipline as j16/j22b), and the
+    // priority is rounded to 9 dp with a doc_id tiebreak so the top-k
+    // cut is deterministic. One map-only scan → TakeOrderedAndProject;
+    // no shuffle of the corpus at any scale. Completes the sampling
+    // family: j22b (per-stratum rate), j75 (exact n), j87 (quota),
+    // j92 (rejection), j115 (weight-proportional without replacement).
+    Q("j115_weighted_sample_es",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pri"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars").as("w"),
+            // divisor cast: a bare 16777217.0 literal is DECIMAL(9,1)
+            // to Spark's parser and the quotient inherits DECIMAL —
+            // the oracle computes in DOUBLE
+            expr(s"round((${Hashes.bucket("doc_id", 16777216)} + 1)" +
+              " / cast(16777217 as double), 9)").as("u"))
+          .select(col("doc_id"), col("w"), col("u"),
+            round(-log(col("u")) / col("w"), 9).as("pri"))
+          .orderBy(asc("pri"), asc("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select("rank", "doc_id", "w", "u", "pri")
+          .orderBy("rank")
+      },
+      Some(s"""WITH draw AS (SELECT doc_id, n_chars AS w,
+            ROUND((${Hashes.bucketSql("doc_id", 16777216)} + 1)
+              / 16777217.0, 9) AS u
+          FROM documents),
+        pri AS (SELECT doc_id, w, u, ROUND(-LN(u) / w, 9) AS pri
+          FROM draw),
+        top AS (SELECT doc_id, w, u, pri FROM pri
+          ORDER BY pri, doc_id LIMIT 20)
+        SELECT CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT)
+            AS rank, doc_id, w, u, pri
+        FROM top ORDER BY rank"""))
   )
 }

@@ -104,4 +104,32 @@ class Round18dSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     assert(got.map(_._2).distinct.length == 5)
   }
+
+  test("j115: the sample IS the k smallest exponential clocks (recompute)") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 16777216L
+    }
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map { r =>
+        val (id, w) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))
+        val u = r6x(bucket(id).toDouble.+(1) / 16777217.0, 9)
+        (id, w, u, r6x(-math.log(u) / w, 9))
+      }
+      .sortBy { case (id, _, _, pri) => (pri, id) }.take(20)
+      .zipWithIndex
+      .map { case ((id, w, u, pri), i) => (i + 1L, id, w, u, pri) }
+      .toVector
+    val got = SparkEntry.queries("j115_weighted_sample_es")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("w"), r.getAs[Double]("u"), r.getAs[Double]("pri")))
+      .toVector
+    assert(got == want, s"clock race diverged:\n got=$got\nwant=$want")
+  }
+
+  private def r6x(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
