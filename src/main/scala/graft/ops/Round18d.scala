@@ -251,6 +251,10 @@ object Round18d {
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("pri"), col("doc_id"))
         t(s, d, "documents")
+          // a zero-weight doc has an infinite Exp(0) clock — inclusion
+          // probability 0 — and would divide by zero under ANSI mode
+          // (NgramGuardSpec's empty-doc sweep caught this)
+          .where(col("n_chars") > 0)
           .select(col("doc_id"), col("n_chars").as("w"),
             // divisor cast: a bare 16777217.0 literal is DECIMAL(9,1)
             // to Spark's parser and the quotient inherits DECIMAL —
@@ -267,7 +271,7 @@ object Round18d {
       Some(s"""WITH draw AS (SELECT doc_id, n_chars AS w,
             ROUND((${Hashes.bucketSql("doc_id", 16777216)} + 1)
               / 16777217.0, 9) AS u
-          FROM documents),
+          FROM documents WHERE n_chars > 0),
         pri AS (SELECT doc_id, w, u, ROUND(-LN(u) / w, 9) AS pri
           FROM draw),
         top AS (SELECT doc_id, w, u, pri FROM pri
