@@ -5,8 +5,9 @@ package graft.ops
   * starting at `start` (1-based), mod `m`. Spark reads the hex slot via
   * `conv(…, 16, 10)`, DuckDB via the `'0x' ||` cast — bit-identical
   * buckets, which is what makes hash splits (j15 train/val/test, j110
-  * k-fold, j73's is_new leg, j62's URL sample) reproducible across
-  * engines AND across keys.
+  * k-fold, j36's is_new leg, j30's per-source sample, j22b's
+  * stratified threshold, j76's leakage audit, j115's uniform draw)
+  * reproducible across engines AND across keys.
   *
   * One definition on purpose (the Tables.revenueAgg discipline, r18-s3
   * review): the split family was open-coded per round-file, and a slot
