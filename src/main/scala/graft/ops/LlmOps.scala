@@ -446,7 +446,8 @@ object LlmOps {
       dots AS (SELECT e.vec_id, SUM(e.v*p.v) AS dot, sqrt(SUM(e.v*e.v)) AS n1
         FROM e JOIN p USING (dd) WHERE e.vec_id != 0 GROUP BY e.vec_id),
       pn AS (SELECT sqrt(SUM(v*v)) AS n0 FROM p)
-      SELECT vec_id, ROUND(dot/(n1*(SELECT n0 FROM pn)),6) AS cos
+      SELECT vec_id,
+        ROUND(COALESCE(dot/NULLIF(n1*(SELECT n0 FROM pn), 0), 0), 6) AS cos
       FROM dots ORDER BY cos DESC, vec_id LIMIT 10"""
 
   val all: Seq[Q] = Seq(
@@ -763,14 +764,22 @@ object LlmOps {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("e0"))
+        // zero-norm guard (EmbeddingGuardSpec): a zero vector's cosine
+        // denominator is 0 — under ANSI that is a thrown
+        // DIVIDE_BY_ZERO, not a NULL. NULLIF→COALESCE defines its
+        // similarity as 0, the native CosineSimilarity's convention.
         emb.crossJoin(broadcast(probe)).where(col("vec_id") =!= 0)
           .select(col("vec_id"), round(expr(
-            """aggregate(zip_with(embedding, e0, (x,y) -> cast(x as double)*cast(y as double)),
-              cast(0.0 as double), (a,b) -> a+b)
-            / (sqrt(aggregate(transform(embedding, x -> cast(x as double)*cast(x as double)),
-                cast(0.0 as double), (a,b) -> a+b))
-             * sqrt(aggregate(transform(e0, x -> cast(x as double)*cast(x as double)),
-                cast(0.0 as double), (a,b) -> a+b)))"""), 6).as("cos"))
+            """coalesce(
+              aggregate(zip_with(embedding, e0, (x,y) -> cast(x as double)*cast(y as double)),
+                cast(0.0 as double), (a,b) -> a+b)
+              / nullif(
+                sqrt(aggregate(transform(embedding, x -> cast(x as double)*cast(x as double)),
+                  cast(0.0 as double), (a,b) -> a+b))
+                * sqrt(aggregate(transform(e0, x -> cast(x as double)*cast(x as double)),
+                  cast(0.0 as double), (a,b) -> a+b)),
+                cast(0.0 as double)),
+              cast(0.0 as double))"""), 6).as("cos"))
           .orderBy(desc("cos"), asc("vec_id")).limit(10)
       },
       Some(j3Oracle)),
@@ -861,11 +870,16 @@ object LlmOps {
         val cnorms = centd.groupBy("cell").agg(sqrt(sum(col("c") * col("c"))).as("nc"))
         // assignment: csim per (vec, cell) from the dims join, rounded
         // before the argmax so the winner is ulp-robust cross-engine
+        // zero-norm guard (EmbeddingGuardSpec): csim of a zero vector
+        // is DEFINED 0 (native-expression convention) — ANSI would
+        // otherwise throw on the 0 denominator
         val csim = dims.join(broadcast(centd), "dim")
           .groupBy("vec_id", "cell").agg(sum(col("v") * col("c")).as("dot"))
           .join(norms, "vec_id").join(broadcast(cnorms), "cell")
           .select(col("vec_id"), col("cell"),
-            round(col("dot") / (col("nv") * col("nc")), 6).as("csim"))
+            round(when(col("nv") * col("nc") === 0.0, lit(0.0))
+              .otherwise(col("dot") / (col("nv") * col("nc"))), 6)
+              .as("csim"))
         val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
         val assigned = csim.withColumn("rn", row_number().over(wAssign))
         val cells = assigned.where(col("rn") === 1).select("vec_id", "cell")
@@ -889,7 +903,8 @@ object LlmOps {
         norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nv FROM e GROUP BY vec_id),
         cnorms AS (SELECT cell, sqrt(SUM(c*c)) AS nc FROM centd GROUP BY cell),
         csim AS (SELECT e.vec_id, centd.cell,
-            ROUND(SUM(e.v * centd.c) / (ANY_VALUE(n.nv) * ANY_VALUE(cn.nc)), 6) AS csim
+            ROUND(COALESCE(SUM(e.v * centd.c)
+              / NULLIF(ANY_VALUE(n.nv) * ANY_VALUE(cn.nc), 0), 0), 6) AS csim
           FROM e JOIN centd USING (dim)
             JOIN norms n ON e.vec_id = n.vec_id
             JOIN cnorms cn ON centd.cell = cn.cell

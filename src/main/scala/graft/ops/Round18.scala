@@ -39,8 +39,11 @@ object Round18 {
     val csim = dims.join(broadcast(centd), "dim")
       .groupBy("vec_id", "cell").agg(sum(col("v") * col("c")).as("dot"))
       .join(norms, "vec_id").join(broadcast(cnorms), "cell")
+      // zero-norm guard (EmbeddingGuardSpec): csim of a zero vector is
+      // DEFINED 0 — ANSI would throw on the 0 denominator
       .select(col("vec_id"), col("cell"),
-        round(col("dot") / (col("nv") * col("nc")), 6).as("csim"))
+        round(when(col("nv") * col("nc") === 0.0, lit(0.0))
+          .otherwise(col("dot") / (col("nv") * col("nc"))), 6).as("csim"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(desc("csim"), asc("cell"))
     // eager localCheckpoint: the probe and train branches below filter
@@ -126,7 +129,8 @@ object Round18 {
           norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nv FROM ex GROUP BY vec_id),
           cnorms AS (SELECT cell, sqrt(SUM(c*c)) AS nc FROM centd GROUP BY cell),
           csim AS (SELECT ex.vec_id, centd.cell,
-              ROUND(SUM(ex.v * centd.c) / (ANY_VALUE(n.nv) * ANY_VALUE(cn.nc)), 6) AS csim
+              ROUND(COALESCE(SUM(ex.v * centd.c)
+                / NULLIF(ANY_VALUE(n.nv) * ANY_VALUE(cn.nc), 0), 0), 6) AS csim
             FROM ex JOIN centd USING (dim)
               JOIN norms n ON ex.vec_id = n.vec_id
               JOIN cnorms cn ON centd.cell = cn.cell
@@ -150,7 +154,7 @@ object Round18 {
             JOIN ex bv ON bv.vec_id = c.b_id AND bv.dim = tv.dim
             GROUP BY c.b_id, c.t_id),
           scored AS (SELECT d.b_id, d.t_id,
-              ROUND(d.dot / (nt.nv * nb.nv), 6) AS cos
+              ROUND(COALESCE(d.dot / NULLIF(nt.nv * nb.nv, 0), 0), 6) AS cos
             FROM dots d
             JOIN norms nt ON nt.vec_id = d.t_id
             JOIN norms nb ON nb.vec_id = d.b_id),

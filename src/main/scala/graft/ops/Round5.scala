@@ -147,14 +147,20 @@ object Round5 {
             "transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5) as bigint))")
             .as("q"))
         val probe = q.where(col("vec_id") === 0).select(col("q").as("q0"))
+        // zero-norm guard (EmbeddingGuardSpec): a zero vector quantizes
+        // to an all-zero q (the 1e-12 scale floor guards the SCALE, not
+        // the norm) — its quantized-cosine denominator is 0, an ANSI
+        // throw; defined 0 instead (native-expression convention)
+        val den = sqrt(expr("""aggregate(q, cast(0.0 as double),
+              (a, x) -> a + cast(x * x as double))""")) *
+          sqrt(expr("""aggregate(q0, cast(0.0 as double),
+              (a, x) -> a + cast(x * x as double))"""))
         q.crossJoin(broadcast(probe)).where(col("vec_id") =!= 0)
           .select(col("vec_id"), round(
-            expr("""aggregate(zip_with(q, q0, (x, y) -> cast(x * y as double)),
-                cast(0.0 as double), (a, b) -> a + b)""") /
-              (sqrt(expr("""aggregate(q, cast(0.0 as double),
-                  (a, x) -> a + cast(x * x as double))""")) *
-                sqrt(expr("""aggregate(q0, cast(0.0 as double),
-                  (a, x) -> a + cast(x * x as double))"""))), 6).as("cos_q"))
+            when(den === 0.0, lit(0.0)).otherwise(
+              expr("""aggregate(zip_with(q, q0, (x, y) -> cast(x * y as double)),
+                cast(0.0 as double), (a, b) -> a + b)""") / den),
+            6).as("cos_q"))
           .orderBy(desc("cos_q"), asc("vec_id")).limit(10)
       },
       Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS dd,
@@ -168,7 +174,8 @@ object Round5 {
               sqrt(SUM(q.qv*q.qv)) AS n1
             FROM q JOIN p USING (dd) WHERE q.vec_id != 0 GROUP BY q.vec_id),
           pn AS (SELECT sqrt(SUM(qv*qv)) AS n0 FROM p)
-        SELECT vec_id, ROUND(dot/(n1*(SELECT n0 FROM pn)),6) AS cos_q
+        SELECT vec_id,
+          ROUND(COALESCE(dot/NULLIF(n1*(SELECT n0 FROM pn), 0), 0), 6) AS cos_q
         FROM dots ORDER BY cos_q DESC, vec_id LIMIT 10""")),
 
     // Near-containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.8. A doc pasted
