@@ -183,12 +183,15 @@ object Round15 {
       (s, d) => {
         val ev = events(s, d).where(col("event_id") < 2000)
         ev.select(col("event_id"),
-            expr("parse_json(props)").as("pv"),
+            // try_parse_json: malformed props → NULL variant, no abort
+            expr("try_parse_json(props)").as("pv"),
             expr("""parse_json(to_json(named_struct(
               't', event_type, 'u', user_id,
               'vs', array(value, value * 2))))""").as("v"))
           .select(col("event_id"),
-            expr("variant_get(pv, '$.k', 'bigint')").as("k"),
+            // try_variant_get: a wrong-typed prop value is NULL, not an
+            // INVALID_VARIANT_CAST abort (EventsGuardSpec)
+            expr("try_variant_get(pv, '$.k', 'bigint')").as("k"),
             expr("variant_get(v, '$.t', 'string')").as("t"),
             expr("variant_get(v, '$.u', 'bigint')").as("u"),
             expr("variant_get(v, '$.vs[1]', 'double')").as("v1"),
@@ -196,7 +199,7 @@ object Round15 {
           .orderBy("event_id")
       },
       Some("""SELECT event_id,
-          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
           event_type AS t, user_id AS u, value * 2 AS v1,
           CAST(NULL AS VARCHAR) AS miss
         FROM events WHERE event_id < 2000 ORDER BY event_id""")),

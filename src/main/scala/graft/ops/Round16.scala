@@ -197,16 +197,20 @@ object Round16 {
       (s, d) => {
         val out = Scratch.unique("a36")
         events(s, d).where(col("event_id") < 2000)
-          .select(col("event_id"), expr("parse_json(props)").as("pv"))
+          // try_parse_json: malformed props rows carry a NULL variant
+          // instead of FAILFAST-aborting the job (EventsGuardSpec)
+          .select(col("event_id"), expr("try_parse_json(props)").as("pv"))
           .write.mode("overwrite").parquet(out)
         s.read.parquet(out)
           .select(col("event_id"),
-            expr("variant_get(pv, '$.k', 'bigint')").as("k"),
+            // try_variant_get: a wrong-typed prop value is NULL, not an
+            // INVALID_VARIANT_CAST abort (EventsGuardSpec)
+            expr("try_variant_get(pv, '$.k', 'bigint')").as("k"),
             expr("try_variant_get(pv, '$.nope', 'string')").as("miss"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id,
-          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
           CAST(NULL AS VARCHAR) AS miss
         FROM events WHERE event_id < 2000 ORDER BY event_id""")),
 

@@ -1043,16 +1043,18 @@ object Round16b {
     Q("h42_variant_introspect",
       (s, d) => events(s, d).where(col("event_id") < 300)
         .select(col("event_id"),
-          expr("parse_json(props)").as("pv"))
+          // try_parse_json: malformed props → NULL variant, no abort
+          expr("try_parse_json(props)").as("pv"))
         .select(col("event_id"),
           expr("schema_of_variant(pv)").as("sch"),
-          expr("variant_get(pv, '$.k', 'int')").as("k_int"),
+          // try_variant_get: wrong-typed prop → NULL, no abort
+          expr("try_variant_get(pv, '$.k', 'int')").as("k_int"),
           expr("variant_get(pv, '$.k', 'string')").as("k_str"),
           expr("try_variant_get(pv, '$.nope', 'int')").as("miss"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
           'OBJECT<k: BIGINT>' AS sch,
-          CAST(props->>'$.k' AS INT) AS k_int,
+          TRY_CAST(props->>'$.k' AS INT) AS k_int,
           CAST(props->>'$.k' AS VARCHAR) AS k_str,
           CAST(NULL AS INT) AS miss
         FROM events WHERE event_id < 300 ORDER BY event_id""")),

@@ -1282,7 +1282,12 @@ object Round16c {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("event_id")
           .rowsBetween(-9, 0)
-        events(s, d).where(col("event_id") < 2000)
+        // NULL measures leave the series on BOTH sides (EventsGuardSpec:
+        // collect_list skips nulls, DuckDB list() keeps them, and an
+        // all-null frame's empty vals made the 2-power(0.5,-1)
+        // normalizer an ANSI divide-by-zero)
+        events(s, d).where(col("event_id") < 2000 &&
+            col("value").isNotNull)
           .select(col("event_id"), col("user_id"), col("value"))
           .withColumn("vals", collect_list(col("value")).over(w))
           .selectExpr("event_id", "user_id",
@@ -1298,7 +1303,7 @@ object Round16c {
       Some("""WITH v AS (SELECT event_id, user_id, value,
             list(value) OVER (PARTITION BY user_id ORDER BY event_id
               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
-          FROM events WHERE event_id < 2000)
+          FROM events WHERE event_id < 2000 AND value IS NOT NULL)
         SELECT event_id, user_id,
           ROUND(
             list_sum(list_transform(range(0, len(vals)),

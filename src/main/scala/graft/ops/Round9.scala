@@ -785,6 +785,9 @@ object Round9 {
     Q("k9_presto_dialect_map",
       (s, d) => Views.unique(s, "k9_events" -> events(s, d)
           .where(col("event_id") < 60)
+          // a NULL event_type cannot be a map key on either engine —
+          // drop untyped events from the map aggregation (EventsGuardSpec)
+          .where(col("event_type").isNotNull)
           .selectExpr("event_id", "event_type", "value", "user_id % 4 as grp")) { v =>
         graft.functions.Presto.sql(s, s"""
           WITH agg AS (
@@ -808,7 +811,7 @@ object Round9 {
           ORDER BY grp, kind, k""")
       },
       Some("""WITH src AS (SELECT event_id, event_type, value, user_id % 4 AS grp
-            FROM events WHERE event_id < 60)
+            FROM events WHERE event_id < 60 AND event_type IS NOT NULL)
         SELECT grp, 'kv' AS kind, CAST(event_id AS VARCHAR) AS k,
                value AS v_num, '' AS v_str
         FROM src
@@ -826,7 +829,7 @@ object Round9 {
       (s, d) => Views.unique(s, "k7_events" -> events(s, d)) { v =>
         graft.functions.Presto.sql(s, s"""
           SELECT event_id,
-                 CAST(json_extract_scalar(props, '$$.k') AS BIGINT) AS k,
+                 TRY_CAST(json_extract_scalar(props, '$$.k') AS BIGINT) AS k,
                  CAST(strpos(event_type, 'c') AS BIGINT) AS c_pos,
                  CAST(to_unixtime(date_parse('2024-03-15 06:30:00',
                                              '%Y-%m-%d %H:%i:%s')) AS BIGINT) AS anchor_sec,
@@ -839,7 +842,7 @@ object Round9 {
           ORDER BY event_id""")
       },
       Some("""SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                CAST(strpos(event_type, 'c') AS BIGINT) AS c_pos,
                CAST(epoch(TIMESTAMP '2024-03-15 06:30:00') AS BIGINT) AS anchor_sec,
                CAST(1700000000 AS BIGINT) AS rt_sec,

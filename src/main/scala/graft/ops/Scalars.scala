@@ -133,13 +133,15 @@ object Scalars {
           lit("k"), get_json_object(col("props"), "$.k")).as("m"))
         .select(col("event_id"),
           element_at(col("m"), "type").as("m_type"),
-          element_at(col("m"), "k").cast("long").as("m_k"))
+          // try_cast: junk props values → NULL, not a job abort
+          // (EventsGuardSpec; a10's definition)
+          expr("try_cast(element_at(m, 'k') as bigint)").as("m_k"))
         .orderBy("event_id"),
       Some("""WITH x AS (SELECT event_id,
           MAP {'type': event_type, 'k': json_extract_string(props, '$.k')} AS m
         FROM events)
         SELECT event_id, m['type'][1] AS m_type,
-          CAST(m['k'][1] AS BIGINT) AS m_k
+          TRY_CAST(m['k'][1] AS BIGINT) AS m_k
         FROM x ORDER BY event_id""")),
 
     Q("h8_case_cond",

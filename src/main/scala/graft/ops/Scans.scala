@@ -120,9 +120,12 @@ object Scans {
     Q("a10_source_json",
       (s, d) => events(s, d)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          // try_cast: malformed numeric props are NULL, not an ANSI
+          // CAST_INVALID_INPUT job abort (EventsGuardSpec) — TRY_CAST
+          // on the oracle side is the same definition
+          expr("try_cast(get_json_object(props, '$.k') as bigint)").as("k"))
         .orderBy("event_id"),
-      Some("SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k " +
+      Some("SELECT event_id, TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) AS k " +
         "FROM events ORDER BY event_id")),
 
     // Source-format parity: the same relation through CSV and JSON-lines

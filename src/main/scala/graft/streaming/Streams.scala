@@ -20,8 +20,12 @@ import graft.Tables._
   */
 object Streams {
 
+  // value is java.lang.Double (nullable): production event streams
+  // carry NULL measures, and a scala.Double field makes the encoder
+  // assert NOT_NULL on ingest (EventsGuardSpec). Aggregations skip the
+  // nulls exactly as the SQL/oracle side does.
   case class Ev(event_id: Long, ts_ms: Long, user_id: Long,
-      event_type: String, value: Double)
+      event_type: String, value: java.lang.Double)
 
   /** One MinHash band-hash row of an incoming document (i15's stream
     * element — computed map-only at ingest, no aggregation in-stream). */
@@ -224,7 +228,7 @@ object Streams {
     val sessions = stream.toDS()
       .withColumn("ts_t", timestamp_millis(col("ts_ms")))
       .withWatermark("ts_t", "10 minutes")
-      .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+      .as[(Long, Long, Long, String, java.lang.Double, java.sql.Timestamp)]
       .groupByKey(_._3) // user_id
       .flatMapGroupsWithState[SessState, (Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -347,7 +351,7 @@ object Streams {
       val sessions = stream.toDS()
         .withColumn("ts_t", timestamp_millis(col("ts_ms")))
         .withWatermark("ts_t", "10 minutes")
-        .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+        .as[(Long, Long, Long, String, java.lang.Double, java.sql.Timestamp)]
         .map(t => Ev(t._1, t._2, t._3, t._4, t._5))
         .groupByKey(_.user_id)
         .transformWithState(new SessionProcessor(gapMs),
@@ -639,9 +643,35 @@ object Streams {
     // file stream source requires a directory: expose the single parquet
     // file through a dir symlink (created once; replays reuse it)
     val link = java.nio.file.Paths.get(srcDir, "events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(d, "events.parquet"))
+    val target = java.nio.file.Paths.get(d, "events.parquet")
+    // replay guard covers BOTH layouts: the single-file case creates
+    // `link`, the directory case creates partN.parquet links — either
+    // way a non-empty srcDir means the links exist already
+    val alreadyLinked = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+      try ls.iterator().hasNext finally ls.close()
+    }
+    if (!alreadyLinked && !java.nio.file.Files.exists(link)) {
+      if (java.nio.file.Files.isDirectory(target)) {
+        // table-as-directory (any real warehouse layout): link each part
+        // file flat into the stream source dir — a nested dir symlink
+        // lists zero files and the read-back dies on an empty sink
+        // (EventsGuardSpec)
+        val parts = java.nio.file.Files.list(target)
+        try {
+          val it = parts.iterator()
+          var i = 0
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.toString.endsWith(".parquet")) {
+              java.nio.file.Files.createSymbolicLink(
+                java.nio.file.Paths.get(srcDir, s"part$i.parquet"), f)
+              i += 1
+            }
+          }
+        } finally parts.close()
+      } else java.nio.file.Files.createSymbolicLink(link, target)
+    }
     // pin the stream schema from a footer-only static read: the fixture's
     // ts has shipped as epoch-nanos LONG and as timestamp[us] (NTZ) across
     // generations, and a mismatched explicit schema reads silently wrong
@@ -1090,7 +1120,8 @@ object Streams {
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
         tv: TimerValues): Iterator[(Long, Int, Double)] = {
-      val vs = rows.map(_.value).toArray
+      // nullable measure: a NULL value contributes nothing to the top-k
+      val vs = rows.flatMap(r => Option(r.value).map(_.doubleValue)).toArray
       if (vs.nonEmpty) {
         val merged = (top.get().toSeq ++ vs).sortBy(-_).take(k)
         top.put(merged.toArray)
@@ -1128,10 +1159,14 @@ object Streams {
         tv: TimerValues): Iterator[(Long, String, Long)] = {
       var any = false
       rows.foreach { e =>
-        any = true
-        val cur = if (counts.containsKey(e.event_type))
-          counts.getValue(e.event_type) else 0L
-        counts.updateValue(e.event_type, cur + 1L)
+        // a NULL type cannot key the state-store map (EventsGuardSpec);
+        // untyped events carry no bucket and are skipped
+        if (e.event_type != null) {
+          any = true
+          val cur = if (counts.containsKey(e.event_type))
+            counts.getValue(e.event_type) else 0L
+          counts.updateValue(e.event_type, cur + 1L)
+        }
       }
       if (any) { getHandle.deleteTimer(endTs); getHandle.registerTimer(endTs) }
       Iterator.empty
@@ -1168,7 +1203,7 @@ object Streams {
       val counted = stream.toDS()
         .withColumn("ts_t", timestamp_millis(col("ts_ms")))
         .withWatermark("ts_t", "10 minutes")
-        .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+        .as[(Long, Long, Long, String, java.lang.Double, java.sql.Timestamp)]
         .map(t => Ev(t._1, t._2, t._3, t._4, t._5))
         .groupByKey(_.user_id)
         .transformWithState(new TypeCountProcessor(endTs),
@@ -1220,7 +1255,7 @@ object Streams {
       val ranked = stream.toDS()
         .withColumn("ts_t", timestamp_millis(col("ts_ms")))
         .withWatermark("ts_t", "10 minutes")
-        .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+        .as[(Long, Long, Long, String, java.lang.Double, java.sql.Timestamp)]
         .map(t => Ev(t._1, t._2, t._3, t._4, t._5))
         .filter(e => e.event_type == "purchase")
         .groupByKey(_.user_id)
