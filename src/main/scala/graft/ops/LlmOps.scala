@@ -374,9 +374,11 @@ object LlmOps {
     // dim enumeration: posexplode yields indices 0..len−1 per row, so the
     // distinct-dim set is exactly sequence(0, max(len)−1) — computed as a
     // map-side MAX to one row instead of a 384×-corpus explode + distinct
+    // seqAsc: a corpus of all-EMPTY embedding arrays gives nd=0, and the
+    // unguarded sequence(0, -1) is DESCENDING — spurious negative dims
     val wrow = emb
       .agg(max(size(col("embedding"))).as("nd"))
-      .select(explode(expr("sequence(0, nd - 1)")).as("dim"))
+      .select(explode(expr(Ngrams.seqAsc("0", "nd - 1"))).as("dim"))
       .select(col("dim") +: (0 until planes).map(p =>
         ((expr(s"cast(conv(substring(md5(concat('${p + planeOffset}', ':', dim)),1,15),16,10) as bigint)")
           % 2001 - 1000).cast("double") / 1000.0).as(s"w$p")): _*)

@@ -616,7 +616,7 @@ object Round15 {
                             * (1 + tax), 4) AS DOUBLE)""")
         s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fBuckets(n INT)
           RETURNS TABLE (b INT)
-          RETURN SELECT explode(sequence(1, n)) AS b""")
+          RETURN SELECT explode(${Ngrams.seqAsc("1", "n")}) AS b""")
         try s.sql(s"""
           SELECT l.l_orderkey, l.l_linenumber,
                  $fMargin(CAST(l.l_extendedprice AS DECIMAL(18,4)),

@@ -647,7 +647,8 @@ object Round16b {
     // (magic, count, then per entry: name_len, name, body_len BE, body)
     // where every entry's offset depends on ALL previous lengths — the
     // TAR/TLV shape. The walk is one aggregate() fold over
-    // sequence(1, count) carrying (position, entries-so-far) — a pure
+    // a guarded ascending 1..count domain (Ngrams.seqAsc) carrying
+    // (position, entries-so-far) — a pure
     // per-row higher-order expression: no UDF, no explode-join, content
     // bytes never shuffle; the only post-decode op is the entry
     // posexplode. The oracle recomputes every entry from the synthesis
@@ -657,8 +658,8 @@ object Round16b {
         val fixture = t(s, d, "documents").selectExpr("doc_id",
             "cast(1 + doc_id % 3 AS INT) AS cnt")
           .selectExpr("doc_id", "cnt",
-            """concat('41523031', lpad(hex(cnt), 2, '0'),
-               aggregate(transform(sequence(1, cnt), i -> concat(
+            s"""concat('41523031', lpad(hex(cnt), 2, '0'),
+               aggregate(transform(${Ngrams.seqAsc("1", "cnt")}, i -> concat(
                  lpad(hex(length(concat(repeat('n', i), '_',
                    cast(doc_id % 10 AS STRING)))), 2, '0'),
                  hex(concat(repeat('n', i), '_',
@@ -670,7 +671,7 @@ object Round16b {
                  '', (a, x) -> concat(a, x))) AS hx""")
         fixture
           .selectExpr("doc_id",
-            """aggregate(sequence(1, cnt),
+            s"""aggregate(${Ngrams.seqAsc("1", "cnt")},
                 struct(11 AS p,
                   cast(array() AS
                     array<struct<name:string,blen:int,bh:string>>) AS es),

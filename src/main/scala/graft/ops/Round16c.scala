@@ -1115,7 +1115,7 @@ object Round16c {
         t(s, d, "documents").selectExpr("doc_id",
             "cast(1 + doc_id % 3 AS INT) AS cues")
           .selectExpr("doc_id",
-            s"""array_join(transform(sequence(1, cues), i -> concat(
+            s"""array_join(transform(${Ngrams.seqAsc("1", "cues")}, i -> concat(
                  cast(i AS STRING), '\n',
                  ${fmt("((doc_id % 60) * 1000 + (i-1) * 4000)")}, ' --> ',
                  ${fmt("((doc_id % 60) * 1000 + (i-1) * 4000 + 2000 + (doc_id * i) % 1500)")},

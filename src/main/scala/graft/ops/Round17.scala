@@ -855,7 +855,10 @@ object Round17 {
         val fixture = t(s, d, "documents").selectExpr("doc_id",
             "cast(1 + doc_id % 3 AS INT) AS cnt")
           .selectExpr("doc_id", "cnt",
-            """aggregate(sequence(1, cnt), '', (acc, i) -> concat(acc,
+            // concat (not s"""): the s-interpolator would process the
+            // \r\n escapes at Scala level and change the SQL literal
+            "aggregate(" + Ngrams.seqAsc("1", "cnt") +
+            """, '', (acc, i) -> concat(acc,
                  'WARC/1.0\r\nWARC-Type: ',
                  CASE WHEN i % 2 = 1 THEN 'response' ELSE 'request' END,
                  '\r\nContent-Length: ',
@@ -867,7 +870,8 @@ object Round17 {
                  '\r\n\r\n')) AS payload""")
         fixture
           .selectExpr("doc_id",
-            """aggregate(sequence(1, cnt),
+            "aggregate(" + Ngrams.seqAsc("1", "cnt") +
+            """,
                 struct(1 AS p,
                   cast(array() AS
                     array<struct<typ:string,len:int,head:string>>) AS es),

@@ -362,7 +362,7 @@ object Round18 {
         .withColumn("n_corrupt", greatest(lit(1), expr("(n * 15) div 100")))
         .withColumn("n_spans", greatest(lit(1), expr("n_corrupt div 3")))
         .select(col("doc_id"), col("n"), col("n_corrupt"), col("n_spans"),
-          posexplode(expr("sequence(0, cast(n_spans - 1 as int))"))
+          posexplode(expr(Ngrams.seqAsc("0", "cast(n_spans - 1 as int)")))
             .as(Seq("i", "span0")))
         .withColumn("len", (expr("n_corrupt div n_spans") +
           when(col("i") < expr("n_corrupt % n_spans"), 1).otherwise(0))
@@ -421,7 +421,7 @@ object Round18 {
         val fixture = t(s, d, "documents")
           .selectExpr("doc_id", "cast(1 + doc_id % 3 AS INT) AS cnt")
           .selectExpr("doc_id", "cnt",
-            s"""aggregate(sequence(1, cnt), '', (acc, i) -> concat(acc,
+            s"""aggregate(${Ngrams.seqAsc("1", "cnt")}, '', (acc, i) -> concat(acc,
                  rpad(concat('doc_', cast(doc_id AS STRING), '_',
                    cast(i AS STRING)), 100, '$nul'),
                  rpad('0000644', 8, '$nul'),
@@ -442,7 +442,7 @@ object Round18 {
                      AS INT), '$nul'))) AS payload""")
         fixture
           .selectExpr("doc_id",
-            s"""aggregate(sequence(1, cnt),
+            s"""aggregate(${Ngrams.seqAsc("1", "cnt")},
                 struct(1 AS p,
                   cast(array() AS array<struct<name:string,sz:bigint,
                     tf:string,magic:string,head:string>>) AS es),

@@ -68,7 +68,10 @@ object Round18c {
     * j107 composes both chains and a tiebreak/rounding fix cannot
     * drift between "exact" legs (r18-s3 review). Unreferenced KnnCtes
     * members (the LSH chain) are never evaluated by DuckDB in
-    * j105/j106. */
+    * j105/j106. Zero-norm cosine is COALESCE(dot/NULLIF(nm,0),0) = 0 —
+    * the one convention every cosine oracle shares with the Spark legs'
+    * CosineSimilarity (r19 ADVICE: a zero vector in the corpus must not
+    * make only the eval-trio oracles diverge). */
   private val EvalCtes: String =
     """q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
           WHERE vec_id < 20),
@@ -76,7 +79,8 @@ object Round18c {
           FROM q qq JOIN e ep ON ep.vec_id = qq.qid
           JOIN e e2 ON e2.dim = ep.dim AND e2.vec_id != qq.qid
           GROUP BY qq.qid, e2.vec_id),
-        qs AS (SELECT qd.qid, qd.vec_id, ROUND(qd.dot/(n1.nm*n2.nm),6) AS cos
+        qs AS (SELECT qd.qid, qd.vec_id,
+            ROUND(COALESCE(qd.dot/NULLIF(n1.nm*n2.nm,0),0),6) AS cos
           FROM qd JOIN nm n1 ON qd.vec_id = n1.vec_id
             JOIN nm n2 ON qd.qid = n2.vec_id),
         qr AS (SELECT qid, vec_id, cos, row_number() OVER
@@ -271,7 +275,11 @@ object Round18c {
         en.crossJoin(wg).crossJoin(tri)
           .select(col("n_nodes"), col("n_edges"),
             col("wedges").as("n_wedges"), col("n_tri"),
-            round(lit(3.0) * col("n_tri") / col("wedges"), 6)
+            // wedges=0 (every node degree <= 1 — isolated edges under
+            // thin LSH buckets) implies n_tri=0; define clustering = 0.0
+            // instead of an ANSI DIVIDE_BY_ZERO (r19 ADVICE)
+            when(col("wedges") === 0, lit(0.0))
+              .otherwise(round(lit(3.0) * col("n_tri") / col("wedges"), 6))
               .as("clustering"))
       },
       Some(s"""WITH ${Round6.KnnCtes},
@@ -288,7 +296,8 @@ object Round18c {
           FROM deg),
         en AS (SELECT COUNT(*) AS n_edges FROM ed)
         SELECT wg.n_nodes, en.n_edges, wg.n_wedges, tri.n_tri,
-          ROUND(3.0 * tri.n_tri / wg.n_wedges, 6) AS clustering
+          ROUND(COALESCE(3.0 * tri.n_tri / NULLIF(wg.n_wedges, 0), 0), 6)
+            AS clustering
         FROM en, wg, tri""")),
 
     // Character-class profile per source: lower/upper/digit/space/other
@@ -307,15 +316,22 @@ object Round18c {
           length(col("text")).as("tot"),
           stripped("[a-z]").as("lo"), stripped("[A-Z]").as("up"),
           stripped("[0-9]").as("dg"), stripped("[ ]").as("sp"))
+        // a source whose every doc is empty text has sum(tot)=0 — define
+        // all its ratios as 0.0 rather than an ANSI divide-by-zero /
+        // IEEE NaN (r19 ADVICE; same 0-for-degenerate convention as the
+        // zero-norm cosine oracles)
+        // (coalesce: an all-NULL-text source has sum(tot) NULL, which
+        // must take the degenerate branch too, like the oracle's COALESCE)
+        def guarded(num: org.apache.spark.sql.Column) =
+          when(coalesce(sum(col("tot")), lit(0L)) === 0, lit(0.0))
+            .otherwise(round(num / sum(col("tot")).cast("double"), 6))
         def ratio(c: String) =
-          round(sum(col(c)).cast("double") /
-            sum(col("tot")).cast("double"), 6).as(c + "_r")
+          guarded(sum(col(c)).cast("double")).as(c + "_r")
         r.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("tot")).as("n_chars"),
             ratio("lo"), ratio("up"), ratio("dg"), ratio("sp"),
-            round((sum(col("tot")) - sum(col("lo")) - sum(col("up")) -
-              sum(col("dg")) - sum(col("sp"))).cast("double") /
-              sum(col("tot")).cast("double"), 6).as("other_r"))
+            guarded((sum(col("tot")) - sum(col("lo")) - sum(col("up")) -
+              sum(col("dg")) - sum(col("sp"))).cast("double")).as("other_r"))
           .orderBy("source")
       },
       Some("""WITH c AS (SELECT source, LENGTH(text) AS tot,
@@ -326,12 +342,16 @@ object Round18c {
         FROM documents)
         SELECT source, COUNT(*) AS n_docs,
           CAST(SUM(tot) AS BIGINT) AS n_chars,
-          ROUND(CAST(SUM(lo) AS DOUBLE)/CAST(SUM(tot) AS DOUBLE), 6) AS lo_r,
-          ROUND(CAST(SUM(up) AS DOUBLE)/CAST(SUM(tot) AS DOUBLE), 6) AS up_r,
-          ROUND(CAST(SUM(dg) AS DOUBLE)/CAST(SUM(tot) AS DOUBLE), 6) AS dg_r,
-          ROUND(CAST(SUM(sp) AS DOUBLE)/CAST(SUM(tot) AS DOUBLE), 6) AS sp_r,
-          ROUND(CAST(SUM(tot)-SUM(lo)-SUM(up)-SUM(dg)-SUM(sp) AS DOUBLE)
-            /CAST(SUM(tot) AS DOUBLE), 6) AS other_r
+          ROUND(COALESCE(CAST(SUM(lo) AS DOUBLE)
+            /NULLIF(CAST(SUM(tot) AS DOUBLE), 0), 0), 6) AS lo_r,
+          ROUND(COALESCE(CAST(SUM(up) AS DOUBLE)
+            /NULLIF(CAST(SUM(tot) AS DOUBLE), 0), 0), 6) AS up_r,
+          ROUND(COALESCE(CAST(SUM(dg) AS DOUBLE)
+            /NULLIF(CAST(SUM(tot) AS DOUBLE), 0), 0), 6) AS dg_r,
+          ROUND(COALESCE(CAST(SUM(sp) AS DOUBLE)
+            /NULLIF(CAST(SUM(tot) AS DOUBLE), 0), 0), 6) AS sp_r,
+          ROUND(COALESCE(CAST(SUM(tot)-SUM(lo)-SUM(up)-SUM(dg)-SUM(sp)
+            AS DOUBLE)/NULLIF(CAST(SUM(tot) AS DOUBLE), 0), 0), 6) AS other_r
         FROM c GROUP BY source ORDER BY source""")),
 
     // Deterministic 5-fold cross-validation assignment (j15's md5

@@ -175,14 +175,15 @@ object Round18d {
       Some(s"""WITH ${Round6.KnnCtes},
         p AS (SELECT dim, v FROM e WHERE vec_id = 0),
         sl AS (SELECT e.vec_id,
-            ROUND(SUM(e.v*p.v) / (n1.nm *
-              (SELECT sqrt(SUM(v*v)) FROM p)), 6) AS rel
+            ROUND(COALESCE(SUM(e.v*p.v) / NULLIF(n1.nm *
+              (SELECT sqrt(SUM(v*v)) FROM p), 0), 0), 6) AS rel
           FROM e JOIN p USING (dim) JOIN nm n1 ON n1.vec_id = e.vec_id
           WHERE e.vec_id != 0
           GROUP BY e.vec_id, n1.nm
           ORDER BY rel DESC, e.vec_id LIMIT 20),
         sims AS (SELECT a.vec_id AS a, b.vec_id AS b,
-            ROUND(SUM(ea.v*eb.v)/(na.nm*nb.nm), 6) AS sim
+            ROUND(COALESCE(SUM(ea.v*eb.v)/NULLIF(na.nm*nb.nm, 0), 0), 6)
+              AS sim
           FROM sl a JOIN sl b ON a.vec_id != b.vec_id
           JOIN e ea ON ea.vec_id = a.vec_id
           JOIN e eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim

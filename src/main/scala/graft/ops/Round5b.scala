@@ -471,7 +471,7 @@ object Round5b {
             when(col("n") <= W, 1L)
               .otherwise(expr("(n - 64 + 47) div 48 + 1")))
           .select(col("doc_id"), col("n"), col("toks"),
-            explode(expr("sequence(0, n_chunks - 1)")).as("c"))
+            explode(expr(Ngrams.seqAsc("0", "n_chunks - 1"))).as("c"))
           .select(col("doc_id"), col("c").as("chunk_id"),
             (col("c") * S).as("start"),
             least(lit(W), col("n") - col("c") * S).as("len"),

@@ -38,6 +38,66 @@ class NgramGuardSpec extends AnyFunSuite {
       s"\nopen-coded gram window(s) — route through graft.ops.Ngrams: $offenders")
   }
 
+  // r18 verdict item 2: the size/length lint closed the GRAM windows, but
+  // ~7 repetition-fold sites still open-coded `sequence(1, cnt)` where
+  // cnt is a column that is >= 1 by construction TODAY — the same
+  // "guard lives elsewhere" shape the n-gram class had. This dimension
+  // flags any `sequence(<digit>, <bare-identifier bound>)` in src/main
+  // outside Ngrams.scala: a data-dependent upper bound must route
+  // through Ngrams.seqAsc (EMPTY, not DESCENDING, when the bound drops
+  // below lo). Scala-interpolated bounds (`sequence(0, $planes)`) are
+  // compile-time constants and exempt; `//` comments are stripped first.
+  // Allowlist entries require an inline justification here.
+  test("lint: no open-coded digit-lo sequence() with a bare column bound") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assume(java.nio.file.Files.isDirectory(root))
+    // bound starts with a bare identifier or a cast(/expr-wrapped one —
+    // not a digit (constant), not `$` (Scala constant interpolation),
+    // not a quote (timestamp literals)
+    val pat = java.util.regex.Pattern.compile(
+      "sequence\\(\\s*\\d+\\s*,\\s*[A-Za-z_(]")
+    val allowed: Map[String, String] = Map(
+      // "<filename>" -> "<justification>"  (none today)
+    )
+    val walk = java.nio.file.Files.walk(root)
+    val offenders =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filterNot(_.getFileName.toString == "Ngrams.scala")
+        .filterNot(p => allowed.contains(p.getFileName.toString))
+        .filter { p =>
+          val noComments = java.nio.file.Files.readAllLines(p).asScala
+            .map(l => l.indexOf("//") match {
+              case -1 => l
+              case i  => l.substring(0, i)
+            }).mkString("\n")
+          pat.matcher(noComments).find()
+        }.map(_.toString).toList
+      finally walk.close()
+    assert(offenders.isEmpty,
+      s"\ndata-dependent sequence() bound(s) — route through " +
+        s"Ngrams.seqAsc or allowlist with justification: $offenders")
+  }
+
+  // r18 verdict item 2 (done-criterion): drive one of the repetition
+  // folds (the m17/m18 offset-walk shape) with cnt = 0 — the guarded
+  // domain must yield the fold's zero value (empty entry list), not a
+  // descending [1, 0] walk over garbage offsets.
+  test("seqAsc-guarded aggregate fold is the zero value at cnt = 0") {
+    val got = spark.sql(
+      s"""SELECT cnt,
+            aggregate(${Ngrams.seqAsc("1", "cnt")},
+              struct(1 AS p, cast(array() AS array<int>) AS es),
+              (acc, i) -> struct(acc.p + i AS p,
+                concat(acc.es, array(acc.p)) AS es)) AS walk
+          FROM VALUES (0), (1), (3) AS t(cnt) ORDER BY cnt""").collect()
+    assert(got(0).getStruct(1).getSeq[Int](1).isEmpty, "cnt=0 must fold to zero value")
+    assert(got(0).getStruct(1).getInt(0) == 1)
+    assert(got(1).getStruct(1).getSeq[Int](1) == Seq(1))
+    assert(got(2).getStruct(1).getSeq[Int](1) == Seq(1, 2, 4))
+  }
+
   test("Ngrams builders are empty (not descending) on short inputs") {
     val df = spark.createDataFrame(java.util.Arrays.asList(
         org.apache.spark.sql.Row(0L, ""), org.apache.spark.sql.Row(1L, "a"),
@@ -100,7 +160,12 @@ class NgramGuardSpec extends AnyFunSuite {
     val rows = texts.zipWithIndex.map { case (t, i) =>
       org.apache.spark.sql.Row(i.toLong, t, langs(i % langs.size),
         s"src${i % 4}", t.length.toLong)
-    }
+    } ++ Seq(
+      // an ALL-empty-text source: per-source character ratios (j109) see
+      // sum(length(text)) = 0 for this group — the r19 ADVICE divide-by-
+      // zero class the mixed-per-source fixture above cannot reach
+      org.apache.spark.sql.Row(100L, "", "en", "srcempty", 0L),
+      org.apache.spark.sql.Row(101L, "", "es", "srcempty", 0L))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
