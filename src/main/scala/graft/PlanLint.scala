@@ -121,6 +121,43 @@ object PlanLint {
     "j112_knn_label_noise",
     "j114_hubness_audit")
 
+  // r18 verdict item 3: unpartitioned-Window allowlist — same pattern as
+  // the NLJ list. A `Window` with an EMPTY partition spec moves its whole
+  // input to ONE task; that is a scale-killer on a corpus relation but
+  // fine (and often semantically required) on (a) a TOTAL-ORDER operator
+  // the user asked for, or (b) a bounded relation (top-k shortlists,
+  // vocab/source-sized aggregates). Every entry carries the bounding
+  // argument; a NEW key with a global window over an unbounded relation
+  // trips the lint. Populated after running the counter over all 418
+  // keys at sf0.001 (filled below, one rationale per entry).
+  private val globalWindowAllowed: Set[String] = Set(
+    // -- semantically-global total-order operators: the OUTPUT is a
+    //    global order/quantile; at 100 TB these run as a range-
+    //    partitioned global sort (Spark's SortExec on rangepartitioning),
+    //    and the scaladoc of each documents the scale posture --
+    "e6_win_ntile",          // ntile over the total order IS the operator
+    "e9_win_distribution",   // percent_rank/cume_dist over the total order
+    "j16_shuffle_det",       // global training order = hash-sort + position
+    "j93_curriculum_order",  // global curriculum interleave (scaladoc: swap
+                             // ntile for percentile-cut buckets at 100 TB)
+    // -- bounded relations: the window input's row count is fixed by
+    //    construction (post-limit shortlists, calendar/source/bin/vocab-
+    //    sized aggregates), never proportional to corpus size --
+    "h19_resample_ffill",    // 30-row generated calendar spine
+    "j43_rrf_fusion",        // two rank windows on <= 100-row post-limit legs
+    "j81_zipf_slope",        // rank window on the top-100 post-limit vocab
+    "j83_matryoshka_eval",   // rank windows on the 10-row post-limit lists
+    "j87_quota_sample",      // remainder/base-sum windows on |sources| rows
+    "j96_kneser_ney",        // P_cont total over the |vocab|-sized per-w agg
+    "j103_calibration_bins", // ECE totals over the <= 10-row bin relation
+    "j104_roc_auc",          // cum-neg over the 6-dp score histogram
+                             // (<= 10^6 rows by construction)
+    "j115_weighted_sample_es", // rank over the 20-row post-limit sample
+    "j116_psi_drift",          // share/PSI totals over the <= 10-row bins
+    "j117_epoch_schedule",     // |S| and budget totals over |sources| rows
+    "p23_cumulative_channels") // running totals over the |days| relation
+                               // (~2,400 rows, calendar-bounded)
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -129,6 +166,7 @@ object PlanLint {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var smells = 0
+    var globalWindows = 0
     SparkEntry.registry.sortBy(_.key).foreach { q =>
       // streaming / side-effecting keys execute work on construction — skip
       val sideEffecting = Set("a7", "a8", "a11", "a12", "a13",
@@ -136,21 +174,36 @@ object PlanLint {
       if (sideEffecting.exists(p => q.key.startsWith(p + "_"))) {
         println(f"${q.key}%-28s (skipped: executes on construction)")
       } else try {
-        val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+        val qe = q.fn(spark, sf).queryExecution
+        val p = qe.executedPlan.toString
         def n(pat: String) = pat.r.findAllIn(p).length
         val ex = n("Exchange hashpartitioning") + n("Exchange rangepartitioning")
         val bhj = n("BroadcastHashJoin"); val smj = n("SortMergeJoin")
         val bnl = n("BroadcastNestedLoopJoin"); val cart = n("CartesianProduct")
         val push = n("PushedFilters: \\[[^\\]]")
+        // unpartitioned windows: counted on the OPTIMIZED LOGICAL plan
+        // (AQE wraps the physical tree, and "no partition spec" is a
+        // logical property anyway). Stages a key materialized eagerly
+        // during construction (localCheckpoint) are already LogicalRDDs
+        // here — those windows ran on bounded checkpointed relations.
+        val gwin = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        globalWindows += gwin
         val flags = new StringBuilder
         if (cart > 0) { flags.append(" CARTESIAN!"); smells += 1 }
         if (bnl > 0 && !nljAllowed(q.key)) { flags.append(" NLJ!"); smells += 1 }
-        println(f"${q.key}%-28s exch=$ex bhj=$bhj smj=$smj bnl=$bnl pushed=$push$flags")
+        if (gwin > 0 && !globalWindowAllowed(q.key)) {
+          flags.append(" GLOBALWIN!"); smells += 1
+        }
+        println(f"${q.key}%-28s exch=$ex bhj=$bhj smj=$smj bnl=$bnl gwin=$gwin pushed=$push$flags")
       } catch { case e: Throwable =>
         println(f"${q.key}%-28s ERROR ${e.getMessage.take(80)}"); smells += 1
       }
     }
     println(s"SMELLS=$smells")
+    println(s"GLOBAL_WINDOWS=$globalWindows (allowlisted keys: ${globalWindowAllowed.size})")
     // r17 verdict item 6: record how many SURVEY-contract keys carry an
     // asserted headline plan property (the ContractPlanSpec sweep).
     println(s"CONTRACT_ASSERTED=${PlanContract.contractKeys.size}")
