@@ -439,7 +439,19 @@ object td {
       // reference default: read_td_table caps at 10,000 rows unless told
       // otherwise (`:: read_td_table`, limit=10000). limit <= 0 disables.
       limit: Int = 10000)(implicit s: SparkSession): DataFrame = {
-    var df = s.read.parquet(engine.tablePath(table))
+    // managed tables carry their schema as sink metadata (toTd writes
+    // _graft_schema.json — the catalog role a real TD/Hive table plays):
+    // reading by metadata instead of file inference keeps an EMPTY table
+    // readable (a partitioned write of zero rows emits no data files, so
+    // inference would fail) and skips footer-sampling on huge tables
+    val sch = schemaPath(engine.tablePath(table))
+    var df =
+      if (java.nio.file.Files.exists(sch))
+        s.read.schema(org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.nio.file.Files.readAllBytes(sch), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(engine.tablePath(table))
+      else s.read.parquet(engine.tablePath(table))
     timeRange.foreach { case (from, to) =>
       // accepts ISO dates and 'yyyy-MM-dd HH:mm:ss' datetimes
       def sec(x: String): Long = {
@@ -512,6 +524,13 @@ object td {
       case IfExists.Replace => "overwrite"
       case IfExists.Append  => "append"
     }
+    def writeSchemaMeta(written: DataFrame): Unit = {
+      // sink metadata (see readTdTable): the underscore prefix keeps the
+      // file invisible to Spark's parquet listing, like _SUCCESS
+      val p = schemaPath(out)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, written.schema.json.getBytes("UTF-8"))
+    }
     if (partitionByTime) {
       // TD storage model: 1-hour time buckets (SURVEY.md §2.1) — hive-style
       // directory partitioning so time-range scans prune whole buckets
@@ -520,13 +539,21 @@ object td {
       // task owns rows of every bucket and emits tasks×buckets tiny files
       // (measured 16.6 s vs 2 s at sf0.1×32 tasks) — the small-files
       // problem this library's own Compaction utility exists to undo.
-      withTime
+      val bucketed = withTime
         .withColumn("time_bucket",
           (col("time").cast("long") / bucketSeconds).cast("long") * bucketSeconds)
-        .repartition(col("time_bucket"))
+      bucketed.repartition(col("time_bucket"))
         .write.mode(mode).partitionBy("time_bucket").parquet(out)
-    } else withTime.write.mode(mode).parquet(out)
+      writeSchemaMeta(bucketed)
+    } else {
+      withTime.write.mode(mode).parquet(out)
+      writeSchemaMeta(withTime)
+    }
   }
+
+  /** Location of a managed table's schema metadata inside its sink dir. */
+  private def schemaPath(tableDir: String): java.nio.file.Path =
+    Paths.get(tableDir, "_graft_schema.json")
 
   private def registerTables(engine: TdEngine)(implicit s: SparkSession): Unit = {
     val dir = Paths.get(engine.root, engine.database).toFile

@@ -34,7 +34,13 @@ object Bloom {
     * items at 3% fpp — broadcast-safe at any corpus size because it is
     * sized by the SELECTIVE side's cardinality, not the probe side's). */
   def build(df: DataFrame, expected: Long, fpp: Double, cols: Column*): Array[Byte] = {
-    val bf = df.stat.bloomFilter(xxhash64(cols: _*), math.max(expected, 1L), fpp)
+    // stat.bloomFilter runs a BloomFilterAggregate, and like any aggregate
+    // it yields NULL over ZERO rows — the deserializer then NPEs on the
+    // null buffer. An empty build side means "nothing might be contained":
+    // a fresh no-puts filter preserves exactly that semantics.
+    val bf =
+      if (df.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else df.stat.bloomFilter(xxhash64(cols: _*), math.max(expected, 1L), fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

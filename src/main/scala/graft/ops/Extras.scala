@@ -193,7 +193,10 @@ object Extras {
         val frag = Scratch.unique("a18") + "/t"
         t(s, d, "supplier").repartition(64).write.mode("overwrite").parquet(frag)
         val (before, after) = Compaction.compact(s, frag, targetBytes = 8L << 20)
-        require(after < before, s"compaction did not reduce files: $before -> $after")
+        // an already-compact table (<= 1 data file — e.g. an empty write)
+        // has nothing to reduce; compaction is then a legitimate no-op
+        require(after < before || before <= 1,
+          s"compaction did not reduce files: $before -> $after")
         s.read.parquet(frag)
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
           .orderBy("s_suppkey")

@@ -480,9 +480,12 @@ object Round16b {
     Q("a37_file_metadata",
       (s, d) => {
         val out = Scratch.unique("a37")
-        t(s, d, "orders").repartition(1)
+        val ord = t(s, d, "orders")
+        ord.repartition(1)
           .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-        s.read.parquet(out)
+        // explicit schema, a14's discipline: an empty partitioned write
+        // emits no data files for inference
+        s.read.schema(ord.schema).parquet(out)
           .select(col("o_orderstatus"),
             regexp_extract(col("_metadata.file_path"),
               "o_orderstatus=([^/]+)/", 1).as("dir_status"))
@@ -898,7 +901,7 @@ object Round16b {
           .repartition(1).write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("o_orderstatus").parquet(out)
-        t(s, d, "orders").sparkSession.read.parquet(out)
+        s.read.schema(ord.schema).parquet(out)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
             round(sum(dec(col("o_totalprice"))), 4).cast("double")

@@ -704,6 +704,10 @@ object Round17 {
             ((col("doc_id") * 7 + 13) % 500).as("pos"))
         val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
         pos.crossJoin(broadcast(n))
+          // a 0/1-doc corpus has an empty exclusion ring (N-1 = 0): no
+          // negative can be drawn — emit nothing rather than mod-by-zero
+          // (degenerate-data harness finding; same WHERE in the oracle)
+          .where(col("n") >= 2)
           .select(col("anchor"), col("pos"),
             explode(expr("sequence(1, 4)")).as("i"), col("n"))
           .withColumn("raw", expr(
@@ -720,7 +724,8 @@ object Round17 {
           drawn AS (SELECT anchor, pos, i.i AS i,
               CAST('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':' ||
                 CAST(i.i AS VARCHAR)), 1, 8) AS BIGINT) % (n - 1) AS raw
-            FROM pos, n, unnest(range(1, 5)) i(i))
+            FROM pos, n, unnest(range(1, 5)) i(i)
+            WHERE n >= 2)
         SELECT anchor, pos, CAST(i AS BIGINT) AS i,
           CAST(raw + CASE WHEN raw >= pos THEN 1 ELSE 0 END AS BIGINT)
             AS neg

@@ -285,11 +285,15 @@ object Round18b {
             sum((col("pos") * (lit(2) * col("cumneg") + col("neg")))
               .cast(DecimalType(38, 0))).as("num"))
           .select(col("n_pos"), col("n_neg"),
+            // single-class corpus (n_pos or n_neg = 0): AUC is undefined
+            // — NULL, matching the oracle's NULLIF, instead of an ANSI
+            // divide-by-zero (degenerate-data harness finding)
             round(col("num").cast("double") /
-              (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+              nullif(lit(2.0) * col("n_pos") * col("n_neg"), lit(0.0)), 6)
+              .as("auc"),
             round(col("num").cast("double") /
-              (col("n_pos").cast("double") * col("n_neg")) - 1.0, 6)
-              .as("gini"))
+              nullif(col("n_pos").cast("double") * col("n_neg"), lit(0.0))
+              - 1.0, 6).as("gini"))
       },
       Some("""WITH f AS (SELECT doc_id, string_split(text, ' ') AS toks
             FROM documents),
@@ -320,9 +324,10 @@ object Round18b {
             SUM(pos * (2 * cumneg + neg)) AS num
           FROM cum)
         SELECT n_pos, n_neg,
-          ROUND(CAST(num AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc,
+          ROUND(CAST(num AS DOUBLE) / NULLIF(2.0 * n_pos * n_neg, 0), 6)
+            AS auc,
           ROUND(CAST(num AS DOUBLE)
-            / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini
+            / NULLIF(CAST(n_pos AS DOUBLE) * n_neg, 0) - 1.0, 6) AS gini
         FROM tot""")),
 
     // h49 — the TIME data type (Spark 4.1's new type, feature-flagged

@@ -45,9 +45,12 @@ object Round2 {
     Q("a14_source_partitioned",
       (s, d) => {
         val out = sinkDir("a14")
-        t(s, d, "documents").write.mode("overwrite")
+        val src = t(s, d, "documents")
+        src.write.mode("overwrite")
           .partitionBy("lang").parquet(out)
-        s.read.parquet(out).where(col("lang") === "en")
+        // explicit schema: the writer knows it, and a partitioned write
+        // of an EMPTY input emits no data files, so inference would fail
+        s.read.schema(src.schema).parquet(out).where(col("lang") === "en")
           .select("doc_id", "lang", "source", "n_chars")
           .orderBy("doc_id")
       },
@@ -247,12 +250,15 @@ object Round2 {
     Q("a19_dpp",
       (s, d) => {
         val out = sinkDir("a19")
-        t(s, d, "documents").write.mode("overwrite")
+        val src = t(s, d, "documents")
+        src.write.mode("overwrite")
           .partitionBy("lang").parquet(out)
         val dim = t(s, d, "documents").select(col("lang")).distinct()
           .withColumn("family",
             when(col("lang").isin("en", "fr", "de"), "european").otherwise("other"))
-        val fact = s.read.parquet(out)
+        // explicit schema, a14's discipline: an empty partitioned write
+        // emits no data files for inference
+        val fact = s.read.schema(src.schema).parquet(out)
         fact.join(dim.where(col("family") === "european"), "lang")
           .groupBy("lang").agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"))
@@ -405,12 +411,17 @@ object Round2 {
             sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"),
             sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"))
           .select(col("l_returnflag"),
+            // zero x-variance group (e.g. a single row): slope/intercept
+            // are undefined — NULL, the regr_slope convention, matching
+            // the oracle's NULLIF (degenerate-data harness finding)
             round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+              / nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), lit(0.0)), 6)
               .as("slope"),
             round((col("sy").cast("double")
               - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-                / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                / nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"), lit(0.0)))
                 * col("sx").cast("double")) / col("n"), 6).as("intercept"))
           .orderBy("l_returnflag")
       },
@@ -421,9 +432,11 @@ object Round2 {
           SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx
         FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag,
-          ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+          ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+            / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) AS slope,
           ROUND((CAST(sy AS DOUBLE)
-            - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0))
               * CAST(sx AS DOUBLE)) / n, 6) AS intercept
         FROM m ORDER BY l_returnflag""")),
 

@@ -117,7 +117,10 @@ object Round8 {
     val orders = t(s, d, "orders")
     orders.repartitionByRange(8, col("o_orderkey"))
       .write.mode("overwrite").parquet(tbl)
-    val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    // an EMPTY base table has no max key (the aggregate is NULL): any
+    // value keeps the derived update/delete ranges empty — use 0
+    val mxRow = orders.agg(max(col("o_orderkey"))).head()
+    val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
     val stats = s.read.parquet(tbl)
       .select(input_file_name().as("f"), col("o_orderkey"))
       .groupBy("f")
@@ -128,6 +131,18 @@ object Round8 {
   private def files(s: org.apache.spark.sql.SparkSession, tbl: String): Set[String] =
     s.read.parquet(tbl).select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toSet
+
+  /** Manifest-resolved scan: a ZERO-file list is a legitimately empty
+    * snapshot (the commit saw no rows) — resolve it to an empty relation
+    * carrying the table schema, the way a real table format resolves the
+    * scan from its catalog instead of file inference (a zero-file read
+    * would otherwise die in UNABLE_TO_INFER_SCHEMA). */
+  private def readFiles(s: org.apache.spark.sql.SparkSession,
+      fs: Seq[String], schemaFrom: String): org.apache.spark.sql.DataFrame =
+    if (fs.isEmpty)
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        s.read.parquet(schemaFrom).schema)
+    else s.read.parquet(fs: _*)
 
   /** Copy-on-write MERGE (Delta/Iceberg `MERGE INTO`, reduced to its
     * core): matched rows (o_orderkey % 7 = 0 AND ≤ max/8 — a key-range-
@@ -235,9 +250,9 @@ object Round8 {
     // distributed scan planning); it is O(files-per-version), not O(rows).
     Q("a23_time_travel",
       (s, d) => {
-        val (_, mani) = versionedSnapshots(s, d, "a23")
-        def asOf(v: Int) = s.read.parquet(
-          s.read.parquet(s"$mani/v=$v").collect().map(_.getString(0)).toIndexedSeq: _*)
+        val (tbl, mani) = versionedSnapshots(s, d, "a23")
+        def asOf(v: Int) = readFiles(s,
+          s.read.parquet(s"$mani/v=$v").collect().map(_.getString(0)).toIndexedSeq, tbl)
         Seq(1, 2).map { v =>
           asOf(v).withColumn("version", lit(v.toLong))
             .groupBy("version", "o_orderstatus")
@@ -264,11 +279,11 @@ object Round8 {
     // delta, or any added file missed, hash-fails.
     Q("a24_version_diff",
       (s, d) => {
-        val (_, mani) = versionedSnapshots(s, d, "a24")
+        val (tbl, mani) = versionedSnapshots(s, d, "a24")
         val added = s.read.parquet(s"$mani/v=2")
           .join(s.read.parquet(s"$mani/v=1"), Seq("f"), "left_anti")
           .collect().map(_.getString(0))
-        s.read.parquet(added.toIndexedSeq: _*)
+        readFiles(s, added.toIndexedSeq, tbl)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_orders"), mSum(col("o_totalprice")).as("sum_price"))
           .orderBy("o_orderstatus")
@@ -289,7 +304,7 @@ object Round8 {
     Q("a25_merge_upsert",
       (s, d) => {
         val c = mergeCommit(s, d, "a25")
-        s.read.parquet(c.v2.toSeq: _*)
+        readFiles(s, c.v2.toSeq, c.tbl)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_orders"), mSum(col("o_totalprice")).as("sum_price"))
           .orderBy("o_orderstatus")
@@ -316,7 +331,7 @@ object Round8 {
     Q("a26_delete_vacuum",
       (s, d) => {
         val c = deleteCommit(s, d, "a26")
-        s.read.parquet(c.v2.toSeq: _*)
+        readFiles(s, c.v2.toSeq, c.tbl)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_orders"), mSum(col("o_totalprice")).as("sum_price"))
           .orderBy("o_orderstatus")

@@ -133,7 +133,9 @@ object Round9 {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
-    for (r <- 1 to 10) {
+    var r = 1
+    var exhausted = false
+    while (r <= 10 && !exhausted) {
       val best = cur
         .select(expr("split(substring(sym, 2, length(sym) - 2), '><')")
           .as("ss"), col("f"))
@@ -145,12 +147,22 @@ object Round9 {
         .agg(sum(col("f")).as("pf"))
         .orderBy(desc("pf"), asc("a"), asc("b"))
         .limit(1).collect()
-      val (a, b, pf) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      merges += ((r.toLong, a, b, pf))
-      cur = cur.withColumn("sym",
-          expr(s"replace(sym, '<$a><$b>', '<$a$b>')"))
-        .localCheckpoint()
+      if (best.isEmpty) {
+        // no adjacent pair left (degenerate corpus: empty table, or all
+        // words single-char) — BPE training is DONE, like the sequential
+        // algorithm running out of merges. The oracle agrees: its b_r
+        // LIMIT-1 CTEs are empty from this round on, so the merge-table
+        // union stops at the same rank.
+        exhausted = true
+      } else {
+        val (a, b, pf) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, pf))
+        cur = cur.withColumn("sym",
+            expr(s"replace(sym, '<$a><$b>', '<$a$b>')"))
+          .localCheckpoint()
+        r += 1
+      }
     }
     (merges.toSeq, cur)
   }

@@ -616,11 +616,19 @@ object Scalars {
           .select(col("r_start"), col("r_end"), col("country"),
             explode(expr("sequence(r_start div 16777216, (r_end - 1) div 16777216)"))
               .as("bucket"))
+        // Column-API split (builds StringSplit directly): SQL-text
+        // `split(ip, '\\.')` resolves through the session FUNCTION
+        // REGISTRY, and the Presto dialect layer (functions/Presto.scala)
+        // replaces that entry with literal-delimiter semantics for the
+        // whole session — a regex delimiter silently stops splitting once
+        // any Presto-dialect key has run (caught by the degenerate-data
+        // harness running after PrestoSpec in one shared session)
+        val oct = split(col("ip"), "\\.")
         val probe = ips.select(col("id"), col("ip"),
-          expr("""CAST(split(ip, '\\.')[0] AS BIGINT) * 16777216
-            + CAST(split(ip, '\\.')[1] AS BIGINT) * 65536
-            + CAST(split(ip, '\\.')[2] AS BIGINT) * 256
-            + CAST(split(ip, '\\.')[3] AS BIGINT)""").as("ipn"))
+          (oct.getItem(0).cast("long") * 16777216L
+            + oct.getItem(1).cast("long") * 65536L
+            + oct.getItem(2).cast("long") * 256L
+            + oct.getItem(3).cast("long")).as("ipn"))
           .withColumn("bucket", expr("ipn div 16777216"))
         probe.join(broadcast(cidr), Seq("bucket"))
           .where(col("ipn") >= col("r_start") && col("ipn") < col("r_end"))

@@ -85,9 +85,9 @@ object Streams {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = collectEvents(s, d)
     val half = evs.length / 2
-    val maxTs1 = evs.take(half).map(_.ts_ms).max
+    val maxTs1 = evs.take(half).map(_.ts_ms).maxOption.getOrElse(0L)
     val late = evs.filter(_.ts_ms < maxTs1 - 3L * 3600 * 1000).take(100)
-    val sentinel = Ev(-1L, evs.last.ts_ms + 365L * 24 * 3600 * 1000,
+    val sentinel = Ev(-1L, evs.lastOption.map(_.ts_ms).getOrElse(0L) + 365L * 24 * 3600 * 1000,
       -1L, "__sentinel", 0.0)
 
     val stream = MemoryStream[Ev]
@@ -221,7 +221,7 @@ object Streams {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val gapMs = 30L * 60 * 1000
     val evs = collectEvents(s, d)
-    val sentinel = Ev(-1L, evs.last.ts_ms + 365L * 24 * 3600 * 1000,
+    val sentinel = Ev(-1L, evs.lastOption.map(_.ts_ms).getOrElse(0L) + 365L * 24 * 3600 * 1000,
       -1L, "__sentinel", 0.0)
 
     val stream = MemoryStream[Ev]
@@ -344,7 +344,7 @@ object Streams {
     try {
       val gapMs = 30L * 60 * 1000
       val evs = collectEvents(s, d)
-      val sentinel = Ev(-1L, evs.last.ts_ms + 365L * 24 * 3600 * 1000,
+      val sentinel = Ev(-1L, evs.lastOption.map(_.ts_ms).getOrElse(0L) + 365L * 24 * 3600 * 1000,
         -1L, "__sentinel", 0.0)
 
       val stream = MemoryStream[Ev]
@@ -461,7 +461,7 @@ object Streams {
     // would never close the last windows (measured: the tail 9 null rows
     // stayed in state). It carries user −1, so it matches nothing real
     // and is filtered from the graded output.
-    val far = evs.map(_.ts_ms).max + 3600 * 1000L
+    val far = evs.map(_.ts_ms).maxOption.getOrElse(0L) + 3600 * 1000L
     val sent = Ev(-1L, far, -1L, "click", 0.0)
     ls.addData(Seq(sent)); rs.addData(Seq(sent))
     q.processAllAvailable()
@@ -517,7 +517,7 @@ object Streams {
     // advances the global watermark past every real window, then an empty
     // pass applies it (eviction lands in the batch AFTER the one that
     // computed the new watermark)
-    val far = evs.map(_.ts_ms).max + 3600 * 1000L
+    val far = evs.map(_.ts_ms).maxOption.getOrElse(0L) + 3600 * 1000L
     val sent = Ev(-1L, far, -1L, "click", 0.0)
     ls.addData(Seq(sent)); rs.addData(Seq(sent))
     q.processAllAvailable()
@@ -824,13 +824,16 @@ object Streams {
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val dir = s"$tbl/batch=$id"
         df.write.mode("overwrite").parquet(dir)
-        val newFiles = s.read.parquet(dir)
+        // declared schema: an all-empty micro-batch can commit zero data
+        // files, which file inference cannot read back
+        val newFiles = s.read.schema(schema).parquet(dir)
           .select(input_file_name().as("f")).distinct()
         val prevDir = s"$mani/v=${id - 1}"
         val m = if (id == 0 ||
             !java.nio.file.Files.exists(java.nio.file.Paths.get(prevDir)))
           newFiles
-        else newFiles.unionAll(s.read.parquet(prevDir))
+        else newFiles.unionAll(
+          s.read.schema(StructType(Seq(StructField("f", StringType)))).parquet(prevDir))
         m.write.mode("overwrite").parquet(s"$mani/v=$id"); ()
       }
       .option("checkpointLocation", ck)
@@ -839,11 +842,24 @@ object Streams {
     val vs = Option(new java.io.File(mani).listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.startsWith("v=")).map(_.drop(2).toLong)
       .toIndexedSeq.sorted
-    def readV(v: Long) = s.read.parquet(
-      s.read.parquet(s"$mani/v=$v").collect().map(_.getString(0)).toIndexedSeq: _*)
+    // a zero-file manifest (all-empty batches) is a legitimately EMPTY
+    // version: resolve against the declared schemas instead of file
+    // inference (the a23/a24 readFiles discipline) — under AQE an empty
+    // manifest write can itself coalesce to zero data files
+    def readV(v: Long) = {
+      val fs = s.read.schema(StructType(Seq(StructField("f", StringType))))
+        .parquet(s"$mani/v=$v")
+        .collect().map(_.getString(0)).toIndexedSeq
+      if (fs.isEmpty)
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else s.read.parquet(fs: _*)
+    }
     i16Versions = if (i16CountVersions) vs.map(v => (v, readV(v).count()))
       else Seq.empty
-    readV(vs.max).groupBy("event_type")
+    vs.maxOption.map(readV)
+      .getOrElse(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      .groupBy("event_type")
       .agg(count(lit(1)).as("n"), mSum(col("value")).as("sum_v"))
       .orderBy("event_type")
   }
@@ -887,8 +903,14 @@ object Streams {
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val vPrev = currentVersion()
-        val idx = s.read.parquet(s.read.parquet(s"$mani/v=$vPrev")
-          .collect().map(_.getString(0)).toIndexedSeq: _*)
+        val idxFiles = s.read.parquet(s"$mani/v=$vPrev")
+          .collect().map(_.getString(0)).toIndexedSeq
+        // empty standing corpus -> zero-file v0 manifest: an empty index
+        // with the seg-0 schema (the a23/a24 readFiles discipline)
+        val idx = if (idxFiles.isEmpty)
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            s.read.parquet(s"$idxDir/seg=0").schema)
+        else s.read.parquet(idxFiles: _*)
         // 1. probe the committed index (idempotent per-batch-id sink)
         df.join(idx, Seq("band", "bh"))
           .select(col("d_inc"), col("d_idx"))
@@ -906,7 +928,11 @@ object Streams {
     stream.addData(b1.toSeq); q.processAllAvailable()
     stream.addData(b2.toSeq); q.processAllAvailable()
     q.stop()
-    s.read.parquet(out).select("d_inc", "d_idx").distinct()
+    // zero incoming batches write no out dir at all: the result is the
+    // empty candidate relation
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      s.range(0).select(col("id").as("d_inc"), col("id").as("d_idx"))
+    else s.read.parquet(out).select("d_inc", "d_idx").distinct()
       .orderBy("d_inc", "d_idx")
   }
 
@@ -951,8 +977,14 @@ object Streams {
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val vPrev = currentVersion()
-        val idx = s.read.parquet(s.read.parquet(s"$mani/v=$vPrev")
-          .collect().map(_.getString(0)).toIndexedSeq: _*)
+        val idxFiles = s.read.parquet(s"$mani/v=$vPrev")
+          .collect().map(_.getString(0)).toIndexedSeq
+        // empty standing corpus -> zero-file v0 manifest: an empty index
+        // with the seg-0 schema (the a23/a24 readFiles discipline)
+        val idx = if (idxFiles.isEmpty)
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            s.read.parquet(s"$idxDir/seg=0").schema)
+        else s.read.parquet(idxFiles: _*)
         df.join(idx, Seq("bucket"))
           .select(col("v_inc"), col("v_idx"))
           .write.mode("overwrite").parquet(s"$out/batch=$id")
@@ -968,7 +1000,11 @@ object Streams {
     stream.addData(b1.toSeq); q.processAllAvailable()
     stream.addData(b2.toSeq); q.processAllAvailable()
     q.stop()
-    s.read.parquet(out).select("v_inc", "v_idx").distinct()
+    // zero incoming batches write no out dir at all: the result is the
+    // empty candidate relation
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      s.range(0).select(col("id").as("v_inc"), col("id").as("v_idx"))
+    else s.read.parquet(out).select("v_inc", "v_idx").distinct()
       .orderBy("v_inc", "v_idx")
   }
 
@@ -1197,7 +1233,7 @@ object Streams {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val evs = collectEvents(s, d)
-      val endTs = evs.last.ts_ms + 24L * 3600 * 1000
+      val endTs = evs.lastOption.map(_.ts_ms).getOrElse(0L) + 24L * 3600 * 1000
       val sentinel = Ev(-1L, endTs + 365L * 24 * 3600 * 1000, -1L, "sentinel", 0.0)
       val stream = MemoryStream[Ev]
       val counted = stream.toDS()
@@ -1249,7 +1285,7 @@ object Streams {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val evs = collectEvents(s, d)
-      val endTs = evs.last.ts_ms + 24L * 3600 * 1000
+      val endTs = evs.lastOption.map(_.ts_ms).getOrElse(0L) + 24L * 3600 * 1000
       val sentinel = Ev(-1L, endTs + 365L * 24 * 3600 * 1000, -1L, "purchase", 0.0)
       val stream = MemoryStream[Ev]
       val ranked = stream.toDS()
@@ -1378,7 +1414,7 @@ object Streams {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = collectEvents(s, d)
-    val sentinel = Ev(-1L, evs.last.ts_ms + 365L * 24 * 3600 * 1000,
+    val sentinel = Ev(-1L, evs.lastOption.map(_.ts_ms).getOrElse(0L) + 365L * 24 * 3600 * 1000,
       -1L, "__sentinel", 1e9)
     val stream = MemoryStream[Ev]
     val recipe = stream.toDF()

@@ -416,7 +416,10 @@ class PlanSpec extends AnyFunSuite {
     // would show a ScalaUDF/eval node and break both properties
     val p = plan("k15_sql_udf")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
-    assert(p.contains("Generate explode(sequence"), p)
+    // the UDTF body now routes through Ngrams.seqAsc, so the Generate
+    // carries the guarded `explode(if(.. sequence ..))` form — still a
+    // plain inlined Generate over builtin expressions
+    assert(p.contains("Generate explode(") && p.contains("sequence("), p)
     assert(p.contains("LessThan(l_orderkey,100)"), p)
   }
 
