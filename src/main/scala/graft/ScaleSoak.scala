@@ -32,7 +32,7 @@ object ScaleSoak {
     val sections: Set[String] =
       if (args.isEmpty)
         Set("neardup", "ann", "j60", "sub", "ev", "decontam", "page",
-          "recipe", "auc", "evalm")
+          "recipe", "auc", "evalm", "graphm")
       else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
@@ -516,6 +516,28 @@ object ScaleSoak {
       }
       Seq("j3_sim_topk", "j105_ndcg", "j106_mrr", "j107_recall_at_k")
         .foreach(scanOf)
+    }
+
+    // j108's scale claim (r18 verdict item 6): the triangle census is
+    // bounded-relation algebra AFTER one materialization of the oriented
+    // kNN edge relation — so what must stay flat as the corpus grows is
+    // the exchange count of the post-checkpoint plan (the edge relation
+    // itself is k-bounded: |edges| <= k·|vecs|). scan_rows is blind here
+    // (the corpus scan runs inside the eager localCheckpoint, j113's
+    // documented accounting gap), so the soak records wall, the plan's
+    // exchange count, and the edge mass actually checkpointed.
+    section("graphm") {
+      try {
+        val df = SparkEntry.queries("j108_graph_triangles")(spark, d)
+        val t0 = System.nanoTime()
+        val out = df.collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val exch = "Exchange".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+        // n_edges is column 1 of the single output row
+        val edges = if (out.nonEmpty) out(0).getLong(1) else -1L
+        println(f"""SOAK {"key":"j108_graph_triangles","conf":"20k_vecs","sec":$sec%.2f,"rows":${out.length},"n_edges":$edges,"exchanges":$exch}""")
+      } finally release()
     }
 
     spark.stop()
