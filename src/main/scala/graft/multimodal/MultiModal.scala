@@ -34,9 +34,14 @@ object MultiModal {
   }
 
   /** Per-partition batched decode — one iterator pass per partition, no
-    * per-row task overhead; executors never hold more than a partition. */
+    * per-row task overhead; executors never hold more than a partition.
+    * A NULL payload is a missing/failed media object: dropped, like a
+    * codec skipping an unreadable file (degenerate-data harness: a
+    * null-text corpus must not NPE the decode stage). */
   def decodeStub(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(it => it.map(r => fakeDecode(r.doc_id, r.payload)))
+    ds.mapPartitions(it => it.collect {
+      case r if r.payload != null => fakeDecode(r.doc_id, r.payload)
+    })
   }
 }

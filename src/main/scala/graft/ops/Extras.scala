@@ -280,7 +280,7 @@ object Extras {
           list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(string_split_regex(text,''), c -> CAST(ascii(c) AS BIGINT))),
             (a, b) -> (a * 31 + b) % 1000000007) AS crc
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
         SELECT doc_id, 128 + crc % 1024 AS width, 128 + (crc // 1024) % 1024 AS height,
           1 + crc % 30 AS n_frames, crc AS checksum
         FROM x ORDER BY doc_id""")))

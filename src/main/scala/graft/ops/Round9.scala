@@ -449,8 +449,11 @@ object Round9 {
     Q("m7_binary_ingest",
       (s, d) => {
         val out = graft.ops.Scratch.unique("m7")
+        // a NULL payload is a media object that never materialized (null
+        // source text): no file to write — same skip a real ingest does
         val rows = imagePayloads(s, d).where(col("doc_id") < 64)
-          .select(col("doc_id"), col("payload")).collect()
+          .select(col("doc_id"), col("payload"))
+          .where(col("payload").isNotNull).collect()
         rows.foreach { r =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%05d.bin"),
@@ -475,7 +478,8 @@ object Round9 {
                  || lpad(hex(16 + doc_id % 2048), 4, '0')
                  || hex(substr(text, 1, 5))) END AS head_hex,
           upper(hex(substr(text, length(text) - 7, 8))) AS tail_hex
-        FROM documents WHERE doc_id < 64 ORDER BY doc_id"""),
+        FROM documents WHERE doc_id < 64 AND text IS NOT NULL
+        ORDER BY doc_id"""),
     ),
 
     // m6 — the AUDIO leg of the byte-decode story (m2b/m4b are images):

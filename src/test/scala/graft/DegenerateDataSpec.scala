@@ -76,4 +76,34 @@ class DegenerateDataSpec extends AnyFunSuite {
   test("every registry key survives SINGLE-ROW input tables") {
     sweep(buildVariant("single", 1), "single-row")
   }
+
+  // the remaining hostile class after empty/single-row: NULLs in the
+  // nullable text-pipeline columns. EventsGuardSpec already nulls the
+  // events side (value/type/props); this variant nulls documents.text/
+  // lang/source on interleaved strides (so every key sees null AND
+  // non-null rows in one relation) — the shape a production corpus has
+  // after a failed extraction stage. Keys only have to not THROW;
+  // null rows legitimately drop out of token pipelines.
+  test("every registry key survives NULL-riddled documents columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degennull").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (tbl <- Tables.names if tbl != "documents") {
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, s"$tbl.parquet"),
+        java.nio.file.Paths.get(TestSpark.sf, s"$tbl.parquet"))
+    }
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("text"))
+          .as("text"),
+        when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang"))
+          .as("lang"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("source"))
+          .as("source"),
+        when(col("doc_id") % 3 === 0, lit(null))
+          .otherwise(col("n_chars")).as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    sweep(dir, "null-documents")
+  }
 }
