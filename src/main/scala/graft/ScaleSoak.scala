@@ -528,8 +528,12 @@ object ScaleSoak {
     // exchange count, and the edge mass actually checkpointed.
     section("graphm") {
       try {
-        val df = SparkEntry.queries("j108_graph_triangles")(spark, d)
+        // time CONSTRUCTION too: j108 runs the corpus-proportional LSH
+        // candidate join + edge localCheckpoint eagerly while the query
+        // is built — starting the clock at collect() would exclude the
+        // dominant stage (r19 review finding)
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries("j108_graph_triangles")(spark, d)
         val out = df.collect()
         val sec = (System.nanoTime() - t0) / 1e9
         val exch = "Exchange".r

@@ -37,10 +37,14 @@ object Bloom {
     // stat.bloomFilter runs a BloomFilterAggregate, and like any aggregate
     // it yields NULL over ZERO rows — the deserializer then NPEs on the
     // null buffer. An empty build side means "nothing might be contained":
-    // a fresh no-puts filter preserves exactly that semantics.
+    // a fresh no-puts filter preserves exactly that semantics. Branch on
+    // the caller-supplied cardinality (both call sites already pay that
+    // count to SIZE the filter) rather than df.isEmpty, which would run
+    // the build-side plan one extra time on every call.
     val bf =
-      if (df.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-      else df.stat.bloomFilter(xxhash64(cols: _*), math.max(expected, 1L), fpp)
+      if (expected <= 0L)
+        org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else df.stat.bloomFilter(xxhash64(cols: _*), expected, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

@@ -277,8 +277,10 @@ object Round18c {
             col("wedges").as("n_wedges"), col("n_tri"),
             // wedges=0 (every node degree <= 1 — isolated edges under
             // thin LSH buckets) implies n_tri=0; define clustering = 0.0
-            // instead of an ANSI DIVIDE_BY_ZERO (r19 ADVICE)
-            when(col("wedges") === 0, lit(0.0))
+            // instead of an ANSI DIVIDE_BY_ZERO (r19 ADVICE). coalesce:
+            // an EMPTY edge relation leaves sum(...) NULL, which must
+            // take the same branch as the oracle's COALESCE(...,0)
+            when(coalesce(col("wedges"), lit(0L)) === 0, lit(0.0))
               .otherwise(round(lit(3.0) * col("n_tri") / col("wedges"), 6))
               .as("clustering"))
       },

@@ -133,10 +133,15 @@ object Round19 {
       (s, d) => {
         val budget = 3000000L
         val cap = 4L
+        // coalesce: an all-NULL-text source sums to NULL, and Spark's
+        // least() SKIPS null arguments — the cap would silently read as
+        // "fully served" instead of 0 tokens (r19 review finding; the
+        // oracle carries the same COALESCE so LEAST never sees NULL on
+        // either engine)
         val st = t(s, d, "documents")
           .groupBy("source")
-          .agg(sum(size(split(col("text"), " ")).cast("long"))
-            .as("n_tokens"))
+          .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")),
+            lit(0L)).as("n_tokens"))
         val w = Window.partitionBy()
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         st
@@ -156,7 +161,8 @@ object Round19 {
           .orderBy("source")
       },
       Some("""WITH st AS (SELECT source,
-            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            COALESCE(CAST(SUM(len(string_split(text, ' '))) AS BIGINT), 0)
+              AS n_tokens
           FROM documents GROUP BY source),
         pl AS (SELECT source, n_tokens,
             CAST(3000000 // COUNT(*) OVER () AS BIGINT) AS target_tokens

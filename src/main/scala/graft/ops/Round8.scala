@@ -132,17 +132,12 @@ object Round8 {
     s.read.parquet(tbl).select(input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toSet
 
-  /** Manifest-resolved scan: a ZERO-file list is a legitimately empty
-    * snapshot (the commit saw no rows) — resolve it to an empty relation
-    * carrying the table schema, the way a real table format resolves the
-    * scan from its catalog instead of file inference (a zero-file read
-    * would otherwise die in UNABLE_TO_INFER_SCHEMA). */
+  /** Manifest-resolved scan via [[ManifestIO.readFiles]], with the table
+    * schema taken (lazily, empty path only) from the always-file-backed
+    * base table dir. */
   private def readFiles(s: org.apache.spark.sql.SparkSession,
       fs: Seq[String], schemaFrom: String): org.apache.spark.sql.DataFrame =
-    if (fs.isEmpty)
-      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        s.read.parquet(schemaFrom).schema)
-    else s.read.parquet(fs: _*)
+    ManifestIO.readFiles(s, fs, s.read.parquet(schemaFrom).schema)
 
   /** Copy-on-write MERGE (Delta/Iceberg `MERGE INTO`, reduced to its
     * core): matched rows (o_orderkey % 7 = 0 AND ≤ max/8 — a key-range-

@@ -616,19 +616,20 @@ object Scalars {
           .select(col("r_start"), col("r_end"), col("country"),
             explode(expr("sequence(r_start div 16777216, (r_end - 1) div 16777216)"))
               .as("bucket"))
-        // Column-API split (builds StringSplit directly): SQL-text
-        // `split(ip, '\\.')` resolves through the session FUNCTION
-        // REGISTRY, and the Presto dialect layer (functions/Presto.scala)
-        // replaces that entry with literal-delimiter semantics for the
-        // whole session — a regex delimiter silently stops splitting once
-        // any Presto-dialect key has run (caught by the degenerate-data
-        // harness running after PrestoSpec in one shared session)
-        val oct = split(col("ip"), "\\.")
+        // DIALECT-AGNOSTIC octet parse: `split(ip, '\\.')` resolves by
+        // NAME through the session function registry (Spark 4's Column
+        // API included — functions.split is Column.fn("split")), and a
+        // session with the Presto dialect RESIDENT (GraftExtensions, the
+        // documented cluster-wide deployment) reads the delimiter as a
+        // LITERAL — the regex silently stops splitting (caught by the
+        // degenerate-data harness running after ExtensionsSpec installed
+        // the dialect on the shared session). 3-arg regexp_extract is
+        // the stable form: both dialects build the same RegExpExtract.
+        def octet(g: Int) = regexp_extract(col("ip"),
+          "^(\\d+)\\.(\\d+)\\.(\\d+)\\.(\\d+)$", g).cast("long")
         val probe = ips.select(col("id"), col("ip"),
-          (oct.getItem(0).cast("long") * 16777216L
-            + oct.getItem(1).cast("long") * 65536L
-            + oct.getItem(2).cast("long") * 256L
-            + oct.getItem(3).cast("long")).as("ipn"))
+          (octet(1) * 16777216L + octet(2) * 65536L
+            + octet(3) * 256L + octet(4)).as("ipn"))
           .withColumn("bucket", expr("ipn div 16777216"))
         probe.join(broadcast(cidr), Seq("bucket"))
           .where(col("ipn") >= col("r_start") && col("ipn") < col("r_end"))

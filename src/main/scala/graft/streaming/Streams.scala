@@ -846,19 +846,14 @@ object Streams {
     // version: resolve against the declared schemas instead of file
     // inference (the a23/a24 readFiles discipline) — under AQE an empty
     // manifest write can itself coalesce to zero data files
-    def readV(v: Long) = {
-      val fs = s.read.schema(StructType(Seq(StructField("f", StringType))))
+    def readV(v: Long) = graft.ops.ManifestIO.readFiles(s,
+      s.read.schema(StructType(Seq(StructField("f", StringType))))
         .parquet(s"$mani/v=$v")
-        .collect().map(_.getString(0)).toIndexedSeq
-      if (fs.isEmpty)
-        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else s.read.parquet(fs: _*)
-    }
+        .collect().map(_.getString(0)).toIndexedSeq, schema)
     i16Versions = if (i16CountVersions) vs.map(v => (v, readV(v).count()))
       else Seq.empty
     vs.maxOption.map(readV)
-      .getOrElse(s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      .getOrElse(graft.ops.ManifestIO.readFiles(s, Nil, schema))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), mSum(col("value")).as("sum_v"))
       .orderBy("event_type")
@@ -903,14 +898,12 @@ object Streams {
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val vPrev = currentVersion()
-        val idxFiles = s.read.parquet(s"$mani/v=$vPrev")
-          .collect().map(_.getString(0)).toIndexedSeq
         // empty standing corpus -> zero-file v0 manifest: an empty index
-        // with the seg-0 schema (the a23/a24 readFiles discipline)
-        val idx = if (idxFiles.isEmpty)
-          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            s.read.parquet(s"$idxDir/seg=0").schema)
-        else s.read.parquet(idxFiles: _*)
+        // with the seg-0 schema (ManifestIO, the a23/a24 discipline)
+        val idx = graft.ops.ManifestIO.readFiles(s,
+          s.read.parquet(s"$mani/v=$vPrev")
+            .collect().map(_.getString(0)).toIndexedSeq,
+          s.read.parquet(s"$idxDir/seg=0").schema)
         // 1. probe the committed index (idempotent per-batch-id sink)
         df.join(idx, Seq("band", "bh"))
           .select(col("d_inc"), col("d_idx"))
@@ -977,14 +970,12 @@ object Streams {
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val vPrev = currentVersion()
-        val idxFiles = s.read.parquet(s"$mani/v=$vPrev")
-          .collect().map(_.getString(0)).toIndexedSeq
         // empty standing corpus -> zero-file v0 manifest: an empty index
-        // with the seg-0 schema (the a23/a24 readFiles discipline)
-        val idx = if (idxFiles.isEmpty)
-          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            s.read.parquet(s"$idxDir/seg=0").schema)
-        else s.read.parquet(idxFiles: _*)
+        // with the seg-0 schema (ManifestIO, the a23/a24 discipline)
+        val idx = graft.ops.ManifestIO.readFiles(s,
+          s.read.parquet(s"$mani/v=$vPrev")
+            .collect().map(_.getString(0)).toIndexedSeq,
+          s.read.parquet(s"$idxDir/seg=0").schema)
         df.join(idx, Seq("bucket"))
           .select(col("v_inc"), col("v_idx"))
           .write.mode("overwrite").parquet(s"$out/batch=$id")
