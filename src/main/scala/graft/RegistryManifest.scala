@@ -1,14 +1,17 @@
 package graft
 
-/** Close-of-round step (r18 verdict item 4): persist the registry's key
-  * list to `tools/registry_manifest.txt`. The next round's Bench derives
-  * its debut-key set (`newKeys`) as `registry − manifest`, replacing the
-  * hand-maintained `newThisRound` list whose failure mode was a
-  * silently-unbenched debut key. Run `runMain graft.RegistryManifest`
-  * as the LAST step of every round, after all keys land (documented in
-  * BASELINE.md); the file is committed so the diff is reviewable.
+/** Persist the registry's key list to `tools/registry_manifest.txt`;
+  * Bench derives its debut-key set (`newKeys`) as `registry − manifest`,
+  * replacing the hand-maintained `newThisRound` list whose failure mode
+  * was a silently-unbenched debut key (r18 verdict item 4).
   *
-  * No SparkSession is needed — the registry is a static structure.
+  * TIMING — run as the FIRST step of every session, BEFORE adding keys:
+  * the driver's BENCH_rN runs after round N's session ends, so at that
+  * point the manifest must still hold round N−1's registry for round N's
+  * debuts to be flagged into the core tier. Regenerating at session
+  * start captures exactly the prior round's close (a no-op diff when the
+  * registry is unchanged). The file is committed so the diff is
+  * reviewable. No SparkSession is needed — the registry is static.
   */
 object RegistryManifest {
   def main(args: Array[String]): Unit = {
