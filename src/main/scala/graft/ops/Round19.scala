@@ -174,6 +174,104 @@ object Round19 {
           ROUND(COALESCE(CAST(served_tokens AS DOUBLE)
             / NULLIF(CAST(n_tokens AS DOUBLE), 0), 0), 6) AS epochs,
           CAST(target_tokens - served_tokens AS BIGINT) AS unmet_tokens
-        FROM sv ORDER BY source"""))
+        FROM sv ORDER BY source""")),
+
+    // Chat/SFT-transcript structure audit — the validation pass an
+    // instruction-tuning pipeline runs before a chat corpus reaches the
+    // template renderer: parse role-tagged turns and flag the two defect
+    // classes that silently poison SFT runs — broken role ALTERNATION
+    // (consecutive same-role turns merge under most chat templates) and
+    // an assistant token share too low to train on. The fixture
+    // synthesizes a deterministic transcript per doc (m14's
+    // render-then-parse discipline: 2-6 "role: content" lines, a system
+    // line on every 4th doc, a PLANTED double-user violation on every
+    // 7th), the parser re-derives everything from the text, and the
+    // oracle replays the synthesis rule — a matched render/parse bug
+    // cannot cancel. Map-only: per-row split/regexp + one posexplode,
+    // one per-doc aggregation; the alternation check is a lag window
+    // inside the doc partition. Scales as a pure scan.
+    Q("j118_chat_turns",
+      (s, d) => {
+        val turns = t(s, d, "documents")
+          // newline-sanitized tokens: the renderer frames turns with
+          // '\n', so source newlines must not fabricate extra lines
+          // (fixtures carry none; a real corpus would)
+          .select(col("doc_id"),
+            split(translate(col("text"), "\n\r", "  "), " ").as("toks"))
+          .selectExpr("doc_id",
+            "cast(2 + doc_id % 5 AS INT) AS n_syn",
+            s"""array_join(transform(${Ngrams.seqAsc("1", "cast(2 + doc_id % 5 AS INT)")},
+                 i -> concat(
+                   CASE WHEN i = 1 AND doc_id % 4 = 0 THEN 'system'
+                        WHEN doc_id % 7 = 0 AND i = 2 THEN 'user'
+                        WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END,
+                   ': ',
+                   coalesce(concat_ws(' ',
+                     slice(toks, cast((i - 1) * 4 + 1 AS INT),
+                       least(4, greatest(0, size(toks) - (i - 1) * 4)))),
+                     ''))),
+               chr(10)) AS chat""")
+          // '\n' as a LITERAL Scala newline inside the SQL string: the
+          // newline char reads identically as regex and as the Presto
+          // dialect's literal delimiter (chr(10) would THROW there —
+          // Presto's split requires a literal delimiter); n_tok counts
+          // NON-EMPTY parsed tokens so empty source tokens (double
+          // spaces) cannot desync parse-side and synthesis-side counts;
+          // regexp_replace strips only the leading 'role: ' prefix, so
+          // a content token ending in ':' cannot eat earlier tokens
+          .selectExpr("doc_id",
+            "posexplode(split(chat, '\n')) AS (i0, line)")
+          .selectExpr("doc_id", "cast(i0 + 1 AS INT) AS turn_idx",
+            "regexp_extract(line, '^([a-z]+): ', 1) AS role",
+            """cast(size(filter(split(regexp_replace(line, '^[a-z]+: ', ''),
+                 ' '), x -> x != '')) AS BIGINT) AS n_tok""")
+        val w = Window.partitionBy("doc_id").orderBy("turn_idx")
+        turns
+          .withColumn("viol",
+            when(lag(col("role"), 1).over(w) === col("role"), 1L)
+              .otherwise(0L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_turns"),
+            sum(col("viol")).as("n_alternation_violations"),
+            sum(when(col("role") === "assistant", col("n_tok"))
+              .otherwise(0L)).as("assistant_tokens"),
+            sum(col("n_tok")).as("total_tokens"))
+          .select(col("doc_id"), col("n_turns"),
+            col("n_alternation_violations"), col("assistant_tokens"),
+            col("total_tokens"),
+            when(coalesce(col("total_tokens"), lit(0L)) === 0, lit(0.0))
+              .otherwise(round(col("assistant_tokens").cast("double") /
+                col("total_tokens").cast("double"), 6))
+              .as("assistant_share"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+            string_split(translate(text, chr(10) || chr(13), '  '), ' ')
+              AS toks,
+            2 + doc_id % 5 AS n_syn
+          FROM documents),
+        turn AS (SELECT doc_id, i.i AS turn_idx,
+            CASE WHEN i.i = 1 AND doc_id % 4 = 0 THEN 'system'
+                 WHEN doc_id % 7 = 0 AND i.i = 2 THEN 'user'
+                 WHEN i.i % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+            COALESCE(CAST(len(list_filter(
+              toks[((i.i - 1) * 4 + 1):((i.i - 1) * 4
+                + LEAST(4, GREATEST(0, len(toks) - (i.i - 1) * 4)))],
+              x -> x <> '')) AS BIGINT), 0) AS n_tok
+          FROM base, unnest(range(1, n_syn + 1)) i(i)),
+        v AS (SELECT doc_id, turn_idx, role, n_tok,
+            CASE WHEN lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx)
+              = role THEN 1 ELSE 0 END AS viol
+          FROM turn)
+        SELECT doc_id, COUNT(*) AS n_turns,
+          CAST(SUM(viol) AS BIGINT) AS n_alternation_violations,
+          CAST(SUM(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END)
+            AS BIGINT) AS assistant_tokens,
+          CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+          CASE WHEN COALESCE(SUM(n_tok), 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(SUM(CASE WHEN role = 'assistant' THEN n_tok
+              ELSE 0 END) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE), 6) END
+            AS assistant_share
+        FROM v GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

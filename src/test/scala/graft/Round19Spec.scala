@@ -76,4 +76,39 @@ class Round19Spec extends AnyFunSuite {
     // the budget is never exceeded
     assert(out.map(_.getLong(3)).sum <= 3000000L)
   }
+
+  test("j118: structure audit equals a from-scratch Scala recompute") {
+    val out = SparkEntry.queries("j118_chat_turns")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val toks = text.replace('\n', ' ').replace('\r', ' ').split(" ", -1)
+      val nSyn = (2 + id % 5).toInt
+      val roles = (1 to nSyn).map { i =>
+        if (i == 1 && id % 4 == 0) "system"
+        else if (id % 7 == 0 && i == 2) "user"
+        else if (i % 2 == 1) "user" else "assistant"
+      }
+      val ntoks = (1 to nSyn).map { i =>
+        toks.slice((i - 1) * 4, (i - 1) * 4 + 4).count(_.nonEmpty).toLong
+      }
+      val viols = roles.sliding(2).count(p => p.size == 2 && p(0) == p(1))
+      val asst = roles.zip(ntoks).collect { case ("assistant", n) => n }.sum
+      val tot = ntoks.sum
+      val r = out(id)
+      assert(r.getLong(1) == nSyn.toLong, s"n_turns doc $id")
+      assert(r.getLong(2) == viols.toLong, s"violations doc $id")
+      assert(r.getLong(3) == asst, s"assistant_tokens doc $id")
+      assert(r.getLong(4) == tot, s"total_tokens doc $id")
+      val share = if (tot == 0) 0.0
+        else math.round(asst.toDouble / tot * 1e6) / 1e6
+      assert(r.getDouble(5) == share, s"share doc $id")
+    }
+    // the planted defect classes are present in the fixture
+    assert(out.exists(_._2.getLong(2) > 0), "planted violations must appear")
+    assert(out.values.map(_.getLong(1)).toSet.size > 1, "turn counts vary")
+  }
 }
