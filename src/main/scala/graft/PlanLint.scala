@@ -128,8 +128,8 @@ object PlanLint {
   // the user asked for, or (b) a bounded relation (top-k shortlists,
   // vocab/source-sized aggregates). Every entry carries the bounding
   // argument; a NEW key with a global window over an unbounded relation
-  // trips the lint. Populated after running the counter over all 418
-  // keys at sf0.001 (filled below, one rationale per entry).
+  // trips the lint. Populated after running the counter over the full
+  // registry at sf0.001 (filled below, one rationale per entry).
   private val globalWindowAllowed: Set[String] = Set(
     // -- semantically-global total-order operators: the OUTPUT is a
     //    global order/quantile; at 100 TB these run as a range-
@@ -155,6 +155,10 @@ object PlanLint {
     "j115_weighted_sample_es", // rank over the 20-row post-limit sample
     "j116_psi_drift",          // share/PSI totals over the <= 10-row bins
     "j117_epoch_schedule",     // |S| and budget totals over |sources| rows
+    "j119_epoch_redistribute", // j117's plan reused: same |sources|-row
+                               // window; the fill itself is a one-row fold
+    "j121_filter_yield",       // cumulative/total windows on the 10-row
+                               // generated threshold spine
     "p23_cumulative_channels") // running totals over the |days| relation
                                // (~2,400 rows, calendar-bounded)
 

@@ -20,7 +20,7 @@ object SparkEntry {
       Round6.all ++ Round8.all ++ Round9.all ++ Round13.all ++ Round15.all ++
       Round16.all ++ Round16b.all ++ Round16c.all ++ Round16d.all ++
       Round17.all ++ Round18.all ++ Round18b.all ++ Round18c.all ++
-      Round18d.all ++ Round19.all
+      Round18d.all ++ Round19.all ++ Round20.all
 
   /** Flagship query (TPC-H Q1 pricing summary) on sf0.001; driver
     * smoke-checks rows > 0. */

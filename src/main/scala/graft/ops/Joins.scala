@@ -183,9 +183,19 @@ object Joins {
     Q("c10b_join_asof_cogroup",
       (s, d) => {
         import s.implicits._
-        val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
+        // NULL key/time rows take the same drop path SQL's join condition
+        // gives them in c10 (a NULL user_id/o_custkey never equi-matches;
+        // a NULL timestamp never satisfies <=); NULL ids are additionally
+        // dropped at the typed boundary (dead-letter posture — the tuple
+        // encoder's fields are primitive, r20 null-riddled sweep)
+        val ev = events(s, d)
+          .where(col("event_id").isNotNull && col("user_id").isNotNull &&
+            col("ts_ms").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
           .as[(Long, Long, Long)]
         val ord = t(s, d, "orders")
+          .where(col("o_orderkey").isNotNull && col("o_custkey").isNotNull &&
+            col("o_orderdate").isNotNull)
           .select(col("o_orderkey"), col("o_custkey"),
             // parquet ms timestamps read as TIMESTAMP_NTZ; session is UTC so
             // the cast to (ltz) timestamp is value-preserving

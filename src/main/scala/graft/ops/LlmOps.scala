@@ -148,9 +148,16 @@ object LlmOps {
     * so only 8-byte base hashes ride the explode and the groupBy — the
     * ~20+-char shingle strings never leave the projection that built
     * them. */
-  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame =
+    minhashSigsOf(s, docsTok(s, d))
+
+  /** MinHash signatures over an ARBITRARY (doc_id, toks) relation — the
+    * same k-seed/shingle recipe as [[minhashSigs]], factored so j120's
+    * conversation-level corpus (parsed transcript contents, not raw
+    * documents.text) reuses one signature definition. */
+  private[graft] def minhashSigsOf(s: SparkSession, tokDf: DataFrame): DataFrame = {
     val k = Knobs.minhashK(s)
-    val sh = docsTok(s, d).where(size(col("toks")) >= 3)
+    val sh = tokDf.where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
           "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))),1,15),16,10) as bigint)" +

@@ -25,6 +25,45 @@ import graft.Tables._
   */
 object Round19 {
 
+  /** The j117 schedule relation (source, n_tokens, target_tokens,
+    * served_tokens, epochs, unmet_tokens) — factored so j119's
+    * deficit-redistribution second pass (Round20) starts from the same
+    * plan instead of re-deriving it. Budget/cap are the key's documented
+    * constants. */
+  private[graft] val EpochBudget = 3000000L
+  private[graft] val EpochCap = 4L
+  private[graft] def epochSchedule(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val budget = EpochBudget
+    val cap = EpochCap
+    // coalesce: an all-NULL-text source sums to NULL, and Spark's
+    // least() SKIPS null arguments — the cap would silently read as
+    // "fully served" instead of 0 tokens (r19 review finding; the
+    // oracle carries the same COALESCE so LEAST never sees NULL on
+    // either engine)
+    val st = t(s, d, "documents")
+      .groupBy("source")
+      .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")),
+        lit(0L)).as("n_tokens"))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    st
+      // integer `div`, not `/`: Spark's `/` on longs is DOUBLE
+      // division, and the oracle computes `//` — keep both integral
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .withColumn("target_tokens", expr(s"${budget}L div n_sources"))
+      .withColumn("served_tokens",
+        least(lit(cap) * col("n_tokens"), col("target_tokens")))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        col("served_tokens"),
+        round(coalesce(col("served_tokens").cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)), 6)
+          .as("epochs"),
+        (col("target_tokens") - col("served_tokens"))
+          .as("unmet_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
 
     // PSI between the even-doc_id snapshot (reference crawl) and the
@@ -43,6 +82,13 @@ object Round19 {
     Q("j116_psi_drift",
       (s, d) => {
         val binned = Round9.j49Scored(s, d)
+          // a NULL score (null-text doc) must be EXCLUDED, not binned:
+          // Spark's least() SKIPS null arguments (bin would read 9) while
+          // DuckDB's LEAST propagates NULL pre-1.1 (a NULL bin group) —
+          // an engine/version-dependent divergence the r19 advice flagged.
+          // Unscored docs carry no drift signal; drop them explicitly on
+          // BOTH engines.
+          .where(col("score").isNotNull)
           .select(least(floor(col("score") * 10), lit(9)).cast("int")
             .as("bin"), col("doc_id"))
         val cnt = binned.groupBy("bin")
@@ -89,7 +135,7 @@ object Round19 {
         sc AS (SELECT doc_id,
             LEAST(CAST(floor(ROUND(1.0 / (1.0 + exp(-z)), 6) * 10) AS INT), 9)
               AS bin
-          FROM z),
+          FROM z WHERE z IS NOT NULL),
         cnt AS (SELECT bin,
             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_ref,
@@ -130,36 +176,7 @@ object Round19 {
     // ZERO tokens (all-empty docs) serves 0 and reads epochs = 0 via the
     // NULLIF guard, not a divide-by-zero.
     Q("j117_epoch_schedule",
-      (s, d) => {
-        val budget = 3000000L
-        val cap = 4L
-        // coalesce: an all-NULL-text source sums to NULL, and Spark's
-        // least() SKIPS null arguments — the cap would silently read as
-        // "fully served" instead of 0 tokens (r19 review finding; the
-        // oracle carries the same COALESCE so LEAST never sees NULL on
-        // either engine)
-        val st = t(s, d, "documents")
-          .groupBy("source")
-          .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")),
-            lit(0L)).as("n_tokens"))
-        val w = Window.partitionBy()
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        st
-          // integer `div`, not `/`: Spark's `/` on longs is DOUBLE
-          // division, and the oracle computes `//` — keep both integral
-          .withColumn("n_sources", count(lit(1)).over(w))
-          .withColumn("target_tokens", expr(s"${budget}L div n_sources"))
-          .withColumn("served_tokens",
-            least(lit(cap) * col("n_tokens"), col("target_tokens")))
-          .select(col("source"), col("n_tokens"), col("target_tokens"),
-            col("served_tokens"),
-            round(coalesce(col("served_tokens").cast("double") /
-              nullif(col("n_tokens").cast("double"), lit(0.0)), lit(0.0)), 6)
-              .as("epochs"),
-            (col("target_tokens") - col("served_tokens"))
-              .as("unmet_tokens"))
-          .orderBy("source")
-      },
+      (s, d) => epochSchedule(s, d),
       Some("""WITH st AS (SELECT source,
             COALESCE(CAST(SUM(len(string_split(text, ' '))) AS BIGINT), 0)
               AS n_tokens

@@ -352,8 +352,14 @@ object Round2 {
     // first.) Counting vowels keeps the oracle trivially expressible.
     Q("k1_udf_scalar",
       (s, d) => Views.unique(s, "k1_customer" -> t(s, d, "customer")) { v =>
+        // null-safe like any SQL function (NULL in -> NULL out, matching
+        // the oracle's length(lower(NULL)) = NULL): a String-typed Scala
+        // UDF RECEIVES nulls — only primitive params are auto-filtered
+        // (r20 null-riddled sweep caught the NPE)
         s.udf.register("vowel_count",
-          (name: String) => name.toLowerCase.count("aeiou".contains(_)).toLong)
+          (name: String) => if (name == null) null
+            else java.lang.Long.valueOf(
+              name.toLowerCase.count("aeiou".contains(_)).toLong))
         s.sql(s"""SELECT c_custkey, vowel_count(c_name) AS n_vowels
           FROM ${v("k1_customer")} ORDER BY c_custkey""")
       },

@@ -31,6 +31,16 @@ object Streams {
     * element — computed map-only at ingest, no aggregation in-stream). */
   case class BandRow(d_inc: Long, band: Int, bh: Long)
 
+  /** Manifest-version file-list schema — DECLARED, never inferred: under
+    * AQE an empty manifest write can itself coalesce to zero data files,
+    * and a schema-inference read of that directory throws
+    * UNABLE_TO_INFER_SCHEMA. i16 learned this first; i17/i18's identical
+    * manifest reads relied on Spark happening to emit one empty part file
+    * (r19 advice) — one declared schema now serves all three. */
+  private val manifestSchema = StructType(Seq(StructField("f", StringType)))
+  private def readMani(s: SparkSession, path: String): DataFrame =
+    s.read.schema(manifestSchema).parquet(path)
+
   private def collectEvents(s: SparkSession, d: String): Array[Ev] = {
     import s.implicits._
     // sorted by EVENT TIME (not id): the harnesses split this array into
@@ -38,6 +48,13 @@ object Streams {
     // row is ever below the first batch's watermark — correctness must not
     // depend on the fixture assigning ids in time order
     events(s, d)
+      // an event with a NULL id, NULL event-time, or NULL key cannot be
+      // watermarked, windowed, or keyed — the typed stream boundary drops
+      // it (the production dead-letter posture; r20 null-riddled sweep:
+      // a NULL ts_ms/user_id otherwise trips the Ev encoder's non-null
+      // assert). `value` stays nullable BY DESIGN (see Ev).
+      .where(col("event_id").isNotNull && col("ts_ms").isNotNull &&
+        col("user_id").isNotNull)
       .select(col("event_id"), col("ts_ms"), col("user_id"),
         col("event_type"), col("value"))
       .as[Ev].collect().sortBy(e => (e.ts_ms, e.event_id))
@@ -832,8 +849,7 @@ object Streams {
         val m = if (id == 0 ||
             !java.nio.file.Files.exists(java.nio.file.Paths.get(prevDir)))
           newFiles
-        else newFiles.unionAll(
-          s.read.schema(StructType(Seq(StructField("f", StringType)))).parquet(prevDir))
+        else newFiles.unionAll(readMani(s, prevDir))
         m.write.mode("overwrite").parquet(s"$mani/v=$id"); ()
       }
       .option("checkpointLocation", ck)
@@ -847,8 +863,7 @@ object Streams {
     // inference (the a23/a24 readFiles discipline) — under AQE an empty
     // manifest write can itself coalesce to zero data files
     def readV(v: Long) = graft.ops.ManifestIO.readFiles(s,
-      s.read.schema(StructType(Seq(StructField("f", StringType))))
-        .parquet(s"$mani/v=$v")
+      readMani(s, s"$mani/v=$v")
         .collect().map(_.getString(0)).toIndexedSeq, schema)
     i16Versions = if (i16CountVersions) vs.map(v => (v, readV(v).count()))
       else Seq.empty
@@ -901,7 +916,7 @@ object Streams {
         // empty standing corpus -> zero-file v0 manifest: an empty index
         // with the seg-0 schema (ManifestIO, the a23/a24 discipline)
         val idx = graft.ops.ManifestIO.readFiles(s,
-          s.read.parquet(s"$mani/v=$vPrev")
+          readMani(s, s"$mani/v=$vPrev")
             .collect().map(_.getString(0)).toIndexedSeq,
           s.read.parquet(s"$idxDir/seg=0").schema)
         // 1. probe the committed index (idempotent per-batch-id sink)
@@ -912,7 +927,7 @@ object Streams {
         val seg = s"$idxDir/seg=${vPrev + 1}"
         df.select(col("d_inc").as("d_idx"), col("band"), col("bh"))
           .write.mode("overwrite").parquet(seg)
-        filesOf(seg).unionAll(s.read.parquet(s"$mani/v=$vPrev"))
+        filesOf(seg).unionAll(readMani(s, s"$mani/v=$vPrev"))
           .write.mode("overwrite").parquet(s"$mani/v=${vPrev + 1}")
         ()
       }
@@ -973,7 +988,7 @@ object Streams {
         // empty standing corpus -> zero-file v0 manifest: an empty index
         // with the seg-0 schema (ManifestIO, the a23/a24 discipline)
         val idx = graft.ops.ManifestIO.readFiles(s,
-          s.read.parquet(s"$mani/v=$vPrev")
+          readMani(s, s"$mani/v=$vPrev")
             .collect().map(_.getString(0)).toIndexedSeq,
           s.read.parquet(s"$idxDir/seg=0").schema)
         df.join(idx, Seq("bucket"))
@@ -982,7 +997,7 @@ object Streams {
         val seg = s"$idxDir/seg=${vPrev + 1}"
         df.select(col("v_inc").as("v_idx"), col("bucket"))
           .write.mode("overwrite").parquet(seg)
-        filesOf(seg).unionAll(s.read.parquet(s"$mani/v=$vPrev"))
+        filesOf(seg).unionAll(readMani(s, s"$mani/v=$vPrev"))
           .write.mode("overwrite").parquet(s"$mani/v=${vPrev + 1}")
         ()
       }
