@@ -32,7 +32,7 @@ object ScaleSoak {
     val sections: Set[String] =
       if (args.isEmpty)
         Set("neardup", "ann", "j60", "sub", "ev", "decontam", "page",
-          "recipe", "auc", "evalm", "graphm")
+          "recipe", "auc", "evalm", "graphm", "conv")
       else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
@@ -526,6 +526,25 @@ object ScaleSoak {
     // (the corpus scan runs inside the eager localCheckpoint, j113's
     // documented accounting gap), so the soak records wall, the plan's
     // exchange count, and the edge mass actually checkpointed.
+    // conversation-level dedup at 10x the graded corpus: the r20 claim to
+    // pin is that the PAIR RELATION stays LSH-band-bounded (linear-ish in
+    // corpus: the |docs|/9 planted re-renders plus phrase-pool near-dups),
+    // never the quadratic all-pairs shape — and that the survivor pass
+    // (CC + corpus join) rides the same bound
+    section("conv") {
+      try {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries("j120_dedup_conversation")(spark, d)
+        val n = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val exch = "Exchange".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+        val planted = (8L until NDocs by 9L).size
+        println(f"""SOAK {"key":"j120_dedup_conversation","conf":"10x_docs","sec":$sec%.2f,"pairs":$n,"planted":$planted,"exchanges":$exch}""")
+      } finally release()
+      run("j122_conversation_survivors", Map.empty)
+    }
+
     section("graphm") {
       try {
         // time CONSTRUCTION too: j108 runs the corpus-proportional LSH

@@ -20,10 +20,10 @@ import graft.Tables._
   */
 object Round20 {
 
-  /** j120's pair pipeline (render both dialects → parse → shingle →
-    * MinHash/LSH → candidate pairs at est_jac ≥ 0.5) — factored so
-    * j122's survivor pass clusters the same relation. */
-  private[graft] def conversationPairs(s: org.apache.spark.sql.SparkSession,
+  /** (doc_id, sig) MinHash signatures over the parsed conversation
+    * contents — the shared front half of j120 (pair audit) and j122
+    * (survivors): render both dialects, parse, shingle, sign. */
+  private[graft] def conversationSigs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
         val base = t(s, d, "documents")
           .select(col("doc_id"),
@@ -68,11 +68,17 @@ object Round20 {
                  split(regexp_replace(ln, '^([a-z]+: |<<[A-Za-z]+>> )', ''),
                    ' '),
                  w -> w != ''))) AS toks""")
+        LlmOps.minhashSigsOf(s, conv)
+  }
+
+  /** j2b's band-join pair core over a (doc_id, sig) relation: candidate
+    * pairs from the (band, bh) equi-join, kept at est_jac ≥ 0.5.
+    * Signatures are persisted by the CALLER when reused; band rows carry
+    * only (doc_id, band, bh) through the candidate shuffle, signatures
+    * re-attach after the candidate dedup (the j2b discipline). */
+  private def sigPairs(s: org.apache.spark.sql.SparkSession,
+      sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
         val k = Knobs.minhashK(s)
-        // j2b's pipeline over the conversation relation: signatures are
-        // persisted (feed the band explode AND the join-back); band rows
-        // carry only (doc_id, band, bh) through the candidate shuffle
-        val sig = LlmOps.minhashSigsOf(s, conv).persist()
         val bands = LlmOps.minhashBands(sig)
         val cand = bands.toDF("d1", "band", "bh")
           .join(bands.toDF("d2", "band2", "bh2"),
@@ -86,7 +92,21 @@ object Round20 {
             expr(s"aggregate(zip_with(sig1, sig2, (x,y) -> if(x = y, 1, 0)), 0, (a,b) -> a+b) / cast($k as double)"))
           .where(col("est_jac") >= 0.5)
           .select(col("d1"), col("d2"), round(col("est_jac"), 6).as("est_jac"))
-          .orderBy("d1", "d2")
+  }
+
+  /** j120's full pair relation — the AUDIT view: every conversation pair
+    * at est_jac ≥ 0.5. NOTE the output is truth-quadratic in duplicate
+    * cliques (a boilerplate-headed short-conversation clique of size C
+    * legitimately contains C·(C−1)/2 pairs — the ScaleSoak `conv`
+    * section measures 4.1M pairs over 40k docs for exactly this reason);
+    * that is the relation's SEMANTICS, same as j2's exact pair core. A
+    * consumer that only needs dedup should use j122, whose
+    * exact-signature collapse never materializes the intra-clique
+    * pairs. */
+  private[graft] def conversationPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val sig = conversationSigs(s, d).persist()
+    sigPairs(s, sig).orderBy("d1", "d2")
   }
 
   val all: Seq[Q] = Seq(
@@ -399,21 +419,58 @@ object Round20 {
         FROM cum ORDER BY threshold""")),
 
     // Conversation-dedup SURVIVORS — the relation the pipeline actually
-    // writes back: j120's cross-template pair graph clustered into
-    // components (CC.cluster — the bounded union-find hybrid, j14's
-    // device), then every corpus doc labeled with its cluster (itself
-    // when unpaired) and `keep` = is-canonical (the cluster's min
-    // doc_id). This is the "keep one transcript per conversation" output
-    // an SFT-corpus build consumes downstream of j120's audit view.
-    // Scale shape: the pair relation is LSH-band-bounded (j2b), CC is
-    // the proven hybrid (driver union-find under the threshold, bounded
-    // label propagation above), and the corpus join is a left equi-join
-    // against a cluster relation no larger than the paired docs —
-    // broadcast-able at any realistic dup rate.
+    // writes back: the j120 pair graph clustered into components
+    // (CC.cluster — the bounded union-find hybrid, j14's device), then
+    // every corpus doc labeled with its cluster (itself when unpaired)
+    // and `keep` = is-canonical (the cluster's min doc_id). This is the
+    // "keep one transcript per conversation" output an SFT-corpus build
+    // consumes downstream of j120's audit view.
+    //
+    // Scale device — EXACT-SIGNATURE COLLAPSE before pair enumeration:
+    // word-identical re-renders (the template-farm class this key
+    // exists for — every planted cross-template duplicate is one) carry
+    // IDENTICAL 32-slot signatures, so a farm of C copies would put
+    // C·(C−1)/2 pairs through the band join. Group by the signature
+    // (via an 8-byte hash), take the group-min doc as representative,
+    // connect members to their rep by a LINEAR star edge list, and run
+    // the band join over distinct-signature reps only. Connectivity is
+    // preserved exactly — equal-signature docs reach each other through
+    // the rep, and any cross-signature pair (a, b) at est ≥ 0.5 sharing
+    // a band bucket is seen by their reps, which carry the same
+    // signatures — so the output is IDENTICAL to clustering the full
+    // j120 relation (the oracle recomputes THAT closure, hash-checking
+    // the claim). What the collapse deliberately does NOT bound:
+    // NEAR-cliques (distinct signatures at est < 1 — ScaleSoak's
+    // synthetic boilerplate corpus, where all 4.1M pairs are near
+    // pairs); those edges are load-bearing for connectivity and ride
+    // CC's distributed path, which is built for them. CC is the proven
+    // hybrid (driver union-find under the threshold, bounded label
+    // propagation above); the corpus join is a left equi-join against a
+    // cluster relation no larger than the paired docs.
     Q("j122_conversation_survivors",
       (s, d) => {
-        val clusters = graft.ops.CC.cluster(s,
-          conversationPairs(s, d).select("d1", "d2"))
+        // the group/join key is an 8-byte hash of the 32-slot signature,
+        // not the array itself (the j2 "hash moves inside" discipline —
+        // equality joins on longs, the array never rides the shuffle);
+        // a 64-bit collision merges two groups spuriously with
+        // P ≈ n²/2⁶⁵ — the accepted j2/j14 collision class
+        val sig = conversationSigs(s, d)
+          .withColumn("sigh", xxhash64(concat_ws(",", col("sig"))))
+          .persist()
+        // one aggregation yields the rep id AND its signature (min_by is
+        // deterministic; group members share the sig modulo the accepted
+        // 64-bit collision class)
+        val reps = sig.groupBy("sigh").agg(min(col("doc_id")).as("rep"),
+          expr("min_by(sig, doc_id)").as("sig"))
+        // star edges: rep < member by construction (rep is the group min)
+        val memberEdges = sig.select("sigh", "doc_id")
+          .join(reps.select("sigh", "rep"), Seq("sigh"))
+          .where(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("d1"), col("doc_id").as("d2"))
+        val repPairs = sigPairs(s,
+          reps.select(col("rep").as("doc_id"), col("sig")))
+          .select("d1", "d2")
+        val clusters = graft.ops.CC.cluster(s, memberEdges.union(repPairs))
         t(s, d, "documents").select(col("doc_id"))
           .join(clusters, Seq("doc_id"), "left")
           .select(col("doc_id"),
