@@ -31,6 +31,16 @@ object Joins {
       SELECT event_id, user_id, o_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_date
       FROM j WHERE rn = 1 ORDER BY event_id"""
 
+  /** Family-wide as-of ingest (see the contract note above c10): NULL
+    * id/key/time rows are dropped on every c10-family form so the four
+    * forms stay mutually identical even on null-riddled data. */
+  private def asofEvents(s: org.apache.spark.sql.SparkSession, d: String) =
+    events(s, d).where(col("event_id").isNotNull &&
+      col("user_id").isNotNull && col("ts_ms").isNotNull)
+  private def asofOrders(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "orders").where(col("o_orderkey").isNotNull &&
+      col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+
   val all: Seq[Q] = Seq(
 
     // Equi inner join, fact ⋈ dim.
@@ -154,6 +164,17 @@ object Joins {
         AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         ORDER BY l_orderkey, l_linenumber, ship, odate""")),
 
+    // Shared as-of ingest for the c10 family (c10/c10b/c10c/c10d — ONE
+    // oracle; results must be identical across all four forms): rows
+    // whose event id, key, or time is NULL are dropped at ingest on
+    // EVERY form (dead-letter posture), so the family's mutual identity
+    // holds even on null-riddled data where the forms' native null
+    // behaviors would otherwise diverge — c10's window would lump NULL
+    // event_ids into ONE group, c10b's typed tuples reject them, the
+    // custom exec's long columns cannot carry them (r20 review finding).
+    // The shared oracle grades the null-free driver fixtures; on hostile
+    // data this ingest rule IS the family contract.
+
     // As-of join: each event ↦ latest order at-or-before its timestamp for
     // that customer (TD windowed-subquery idiom, SURVEY.md §3.C c10):
     // range join on the partition key, then row_number()=1. The range join
@@ -161,8 +182,8 @@ object Joins {
     // by orders-per-customer, not table size.
     Q("c10_join_asof",
       (s, d) => {
-        val e = events(s, d).select("event_id", "user_id", "ts_t")
-        val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+        val e = asofEvents(s, d).select("event_id", "user_id", "ts_t")
+        val o = asofOrders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
         val j = e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts_t"))
         val w = Window.partitionBy("event_id")
           .orderBy(desc("o_orderdate"), desc("o_orderkey"))
@@ -183,19 +204,12 @@ object Joins {
     Q("c10b_join_asof_cogroup",
       (s, d) => {
         import s.implicits._
-        // NULL key/time rows take the same drop path SQL's join condition
-        // gives them in c10 (a NULL user_id/o_custkey never equi-matches;
-        // a NULL timestamp never satisfies <=); NULL ids are additionally
-        // dropped at the typed boundary (dead-letter posture — the tuple
-        // encoder's fields are primitive, r20 null-riddled sweep)
-        val ev = events(s, d)
-          .where(col("event_id").isNotNull && col("user_id").isNotNull &&
-            col("ts_ms").isNotNull)
+        // family ingest filter (see asofEvents): also what lets the
+        // primitive tuple encoder hold the rows (r20 null-riddled sweep)
+        val ev = asofEvents(s, d)
           .select(col("event_id"), col("user_id"), col("ts_ms"))
           .as[(Long, Long, Long)]
-        val ord = t(s, d, "orders")
-          .where(col("o_orderkey").isNotNull && col("o_custkey").isNotNull &&
-            col("o_orderdate").isNotNull)
+        val ord = asofOrders(s, d)
           .select(col("o_orderkey"), col("o_custkey"),
             // parquet ms timestamps read as TIMESTAMP_NTZ; session is UTC so
             // the cast to (ltz) timestamp is value-preserving
@@ -229,8 +243,8 @@ object Joins {
     // merge per partition. Must hash-match the same oracle as c10/c10b.
     Q("c10c_join_asof_native",
       (s, d) => {
-        val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
-        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        val ev = asofEvents(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
+        val ord = asofOrders(s, d).select(col("o_orderkey"), col("o_custkey"),
           expr("unix_millis(cast(o_orderdate as timestamp))").as("odate_ms"))
         graft.plans.AsOf.join(ev, ord,
             "user_id", "o_custkey", "ts_ms", "odate_ms", "o_orderkey")
@@ -247,8 +261,8 @@ object Joins {
     // identical epoch-ms domain.
     Q("c10d_join_asof_forward",
       (s, d) => {
-        val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
-        val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        val ev = asofEvents(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
+        val ord = asofOrders(s, d).select(col("o_orderkey"), col("o_custkey"),
           expr("unix_millis(cast(o_orderdate as timestamp))").as("odate_ms"))
         graft.plans.AsOf.join(ev, ord,
             "user_id", "o_custkey", "ts_ms", "odate_ms", "o_orderkey",

@@ -28,13 +28,17 @@ object Round19 {
   /** The j117 schedule relation (source, n_tokens, target_tokens,
     * served_tokens, epochs, unmet_tokens) — factored so j119's
     * deficit-redistribution second pass (Round20) starts from the same
-    * plan instead of re-deriving it. Budget/cap are the key's documented
-    * constants. */
+    * plan instead of re-deriving it. `budgetSql` is a SQL expression
+    * evaluated over the aggregated per-source relation (so it may be a
+    * window total, e.g. j119's capacity-point `4L * sum(n_tokens) over
+    * ()`); the default is j117's fixed 3M-token budget. One copy of the
+    * NULL-coalesce/least subtlety serves both keys (r20 review
+    * finding). */
   private[graft] val EpochBudget = 3000000L
   private[graft] val EpochCap = 4L
   private[graft] def epochSchedule(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val budget = EpochBudget
+      d: String, budgetSql: String = s"${EpochBudget}L")
+      : org.apache.spark.sql.DataFrame = {
     val cap = EpochCap
     // coalesce: an all-NULL-text source sums to NULL, and Spark's
     // least() SKIPS null arguments — the cap would silently read as
@@ -51,7 +55,7 @@ object Round19 {
       // integer `div`, not `/`: Spark's `/` on longs is DOUBLE
       // division, and the oracle computes `//` — keep both integral
       .withColumn("n_sources", count(lit(1)).over(w))
-      .withColumn("target_tokens", expr(s"${budget}L div n_sources"))
+      .withColumn("target_tokens", expr(s"($budgetSql) div n_sources"))
       .withColumn("served_tokens",
         least(lit(cap) * col("n_tokens"), col("target_tokens")))
       .select(col("source"), col("n_tokens"), col("target_tokens"),

@@ -140,24 +140,13 @@ object Round20 {
     Q("j119_epoch_redistribute",
       (s, d) => {
         val cap = Round19.EpochCap
-        // round 1 under the capacity-point budget (4*corpus mass):
-        // j117's shape (coalesce: all-NULL-text source sums to NULL and
-        // least() would skip it), targets uniform by integer div
-        val st0 = t(s, d, "documents")
-          .groupBy("source")
-          .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")),
-            lit(0L)).as("n_tokens"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy()
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)
-        val sched = st0
-          .withColumn("n_sources", count(lit(1)).over(w))
-          .withColumn("target_tokens",
-            expr(s"(${cap}L * sum(n_tokens) over ()) div n_sources"))
-          .withColumn("served_r1",
-            least(lit(cap) * col("n_tokens"), col("target_tokens")))
+        // round 1 = j117's schedule plan (ONE copy of the NULL-coalesce/
+        // least subtlety — r20 review finding) under the capacity-point
+        // budget expression 4·Σn instead of the fixed 3M
+        val sched = Round19.epochSchedule(s, d,
+            budgetSql = s"${cap}L * sum(n_tokens) over ()")
           .select(col("source"), col("n_tokens"), col("target_tokens"),
-            col("served_r1"))
+            col("served_tokens").as("served_r1"))
         // sorted parallel arrays: deterministic fold order at any
         // partitioning (sort_array on the struct sorts by source first)
         val st = sched.agg(

@@ -53,6 +53,12 @@ object Streams {
       // it (the production dead-letter posture; r20 null-riddled sweep:
       // a NULL ts_ms/user_id otherwise trips the Ev encoder's non-null
       // assert). `value` stays nullable BY DESIGN (see Ev).
+      // ORACLE SCOPE: the i-key DuckDB oracles compute over the raw
+      // events table and are graded on the null-free driver fixtures; on
+      // a null-riddled corpus this ingest filter is the engine's
+      // documented behavior and the oracles do not apply (r20 review
+      // finding — same posture as the c10 family's asofEvents, where the
+      // shared-oracle identity contract made the filter family-wide).
       .where(col("event_id").isNotNull && col("ts_ms").isNotNull &&
         col("user_id").isNotNull)
       .select(col("event_id"), col("ts_ms"), col("user_id"),
