@@ -48,8 +48,14 @@ object Tables {
   val Money: DecimalType = DecimalType(18, 4)
 
   /** Exact monetary arithmetic: cast double → DECIMAL(18,4) before any
-    * aggregation (SURVEY.md §8.4.2). */
-  def dec(c: Column): Column = c.cast(Money)
+    * aggregation (SURVEY.md §8.4.2). A value outside the DECIMAL(18,4)
+    * domain (|x| ≥ 10^14, ±Inf) or NaN is NULL, not an ANSI cast error:
+    * a corrupt measure must skip out of the aggregate exactly like a
+    * NULL measure does (r20 pathological sweep: a ±1.7e308 events.value
+    * threw through ten window/streaming keys). Identity — bit-for-bit —
+    * on every in-domain value, so oracle hashes are unchanged. */
+  def dec(c: Column): Column =
+    when(abs(c.cast(DoubleType)) < lit(1e14), c).cast(Money)
 
   /** Exact decimal sum, rounded to 4 and emitted as double. Rounding first
     * keeps the unscaled value < 2^52 so both engines take the exact

@@ -75,11 +75,18 @@ case class HeavyHitters(
     }.toArray[Any])
   }
 
+  // length-prefixed UTF-8, NOT writeUTF: DataOutputStream.writeUTF caps
+  // entries at 65,535 bytes and a tracked token can legitimately exceed
+  // it (a 100k-char blob token — r20 pathological sweep threw
+  // UTFDataFormatException through the partial-aggregate shuffle)
   override def serialize(buf: mutable.Map[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -87,7 +94,11 @@ case class HeavyHitters(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val m = mutable.Map.empty[String, Long]
-    (0 until n).foreach(_ => m.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     m
   }
 

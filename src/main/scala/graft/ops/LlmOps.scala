@@ -28,6 +28,20 @@ import graft.Tables._
   */
 object LlmOps {
 
+  /** Saturating embedding-coordinate ingest: NaN -> 0, |x| capped at
+    * +-100 — identity for any real (near-)normalized embedding family,
+    * and the bound that keeps downstream EXACT arithmetic overflow-free
+    * on corrupt coordinates (r20 pathological sweep: +-1e30/NaN
+    * vectors): the j53/j54 10^6-scale integer quantization stays within
+    * |q| <= 1e8, so a 64-dim int64 squared distance is <= 64*(2e8)^2 <
+    * 2^63, and the DECIMAL(28,12)-exact centroid means (j3d/j90b) keep
+    * their 16 integral digits of headroom. The same convention as a
+    * production int8 quantizer's saturation. */
+  private[graft] def cleanCoord(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    least(greatest(nanvl(c.cast("double"), lit(0.0)), lit(-100.0)),
+      lit(100.0))
+
   private def docsTok(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
       col("n_chars"), col("text"), split(col("text"), " ").as("toks"))
@@ -42,7 +56,7 @@ object LlmOps {
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")).as("sh"))
+          "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1]))))")).as("sh"))
 
   /** Per-doc distinct-shingle counts straight off the array form: a
     * map-only scan of `documents` — no explode, no shuffle. Equals
@@ -52,7 +66,7 @@ object LlmOps {
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "size(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))))")
+          "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])))))")
         .cast("long").as("n"))
 
   /** Shingle postings with the doc's distinct-shingle count n alongside
@@ -66,7 +80,7 @@ object LlmOps {
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))").as("arr"))
+          "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1]))))").as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
         explode(col("arr")).as("sh"))
 
@@ -160,7 +174,7 @@ object LlmOps {
     val sh = tokDf.where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))),1,15),16,10) as bigint)" +
+          "i -> cast(conv(substring(md5(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])),1,15),16,10) as bigint)" +
           s" % $MinhashP))")).as("h"))
     sh.groupBy("doc_id").agg(
       array((0 until k).map(i =>
@@ -291,7 +305,7 @@ object LlmOps {
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))")).as("sh"))
+          "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])))")).as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
 
   /** WEIGHTED pair core (j60): `tfDf` is (doc_id, sh, c) tf postings;
@@ -557,7 +571,7 @@ object LlmOps {
         val docArrs = docsTok(s, d).where(size(col("toks")) >= 3)
           .select(col("doc_id"), expr(
             "sort_array(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-              "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))))").as("arr"))
+              "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])))))").as("arr"))
         val sets = docArrs.join(candDocs, "doc_id")
         cand
           .join(sets.toDF("d1", "a1"), "d1")
@@ -869,7 +883,8 @@ object LlmOps {
         val emb = t(s, d, "embeddings")
         val dims = emb.select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
-          .select(col("vec_id"), col("label"), col("dim"), col("v").cast("double").as("v"))
+          .select(col("vec_id"), col("label"), col("dim"),
+            cleanCoord(col("v")).as("v"))
         // decimal-exact per-dim centroid means → order-independent
         val centd = dims.groupBy("label", "dim")
           .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
@@ -1275,7 +1290,7 @@ object LlmOps {
         val docs = docsTok(s, d).where(size(col("toks")) >= 4)
         def grams(c: DataFrame) = c.select(col("doc_id"), explode(expr(
           "array_distinct(transform(" + Ngrams.starts("toks", 4) + ", " +
-            "i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))")).as("g"))
+            "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))))")).as("g"))
         val bench = grams(docs.where(col("source") === "src0"))
           .select("g").distinct()
         val train = grams(docs.where(col("source") =!= "src0"))
@@ -1313,7 +1328,7 @@ object LlmOps {
         val docs = docsTok(s, d).where(size(col("toks")) >= 4)
         def grams(c: DataFrame) = c.select(col("doc_id"), explode(expr(
           "array_distinct(transform(" + Ngrams.starts("toks", 4) + ", " +
-            "i -> xxhash64(concat_ws(' ', slice(toks, i, 4)))))")).as("g"))
+            "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))))")).as("g"))
         val bench = grams(docs.where(col("source") === "src0"))
           .select("g").distinct()
         val bytes = graft.functions.Bloom.build(bench, bench.count(), 0.01,

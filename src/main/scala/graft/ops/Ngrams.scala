@@ -51,9 +51,28 @@ private[graft] object Ngrams {
     s"if(length($text) >= $q, sequence(1, $hi), array())"
   }
 
+  /** The space-joined n-gram STARTING at the lambda variable `i`
+    * (1-based, as produced by [[starts]]) — built by O(1) ELEMENT
+    * INDEXING, never `slice`: `concat_ws(' ', slice(toks, i, n))` is
+    * value-identical, but Catalyst's Slice materializes the WHOLE array
+    * on every call, so a gram transform over it is O(len²) PER DOCUMENT
+    * — the r20 pathological-row sweep measured a single 50k-token doc
+    * holding the sweep for minutes, and a 100 TB crawl has far longer
+    * outliers. `toks[i-1+j]` is GetArrayItem — O(1) — making the gram
+    * loop linear. Within [[starts]] bounds no element is null, so
+    * `concat` ≡ `concat_ws`. */
+  def gramAt(toks: String, n: Int): String = {
+    require(n >= 1)
+    (0 until n).map {
+      case 0 => s"$toks[i - 1]"
+      case 1 => s"$toks[i]"
+      case j => s"$toks[i + ${j - 1}]"
+    }.mkString("concat(", ", ' ', ", ")")
+  }
+
   /** Space-joined word n-grams as strings (the plain-text gram shape). */
   def grams(toks: String, n: Int): String =
-    s"transform(${starts(toks, n)}, i -> concat_ws(' ', slice($toks, i, $n)))"
+    s"transform(${starts(toks, n)}, i -> ${gramAt(toks, n)})"
 
   /** Generic ascending `sequence(lo, hi)` that is EMPTY instead of
     * DESCENDING when `hi < lo` — for non-gram windows (chunk indices,

@@ -76,7 +76,12 @@ object Round13 {
     * everything after is exact. */
   private def quantized(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"), expr(
-      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))")
+      // saturating quantizer (the LlmOps.cleanCoord convention): NaN->0,
+      // |x| capped at 100 so |q| <= 1e8 and the int64 squared distances
+      // can never overflow (r20 pathological sweep: +-1e30/NaN vectors)
+      "transform(embedding, x -> cast(floor(" +
+        "least(greatest(nanvl(cast(x as double), 0.0D), -100.0D), 100.0D)" +
+        " * 1000000.0 + 0.5) as bigint))")
       .as("qv"))
 
   /** Subvector relation (vec_id, m, sv[subdim]) of any (vec_id, qv)

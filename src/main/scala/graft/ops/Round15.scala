@@ -54,7 +54,7 @@ object Round15 {
     val grams = tk.where(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(${Ngrams.starts("toks", k)}, " +
-          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))")))
+          s"i -> xxhash64(${Ngrams.gramAt("toks", k)}))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("g"))
     val wg = Window.partitionBy("g")

@@ -354,7 +354,7 @@ object Round17 {
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(expr(
             s"""array_distinct(transform(${Ngrams.starts("toks", 3)},
-                 i -> concat_ws(' ', slice(toks, i, 3))))""")).as("gram"))
+                 i -> concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])))""")).as("gram"))
         g.groupBy("gram").agg(count(lit(1)).as("df"))
           .select(col("df"),
             (length(expr("bin(df)")) - 1).cast("long").as("bucket"))
@@ -758,11 +758,17 @@ object Round17 {
                 AS BIGINT) AS sid
             FROM x)
           SELECT event_id, user_id, sid,
-                 CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                 CAST(ROUND(SUM(CAST(
+                   CASE WHEN abs(value) < 1e14 THEN value END
+                   AS DECIMAL(18,4))) OVER (
                    PARTITION BY user_id, sid ORDER BY ts_ms, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                    AS DOUBLE) AS run_v
           FROM se ORDER BY event_id""")
+        // the CASE is Tables.dec's out-of-domain guard in SQL text (this
+        // key is SQL-registered): a corrupt ±1e308 measure skips out of
+        // the running sum like a NULL, never an ANSI cast error — and is
+        // the identity on every in-domain value
       },
       Some("""WITH e AS (SELECT event_id, user_id,
               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value FROM events),
@@ -980,9 +986,12 @@ object Round17 {
           .join(cent.toDF("lb", "pos", "vb"), Seq("pos"))
           .where(col("la") =!= col("lb"))
           .groupBy("la", "lb")
+          // zero-norm centroid (an all-zero label cell) -> NULL cos via
+          // nullif, not an ANSI divide-by-zero (r20 pathological sweep);
+          // the oracle carries the same NULLIF
           .agg(round(sum(col("va") * col("vb")) /
-            (sqrt(sum(col("va") * col("va"))) *
-             sqrt(sum(col("vb") * col("vb")))), 6).as("cos"))
+            nullif(sqrt(sum(col("va") * col("va"))) *
+             sqrt(sum(col("vb") * col("vb"))), lit(0.0)), 6).as("cos"))
         val w = Window.partitionBy("la")
           .orderBy(desc("cos"), asc("lb"))
         pairs.withColumn("rn", row_number().over(w))
@@ -997,8 +1006,8 @@ object Round17 {
           cent AS (SELECT label, pos, AVG(v) AS v
             FROM e GROUP BY label, pos),
           pairs AS (SELECT a.label AS la, b.label AS lb,
-              ROUND(SUM(a.v * b.v) /
-                (sqrt(SUM(a.v * a.v)) * sqrt(SUM(b.v * b.v))), 6) AS cos
+              ROUND(SUM(a.v * b.v) / NULLIF(
+                sqrt(SUM(a.v * a.v)) * sqrt(SUM(b.v * b.v)), 0), 6) AS cos
             FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
             GROUP BY a.label, b.label),
           best AS (SELECT la, lb, cos, row_number() OVER (

@@ -25,7 +25,9 @@ object Round18 {
     val dims = tagged.select(col("vec_id"), col("label"), col("is_bench"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("label"), col("is_bench"), col("dim"),
-        col("v").cast("double").as("v"))
+        // saturating ingest (LlmOps.cleanCoord): corrupt +-1e30/NaN
+        // coordinates would overflow the decimal-exact centroid cast
+        LlmOps.cleanCoord(col("v")).as("v"))
     // coarse quantizer: decimal-exact per-dim means per label cell
     // (order-independent sums → byte-identical centroids cross-engine)
     val centd = dims.groupBy("label", "dim")

@@ -163,8 +163,18 @@ object Round2 {
     Q("a16_time_spine",
       (s, d) => {
         val ev = events(s, d).select((col("ts_ms") / lit(3600000L)).cast("long").as("hb"))
-        val bounds = ev.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
-        val spine = bounds.select(explode(expr("sequence(lo, hi)")).as("hb"))
+        // spine via DISTRIBUTED range, never a single-row sequence()
+        // array: one corrupt far-future timestamp (r20 pathological
+        // sweep: year 9999) makes the hour span ~70M, which sequence()
+        // materializes as ONE in-memory array (throwing past the array
+        // cap) while range() streams it across partitions — also the
+        // only shape that survives a 100 TB multi-decade spine. Bounds
+        // are a documented 1-row collect (the CC-probe class).
+        val b = ev.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+          .collect()(0)
+        val spine = if (b.isNullAt(0)) s.range(0).select(col("id").as("hb"))
+          else s.range(b.getLong(0), b.getLong(1) + 1)
+            .select(col("id").as("hb"))
         val counts = ev.groupBy("hb").agg(count(lit(1)).as("n"))
         spine.join(counts, Seq("hb"), "left")
           .select((col("hb") * 3600000L).as("hour_start_ms"),
@@ -603,7 +613,7 @@ object Round2 {
       (s, d) => {
         val grams = docsTok2(s, d).where(size(col("toks")) >= 4)
           .select(col("doc_id"), explode(expr(
-            "transform(" + Ngrams.starts("toks", 4) + ", i -> concat_ws(' ', slice(toks, i, 4)))"))
+            "transform(" + Ngrams.starts("toks", 4) + ", i -> concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
             .as("g"))
         grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
           .groupBy("doc_id")

@@ -95,8 +95,13 @@ object Round6 {
         val blocks = t(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"), posexplode(expr(
+            // block text by O(1) element indexing, not slice — Catalyst's
+            // Slice re-materializes the whole array per block, turning
+            // chunking into O(len²/B) per doc (the Ngrams.gramAt class,
+            // r20 pathological sweep); the inner index transform is O(B)
             s"transform(${Ngrams.seqAsc("0", s"cast((size(toks)+$B-1) div $B as int) - 1")}, " +
-              s"i -> concat_ws(' ', slice(toks, i*$B+1, $B)))")))
+              s"i -> concat_ws(' ', transform(sequence(i*$B+1, least((i+1)*$B, size(toks))), " +
+              s"j -> toks[j - 1])))")))
           .select(col("doc_id"), col("pos").cast("long").as("blk"),
             col("col").as("btxt"))
         // ONE pass after the digest window: collect_list skips the nulls

@@ -108,6 +108,69 @@ class DegenerateDataSpec extends AnyFunSuite {
   // carries both whole-NULL vectors and NULL elements INSIDE otherwise
   // valid arrays (the class a failed encoder shard produces). Keys only
   // have to not THROW; null rows legitimately drop out of pipelines.
+  // sweep (d): PATHOLOGICAL ROW SHAPES — the per-row extremes a crawler
+  // actually produces and the empty/single/null sweeps cannot reach: a
+  // 50k-token document, a single 100k-char token (a binary blob pasted
+  // into text), a 10k-fold repeated token, event timestamps at the
+  // calendar edges (years 1 and 9999 — ANSI overflow bait for any
+  // epoch arithmetic that multiplies), ±1e308/NaN measures, and
+  // embedding vectors carrying ±1e30, denormals, and NaN. Keys only
+  // have to not THROW; Inf/NaN outputs and dropped rows are legitimate.
+  test("every registry key survives pathological row shapes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_degenpath").toString
+    withConf("spark.sql.legacy.parquet.nanosAsLong", "true") {
+      for (tbl <- Tables.names
+          if tbl != "documents" && tbl != "events" && tbl != "embeddings") {
+        spark.read.parquet(s"${TestSpark.sf}/$tbl.parquet")
+          .limit(4).coalesce(1).write.parquet(s"$dir/$tbl.parquet")
+      }
+      // sizes chosen to exercise the classes while keeping the sweep's
+      // wall bounded: the gram/char pipelines on a giant doc pay the
+      // inference-pushdown re-evaluation cost quadratically (see
+      // Ngrams.gramAt), and the blob must exceed writeUTF's 65,535-byte
+      // cap to probe sketch serializers
+      val big = (0 until 20000).map(i => s"w$i").mkString(" ")
+      val blob = "x" * 70000
+      val rep = Seq.fill(10000)("tok").mkString(" ")
+      val alt = (0 until 5000).map(i => if (i % 2 == 0) "a" else "b").mkString(" ")
+      import spark.implicits._
+      Seq(
+        (0L, "a plain short document for contrast", "en", "src0", 36L),
+        (1L, big, "en", "src1", big.length.toLong),
+        (2L, blob, "xx", "src2", blob.length.toLong),
+        (3L, rep, "en", "src0", rep.length.toLong),
+        (4L, "", "en", "src1", 0L),
+        (5L, alt, "de", "src2", alt.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      // calendar edges bounded to a ~60-year span: spine keys (a16)
+      // legitimately enumerate one row per hour in [min, max], and the
+      // sweep collect()s results — pre-epoch and far-future still
+      // exercise negative-epoch and overflow arithmetic
+      Seq(
+        (0L, "1969-12-25 00:00:00", 1L, "view", 1.0, """{"k":1}"""),
+        (1L, "2031-01-01 23:59:59", 1L, "view", 1.7e308, """{"k":2}"""),
+        (2L, "2024-01-01 00:00:00", 2L, "click", -1.7e308, "{}"),
+        (3L, "2024-01-01 00:00:01", 2L, "click", Double.NaN, "not json"),
+        (4L, "2024-01-01 00:00:02", 3L, "buy", 1e-310, null))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      Seq(
+        (0L, Seq.tabulate(64)(i => i.toFloat / 64f), 0),
+        (1L, Seq.fill(64)(1e30f), 1),
+        (2L, Seq.fill(64)(-1e30f), 2),
+        (3L, Seq.fill(64)(1e-40f), 3),
+        (4L, Seq.tabulate(64)(i => if (i == 0) Float.NaN else 0.5f), 4),
+        (5L, Seq.fill(64)(0f), 5))
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    }
+    sweep(dir, "pathological")
+  }
+
   test("every registry key survives NULL-riddled columns in all ten tables") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.{Column, DataFrame}
