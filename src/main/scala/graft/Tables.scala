@@ -62,9 +62,12 @@ object Tables {
     * `(double)unscaled / 1e4` path — bit-identical output. */
   def mSum(c: Column): Column = round(sum(dec(c)), 4).cast(DoubleType)
 
-  /** Deterministic mean: exact decimal sum → double, / count, round. */
+  /** Deterministic mean: exact decimal sum → double, / count, round.
+    * The denominator counts dec(c), not c, so an out-of-domain measure
+    * dec() nulled skips the mean entirely instead of diluting it (r20
+    * review finding; identical on in-domain data). */
   def mAvg(c: Column, digits: Int = 4): Column =
-    round(sum(dec(c)).cast(DoubleType) / count(c), digits)
+    round(sum(dec(c)).cast(DoubleType) / count(dec(c)), digits)
 
   /** ISO date string — timestamps are never emitted raw (SURVEY.md §8.4.3). */
   def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")

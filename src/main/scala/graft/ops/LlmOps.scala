@@ -38,9 +38,22 @@ object LlmOps {
     * their 16 integral digits of headroom. The same convention as a
     * production int8 quantizer's saturation. */
   private[graft] def cleanCoord(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    least(greatest(nanvl(c.cast("double"), lit(0.0)), lit(-100.0)),
-      lit(100.0))
+      : org.apache.spark.sql.Column = {
+    // NULL stays NULL (drops out of sums like any NULL measure): Spark's
+    // greatest/least SKIP null arguments, so an unguarded clamp would
+    // turn a NULL element into -100 — an extreme value injected into
+    // the centroid means (r20 review finding)
+    val d = c.cast("double")
+    when(d.isNotNull,
+      least(greatest(nanvl(d, lit(0.0)), lit(-100.0)), lit(100.0)))
+  }
+
+  /** [[cleanCoord]] as SQL text over expression `x` — the SQL-registered
+    * quantizer sites (Round13) share ONE clamp convention with the
+    * Column world; fix them in lockstep. */
+  private[graft] def cleanCoordSql(x: String): String =
+    s"CASE WHEN cast(($x) as double) IS NOT NULL THEN " +
+      s"least(greatest(nanvl(cast(($x) as double), 0.0D), -100.0D), 100.0D) END"
 
   private def docsTok(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
@@ -56,7 +69,7 @@ object LlmOps {
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1]))))")).as("sh"))
+          "i -> xxhash64(" + Ngrams.gramAt("toks", 3) + ")))")).as("sh"))
 
   /** Per-doc distinct-shingle counts straight off the array form: a
     * map-only scan of `documents` — no explode, no shuffle. Equals
@@ -66,7 +79,7 @@ object LlmOps {
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "size(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])))))")
+          "i -> xxhash64(" + Ngrams.gramAt("toks", 3) + "))))")
         .cast("long").as("n"))
 
   /** Shingle postings with the doc's distinct-shingle count n alongside
@@ -80,7 +93,7 @@ object LlmOps {
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1]))))").as("arr"))
+          "i -> xxhash64(" + Ngrams.gramAt("toks", 3) + ")))").as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
         explode(col("arr")).as("sh"))
 
@@ -174,7 +187,7 @@ object LlmOps {
     val sh = tokDf.where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> cast(conv(substring(md5(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])),1,15),16,10) as bigint)" +
+          "i -> cast(conv(substring(md5(" + Ngrams.gramAt("toks", 3) + "),1,15),16,10) as bigint)" +
           s" % $MinhashP))")).as("h"))
     sh.groupBy("doc_id").agg(
       array((0 until k).map(i =>
@@ -305,7 +318,7 @@ object LlmOps {
     docsTok(s, d).where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(" + Ngrams.starts("toks", 3) + ", " +
-          "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])))")).as("sh"))
+          "i -> xxhash64(" + Ngrams.gramAt("toks", 3) + "))")).as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
 
   /** WEIGHTED pair core (j60): `tfDf` is (doc_id, sh, c) tf postings;
@@ -571,7 +584,7 @@ object LlmOps {
         val docArrs = docsTok(s, d).where(size(col("toks")) >= 3)
           .select(col("doc_id"), expr(
             "sort_array(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-              "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])))))").as("arr"))
+              "i -> xxhash64(" + Ngrams.gramAt("toks", 3) + "))))").as("arr"))
         val sets = docArrs.join(candDocs, "doc_id")
         cand
           .join(sets.toDF("d1", "a1"), "d1")
@@ -1290,7 +1303,7 @@ object LlmOps {
         val docs = docsTok(s, d).where(size(col("toks")) >= 4)
         def grams(c: DataFrame) = c.select(col("doc_id"), explode(expr(
           "array_distinct(transform(" + Ngrams.starts("toks", 4) + ", " +
-            "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))))")).as("g"))
+            "i -> xxhash64(" + Ngrams.gramAt("toks", 4) + ")))")).as("g"))
         val bench = grams(docs.where(col("source") === "src0"))
           .select("g").distinct()
         val train = grams(docs.where(col("source") =!= "src0"))
@@ -1328,7 +1341,7 @@ object LlmOps {
         val docs = docsTok(s, d).where(size(col("toks")) >= 4)
         def grams(c: DataFrame) = c.select(col("doc_id"), explode(expr(
           "array_distinct(transform(" + Ngrams.starts("toks", 4) + ", " +
-            "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))))")).as("g"))
+            "i -> xxhash64(" + Ngrams.gramAt("toks", 4) + ")))")).as("g"))
         val bench = grams(docs.where(col("source") === "src0"))
           .select("g").distinct()
         val bytes = graft.functions.Bloom.build(bench, bench.count(), 0.01,

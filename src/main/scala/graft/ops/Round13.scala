@@ -76,11 +76,13 @@ object Round13 {
     * everything after is exact. */
   private def quantized(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"), expr(
-      // saturating quantizer (the LlmOps.cleanCoord convention): NaN->0,
-      // |x| capped at 100 so |q| <= 1e8 and the int64 squared distances
-      // can never overflow (r20 pathological sweep: +-1e30/NaN vectors)
+      // saturating quantizer (LlmOps.cleanCoordSql — ONE clamp
+      // convention with the Column sites): NaN->0, |x| capped at 100 so
+      // |q| <= 1e8 and the int64 squared distances can never overflow
+      // (r20 pathological sweep: +-1e30/NaN vectors); a NULL element
+      // stays NULL through floor/cast exactly as before the clamp
       "transform(embedding, x -> cast(floor(" +
-        "least(greatest(nanvl(cast(x as double), 0.0D), -100.0D), 100.0D)" +
+        LlmOps.cleanCoordSql("x") +
         " * 1000000.0 + 0.5) as bigint))")
       .as("qv"))
 

@@ -35,13 +35,13 @@ object Round16c {
     val bench = docs.where(isBench)
       .select(explode(expr(
         s"""array_distinct(transform(${Ngrams.starts("toks", 4)},
-           i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))))"""))
+           i -> xxhash64(${Ngrams.gramAt("toks", 4)})))"""))
         .as("g")).distinct()
     val train = docs.where(!isBench)
     val hitStarts = train.select(col("doc_id"), explode(expr(
         s"""transform(${Ngrams.starts("toks", 4)},
            i -> struct(i AS p,
-             xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) AS g))"""))
+             xxhash64(${Ngrams.gramAt("toks", 4)}) AS g))"""))
         .as("s"))
       .select(col("doc_id"), col("s.p").as("p"), col("s.g").as("g"))
       .join(broadcast(bench), "g")

@@ -354,7 +354,7 @@ object Round17 {
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(expr(
             s"""array_distinct(transform(${Ngrams.starts("toks", 3)},
-                 i -> concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])))""")).as("gram"))
+                 i -> ${Ngrams.gramAt("toks", 3)}))""")).as("gram"))
         g.groupBy("gram").agg(count(lit(1)).as("df"))
           .select(col("df"),
             (length(expr("bin(df)")) - 1).cast("long").as("bucket"))

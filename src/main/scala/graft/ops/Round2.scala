@@ -162,7 +162,12 @@ object Round2 {
     // dashboard needs; at scale the spine is trivially broadcastable.
     Q("a16_time_spine",
       (s, d) => {
-        val ev = events(s, d).select((col("ts_ms") / lit(3600000L)).cast("long").as("hb"))
+        // FLOOR division for the hour bucket: `/`+cast truncates toward
+        // zero, diverging from the oracle's `//` on PRE-EPOCH millis
+        // (the Round13.floorDiv class; in scope since the r20
+        // pathological fixture added 1969 events)
+        val ev = events(s, d).selectExpr(
+          "(ts_ms - ((ts_ms % 3600000) + 3600000) % 3600000) div 3600000 AS hb")
         // spine via DISTRIBUTED range, never a single-row sequence()
         // array: one corrupt far-future timestamp (r20 pathological
         // sweep: year 9999) makes the hour span ~70M, which sequence()
@@ -613,7 +618,7 @@ object Round2 {
       (s, d) => {
         val grams = docsTok2(s, d).where(size(col("toks")) >= 4)
           .select(col("doc_id"), explode(expr(
-            "transform(" + Ngrams.starts("toks", 4) + ", i -> concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
+            "transform(" + Ngrams.starts("toks", 4) + ", i -> " + Ngrams.gramAt("toks", 4) + ")"))
             .as("g"))
         grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
           .groupBy("doc_id")

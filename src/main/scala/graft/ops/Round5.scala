@@ -328,10 +328,10 @@ object Round5 {
           .where(size(col("toks")) >= 3)
         tk.select(col("doc_id"),
             (size(col("toks")) - 1).cast("long").as("n2"),
-            expr("size(array_distinct(transform(" + Ngrams.starts("toks", 2) + ", i -> concat(toks[i - 1], ' ', toks[i]))))")
+            expr("size(array_distinct(transform(" + Ngrams.starts("toks", 2) + ", i -> " + Ngrams.gramAt("toks", 2) + ")))")
               .cast("long").as("d2"),
             (size(col("toks")) - 2).cast("long").as("n3"),
-            expr("size(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", i -> concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1]))))")
+            expr("size(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", i -> " + Ngrams.gramAt("toks", 3) + ")))")
               .cast("long").as("d3"))
           .select(col("doc_id"),
             round(lit(1.0) - col("d2").cast("double") / col("n2").cast("double"), 6).as("dup2"),

@@ -545,11 +545,11 @@ object Round5b {
         val sh = exact.where(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(expr(
             "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-              "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1]))))")).as("sh"))
+              "i -> xxhash64(" + Ngrams.gramAt("toks", 3) + ")))")).as("sh"))
         val n = exact.where(size(col("toks")) >= 3)
           .select(col("doc_id"), expr(
             "size(array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
-              "i -> xxhash64(concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1])))))")
+              "i -> xxhash64(" + Ngrams.gramAt("toks", 3) + "))))")
             .cast("long").as("n"))
         val dropped = LlmOps.jaccardPairs(sh, n, 256)
           .select(col("d2").as("doc_id")).distinct()

@@ -110,12 +110,18 @@ class DegenerateDataSpec extends AnyFunSuite {
   // have to not THROW; null rows legitimately drop out of pipelines.
   // sweep (d): PATHOLOGICAL ROW SHAPES — the per-row extremes a crawler
   // actually produces and the empty/single/null sweeps cannot reach: a
-  // 50k-token document, a single 100k-char token (a binary blob pasted
-  // into text), a 10k-fold repeated token, event timestamps at the
-  // calendar edges (years 1 and 9999 — ANSI overflow bait for any
-  // epoch arithmetic that multiplies), ±1e308/NaN measures, and
-  // embedding vectors carrying ±1e30, denormals, and NaN. Keys only
+  // 20k-token document, a single 70k-char token (a binary blob pasted
+  // into text; > writeUTF's 65,535-byte cap), a 10k-fold repeated
+  // token, pre-epoch and far-future timestamps, ±1.7e308/NaN measures,
+  // and embedding vectors carrying ±1e30, denormals, and NaN. Keys only
   // have to not THROW; Inf/NaN outputs and dropped rows are legitimate.
+  // (The sweep's FIRST run used a 50k-token doc and year-1/9999
+  // timestamps and broke 18 keys — all fixed; the committed sizes are
+  // bounded so the suite's wall stays reasonable, and the two classes
+  // the shrink no longer reaches are pinned separately: a16's
+  // spine-materialization by Round20Spec's plan-shape test, the
+  // DECIMAL/quantizer overflow classes by the retained extreme VALUES
+  // here.)
   test("every registry key survives pathological row shapes") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_degenpath").toString

@@ -115,6 +115,55 @@ class Round20Spec extends AnyFunSuite {
       "raw-text dedup must NOT see the cross-template plants")
   }
 
+  test("a16: spine plans as a distributed Range, never a sequence() array") {
+    // regression pin for the r20 pathological find: a single corrupt
+    // far-future timestamp once made the hour span ~70M, which the old
+    // explode(sequence(lo, hi)) materialized as ONE in-memory array.
+    // The committed sweep fixture is span-bounded (its results are
+    // collect()ed), so the defect is pinned here at the PLAN level.
+    val df = SparkEntry.queries("a16_time_spine")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Range "), s"spine must come from Range:\n$plan")
+    assert(!plan.toLowerCase.contains("sequence("),
+      "spine must not materialize a sequence() array")
+  }
+
+  test("a16: pre-epoch hour buckets FLOOR like the oracle's // (not truncate)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_a16floor").toString
+    for (tbl <- Tables.names if tbl != "events") {
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, s"$tbl.parquet"),
+        java.nio.file.Paths.get(TestSpark.sf, s"$tbl.parquet"))
+    }
+    // 1969-12-31 23:30:00 UTC = -1800000 ms: hb must floor to -1, not
+    // truncate to 0 (Spark `/`+cast truncates toward zero — the
+    // Round13.floorDiv divergence class, r20 review finding)
+    Seq((0L, "1969-12-31 23:30:00", 1L, "view", 1.0, "{}"),
+        (1L, "1970-01-01 00:30:00", 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("a16_time_spine")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(-3600000L -> 1L, 0L -> 1L),
+      s"pre-epoch bucket must floor (hour -1), got $out")
+  }
+
+  test("cleanCoord: NULL stays NULL; NaN -> 0; saturates at +-100; identity inside") {
+    // pins the r20 review finding: Spark's greatest/least SKIP null
+    // arguments, so an unguarded clamp turned NULL elements into -100 —
+    // silently dragging centroid means (the null-riddled sweep only
+    // asserts no-throw, so only a unit pin catches it)
+    import spark.implicits._
+    val out = Seq[java.lang.Double](null, Double.NaN, 1e30, -1e30, 0.5, -99.9)
+      .toDF("x").select(graft.ops.LlmOps.cleanCoord(col("x")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(None, Some(0.0), Some(100.0), Some(-100.0),
+      Some(0.5), Some(-99.9)))
+  }
+
   test("j121: yield curve matches a recompute; monotone; threshold 0 = corpus") {
     val out = SparkEntry.queries("j121_filter_yield")(spark, sf)
       .collect().sortBy(_.getDouble(0))
