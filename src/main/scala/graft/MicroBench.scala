@@ -35,19 +35,42 @@ object MicroBench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // A/B mode (SPARK_GRAFT_AB="conf=v1|v2"): run every iteration under
+    // BOTH settings back-to-back, so the two variants share each machine
+    // phase — the only way to compare on a host with multi-x steal swings
+    // (both r21 baseline brackets opened 4-10x slow and drifted for
+    // minutes; cross-session comparisons were pure phase noise).
+    val ab: Option[(String, Seq[String])] = sys.env.get("SPARK_GRAFT_AB")
+      .map { spec =>
+        val Array(k, vs) = spec.split("=", 2)
+        (k.trim, vs.split('|').map(_.trim).toSeq)
+      }
+    val variants: Seq[(String, () => Unit)] = ab match {
+      case Some((key, vals)) =>
+        vals.map(v => (s"$key=$v", () => spark.conf.set(key, v)))
+      case None => Seq(("", () => ()))
+    }
     // warmup (JIT/codegen only; caches dropped right after)
     keys.foreach { k =>
-      SparkEntry.queries(k)(spark, sf).count(); releaseCaches()
+      variants.foreach { case (_, set) =>
+        set(); SparkEntry.queries(k)(spark, sf).count(); releaseCaches()
+      }
     }
     keys.foreach { k =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(k)(spark, sf).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        releaseCaches()
-        t
-      }.sorted
-      println(f"$k%-28s min=${times.head}%.3f med=${times(1)}%.3f max=${times(2)}%.3f")
+      val times: Map[String, Seq[Double]] = (1 to 3).flatMap { _ =>
+        variants.map { case (tag, set) =>
+          set()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(k)(spark, sf).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          releaseCaches()
+          tag -> t
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      variants.foreach { case (tag, _) =>
+        val ts = times(tag)
+        println(f"$k%-28s ${tag}%-36s min=${ts.head}%.3f med=${ts(1)}%.3f max=${ts(2)}%.3f")
+      }
     }
     spark.stop()
   }

@@ -45,6 +45,43 @@ object Tables {
     }
   }
 
+  /** Scan-starvation spreader (optimization guide §2.5, "input skew: one
+    * huge unsplittable file"): the driver fixtures ship each table as ONE
+    * parquet row group, so a scan — and every per-row transform FUSED into
+    * it (shingle/gram explosion, hashing, vector math) — runs in a single
+    * task while the other cores idle. When the file bytes cannot possibly
+    * yield `defaultParallelism` splits (bytes / maxPartitionBytes < cores;
+    * parquet row groups can only make real parallelism LOWER than that
+    * estimate, never higher), redistribute by a deterministic hash of
+    * `key` so the fused compute uses every core. At production scale the
+    * condition is false (a 100 TB table is ~10⁶ splits) and this is the
+    * identity — the knob (`spark.graft.scan.spread`, default on) exists so
+    * the A/B is one conf flip, not a code edit. The exchange is hash, not
+    * round-robin: deterministic under task retry (guide §2.5's SPARK-38388
+    * note) and reusable by any downstream groupBy/join on the same key. */
+  val ScanSpreadKey = "spark.graft.scan.spread"
+  def spread(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, key: Column): DataFrame = {
+    val enabled = spark.conf.getOption(ScanSpreadKey)
+      .map(_.trim.toBoolean).getOrElse(true)
+    if (!enabled) df
+    else {
+      val f = new java.io.File(s"$dir/$name.parquet")
+      // directory tables: sum the part files (driver fixtures are single
+      // files; this keeps the estimate honest for written intermediates)
+      val bytes =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length).sum)
+          .getOrElse(0L)
+      val cores = spark.sparkContext.defaultParallelism
+      val maxSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+        .flatMap(v => scala.util.Try(
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
+        .getOrElse(128L * 1024 * 1024)
+      if (bytes / maxSplit < cores) df.repartition(cores, key) else df
+    }
+  }
+
   val Money: DecimalType = DecimalType(18, 4)
 
   /** Exact monetary arithmetic: cast double → DECIMAL(18,4) before any

@@ -175,8 +175,20 @@ object LlmOps {
     * so only 8-byte base hashes ride the explode and the groupBy — the
     * ~20+-char shingle strings never leave the projection that built
     * them. */
-  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame =
-    minhashSigsOf(s, docsTok(s, d))
+  private[graft] def minhashSigs(s: SparkSession, d: String,
+      spread: Boolean = true): DataFrame =
+    // spread by doc_id (Tables.spread scaladoc; identity at scale): the
+    // md5+mulmod shingle-hash transform fused into a starved scan runs
+    // one-task, AND the signature groupBy(doc_id) below reuses the
+    // spread's hash partitioning — the 1.5M-row exploded hash stream
+    // never shuffles (interleaved A/B at sf0.1/32 threads: j2b
+    // 1.52 -> 0.85 s, j65 5.14 -> 4.88, i15 2.54 -> 2.27). `spread =
+    // false` is for the one measured-negative consumer (j28, which
+    // re-derives the sig subtree twice unpersisted: 3.6 -> 5.6 s WITH the
+    // device — the two pinned-32-partition cascades cost more than the
+    // one-task map they save).
+    minhashSigsOf(s, if (spread) graft.Tables.spread(s, d, "documents",
+      docsTok(s, d), col("doc_id")) else docsTok(s, d))
 
   /** MinHash signatures over an ARBITRARY (doc_id, toks) relation — the
     * same k-seed/shingle recipe as [[minhashSigs]], factored so j120's
@@ -1215,7 +1227,10 @@ object LlmOps {
     // pipeline shape and determinism are what's exercised.)
     Q("j13_lang_id",
       (s, d) => {
-        val docs = t(s, d, "documents").where(length(col("text")) >= 3)
+        // spread: both branches explode ~n_chars trigram positions per doc
+        // in the scan stage (Tables.spread scaladoc; identity at scale)
+        val docs = graft.Tables.spread(s, d, "documents",
+          t(s, d, "documents"), col("doc_id")).where(length(col("text")) >= 3)
         // The two branches deliberately do NOT share a grouped intermediate
         // (earlier rounds materialized groupBy(doc_id, lang, g) and fed
         // both from it — but that key is near-unique per row, so partial

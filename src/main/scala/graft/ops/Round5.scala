@@ -259,7 +259,12 @@ object Round5 {
     // DuckDB, so the whole incremental path is hash-checked.
     Q("j28_dedup_incremental",
       (s, d) => {
-        val sig = LlmOps.minhashSigs(s, d)
+        // spread = false: measured negative HERE (MicroBench interleaved
+        // A/B, sf0.1/32 threads: 3.6 -> 5.6 s with the spread) — this key
+        // re-derives the unpersisted sig subtree once per side, and two
+        // pinned-32-partition cascades cost more than the starved map
+        // they parallelize. See LlmOps.minhashSigs scaladoc.
+        val sig = LlmOps.minhashSigs(s, d, spread = false)
         val corpusBands = LlmOps.minhashBands(sig.where(col("doc_id") % 2 === 0))
         val incomingBands = LlmOps.minhashBands(sig.where(col("doc_id") % 2 === 1))
         val cand = incomingBands.toDF("d_inc", "band", "bh")

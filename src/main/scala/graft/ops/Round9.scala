@@ -1093,7 +1093,12 @@ object Round9 {
             WHEN 2 THEN concat(substring(txt, 1, 3), 'x', substring(txt, 5, 4),
                                'z', substring(txt, 10))
             ELSE concat('zzz ', txt) END""").as("txt"))
-        val corpus = base.unionAll(variants).where(length(col("txt")) >= 9)
+        // spread before the checkpoint: the 3-gram explode + substring
+        // transform below runs on the checkpointed partitioning, which a
+        // starved single-row-group part scan would pin at 2 tasks
+        // (Tables.spread scaladoc; identity at scale)
+        val corpus = graft.Tables.spread(s, d, "part",
+            base.unionAll(variants).where(length(col("txt")) >= 9), col("id"))
           .localCheckpoint()
         // distinct 3-grams per string, global df, rarest-7 prefix.
         // The gram stream carries txt alongside: the j2b id-only-then-
