@@ -293,18 +293,9 @@ object LlmOps {
     // transform measured 15-40% slower end-to-end — per-pair struct field
     // extraction in the interpreted lambda costs more than the two
     // broadcastable joins it saved.
-    val posts = sh.groupBy("sh")
-      .agg(expr(s"capped_collect(doc_id, $maxDf)").as("c"))
-      .select(col("sh"), col("c.ds").as("ds"), col("c.df").as("df"))
-      .where(col("df") >= 2)
+    val posts = postsOf(sh, maxDf)
     // complete groups (df ≤ cap): all C(df,2) pairs emitted in place
-    val light = posts.where(col("df") <= maxDf)
-      .select(explode(expr(
-        "flatten(transform(" + Ngrams.starts0("ds", 2) + ", i -> " +
-          "transform(sequence(i+1, size(ds)-1), j -> " +
-          "named_struct('d1', least(ds[i], ds[j]), " +
-          "'d2', greatest(ds[i], ds[j])))))")).as("p"))
-      .select(col("p.d1"), col("p.d2"))
+    val light = lightPairsOf(posts, maxDf)
     // heavy shingles (df > cap): their sampled ds is discarded — full
     // postings re-derive by filtering the base relation on the (rare)
     // heavy keys (broadcastable), then pair via equi-join so the shuffle
@@ -321,6 +312,33 @@ object LlmOps {
       .join(n.toDF("d1", "n1"), "d1")
       .join(n.toDF("d2", "n2"), "d2")
   }
+
+  /** The pair core's inverted-index stage (see [[pairStats]] for the
+    * device notes): size-capped postings arrays per shingle, df >= 2. */
+  private[graft] def postsOf(sh: DataFrame, maxDf: Int): DataFrame = {
+    graft.functions.CappedLongList.register(sh.sparkSession)
+    sh.groupBy("sh")
+      .agg(expr(s"capped_collect(doc_id, $maxDf)").as("c"))
+      .select(col("sh"), col("c.ds").as("ds"), col("c.df").as("df"))
+      .where(col("df") >= 2)
+  }
+
+  /** The pair core's in-array pair expansion over complete (df <= cap)
+    * postings groups (see [[pairStats]]). */
+  private[graft] def lightPairsOf(posts: DataFrame, maxDf: Int): DataFrame =
+    posts.where(col("df") <= maxDf)
+      .select(explode(expr(
+        "flatten(transform(" + Ngrams.starts0("ds", 2) + ", i -> " +
+          "transform(sequence(i+1, size(ds)-1), j -> " +
+          "named_struct('d1', least(ds[i], ds[j]), " +
+          "'d2', greatest(ds[i], ds[j])))))")).as("p"))
+      .select(col("p.d1"), col("p.d2"))
+
+  /** Prof seams (graft.Prof stage decomposition). */
+  private[graft] def postsForProf(s: SparkSession, d: String): DataFrame =
+    postsOf(shingles(s, d), Knobs.pairMaxDf(s))
+  private[graft] def lightPairsForProf(s: SparkSession, d: String): DataFrame =
+    lightPairsOf(postsForProf(s, d), Knobs.pairMaxDf(s))
 
   /** 3-gram term-frequency postings over `documents` — (doc_id, sh, c)
     * with c = the gram's count WITH multiplicity in that doc. j60's

@@ -56,6 +56,27 @@ class BenchSpec extends AnyFunSuite {
     assert(movers.isEmpty && skipped.isEmpty)
   }
 
+  test("untimed control warm-up runs clean before the timed bracket") {
+    // r20 verdict item 4: the bracket must open JIT-warm. warmControl is
+    // the exact code path main calls before controlStart; it must execute
+    // the control key end-to-end and report success.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      assert(Bench.warmControl(spark, "/root/testdata/sf0.001"),
+        "control warm-up must run the control key clean")
+      // and the key it warms is the key the bracket times
+      assert(Bench.controlKey == "j2_dedup_near")
+    } finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("repoRoot anchors manifest + round detection to the checkout") {
     // sbt test runs from the repo root, but the anchor must come from the
     // build.sbt walk, not the cwd accident the r19 advice flagged
