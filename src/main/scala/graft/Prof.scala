@@ -43,7 +43,52 @@ object Prof {
       spark.sparkContext.setJobDescription(null)
     }
     import graft.ops.LlmOps
+    // prefixIndex decomposition (j2c's dominant stage)
+    def swc() = LlmOps.shinglesWithCount(spark, sf)
+    def postings() = swc().groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+    def hot() = postings().where(size(col("ds")) >= 2)
+      .select(col("sh"), size(col("ds")).cast("long").as("df"),
+        explode(col("ds")).as("dn"))
+      .select(col("sh"), col("df"),
+        col("dn.doc_id").as("doc_id"), col("dn.n").as("n"))
+    def perDoc() = hot().groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
+    // variant: same output as shinglesWithCount, but the array expr is
+    // spelled twice (size + explode) instead of projected once and read
+    // twice — tests whether the named-column shape defeats codegen
+    def swcB() = {
+      val arrExpr = "array_distinct(transform(" +
+        graft.ops.Ngrams.starts("toks", 3) + ", " +
+        "i -> xxhash64(" + graft.ops.Ngrams.gramAt("toks", 3) + ")))"
+      graft.Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          expr(s"size($arrExpr)").cast("long").as("n"),
+          explode(expr(arrExpr)).as("sh"))
+    }
+    // fix candidate: arr projected once; n computed BELOW the Generate so
+    // the array does not ride the per-row output; explode_outer so no
+    // (size>0, isnotnull) filter is inferred and pushed below the project
+    def swcC() = {
+      val arrExpr = "array_distinct(transform(" +
+        graft.ops.Ngrams.starts("toks", 3) + ", " +
+        "i -> xxhash64(" + graft.ops.Ngrams.gramAt("toks", 3) + ")))"
+      graft.Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(arrExpr).as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("long").as("n"), col("arr"))
+        .select(col("doc_id"), col("n"), explode_outer(col("arr")).as("sh"))
+    }
     val stages: Seq[(String, () => DataFrame)] = Seq(
+      "pfx1_shingles_with_count" -> (() => swc()),
+      "pfx1b_swc_recompute" -> (() => swcB()),
+      "pfx1c_swc_outer_below" -> (() => swcC()),
+      "pfx2_postings_groupby" -> (() => postings()),
+      "pfx3_hot_explode" -> (() => hot()),
+      "pfx4_perdoc_sortarray" -> (() => perDoc()),
       "docs_scan" -> (() => graft.Tables.t(spark, sf, "documents")),
       "shingles_explode" -> (() => LlmOps.shingles(spark, sf)),
       "shingle_counts_maponly" -> (() => LlmOps.shingleCounts(spark, sf)),
@@ -55,10 +100,15 @@ object Prof {
       "tf_postings" -> (() => LlmOps.docShingleTf(spark, sf))
     )
     val only = sys.env.get("SPARK_GRAFT_PROF_ONLY").map(_.split(',').toSet)
+    val printPlan = sys.env.get("SPARK_GRAFT_PROF_PLAN").contains("1")
     stages.foreach { case (tag, mk) =>
       if (only.forall(_.contains(tag)))
-        try time(tag)(mk())
-        catch { case e: Throwable =>
+        try {
+          if (printPlan) {
+            println(s"==== $tag ====")
+            println(mk().queryExecution.executedPlan.toString.take(6000))
+          } else time(tag)(mk())
+        } catch { case e: Throwable =>
           println(s"[prof] $tag FAILED: ${e.getMessage}")
         }
     }

@@ -94,8 +94,19 @@ object LlmOps {
       .select(col("doc_id"), expr(
         "array_distinct(transform(" + Ngrams.starts("toks", 3) + ", " +
           "i -> xxhash64(" + Ngrams.gramAt("toks", 3) + ")))").as("arr"))
-      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
-        explode(col("arr")).as("sh"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"), col("arr"))
+      // explode_outer + n computed BELOW the Generate (r21, measured
+      // 3.4 s -> 0.39 s at sf0.1/32): a plain explode over a NAMED array
+      // column makes the optimizer infer (size(arr) > 0 AND
+      // isnotnull(arr)) and push it under the projection, where arr
+      // re-substitutes to the full shingle transform — the executed
+      // Filter then recomputes the ~300-hash-per-doc transform TWICE
+      // before the Project computes it a third time; and with n above
+      // the Generate the array itself rides requiredChildOutput, copying
+      // O(len) array bytes per emitted row (O(len²) per doc). outer ≡
+      // inner row-for-row here: toks >= 3 ⇒ sequence ⇒ transform ⇒
+      // array_distinct all non-empty, so no null row can appear.
+      .select(col("doc_id"), col("n"), explode_outer(col("arr")).as("sh"))
 
   /** PPJoin prefix index (the j2c candidate-generation input): (doc_id, n,
     * r, sh) — each doc's first (n − ⌈t·n⌉ + 1) pairable shingles in the
@@ -293,6 +304,18 @@ object LlmOps {
     // transform measured 15-40% slower end-to-end — per-pair struct field
     // extraction in the interpreted lambda costs more than the two
     // broadcastable joins it saved.
+    // r21 NEGATIVE RESULT (measured, interleaved A/B at sf0.1/32
+    // threads): materializing the postings once (eager localCheckpoint,
+    // the j2c device) + probing heavy-keys-empty to drop the heavy
+    // branch from the plan looked right on paper — the executed plan
+    // holds 14 parquet scans of `documents` because the heavy branch
+    // re-derives the shingle relation even when no shingle exceeds the
+    // cap. It LOST on 4 of 5 consumers (j2 4.43->4.70, j14 4.17->4.42,
+    // j63 4.75->5.22, j64 4.24->6.93; only j27 won 3.13->2.77): the
+    // "redundant" scan subtrees schedule in parallel on idle cores,
+    // while the eager checkpoint serializes a materialization barrier
+    // into every consumer and un-fuses the explode from the downstream
+    // aggregation. Kept as the lazy single-plan shape below.
     val posts = postsOf(sh, maxDf)
     // complete groups (df ≤ cap): all C(df,2) pairs emitted in place
     val light = lightPairsOf(posts, maxDf)
