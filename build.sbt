@@ -41,4 +41,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Optional scratch redirect (A/B seam): java.io.tmpdir hosts Spark's
+  // local dirs (shuffle files) and the graft Scratch root (stream
+  // checkpoints/state). SPARK_GRAFT_TMPDIR=/dev/shm measures the
+  // disk-vs-tmpfs cost of that I/O; unset keeps the stock /tmp default.
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(t => s"-Djava.io.tmpdir=$t").toSeq

@@ -224,7 +224,7 @@ object Round18b {
             FROM documents),
         ft AS (SELECT doc_id,
             CAST(len(toks) AS DOUBLE) AS n,
-            CAST(list_aggregate(list_transform(toks, t -> strlen(t)), 'sum')
+            CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
               AS DOUBLE) AS chars,
             CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'
               OR t = 'and' OR t = 'in')) AS DOUBLE) AS sw,
@@ -299,7 +299,7 @@ object Round18b {
             FROM documents),
         ft AS (SELECT doc_id,
             CAST(len(toks) AS DOUBLE) AS n,
-            CAST(list_aggregate(list_transform(toks, t -> strlen(t)), 'sum')
+            CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
               AS DOUBLE) AS chars,
             CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'
               OR t = 'and' OR t = 'in')) AS DOUBLE) AS sw,

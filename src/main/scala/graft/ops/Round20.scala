@@ -28,12 +28,21 @@ object Round20 {
         val base = t(s, d, "documents")
           .select(col("doc_id"),
             split(translate(col("text"), "\n\r", "  "), " ").as("toks"))
+        // knob guard (r20 ADVICE): the j120/j122 oracles hardcode the
+        // 32-slot / 8×4-band geometry — a non-default knob must fail
+        // loudly here instead of silently diverging from the oracle
+        require(Knobs.minhashK(s) == 32 && Knobs.minhashBandSize(s) == 4,
+          "j120/j122 oracles pin minhash k=32, bandSize=4 — " +
+            s"got k=${Knobs.minhashK(s)}, bandSize=${Knobs.minhashBandSize(s)}")
         // re-render source: doc_id ≡ 8 (mod 9) carries doc_id−1's
         // conversation (inner join: an orphan re-render with no source
-        // doc drops out — same rule in the oracle)
+        // doc drops out — same rule in the oracle). Sign-preserving `%`,
+        // not pmod (r20 ADVICE): the render CASE on line ~48 and both
+        // DuckDB oracles use `%`, so a negative doc_id under pmod would
+        // sign doc N−1's content where the oracle signs doc N's own.
         val withSrc = base
           .withColumn("src_id",
-            when(pmod(col("doc_id"), lit(9)) === 8, col("doc_id") - 1)
+            when(col("doc_id") % 9 === 8, col("doc_id") - 1)
               .otherwise(col("doc_id")))
           .select("doc_id", "src_id")
           .join(base.select(col("doc_id").as("src_id"),
@@ -205,11 +214,11 @@ object Round20 {
             LEAST(4 * n_tokens, target_tokens) AS served
           FROM pl),
         base AS (SELECT
-            list(source ORDER BY source) AS srcs,
-            list(n_tokens ORDER BY source) AS toks,
-            list(target_tokens ORDER BY source) AS tgts,
-            list(served ORDER BY source) AS served,
-            list(4 * n_tokens - served ORDER BY source) AS caps,
+            list(source ORDER BY source NULLS FIRST) AS srcs,
+            list(n_tokens ORDER BY source NULLS FIRST) AS toks,
+            list(target_tokens ORDER BY source NULLS FIRST) AS tgts,
+            list(served ORDER BY source NULLS FIRST) AS served,
+            list(4 * n_tokens - served ORDER BY source NULLS FIRST) AS caps,
             CAST(4 * COALESCE(SUM(n_tokens), 0)
               - COALESCE(SUM(served), 0) AS BIGINT) AS pool0,
             COUNT(*) AS n
@@ -369,7 +378,7 @@ object Round20 {
             FROM documents),
         ft AS (SELECT doc_id, toks,
             CAST(len(toks) AS DOUBLE) AS n,
-            CAST(list_aggregate(list_transform(toks, t -> strlen(t)), 'sum')
+            CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
               AS DOUBLE) AS chars,
             CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'
               OR t = 'and' OR t = 'in')) AS DOUBLE) AS sw,
