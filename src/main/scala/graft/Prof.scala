@@ -82,7 +82,23 @@ object Prof {
         .select(col("doc_id"), size(col("arr")).cast("long").as("n"), col("arr"))
         .select(col("doc_id"), col("n"), explode_outer(col("arr")).as("sh"))
     }
+    // j60b decomposition: weighted prefix index + candidate join
+    def j60tot() = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), (size(col("toks")) - 2).cast("long").as("tot"))
+    def j60prefix() = graft.ops.Round16.weightedPrefix(
+      LlmOps.docShingleTf(spark, sf), j60tot(), 0.5)
+    def j60cand() = {
+      val prefix = j60prefix()
+      prefix.select(col("doc_id").as("d1"), col("sh"), col("tot").as("t1"))
+        .join(prefix.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("tot").as("t2")), col("sh") === col("sh2") && col("d1") < col("d2"))
+        .select("d1", "d2", "t1", "t2").distinct()
+    }
     val stages: Seq[(String, () => DataFrame)] = Seq(
+      "j60b_prefix" -> (() => j60prefix()),
+      "j60b_cand" -> (() => j60cand()),
       "pfx1_shingles_with_count" -> (() => swc()),
       "pfx1b_swc_recompute" -> (() => swcB()),
       "pfx1c_swc_outer_below" -> (() => swcC()),

@@ -143,7 +143,20 @@ object Round16 {
           .select("d1", "d2", "t1", "t2").distinct()
           .localCheckpoint() // j2c's device: compute the prefix join ONCE
         // exact verify on candidates only: Σmin over the pair's shared
-        // types via two joins of the (candidate-restricted) tf relation
+        // types via two joins of the (candidate-restricted) tf relation.
+        // r21 NEGATIVE RESULTS, both measured at sf0.1/32 and reverted:
+        // (1) per-doc (sh → c) count maps + in-expression Σmin (the j2c
+        // array device generalized to multisets) was 2-3× slower — a
+        // ~300-entry map is a KB-scale value that rides EVERY candidate
+        // pair through two joins, where this relational shape ships
+        // 16-byte rows and partial-aggregates the Σmin (it also trips
+        // the least()-skips-NULL pitfall unless the coalesce sits inside
+        // least); (2) pre-filtering each tf leg to its side's candidate
+        // docs (two broadcast semi-joins) shrank the (d2, sh) shuffle
+        // but cost ~1.4 s MORE end-to-end here — the extra distincts +
+        // broadcast builds outweigh the smaller exchange at a corpus
+        // where tf is only 1.5M rows; at a 100 TB corpus the semi-join
+        // restriction is the right call and is one conf-free edit away.
         val wInter = cand.select("d1", "d2")
           .join(tf.toDF("d1", "sh", "c1"), "d1")
           .join(tf.toDF("dd2", "sh2", "c2"),
