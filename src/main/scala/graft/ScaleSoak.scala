@@ -32,7 +32,7 @@ object ScaleSoak {
     val sections: Set[String] =
       if (args.isEmpty)
         Set("neardup", "ann", "j60", "sub", "ev", "decontam", "page",
-          "recipe", "auc", "evalm", "graphm", "conv")
+          "recipe", "auc", "evalm", "graphm", "conv", "sched")
       else args.toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections.contains(name)) body
@@ -543,6 +543,37 @@ object ScaleSoak {
         println(f"""SOAK {"key":"j120_dedup_conversation","conf":"10x_docs","sec":$sec%.2f,"pairs":$n,"planted":$planted,"exchanges":$exch}""")
       } finally release()
       run("j122_conversation_survivors", Map.empty)
+    }
+
+    // j119's water-fill is O(|S|²) interpreted-lambda work inside ONE
+    // aggregate() expression evaluated on a single row (r20 verdict watch
+    // item / r21 hand-down): ≤|S|+1 rounds × O(|S|) array arithmetic,
+    // zero parallelism by construction. Measure it at catalog scales the
+    // fixtures never reach — |S| = 1k and 10k sources (docs = 2·|S| so
+    // the corpus scan stays trivial and the fold is the only thing that
+    // grows). The fixture-scale fold (|S| ≈ 20) is sub-second; the
+    // verdict threshold is "if the interpreted-HOF wall exceeds ~seconds
+    // at 10k, restructure to a driver-bounded loop" (j48's precedent).
+    section("sched") {
+      Seq(1000L, 10000L).foreach { s =>
+        val d2 = graft.ops.Scratch.dir(s"soak_sched_$s")
+        spark.range(2L * s).toDF("doc_id")
+          .select(col("doc_id"),
+            concat_ws(" ", (0 until 8).map(k =>
+              format_string(s"w%dk$k", pmod(col("doc_id"), lit(97)))): _*)
+              .as("text"),
+            lit("en").as("lang"),
+            format_string("src%05d", pmod(col("doc_id"), lit(s))).as("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .coalesce(4)
+          .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+        try {
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries("j119_epoch_redistribute")(spark, d2).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""SOAK {"key":"j119_epoch_redistribute","conf":"S=$s","sec":$sec%.2f,"rows":$n}""")
+        } finally release()
+      }
     }
 
     section("graphm") {
