@@ -42,8 +42,12 @@ object MicroBench {
     // minutes; cross-session comparisons were pure phase noise).
     val ab: Option[(String, Seq[String])] = sys.env.get("SPARK_GRAFT_AB")
       .map { spec =>
-        val Array(k, vs) = spec.split("=", 2)
-        (k.trim, vs.split('|').map(_.trim).toSeq)
+        spec.split("=", 2) match {
+          case Array(k, vs) if k.trim.nonEmpty && vs.contains("|") =>
+            (k.trim, vs.split('|').map(_.trim).toSeq)
+          case _ => sys.error(
+            s"SPARK_GRAFT_AB must be 'conf.key=v1|v2[|v3...]', got: '$spec'")
+        }
       }
     val variants: Seq[(String, () => Unit)] = ab match {
       case Some((key, vals)) =>
@@ -57,8 +61,12 @@ object MicroBench {
       }
     }
     keys.foreach { k =>
-      val times: Map[String, Seq[Double]] = (1 to 3).flatMap { _ =>
-        variants.map { case (tag, set) =>
+      // ABBA: alternate variant order per iteration so systematic
+      // within-phase drift (page cache, JIT, GC ramp) cancels instead of
+      // biasing toward whichever variant always ran second
+      val times: Map[String, Seq[Double]] = (1 to 3).flatMap { it =>
+        val ordered = if (it % 2 == 0) variants.reverse else variants
+        ordered.map { case (tag, set) =>
           set()
           val t0 = System.nanoTime()
           SparkEntry.queries(k)(spark, sf).count()

@@ -30,13 +30,21 @@ object PlanSnap {
     })
     val outDir = Bench.repoRoot.resolve("plans").resolve(tag)
     java.nio.file.Files.createDirectories(outDir)
+    // stage:<name> resolves a Prof stage DataFrame instead of a registry
+    // key (r21 verdict item 7): wins that live behind a localCheckpoint
+    // barrier are invisible in the end query's explain — the stage plan
+    // is the explain scope that actually shows the claimed node diff.
+    lazy val profStages = Prof.stages(spark, sf).toMap
     keys.foreach { k =>
-      val df = SparkEntry.queries(k)(spark, sf)
+      val df =
+        if (k.startsWith("stage:")) profStages(k.stripPrefix("stage:"))()
+        else SparkEntry.queries(k)(spark, sf)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      java.nio.file.Files.write(outDir.resolve(s"${k}_$suffix.txt"),
+      val fname = k.replace(":", "_")
+      java.nio.file.Files.write(outDir.resolve(s"${fname}_$suffix.txt"),
         txt.getBytes("UTF-8"))
-      println(s"[plansnap] wrote ${k}_$suffix.txt (${txt.length} chars)")
+      println(s"[plansnap] wrote ${fname}_$suffix.txt (${txt.length} chars)")
     }
     spark.stop()
   }

@@ -6,42 +6,17 @@ import org.apache.spark.sql.functions._
 /** Dev utility (optimization rounds): time the building blocks of the
   * shared pair core stage by stage with the noop sink (guide §1.4), so
   * per-query seconds decompose into operator costs instead of guesses.
-  * Usage: runMain graft.Prof [sfDir] */
+  * Usage: runMain graft.Prof [sfDir]
+  *
+  * The stage registry is shared with PlanSnap's `stage:<tag>` mode (r21
+  * verdict item 7): several flagship wins live BEHIND a localCheckpoint
+  * barrier in their end queries, so the end query's explain cannot show
+  * them — the stage DataFrames here are the explain scope that can. */
 object Prof {
-  def main(args: Array[String]): Unit = {
-    val sf = args.headOption
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
-        case _ => ()
-      }
-    })
-    def releaseCaches(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
-    def time(tag: String)(df: => DataFrame): Unit = {
-      // warm once, then min-of-3 cold
-      spark.sparkContext.setJobDescription(tag)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        val t = (System.nanoTime() - t0) / 1e9
-        releaseCaches(); t
-      }
-      once()
-      val ts = (1 to 3).map(_ => once()).sorted
-      println(f"[prof] $tag%-40s min=${ts.head}%.3f med=${ts(1)}%.3f max=${ts(2)}%.3f")
-      spark.sparkContext.setJobDescription(null)
-    }
+
+  /** Named stage DataFrames of the expensive pipelines — the Prof timing
+    * targets AND PlanSnap's stage-plan explain scopes. */
+  def stages(spark: SparkSession, sf: String): Seq[(String, () => DataFrame)] = {
     import graft.ops.LlmOps
     // prefixIndex decomposition (j2c's dominant stage)
     def swc() = LlmOps.shinglesWithCount(spark, sf)
@@ -96,9 +71,58 @@ object Prof {
           col("tot").as("t2")), col("sh") === col("sh2") && col("d1") < col("d2"))
         .select("d1", "d2", "t1", "t2").distinct()
     }
-    val stages: Seq[(String, () => DataFrame)] = Seq(
+    // j51 decomposition (r22): pre-checkpoint corpus build + rarest-7
+    // prefix — the stage the in-array rewrite (J51InArrayKey) reshapes
+    def j51corpus() = {
+      val base = graft.Tables.t(spark, sf, "part")
+        .select(col("p_partkey").as("id"),
+          concat(substring(md5(col("p_partkey").cast("string")), 1, 8),
+            lit(" "), col("p_name")).as("txt"))
+      val variants = base.select((col("id") + 1000000L).as("id"),
+        expr("""CASE CAST(id % 4 AS INT)
+          WHEN 0 THEN concat(substring(txt, 1, 2), substring(txt, 4))
+          WHEN 1 THEN concat(substring(txt, 1, 4), 'q', substring(txt, 6))
+          WHEN 2 THEN concat(substring(txt, 1, 3), 'x', substring(txt, 5, 4),
+                             'z', substring(txt, 10))
+          ELSE concat('zzz ', txt) END""").as("txt"))
+      base.unionAll(variants).where(length(col("txt")) >= 9)
+    }
+    def j51prefix() = {
+      val corpus = j51corpus()
+      val grams = corpus.select(col("id"), col("txt"),
+        explode(expr(
+          "array_distinct(transform(" +
+            graft.ops.Ngrams.charStarts("txt", 3) + "," +
+            " p -> substring(txt, p, 3)))")).as("g"))
+      val dfRel = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      if (graft.ops.Knobs.j51InArray(spark)) {
+        grams.join(dfRel, "g")
+          .groupBy(col("id"), col("txt"))
+          .agg(slice(sort_array(collect_list(struct(col("df"), col("g")))),
+            1, 7).as("pre"))
+          .select(col("id"), col("txt"), explode(col("pre")).as("x"))
+          .select(col("id"), col("txt"), col("x.g").as("g"))
+      } else {
+        grams.join(dfRel, "g")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("id").orderBy("df", "g")))
+          .where(col("rn") <= 7).select(col("id"), col("txt"), col("g"))
+      }
+    }
+    // j53 decomposition: the Lloyd train (2 rounds over the checkpointed
+    // subvector relation) and one extra assignment over the result
+    def j53train() = graft.ops.Round13.pqTrain(spark, sf)._2
+    def j53codes() = {
+      val (sub, codebook) = graft.ops.Round13.pqTrain(spark, sf)
+      graft.ops.Round13.lloydAssign(sub, codebook).select("vec_id", "m", "cid")
+    }
+    Seq(
       "j60b_prefix" -> (() => j60prefix()),
       "j60b_cand" -> (() => j60cand()),
+      "j51_prefix" -> (() => j51prefix()),
+      "j53_train" -> (() => j53train()),
+      "j53_codes" -> (() => j53codes()),
       "pfx1_shingles_with_count" -> (() => swc()),
       "pfx1b_swc_recompute" -> (() => swcB()),
       "pfx1c_swc_outer_below" -> (() => swcC()),
@@ -115,9 +139,45 @@ object Prof {
       "prefix_index" -> (() => LlmOps.prefixIndex(spark, sf, 0.5)),
       "tf_postings" -> (() => LlmOps.docShingleTf(spark, sf))
     )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    def releaseCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def time(tag: String)(df: => DataFrame): Unit = {
+      // warm once, then min-of-3 cold
+      spark.sparkContext.setJobDescription(tag)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        releaseCaches(); t
+      }
+      once()
+      val ts = (1 to 3).map(_ => once()).sorted
+      println(f"[prof] $tag%-40s min=${ts.head}%.3f med=${ts(1)}%.3f max=${ts(2)}%.3f")
+      spark.sparkContext.setJobDescription(null)
+    }
     val only = sys.env.get("SPARK_GRAFT_PROF_ONLY").map(_.split(',').toSet)
     val printPlan = sys.env.get("SPARK_GRAFT_PROF_PLAN").contains("1")
-    stages.foreach { case (tag, mk) =>
+    stages(spark, sf).foreach { case (tag, mk) =>
       if (only.forall(_.contains(tag)))
         try {
           if (printPlan) {

@@ -68,11 +68,18 @@ object Tables {
     else {
       val f = new java.io.File(s"$dir/$name.parquet")
       // directory tables: sum the part files (driver fixtures are single
-      // files; this keeps the estimate honest for written intermediates)
+      // files; this keeps the estimate honest for written intermediates).
+      // UNKNOWN size — non-local FS, renamed file, nested part dirs, any
+      // path java.io.File cannot stat — must mean "assume large, do NOT
+      // spread": a 0-byte fallback would make the starved-scan condition
+      // (0 / maxSplit < cores) always true and insert a full hash
+      // repartition of a 100 TB input exactly when the estimate is
+      // unavailable, inverting the identity-at-scale contract (r21 verdict
+      // item 1). Long.MaxValue keeps the device the identity there.
       val bytes =
         if (f.isFile) f.length
         else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length).sum)
-          .getOrElse(0L)
+          .filter(_ > 0L).getOrElse(Long.MaxValue)
       val cores = spark.sparkContext.defaultParallelism
       val maxSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
         .flatMap(v => scala.util.Try(

@@ -105,8 +105,15 @@ object LlmOps {
       // the Generate the array itself rides requiredChildOutput, copying
       // O(len) array bytes per emitted row (O(len²) per doc). outer ≡
       // inner row-for-row here: toks >= 3 ⇒ sequence ⇒ transform ⇒
-      // array_distinct all non-empty, so no null row can appear.
+      // array_distinct all non-empty, so no null row can appear. The
+      // isNotNull guard below the invariant anyway (r21 ADVICE): a filter
+      // on the GENERATOR OUTPUT cannot be pushed below the Generate, so
+      // the arr-recompute pathology cannot return, and a future upstream
+      // edit that could yield an empty arr degrades to the old explode's
+      // drop-the-row semantics instead of feeding a null group key into
+      // the postings groupBy.
       .select(col("doc_id"), col("n"), explode_outer(col("arr")).as("sh"))
+      .where(col("sh").isNotNull)
 
   /** PPJoin prefix index (the j2c candidate-generation input): (doc_id, n,
     * r, sh) — each doc's first (n − ⌈t·n⌉ + 1) pairable shingles in the

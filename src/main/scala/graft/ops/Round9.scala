@@ -1112,18 +1112,58 @@ object Round9 {
               "array_distinct(transform(" + Ngrams.charStarts("txt", 3) + "," +
                 " p -> substring(txt, p, 3)))")).as("g"))
         val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
-        val prefix = grams.join(df, "g")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("id").orderBy("df", "g")))
-          .where(col("rn") <= 7).select(col("id"), col("txt"), col("g"))
-        val a = prefix.select(col("id").as("id_a"), col("txt").as("ta"),
-          col("g"))
-        val b = prefix.select(col("id").as("id_b"), col("txt").as("tb"),
-          col("g"))
-        a.join(b, Seq("g"))
-          .where(col("id_a") < col("id_b") &&
-            abs(length(col("ta")) - length(col("tb"))) <= 2)
-          .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
+        // r22: the rarest-7 prefix via in-array sort+slice (the j2c
+        // device — struct sort is field-lexicographic on (df, g), g is
+        // unique per id, so the order equals the window's orderBy; only
+        // prefix rows are ever emitted) instead of ranking every gram
+        // row through the window sorter and filtering after. Knob-gated
+        // (default on) so the A/B and plan diff are one conf flip.
+        val prefix = if (Knobs.j51InArray(s)) {
+          grams.join(df, "g")
+            .groupBy(col("id"), col("txt"))
+            .agg(slice(sort_array(collect_list(struct(col("df"), col("g")))),
+              1, 7).as("pre"))
+            .select(col("id"), col("txt"), explode(col("pre")).as("x"))
+            .select(col("id"), col("txt"), col("x.g").as("g"))
+        } else {
+          grams.join(df, "g")
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("id").orderBy("df", "g")))
+            .where(col("rn") <= 7).select(col("id"), col("txt"), col("g"))
+        }
+        // r22 (verdict item 5): dedup candidates on (id_a, id_b) BEFORE
+        // the txts ride any exchange — the candidate join and its
+        // distinct then shuffle 8-byte ids + 4-byte lengths instead of
+        // two ~40-char strings per row (guide §2.3); both txt sides
+        // re-attach AFTER the distinct via explicit broadcast joins
+        // against the checkpointed corpus (~80k rows, a few MB — the
+        // r19 negative result re-attached via shuffle joins on the gram
+        // stream, a different shape). txt is functionally determined by
+        // id, so the pair set is unchanged. Knob-gated for the A/B.
+        val cand = if (Knobs.j51SlimCand(s)) {
+          val a = prefix.select(col("id").as("id_a"),
+            length(col("txt")).as("la"), col("g"))
+          val b = prefix.select(col("id").as("id_b"),
+            length(col("txt")).as("lb"), col("g"))
+          val ids = a.join(b, Seq("g"))
+            .where(col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= 2)
+            .select("id_a", "id_b").distinct()
+          ids.join(broadcast(corpus.select(col("id").as("id_a"),
+              col("txt").as("ta"))), "id_a")
+            .join(broadcast(corpus.select(col("id").as("id_b"),
+              col("txt").as("tb"))), "id_b")
+            .select(col("id_a"), col("id_b"), col("ta"), col("tb"))
+        } else {
+          val a = prefix.select(col("id").as("id_a"), col("txt").as("ta"),
+            col("g"))
+          val b = prefix.select(col("id").as("id_b"), col("txt").as("tb"),
+            col("g"))
+          a.join(b, Seq("g"))
+            .where(col("id_a") < col("id_b") &&
+              abs(length(col("ta")) - length(col("tb"))) <= 2)
+            .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
+        }
+        cand
           .withColumn("dist", levenshtein(col("ta"), col("tb")))
           .where(col("dist") <= 2)
           .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))

@@ -7,9 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * 16 real defects by feeding hostile fixtures to the keys reading ONE
   * table each. This generalizes the pattern to the whole input surface
   * at once: every registry key runs over (a) an ALL-EMPTY variant of the
-  * ten fixture tables and (b) a SINGLE-ROW variant — the two shapes a
-  * production job actually meets at the edges (a brand-new partition, a
-  * nearly-dead source, a filter that eliminated everything upstream).
+  * ten fixture tables, (b) a SINGLE-ROW variant, (c) a PATHOLOGICAL
+  * row-shape variant, and (d) a NULL-riddled variant.
+  *
+  * r22 (verdict item 2, suite-wall bound): the four sweeps — 1782 s of
+  * single-JVM wall together, the reason the driver's `sbt test` leg
+  * truncated in r21 — are now FOUR suites, one sweep each, so
+  * build.sbt's testGrouping can run each in its own forked JVM in
+  * parallel with the rest of the suite. Coverage is unchanged: every
+  * registry key still runs over every variant.
   *
   * Empty input exercises a class the per-table sweeps cannot: aggregates
   * that feed divisions (0-row totals), limit(1) carriers that vanish,
@@ -18,19 +24,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * pair enumeration) — including j108's wedges=0 clustering guard,
   * whose 12-vector embedding sweep fixture could not reach it.
   *
-  * Both variants are derived from the REAL sf0.001 fixtures by
-  * truncation, so schemas (including the events.ts physical-type
+  * The empty/single variants are derived from the REAL sf0.001 fixtures
+  * by truncation, so schemas (including the events.ts physical-type
   * dispatch in Tables.events) stay exactly what the engine sees in
   * production. Keys only have to not THROW; emptiness of results is
   * legitimate.
   */
-class DegenerateDataSpec extends AnyFunSuite {
+trait DegenerateSweep { self: AnyFunSuite =>
   lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
 
   /** Save/restore a session conf around `body` (r19 advice: the sweep set
     * nanosAsLong on the SHARED TestSpark session and leaked reader
     * behavior into whichever suite ran next). */
-  private def withConf[A](key: String, value: String)(body: => A): A = {
+  protected def withConf[A](key: String, value: String)(body: => A): A = {
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, value)
     try body
@@ -40,7 +46,7 @@ class DegenerateDataSpec extends AnyFunSuite {
     }
   }
 
-  private def buildVariant(tag: String, n: Int): String = {
+  protected def buildVariant(tag: String, n: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_degen$tag").toString
     // same reader posture as Tables.events: a legacy TIMESTAMP(NANOS)
     // events fixture reads as epoch-nanos LONG and round-trips as such
@@ -53,7 +59,7 @@ class DegenerateDataSpec extends AnyFunSuite {
     dir
   }
 
-  private def sweep(dir: String, tag: String): Unit = {
+  protected def sweep(dir: String, tag: String): Unit = {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     var executed = 0
     var attempted = 0
@@ -86,42 +92,35 @@ class DegenerateDataSpec extends AnyFunSuite {
     assert(executed == SparkEntry.registry.size,
       s"$tag sweep executed $executed of ${SparkEntry.registry.size}")
   }
+}
 
+class DegenerateEmptySpec extends AnyFunSuite with DegenerateSweep {
   test("every registry key survives ALL-EMPTY input tables") {
     sweep(buildVariant("empty", 0), "empty")
   }
+}
 
+class DegenerateSingleRowSpec extends AnyFunSuite with DegenerateSweep {
   test("every registry key survives SINGLE-ROW input tables") {
     sweep(buildVariant("single", 1), "single-row")
   }
+}
 
-  // the remaining hostile class after empty/single-row: NULLs in the
-  // nullable columns of EVERY table at once (r19 verdict item 3 widened
-  // this from documents-only). Per table the row-identity column stays
-  // intact and every other column goes NULL on its own prime stride, so
-  // null and non-null rows interleave and every key sees both classes in
-  // one relation — the shape a production corpus has after a failed
-  // extraction stage, a partial join, or a late-arriving dimension.
-  // Orders/lineitem additionally null their JOIN keys (o_orderkey /
-  // o_custkey / l_partkey / l_suppkey: SQL null-key semantics drop those
-  // rows from equi-joins — they must drop, not throw), and embeddings
-  // carries both whole-NULL vectors and NULL elements INSIDE otherwise
-  // valid arrays (the class a failed encoder shard produces). Keys only
-  // have to not THROW; null rows legitimately drop out of pipelines.
-  // sweep (d): PATHOLOGICAL ROW SHAPES — the per-row extremes a crawler
-  // actually produces and the empty/single/null sweeps cannot reach: a
-  // 20k-token document, a single 70k-char token (a binary blob pasted
-  // into text; > writeUTF's 65,535-byte cap), a 10k-fold repeated
-  // token, pre-epoch and far-future timestamps, ±1.7e308/NaN measures,
-  // and embedding vectors carrying ±1e30, denormals, and NaN. Keys only
-  // have to not THROW; Inf/NaN outputs and dropped rows are legitimate.
-  // (The sweep's FIRST run used a 50k-token doc and year-1/9999
-  // timestamps and broke 18 keys — all fixed; the committed sizes are
-  // bounded so the suite's wall stays reasonable, and the two classes
-  // the shrink no longer reaches are pinned separately: a16's
-  // spine-materialization by Round20Spec's plan-shape test, the
-  // DECIMAL/quantizer overflow classes by the retained extreme VALUES
-  // here.)
+// sweep (c): PATHOLOGICAL ROW SHAPES — the per-row extremes a crawler
+// actually produces and the empty/single/null sweeps cannot reach: a
+// 20k-token document, a single 70k-char token (a binary blob pasted
+// into text; > writeUTF's 65,535-byte cap), a 10k-fold repeated
+// token, pre-epoch and far-future timestamps, ±1.7e308/NaN measures,
+// and embedding vectors carrying ±1e30, denormals, and NaN. Keys only
+// have to not THROW; Inf/NaN outputs and dropped rows are legitimate.
+// (The sweep's FIRST run used a 50k-token doc and year-1/9999
+// timestamps and broke 18 keys — all fixed; the committed sizes are
+// bounded so the suite's wall stays reasonable, and the two classes
+// the shrink no longer reaches are pinned separately: a16's
+// spine-materialization by Round20Spec's plan-shape test, the
+// DECIMAL/quantizer overflow classes by the retained extreme VALUES
+// here.)
+class DegeneratePathologicalSpec extends AnyFunSuite with DegenerateSweep {
   test("every registry key survives pathological row shapes") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_degenpath").toString
@@ -176,7 +175,22 @@ class DegenerateDataSpec extends AnyFunSuite {
     }
     sweep(dir, "pathological")
   }
+}
 
+// sweep (d): the remaining hostile class after empty/single-row: NULLs in
+// the nullable columns of EVERY table at once (r19 verdict item 3 widened
+// this from documents-only). Per table the row-identity column stays
+// intact and every other column goes NULL on its own prime stride, so
+// null and non-null rows interleave and every key sees both classes in
+// one relation — the shape a production corpus has after a failed
+// extraction stage, a partial join, or a late-arriving dimension.
+// Orders/lineitem additionally null their JOIN keys (o_orderkey /
+// o_custkey / l_partkey / l_suppkey: SQL null-key semantics drop those
+// rows from equi-joins — they must drop, not throw), and embeddings
+// carries both whole-NULL vectors and NULL elements INSIDE otherwise
+// valid arrays (the class a failed encoder shard produces). Keys only
+// have to not THROW; null rows legitimately drop out of pipelines.
+class DegenerateNullSpec extends AnyFunSuite with DegenerateSweep {
   test("every registry key survives NULL-riddled columns in all ten tables") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.{Column, DataFrame}

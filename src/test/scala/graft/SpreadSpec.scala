@@ -74,6 +74,32 @@ class SpreadSpec extends AnyFunSuite {
     }
   }
 
+  test("unknown size means do NOT spread (non-stattable path, r22 fix)") {
+    withSpark { spark =>
+      val df = Tables.t(spark, sf, "documents")
+      // a dir/name java.io.File cannot stat (object-store posture, renamed
+      // file, nested part dirs): bytes are unknown -> assume large -> the
+      // device must be the identity, never a full shuffle of the input
+      val plan = Tables.spread(spark, "/nonexistent/bucket", "documents",
+        df, col("doc_id")).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("RepartitionByExpression"),
+        "unknown input size must not insert a repartition")
+      // a stattable but EMPTY directory (zero summed bytes) is likewise
+      // treated as unknown — no exchange added
+      val emptyDir = java.nio.file.Files.createTempDirectory("spread").toFile
+      try {
+        new java.io.File(emptyDir, "documents.parquet").mkdir()
+        val p2 = Tables.spread(spark, emptyDir.getAbsolutePath, "documents",
+          df, col("doc_id")).queryExecution.optimizedPlan.toString
+        assert(!p2.contains("RepartitionByExpression"),
+          "zero summed bytes must not insert a repartition")
+      } finally {
+        new java.io.File(emptyDir, "documents.parquet").delete()
+        emptyDir.delete()
+      }
+    }
+  }
+
   test("shinglesWithCount still equals the defining groupBy count") {
     withSpark { spark =>
       import spark.implicits._

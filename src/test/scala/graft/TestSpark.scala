@@ -10,6 +10,13 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-process warehouse: the suite now runs as PARALLEL forked JVM
+      // groups (build.sbt testGrouping, r22 — the registry-wide sweeps
+      // each get their own JVM), and the default cwd-relative
+      // spark-warehouse would make c11's managed-table drop/overwrite a
+      // cross-JVM race
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
